@@ -1,0 +1,105 @@
+"""Grouped aggregations (SURVEY.md §2.5 A1, A3-A6, A8).
+
+Every reference aggregation is ``reduceByKey`` RDD code; the DataFrame
+forms below compile to partial+final HashAggregate (map-side combine
+for free — reference considerations.txt:36-38 hand-builds this).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_counts(
+    df: DataFrame, group_cols: Sequence[str], count_col: str = "count"
+) -> DataFrame:
+    """A1/A6: count rows per group (null group keys are preserved,
+    matching reference unit test ParquetCombinerRDDUnitTest.scala:667-702)."""
+    return df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias(count_col))
+
+
+def group_stats(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    mode_col: str,
+    total_alias: str = "total_detections",
+    unique_alias: str = "unique_items",
+    mode_alias: str = "most_active_camera",
+    approx: bool = False,
+) -> DataFrame:
+    """A3+A4+A5 in one pass: count(*), count-distinct of ``item_col``,
+    and the mode (arg-max by frequency) of ``mode_col``
+    (reference services/Aggregations.scala:112-131, LocationStats).
+
+    ``approx=True`` swaps exact count-distinct for HLL
+    ``approx_count_distinct`` — the 100 TB path where an exact distinct
+    would shuffle every value.
+
+    The mode is computed via two-level aggregation (count per
+    (group, mode_col) then ``max_by``) with a deterministic tiebreak:
+    highest count wins, then *lowest* mode_col value. One shuffle on
+    (group, mode_col), one on group — both with partial aggregation.
+    """
+    uniq = (
+        F.approx_count_distinct(item_col)
+        if approx
+        else F.countDistinct(item_col)
+    )
+    per_mode = df.groupBy(group_col, mode_col).agg(
+        F.count(F.lit(1)).alias("__mode_cnt")
+    )
+    totals = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias(total_alias),
+        uniq.alias(unique_alias),
+    )
+    mode_pick = per_mode.groupBy(group_col).agg(
+        F.max_by(
+            F.col(mode_col),
+            F.struct(F.col("__mode_cnt"), -F.col(mode_col).cast("double")),
+        ).alias(mode_alias)
+    )
+    return totals.join(mode_pick, on=group_col, how="left").withColumn(
+        mode_alias, F.coalesce(F.col(mode_alias), F.lit(-1))
+    )
+
+
+def distinct_count(
+    df: DataFrame, col: str, approx: bool = False, alias: str = "n_distinct"
+) -> DataFrame:
+    """D2: distinct-count of one column (reference GenerateParquet.scala:188-195)."""
+    agg = F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    return df.agg(agg.alias(alias))
+
+
+def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A8: count/mean/stddev/min/max per numeric column in ONE pass,
+    long format (column, metric values) — unlike ``df.describe()``
+    this is a single aggregate and returns typed doubles.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__count"),
+            F.avg(c).alias(f"{c}__mean"),
+            F.stddev(c).alias(f"{c}__stddev"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot to (column, count, mean, stddev, min, max)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__count").cast("double").alias("count"),
+            F.col(f"{c}__mean").cast("double").alias("mean"),
+            F.col(f"{c}__stddev").cast("double").alias("stddev"),
+            F.col(f"{c}__min").cast("double").alias("min"),
+            F.col(f"{c}__max").cast("double").alias("max"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference hand-tunes ``spark.sql.shuffle.partitions=200``,
+``spark.rdd.compress`` and RDD persist levels
+(reference ParquetCombinerRDD.scala:31-34). Here the equivalent knobs
+are AQE (runtime partition coalescing, skew-join splitting) plus a
+shuffle-partition count sized from the env, so the same code runs on
+local[32] tests and a 1000-executor cluster without edits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that matter at 100 TB:
+# - AQE on: runtime re-planning, skew splitting, partition coalescing.
+# - Arrow on: Pandas UDF / toPandas boundary is vectorized.
+# - maxPartitionBytes 128m: sane scan-side parallelism for big files.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.driver.extraJavaOptions": "-Duser.timezone=UTC",
+    "spark.executor.extraJavaOptions": "-Duser.timezone=UTC",
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return f"local[{cpus}]" if cpus else "local[*]"
+
+
+def get_spark(
+    app_name: str = "parquet-combiner-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    ``shuffle_partitions`` defaults to 2x local cores for local mode;
+    on a real cluster leave it high (AQE coalesces down for free).
+    """
+    builder = SparkSession.builder.appName(app_name).master(
+        master or default_master()
+    )
+    conf = dict(_DEFAULT_CONF)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

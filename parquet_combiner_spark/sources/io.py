@@ -1,0 +1,86 @@
+"""Parquet sources and sinks (SURVEY.md §2.1, S1-S7).
+
+The reference reads Parquet then immediately drops to row-oriented
+RDDs of case classes (reference utils/DataReader.scala:14-36),
+forfeiting the vectorized reader and column pruning. These readers
+stay in DataFrames: Catalyst pushes filters and prunes columns into
+the scan, which is the difference between reading 5 columns and
+reading 2 at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from parquet_combiner_spark import schemas
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan, optionally schema-enforced (fail-fast).
+
+    With an explicit schema Spark skips footer-based schema merging and
+    validates names/types at analysis time instead of task runtime
+    (contrast reference DataReader.scala:16-23 getAs[...] at runtime).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_data_a(spark: SparkSession, path: str) -> DataFrame:
+    """S1: detections fact table (reference DataReader.scala:14-25)."""
+    return read_parquet(spark, path, schemas.DATA_A_SCHEMA)
+
+
+def read_data_b(spark: SparkSession, path: str) -> DataFrame:
+    """S2: locations dim table (reference DataReader.scala:28-36)."""
+    return read_parquet(spark, path, schemas.DATA_B_SCHEMA)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S3/S4: snappy Parquet sink (reference ParquetCombinerRDD.scala:204-207).
+
+    ``partition_by`` is the 100 TB addition: a partitioned layout turns
+    downstream equality predicates into partition pruning.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = schemas.TESTDATA_TABLES,
+    register_views: bool = True,
+) -> dict[str, DataFrame]:
+    """Load driver testdata tables; optionally register temp views so
+    the same queries run via spark.sql (the SQL surface the reference
+    only touched in tests — SURVEY.md §3.4 makes it primary here)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        p = table_path(sf_dir, name)
+        if not os.path.exists(p):
+            continue
+        df = spark.read.parquet(p)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
