@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The real registries live in :mod:`parquet_combiner_spark.queries`
+(reference-parity operators, SURVEY.md §2) and
+:mod:`parquet_combiner_spark.functions` (LLM-data-pipeline operators);
+this module only re-exports them.
 """
 
 from __future__ import annotations
@@ -13,26 +17,41 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from parquet_combiner_spark import queries as _q
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: per-supplier top-5 parts by deduped
+    lineitem count, broadcast-joined to the supplier dim
+    (scan → dedup → agg → window rank → broadcast join → project)."""
+    return _q.top_parts_per_supplier(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    registry.update(_q.QUERIES)
+    try:  # LLM-data-pipeline operators (round 2+)
+        from parquet_combiner_spark.functions import PIPELINE_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        registry.update(PIPELINE_QUERIES)
+    except ImportError:
+        pass
+    return registry
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """ANSI-SQL oracle per query key (DuckDB-runnable). Keys absent
+    here (LSH/SimHash-style non-SQL-expressible ops) get the driver's
+    weaker rows-only check."""
+    oracles: dict[str, str] = {}
+    oracles.update(_q.ORACLE_SQL)
+    try:
+        from parquet_combiner_spark.functions import PIPELINE_ORACLE_SQL
+
+        oracles.update(PIPELINE_ORACLE_SQL)
+    except ImportError:
+        pass
+    return oracles

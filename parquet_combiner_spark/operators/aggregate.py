@@ -56,10 +56,15 @@ def group_stats(
         F.count(F.lit(1)).alias(total_alias),
         uniq.alias(unique_alias),
     )
+    # min_by over (-count, value): highest count wins, then lowest
+    # value — the negation happens on the exact long count, and the
+    # value itself is compared ascending, so any orderable mode_col
+    # type works with no precision loss (fixes the 2^53 double-cast
+    # hazard on large ids).
     mode_pick = per_mode.groupBy(group_col).agg(
-        F.max_by(
+        F.min_by(
             F.col(mode_col),
-            F.struct(F.col("__mode_cnt"), -F.col(mode_col).cast("double")),
+            F.struct(-F.col("__mode_cnt"), F.col(mode_col)),
         ).alias(mode_alias)
     )
     return totals.join(mode_pick, on=group_col, how="left").withColumn(

@@ -35,7 +35,16 @@ def salted_count(
     Phase 1 shuffles on (group_cols, salt) — skewed keys spread over
     ``num_salts`` tasks; phase 2 shuffles ``num_salts``× fewer rows.
     Equivalent to ``groupBy(group_cols).count()`` for any data.
+
+    ``salt_col`` must vary WITHIN a group — if it is one of the group
+    columns (or constant per group) the salt is constant inside each
+    group and the skew is not mitigated at all, so that is rejected.
     """
+    if salt_col in set(group_cols):
+        raise ValueError(
+            f"salt_col {salt_col!r} is a group column: the salt would be "
+            "constant within each group and the skew would not be split"
+        )
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_col), F.lit(num_salts)))
     partial = salted.groupBy(*group_cols, "__salt").agg(
         F.count(F.lit(1)).alias("__partial")

@@ -1,0 +1,429 @@
+"""Named query registry over the driver testdata tables.
+
+This is the engine's public query surface (SURVEY.md §2.11: the
+reference's string-keyed AggregationFactory —
+reference services/AggregationFactory.scala:29-37 — generalized to a
+``dict[str, Callable[[SparkSession, sf_dir], DataFrame]]``). Each
+query exercises one or more operators from SURVEY.md §2 against the
+TPC-H-ish testdata, and has a matching ANSI-SQL oracle in
+:data:`ORACLE_SQL` (DuckDB-runnable) with IDENTICAL column aliases.
+
+Determinism contract (SURVEY.md §7.4 risk 1): every ranking has a
+total tiebreak order, every dedup is deterministic or on a true key,
+and every float aggregate is rounded identically on both sides, so an
+order-insensitive value hash matches between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark.operators.aggregate import (
+    distinct_count,
+    group_counts,
+    group_stats,
+    summary_stats,
+)
+from parquet_combiner_spark.operators.dedup import (
+    dedup_deterministic,
+    dedup_first_wins,
+)
+from parquet_combiner_spark.operators.join import broadcast_dim_join
+from parquet_combiner_spark.operators.skew import salted_count
+from parquet_combiner_spark.operators.topk import top_k_per_group
+from parquet_combiner_spark.sources.io import table_path
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
+    rejects by default; read it as a long (nanos since epoch) — order
+    semantics are identical and no query exposes ts in its output."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(table_path(sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (SURVEY.md §2) on the testdata domain
+# ---------------------------------------------------------------------------
+
+
+def top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (A2+A1+J1+D1, reference services/Aggregations.scala:33-76):
+    per-supplier top-5 parts by lineitem count, dedup on the fact's
+    true key, rank via window, broadcast-left-join the supplier dim
+    with "Unknown" default, rank cast to string at the boundary
+    (reference ParquetCombinerRDD.scala:194-200 string-rank parity).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_orderkey", "l_linenumber"
+    )
+    # The testdata plants ~24% duplicate (orderkey, linenumber) keys —
+    # the analog of the reference's 15% duplicate detection_oids. The
+    # deterministic variant keeps the lowest (partkey, suppkey) row per
+    # key so the oracle can reproduce the exact surviving payload
+    # (SURVEY.md §7.4 risk 1; first-wins D1 semantics are covered by
+    # the ported reference tests instead).
+    deduped = dedup_deterministic(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        [F.asc("l_partkey"), F.asc("l_suppkey")],
+    )
+    counts = group_counts(deduped, ["l_suppkey", "l_partkey"], "part_count")
+    ranked = top_k_per_group(
+        counts,
+        ["l_suppkey"],
+        [F.desc("part_count"), F.asc("l_partkey")],
+        5,
+        rank_col="part_rank",
+    )
+    dim = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    return broadcast_dim_join(
+        ranked, dim, key="l_suppkey", defaults={"s_name": "Unknown"}
+    ).select(
+        "l_suppkey",
+        F.col("s_name").alias("supplier_name"),
+        "l_partkey",
+        "part_count",
+        F.col("part_rank").cast("string").alias("part_rank"),
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3: grouped sums/avgs/counts (TPC-H Q1 shape). Floats rounded
+    identically to the oracle so summation-order noise cancels."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4+A5 (reference LocationStats, Aggregations.scala:101-137):
+    per-supplier total lineitems, distinct parts, and modal part
+    (highest count wins, lowest part key on ties)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return group_stats(
+        li,
+        group_col="l_suppkey",
+        item_col="l_partkey",
+        mode_col="l_partkey",
+        total_alias="total_items",
+        unique_alias="unique_parts",
+        mode_alias="top_part",
+    )
+
+
+def orders_with_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with real misses: enrich orders with a half-filtered customer
+    dim ("Unknown" on miss — reference ParquetCombinerRDD.scala:189),
+    then aggregate per customer name."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    enriched = broadcast_dim_join(
+        orders, dim, key="o_custkey", defaults={"c_name": "Unknown"}
+    )
+    return enriched.groupBy(F.col("c_name").alias("customer_name")).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+
+
+def returnflag_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: two-phase salted aggregation (reference
+    utils/SkewedDataHandler.scala:26-65); must equal a plain group-count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_count(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        salt_col="l_orderkey",
+        count_col="cnt",
+    )
+
+
+def distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: distinct count (reference tools/ReadParquet.scala:187-193)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return distinct_count(li, "l_partkey", alias="n_distinct")
+
+
+def lineitem_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: single-pass count/mean/stddev/min/max per numeric column
+    (reference tools/ReadParquet.scala:165-172 describe())."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = summary_stats(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return wide.select(
+        "column",
+        "count",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 4).alias("stddev"),
+        "min",
+        "max",
+    )
+
+
+def earliest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 deterministic variant: first event per user under (ts,
+    event_id) order — reproducible regardless of partitioning
+    (SURVEY.md §2.4 deterministic dedup)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    first = dedup_deterministic(ev, ["user_id"], [F.asc("ts"), F.asc("event_id")])
+    return first.select("user_id", "event_id", "event_type")
+
+
+def filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P5 + A9: the SQL surface (reference integration tests run
+    Spark SQL over temp views — IntegrationTest.scala:243-251; here it
+    is a primary path per SURVEY.md §3.4)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice AS total_price
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+        """
+    )
+
+
+def order_buckets_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: bag-semantics union of two filtered branches (reference
+    utils/SkewedDataHandler.scala:64), then re-aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    high = orders.where(F.col("o_totalprice") > 200000).select(
+        "o_orderstatus", F.lit("high").alias("bucket")
+    )
+    low = orders.where(F.col("o_totalprice") < 50000).select(
+        "o_orderstatus", F.lit("low").alias("bucket")
+    )
+    return high.unionByName(low).groupBy("bucket", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3: global sort + limit with a total tiebreak order."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("total_price"),
+            "o_orderstatus",
+        )
+    )
+
+
+def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6 on the events table."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship shape #2 (A2 + F2 modulo): top-3 event types per
+    user-id bucket, deterministic tiebreak."""
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 100).alias("user_bucket"), "event_type"
+    )
+    counts = group_counts(ev, ["user_bucket", "event_type"], "n")
+    return top_k_per_group(
+        counts,
+        ["user_bucket"],
+        [F.desc("n"), F.asc("event_type")],
+        3,
+        rank_col="rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "top_parts_per_supplier": top_parts_per_supplier,
+    "pricing_summary": pricing_summary,
+    "supplier_stats": supplier_stats,
+    "orders_with_customer": orders_with_customer,
+    "returnflag_counts_salted": returnflag_counts_salted,
+    "distinct_parts": distinct_parts,
+    "lineitem_summary_stats": lineitem_summary_stats,
+    "earliest_event_per_user": earliest_event_per_user,
+    "filtered_orders": filtered_orders,
+    "order_buckets_union": order_buckets_union,
+    "top_orders_global": top_orders_global,
+    "events_by_type": events_by_type,
+    "user_bucket_top_events": user_bucket_top_events,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "top_parts_per_supplier": """
+        WITH deduped AS (
+            SELECT l_suppkey, l_partkey FROM (
+                SELECT l_suppkey, l_partkey,
+                       row_number() OVER (
+                           PARTITION BY l_orderkey, l_linenumber
+                           ORDER BY l_partkey, l_suppkey
+                       ) AS dn
+                FROM lineitem
+            ) WHERE dn = 1
+        ), counts AS (
+            SELECT l_suppkey, l_partkey, count(*) AS part_count
+            FROM deduped GROUP BY l_suppkey, l_partkey
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_suppkey
+                ORDER BY part_count DESC, l_partkey
+            ) AS rn
+            FROM counts
+        )
+        SELECT r.l_suppkey,
+               coalesce(s.s_name, 'Unknown') AS supplier_name,
+               r.l_partkey, r.part_count,
+               CAST(r.rn AS VARCHAR) AS part_rank
+        FROM ranked r LEFT JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.rn <= 5
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "supplier_stats": """
+        WITH pm AS (
+            SELECT l_suppkey, l_partkey, count(*) AS cnt
+            FROM lineitem GROUP BY l_suppkey, l_partkey
+        ), pick AS (
+            SELECT l_suppkey, l_partkey AS top_part,
+                   row_number() OVER (
+                       PARTITION BY l_suppkey ORDER BY cnt DESC, l_partkey
+                   ) AS rn
+            FROM pm
+        )
+        SELECT t.l_suppkey, t.total_items, t.unique_parts, p.top_part
+        FROM (
+            SELECT l_suppkey, count(*) AS total_items,
+                   count(DISTINCT l_partkey) AS unique_parts
+            FROM lineitem GROUP BY l_suppkey
+        ) t JOIN pick p ON t.l_suppkey = p.l_suppkey AND p.rn = 1
+    """,
+    "orders_with_customer": """
+        SELECT coalesce(c.c_name, 'Unknown') AS customer_name,
+               count(*) AS order_count,
+               round(sum(o.o_totalprice), 2) AS total_spend
+        FROM orders o
+        LEFT JOIN (
+            SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+        ) c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    "returnflag_counts_salted": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "distinct_parts": """
+        SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem
+    """,
+    "lineitem_summary_stats": """
+        SELECT 'l_quantity' AS "column",
+               CAST(count(l_quantity) AS DOUBLE) AS count,
+               round(avg(l_quantity), 4) AS mean,
+               round(stddev_samp(l_quantity), 4) AS stddev,
+               CAST(min(l_quantity) AS DOUBLE) AS min,
+               CAST(max(l_quantity) AS DOUBLE) AS max
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(count(l_extendedprice) AS DOUBLE),
+               round(avg(l_extendedprice), 4),
+               round(stddev_samp(l_extendedprice), 4),
+               CAST(min(l_extendedprice) AS DOUBLE),
+               CAST(max(l_extendedprice) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount',
+               CAST(count(l_discount) AS DOUBLE),
+               round(avg(l_discount), 4),
+               round(stddev_samp(l_discount), 4),
+               CAST(min(l_discount) AS DOUBLE),
+               CAST(max(l_discount) AS DOUBLE)
+        FROM lineitem
+    """,
+    "earliest_event_per_user": """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "filtered_orders": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice AS total_price
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    """,
+    "order_buckets_union": """
+        SELECT bucket, o_orderstatus, count(*) AS n FROM (
+            SELECT o_orderstatus, 'high' AS bucket
+            FROM orders WHERE o_totalprice > 200000
+            UNION ALL
+            SELECT o_orderstatus, 'low' AS bucket
+            FROM orders WHERE o_totalprice < 50000
+        ) GROUP BY bucket, o_orderstatus
+    """,
+    "top_orders_global": """
+        SELECT o_orderkey, o_totalprice AS total_price, o_orderstatus
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "events_by_type": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type
+    """,
+    "user_bucket_top_events": """
+        SELECT user_bucket, event_type, n, CAST(rn AS INTEGER) AS rank FROM (
+            SELECT user_id % 100 AS user_bucket, event_type,
+                   count(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY user_id % 100
+                       ORDER BY count(*) DESC, event_type
+                   ) AS rn
+            FROM events GROUP BY user_id % 100, event_type
+        ) WHERE rn <= 3
+    """,
+}

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -77,9 +78,13 @@ def load_tables(
     out: dict[str, DataFrame] = {}
     for name in names:
         p = table_path(sf_dir, name)
-        if not os.path.exists(p):
+        try:
+            # Let Spark's own FS layer resolve the path (works on
+            # HDFS/S3/local alike — an os.path.exists() check here
+            # would silently skip every table on a remote FS).
+            df = spark.read.parquet(p)
+        except AnalysisException:
             continue
-        df = spark.read.parquet(p)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark AND the
+matching ``oracle_sql()`` on DuckDB over the same parquet tables,
+then compares row count, column names, and an order-insensitive
+value hash (columns sorted by name, floats normalized). Queries with
+no oracle get a rows-only check (must return >= 0 rows and a stable
+schema), mirroring the driver's weaker path.
+
+Usage: python scripts/check_oracle.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm(v):
+    """Normalize a cell for hashing across Spark/DuckDB type drift."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 9 significant digits: kills last-ulp summation noise while
+        # still catching real numeric errors
+        return f"{v:.9g}"
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_norm(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from parquet_combiner_spark.session import get_spark
+
+    spark = get_spark(app_name="check-oracle", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(qs)
+    failures = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR    {name}: spark side failed: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWSONLY {name}: rows={len(srows)} cols={scols}")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR    {name}: oracle failed: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        elif value_hash(scols, srows) != value_hash(ocols, orows):
+            problems.append("value-hash mismatch")
+            sset = {
+                tuple(_norm(v) for v in row) for row in
+                ([r[i] for i in sorted(range(len(scols)), key=lambda i: scols[i])]
+                 for r in srows)
+            }
+            oset = {
+                tuple(_norm(v) for v in row) for row in
+                ([r[i] for i in sorted(range(len(ocols)), key=lambda i: ocols[i])]
+                 for r in orows)
+            }
+            for label, diff in (
+                ("spark-only", sset - oset),
+                ("oracle-only", oset - sset),
+            ):
+                for row in list(diff)[:3]:
+                    problems.append(f"  {label}: {row}")
+        if problems:
+            print(f"MISMATCH {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(f"         {p}")
+            failures.append(name)
+        else:
+            print(f"MATCH    {name}: rows={len(srows)}")
+    spark.stop()
+    print(f"\n{len(names) - len(failures)}/{len(names)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
