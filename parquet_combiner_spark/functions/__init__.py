@@ -1,0 +1,186 @@
+"""LLM-training-data pipeline operators (beyond the reference's own
+surface — driver brief): text analysis, dedup families, similarity
+search, multimodal plumbing.
+
+Exports ``PIPELINE_QUERIES`` / ``PIPELINE_ORACLE_SQL`` consumed by
+``__spark_entry__``. Queries with no oracle entry (MinHash/SimHash/
+LSH — xxhash64-dependent, not expressible in DuckDB) get the driver's
+rows-only check; everything else hash-matches an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark.functions import dedup_text, similarity, text
+from parquet_combiner_spark.sources.io import table_path
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "embeddings"))
+
+
+# --- documents ------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_token_stats(_docs(spark, sf_dir))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_quality(_docs(spark, sf_dir))
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", "fp_md5"
+    )
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_text.exact_dedup_docs(_docs(spark, sf_dir))
+
+
+def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_text.minhash_near_dup_pairs(
+        _docs(spark, sf_dir), threshold=0.5
+    )
+
+
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_text.simhash_near_dup_pairs(
+        _docs(spark, sf_dir), max_hamming=3
+    )
+
+
+# --- embeddings -----------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 16)
+    return similarity.cosine_topk_bruteforce(embs, queries, k=5)
+
+
+def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 16)
+    return similarity.cosine_topk_lsh(embs, queries, k=5, num_planes=8)
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        _embs(spark, sf_dir), min_cosine=0.9, num_planes=8
+    )
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_label_stats(_embs(spark, sf_dir))
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+    "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "embedding_label_stats": q_embedding_label_stats,
+}
+
+_STOPWORD_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+PIPELINE_ORACLE_SQL: dict[str, str] = {
+    # minhash/simhash/LSH queries intentionally absent: xxhash64-based,
+    # not reproducible in DuckDB → rows-only check.
+    "doc_token_stats": f"""
+        SELECT doc_id, lang,
+               length(text) AS n_chars_calc,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens_bpe,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1),
+                     4) AS avg_token_len
+        FROM documents
+    """,
+    "doc_quality": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        w -> w IN ({_STOPWORD_LIST}))) AS DOUBLE)
+                       / greatest(len(string_split(lower(text), ' ')), 1)
+                       AS stop_raw,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS DOUBLE) / greatest(length(text), 1) AS punct_raw
+            FROM documents
+        )
+        SELECT doc_id, n_tok AS n_tokens,
+               round(stop_raw, 4) AS stop_ratio,
+               round(punct_raw, 4) AS punct_ratio,
+               round(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                     * (1.0 - stop_raw) * (1.0 - punct_raw), 4) AS quality
+        FROM t
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id, md5(text) AS fp_md5 FROM documents
+    """,
+    "exact_dedup_docs": """
+        SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "ann_cosine_topk": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 16
+        ), pairs AS (
+            SELECT q.q_id, e.vec_id AS n_id,
+                   list_dot_product(q.q_emb, e.emb)
+                   / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                      * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+            FROM q, e WHERE e.vec_id <> q.q_id
+        )
+        SELECT q_id, n_id, round(cos, 6) AS sim,
+               CAST(rn AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id
+            ) AS rn FROM pairs
+        ) WHERE rn <= 5
+    """,
+    "embedding_label_stats": """
+        SELECT label, count(*) AS n,
+               round(avg(sqrt(list_dot_product(
+                   CAST(embedding AS DOUBLE[]),
+                   CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+        FROM embeddings GROUP BY label
+    """,
+}
+
+__all__ = [
+    "PIPELINE_QUERIES",
+    "PIPELINE_ORACLE_SQL",
+    "dedup_text",
+    "similarity",
+    "text",
+]

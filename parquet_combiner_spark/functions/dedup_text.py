@@ -1,0 +1,324 @@
+"""Near-duplicate detection for document corpora.
+
+Three families, all bucketed-by-construction (every candidate join is
+an equi-join on a bucket key — there is NO cross join anywhere, which
+is the difference between O(n²) and feasible at 100 TB):
+
+- MinHash + LSH banding: shingle → 64 min-hashes → band buckets →
+  equi-join within buckets → exact Jaccard verify on candidates.
+- SimHash: 64-bit weighted-bit signature → (max_hamming + 1) chunk
+  buckets (pigeonhole: a pair within the hamming budget shares ≥ 1
+  exact chunk) → hamming filter on candidates.
+- Exact dedup: md5 grouping (generalizes the reference's
+  detection_oid dedup — reference services/Aggregations.scala:41-46 —
+  to content-defined keys).
+
+Scale notes: the only shuffles are groupBy(doc) for signatures and
+the equi-join on (band/chunk, hash) for candidates. Bucket sizes are
+bounded by design (a band collision needs R hash agreements), so the
+within-bucket pair expansion stays near-linear for non-degenerate
+corpora; a pathological bucket (e.g. the empty document) is capped by
+``max_bucket_size``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark.functions.text import shingles, tokens
+
+NUM_HASHES = 64
+NUM_BANDS = 16  # 16 bands × 4 rows; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(id, sig array<long>[num_hashes]) MinHash signatures.
+
+    One explode + one groupBy(id): the shuffle carries num_hashes
+    longs per (doc, shingle) pre-aggregated map-side by the partial
+    min — Catalyst's partial HashAggregate keeps the exchange at
+    O(docs × num_hashes), not O(shingles × num_hashes).
+    """
+    sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            shingles(tokens(F.lower(F.col(text_col))), k_shingle)
+        ).alias("shingle"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.xxhash64("shingle", F.lit(i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_band_buckets(
+    signatures: DataFrame,
+    num_bands: int = NUM_BANDS,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): one row per band; docs agreeing
+    on ALL rows of a band land in the same bucket."""
+    rows_per_band = num_hashes // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[
+                        F.col("sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return signatures.select(
+        "doc_id", F.explode(bands).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def candidate_pairs(
+    buckets: DataFrame, max_bucket_size: int = 1000
+) -> DataFrame:
+    """Distinct (doc_id_a < doc_id_b) pairs sharing a bucket.
+
+    Implemented as a self-equi-join on (band_id, band_hash) — shuffle
+    on the bucket key, compare only within buckets. ``max_bucket_size``
+    drops degenerate buckets (e.g. thousands of empty docs) whose
+    quadratic expansion would dominate; real near-dup groups are far
+    smaller than the cap.
+    """
+    sized = (
+        buckets.withColumn(
+            "__bucket_n",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("band_id", "band_hash")
+            ),
+        )
+        .where(F.col("__bucket_n") <= max_bucket_size)
+        .drop("__bucket_n")
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def estimate_jaccard(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    """MinHash Jaccard estimate: fraction of agreeing signature slots."""
+    sig_a = signatures.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a")
+    )
+    sig_b = signatures.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return (
+        pairs.join(sig_a, "doc_id_a")
+        .join(sig_b, "doc_id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(agree / F.size("sig_a"), 4),
+        )
+        .drop("sig_a", "sig_b")
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (n-gram Jaccard
+    near-dup component). Joins the (small) candidate set back to the
+    shingle arrays — cost is O(candidates), not O(n²)."""
+    sets = documents.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(tokens(F.lower(F.col(text_col))), k_shingle).alias("sh"),
+    )
+    a = sets.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1.0)), 4))
+        .drop("sh_a", "sh_b")
+    )
+
+
+def minhash_near_dup_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: candidate pairs from
+    LSH bands, verified by exact shingle Jaccard ≥ ``threshold``.
+    Output: (doc_id_a, doc_id_b, est_jaccard, jaccard)."""
+    sigs = minhash_signatures(documents, text_col, id_col)
+    pairs = candidate_pairs(lsh_band_buckets(sigs))
+    est = estimate_jaccard(pairs, sigs)
+    verified = verify_jaccard(est, documents, text_col, id_col)
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "doc_id_a", "doc_id_b", "est_jaccard", "jaccard"
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, simhash long): Charikar SimHash over token counts.
+
+    Each token votes ±count on each of 64 bit positions (sign of its
+    xxhash64 bit); the signature takes the sign of each bit-sum. One
+    groupBy(doc, token) + one groupBy(doc), both with partial
+    aggregation.
+    """
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    counts = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    h = F.xxhash64("token")
+    bit_sums = counts.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(
+            F.col(f"b{i}") > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole bucketing with GUARANTEED recall: the 64-bit signature
+    is split into ``max_hamming + 1`` chunks (widths as equal as 64
+    allows); a pair with ≤ ``max_hamming`` differing bits cannot
+    differ in every chunk, so it agrees exactly on ≥ 1 chunk and an
+    equi-join on (chunk_id, chunk_value) finds it without a cross
+    join. Higher thresholds → more, narrower chunks → bigger buckets
+    (the usual recall/cost trade, here exact rather than
+    probabilistic). Output: (doc_id_a, doc_id_b, hamming).
+    """
+    sigs = simhash_signatures(documents, text_col, id_col)
+    n_chunks = min(max_hamming + 1, SIMHASH_BITS)
+    base_w, extra = divmod(SIMHASH_BITS, n_chunks)
+    widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), offsets[c])
+                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .where(hamming <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def exact_dedup_docs(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup via md5 grouping: (fp, keeper_doc_id,
+    n_copies). Deterministic keeper = lowest id."""
+    return documents.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
+        F.min(id_col).alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

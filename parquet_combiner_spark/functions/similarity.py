@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a large-scale pipeline needs both:
+
+- :func:`cosine_topk_bruteforce` — exact top-k against a SMALL query
+  set. The query side is broadcast, so the plan is a broadcast
+  nested-loop over the candidate scan: one pass, no shuffle of the
+  big side. Correct baseline; cost O(n_candidates × n_queries).
+- :func:`cosine_topk_lsh` — random-hyperplane LSH: candidates and
+  queries are bucketed by a P-bit sign code, the join is an equi-join
+  on the bucket code, and ranking happens within buckets only. This
+  is the 100 TB path: the big side shuffles once on a scalar key, and
+  no pair outside a shared bucket is ever scored.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` over
+``array<double>`` — JVM-side, no Python/Pandas round-trip. The
+hyperplanes are deterministic (numpy PCG64 seed 42) so results are
+reproducible across runs and sessions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark.operators.topk import top_k_per_group
+
+DEFAULT_PLANES = 12
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two array<double> columns
+    (left-to-right fold — matches DuckDB's list_dot_product order, so
+    oracle comparisons are bit-identical)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk_bruteforce(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query against all candidates.
+
+    ``queries`` must be small (it is broadcast); candidates stream
+    through in one scan. Output: (q_id, n_id, sim, rank) with a total
+    tiebreak (sim desc, n_id asc).
+    """
+    cand = _as_double(candidates, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
+    )
+    qry = _as_double(queries, vec_col).select(
+        F.col(query_id_col if query_id_col in queries.columns else id_col).alias(
+            "q_id"
+        ),
+        F.col(vec_col).alias("q_emb"),
+    )
+    pairs = cand.crossJoin(F.broadcast(qry)).where(
+        F.col("n_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        "n_id",
+        cosine(F.col("q_emb"), F.col("n_emb")).alias("__cos"),
+    )
+    ranked = top_k_per_group(
+        scored, ["q_id"], [F.desc("__cos"), F.asc("n_id")], k, rank_col="rank"
+    )
+    return ranked.select(
+        "q_id", "n_id", F.round("__cos", 6).alias("sim"), "rank"
+    )
+
+
+def hyperplanes(dim: int, num_planes: int = DEFAULT_PLANES, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_code(vec: Column, planes: list[list[float]]) -> Column:
+    """P-bit sign code of ``vec`` against ``planes`` (long). Two
+    vectors with small angle share codes with high probability."""
+    code = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(
+            dot(vec, plane_col) > 0,
+            F.shiftleft(F.lit(1).cast("long"), p),
+        ).otherwise(F.lit(0).cast("long"))
+        code = code.bitwiseOR(bit)
+    return code
+
+
+def cosine_topk_lsh(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = DEFAULT_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only candidates sharing the
+    query's LSH bucket. Output: (q_id, n_id, sim, rank) — a subset of
+    the brute-force result (recall < 1 by design, controlled by
+    ``num_planes``; fewer planes → bigger buckets → higher recall).
+    """
+    planes = hyperplanes(dim, num_planes)
+    cand = _as_double(candidates, vec_col).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_emb"),
+        lsh_code(F.col(vec_col), planes).alias("code"),
+    )
+    qry = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        lsh_code(F.col(vec_col), planes).alias("code"),
+    )
+    pairs = cand.join(F.broadcast(qry), on="code").where(
+        F.col("n_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id", "n_id", cosine(F.col("q_emb"), F.col("n_emb")).alias("__cos")
+    )
+    ranked = top_k_per_group(
+        scored, ["q_id"], [F.desc("__cos"), F.asc("n_id")], k, rank_col="rank"
+    )
+    return ranked.select(
+        "q_id", "n_id", F.round("__cos", 6).alias("sim"), "rank"
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    dim: int = 64,
+    num_planes: int = DEFAULT_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH self-join:
+    (id_a, id_b, sim) with sim ≥ ``min_cosine``, id_a < id_b. The
+    self-join is an equi-join on the bucket code — no cross join."""
+    planes = hyperplanes(dim, num_planes)
+    coded = _as_double(embeddings, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("emb"),
+        lsh_code(F.col(vec_col), planes).alias("code"),
+    )
+    a = coded.alias("a")
+    b = coded.alias("b")
+    sim = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.code") == F.col("b.code"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
+        )
+        .where(sim >= min_cosine)
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .distinct()
+    )
+
+
+def embedding_label_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding statistics: (label, n, avg_norm) — a sanity
+    aggregation over the vector column, JVM-side."""
+    e = _as_double(embeddings, "embedding")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )

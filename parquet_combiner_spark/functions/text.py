@@ -1,0 +1,194 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All column expressions here are JVM-side built-ins (split/regexp/
+aggregate/transform) — no Python UDFs — so they run inside
+whole-stage codegen and scale linearly with input size; every
+operator is a narrow map over `documents` rows (zero shuffles until
+an aggregation is asked for).
+
+These go beyond the reference's surface (its only scalar functions
+are cast/modulo/lowercase — reference tools/ReadParquet.scala:138,
+utils/SkewedDataHandler.scala:55) and implement the training-data
+operators the driver brief requires: token counting, quality scoring,
+language-ID heuristic, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small English-ish stopword list used by the quality heuristic.
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+# Marker tokens per language for the n-gram/marker language-ID
+# heuristic. With real corpora these would be the top character
+# n-grams per language; the principle (score = marker hit-rate,
+# predict argmax) is the standard n-gram langid design.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "que", "de", "es"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3"),
+}
+
+# BPE-ish pre-tokenization: words, numbers, or single non-space marks
+# (the regex shape GPT-2/tiktoken-style tokenizers use before merges).
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokens of ``text`` as an array<string>."""
+    return F.split(F.col(text) if isinstance(text, str) else text, sep)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (JVM-side, no UDF)."""
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: words / numbers / punctuation marks."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def stopword_ratio(
+    text: Column | str, stopwords: tuple[str, ...] = STOPWORDS
+) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    hits = F.size(
+        F.filter(toks, lambda w: w.isin(*stopwords))
+    )
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, "[.,!?;:]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1]: longer documents score
+    higher (saturating at 100 tokens), heavy stopword/punctuation
+    density scores lower. Deterministic and SQL-expressible so the
+    DuckDB oracle can replicate it exactly."""
+    n_tok = token_count(text).cast("double")
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        length_term * (F.lit(1.0) - stopword_ratio(text)) * (F.lit(1.0) - punct_ratio(text)),
+        4,
+    )
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Array of (lang, score) structs: score = marker-token hit count
+    normalized by token count, one entry per known language."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    entries = [
+        F.struct(
+            (F.size(F.filter(toks, lambda w: w.isin(*markers))) / n).alias(
+                "score"
+            ),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    return F.array(*entries)
+
+
+def predicted_lang(text: Column | str, min_score: float = 0.0) -> Column:
+    """Argmax language by marker score; 'unknown' when every score is
+    ≤ ``min_score``. Ties resolved by lang name ascending (the struct
+    sort compares (score, lang) and we take the last element)."""
+    scores = F.sort_array(lang_scores(text))
+    best = F.element_at(scores, -1)
+    return F.when(best["score"] > min_score, best["lang"]).otherwise(
+        F.lit("unknown")
+    )
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Content fingerprint: md5 hex of the raw text (cheap exact-dup
+    key; identical in DuckDB for oracle checks)."""
+    return F.md5(F.col(text) if isinstance(text, str) else text)
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a token array (the unit of
+    Jaccard/MinHash similarity). Built from sequence+transform+slice —
+    all codegen'd, no UDF."""
+    joined = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.array_distinct(joined)
+
+
+def rolling_fingerprint(text: Column | str, k: int = 3) -> Column:
+    """Winnowing-style fingerprint: the minimum 64-bit hash over all
+    k-token shingles — robust to small edits in a way md5 is not.
+    (xxhash64 is Spark-side only; queries using this get the driver's
+    rows-only check.)"""
+    sh = shingles(tokens(F.lower(F.col(text) if isinstance(text, str) else text)), k)
+    return F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+
+
+def doc_token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token statistics (doc_id, lang, n_chars_calc,
+    n_tokens, n_tokens_bpe, avg_token_len)."""
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_calc"),
+        token_count("text").alias("n_tokens"),
+        regex_token_count("text").alias("n_tokens_bpe"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.greatest(token_count("text"), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def doc_quality(documents: DataFrame) -> DataFrame:
+    """Per-document quality signals (doc_id, n_tokens, stop_ratio,
+    punct_ratio, quality)."""
+    return documents.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def doc_lang_id(documents: DataFrame) -> DataFrame:
+    """Language-ID heuristic output (doc_id, lang, predicted_lang,
+    en_score) — `lang` kept so downstream can measure agreement."""
+    return documents.select(
+        "doc_id",
+        "lang",
+        predicted_lang("text").alias("predicted_lang"),
+        F.round(
+            F.element_at(
+                F.filter(lang_scores("text"), lambda s: s["lang"] == "en"), 1
+            )["score"],
+            4,
+        ).alias("en_score"),
+    )
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
+    """Per-document fingerprints: exact (md5) and edit-tolerant
+    (rolling min-hash over 3-token shingles)."""
+    return documents.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_md5"),
+        rolling_fingerprint("text").alias("fp_rolling"),
+    )

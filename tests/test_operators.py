@@ -1,0 +1,277 @@
+"""Operator-level tests VERDICT r1 flagged as missing: skew parity,
+summary stats, distinct count, deterministic dedup, table sniffing,
+dim-join semantics, mode tiebreak precision, parquet round-trip, and
+the SQL surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from conftest import make_data_a, make_data_b
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark.operators.aggregate import (
+    distinct_count,
+    group_counts,
+    group_stats,
+    summary_stats,
+)
+from parquet_combiner_spark.operators.dedup import dedup_deterministic
+from parquet_combiner_spark.operators.join import broadcast_dim_join
+from parquet_combiner_spark.operators.skew import salted_count
+from parquet_combiner_spark.pipeline import process_parquet_files, top_items
+from parquet_combiner_spark.schemas import infer_table_kind
+from parquet_combiner_spark.sources.io import load_tables
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# --- skew parity (reference ParquetCombinerRDDUnitTest.scala:528-591) ---
+
+
+def test_salted_count_equals_plain_count_on_skewed_data(spark):
+    """Salted two-phase aggregation must produce the same counts as
+    the normal path on a 10:1:1-skewed fixture (FIXTURES.md)."""
+    rows = (
+        [(1, 101, 1000 + i, "apple", 5000 + i) for i in range(50)]
+        + [(2, 201, 2000 + i, "banana", 6000 + i) for i in range(5)]
+        + [(3, 301, 3000 + i, "cherry", 7000 + i) for i in range(5)]
+    )
+    a = make_data_a(spark, rows)
+    plain = group_counts(
+        a, ["geographical_location_oid", "item_name"], "count"
+    )
+    salted = salted_count(
+        a,
+        ["geographical_location_oid", "item_name"],
+        salt_col="detection_oid",
+        num_salts=8,
+    )
+    assert rows_set(plain) == rows_set(salted)
+
+
+def test_salted_count_rejects_group_column_salt(spark):
+    a = make_data_a(spark, [(1, 101, 1001, "apple", 1000)])
+    import pytest
+
+    with pytest.raises(ValueError, match="group column"):
+        salted_count(
+            a, ["geographical_location_oid"], salt_col="geographical_location_oid"
+        )
+
+
+# --- summary stats / distinct count / deterministic dedup ---
+
+
+def test_summary_stats_values(spark):
+    a = make_data_a(
+        spark,
+        [
+            (1, 101, 1001, "apple", 10),
+            (1, 102, 1002, "banana", 20),
+            (2, 201, 1003, "cherry", 30),
+        ],
+    )
+    stats = {
+        r["column"]: r for r in summary_stats(a, ["timestamp_detected"]).collect()
+    }
+    s = stats["timestamp_detected"]
+    assert s["count"] == 3.0
+    assert s["mean"] == 20.0
+    assert s["min"] == 10.0 and s["max"] == 30.0
+    assert abs(s["stddev"] - 10.0) < 1e-9  # sample stddev of 10,20,30
+
+
+def test_distinct_count_exact_and_approx(spark):
+    a = make_data_a(
+        spark,
+        [(1, 101, oid, "apple", 0) for oid in [1, 1, 2, 2, 3, 4]],
+    )
+    assert distinct_count(a, "detection_oid").collect()[0][0] == 4
+    approx = distinct_count(a, "detection_oid", approx=True).collect()[0][0]
+    assert abs(approx - 4) <= 1  # HLL on 4 values is near-exact
+
+
+def test_dedup_deterministic_keeps_ordered_first(spark):
+    a = make_data_a(
+        spark,
+        [
+            (1, 103, 1001, "late", 300),
+            (1, 101, 1001, "early", 100),
+            (1, 102, 1001, "middle", 200),
+            (2, 201, 2001, "only", 400),
+        ],
+    )
+    out = dedup_deterministic(
+        a, ["detection_oid"], ["timestamp_detected", "video_camera_oid"]
+    )
+    got = {r["detection_oid"]: r["item_name"] for r in out.collect()}
+    assert got == {1001: "early", 2001: "only"}
+
+
+# --- schema sniffing (reference tools/ReadParquet.scala:137-160) ---
+
+
+def test_infer_table_kind():
+    assert (
+        infer_table_kind(
+            [
+                "geographical_location_oid",
+                "video_camera_oid",
+                "detection_oid",
+                "item_name",
+                "timestamp_detected",
+            ]
+        )
+        == "dataA"
+    )
+    assert (
+        infer_table_kind(["geographical_location_oid", "geographical_location"])
+        == "dataB"
+    )
+    assert (
+        infer_table_kind(["geographical_location", "item_rank", "item_name"])
+        == "top_items_output"
+    )
+    assert infer_table_kind(["mystery"]) == "unknown"
+
+
+# --- dim-join semantics (ADVICE r1) ---
+
+
+def test_dim_join_duplicate_dim_keys_do_not_fan_out(spark):
+    """collectAsMap() semantics: one row per dim key even when the dim
+    has duplicates (reference ParquetCombinerRDD.scala:178-180)."""
+    fact = make_data_a(spark, [(1, 101, 1001, "apple", 0)])
+    dim = make_data_b(spark, [(1, "Alpha"), (1, "Beta"), (2, "Gamma")])
+    out = broadcast_dim_join(
+        fact, dim, key="geographical_location_oid",
+        defaults={"geographical_location": "Unknown"},
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["geographical_location"] == "Alpha"  # lowest payload wins
+
+
+def test_dim_join_null_attribute_on_match_is_preserved(spark):
+    """getOrElse substitutes only on key miss: a matched key with a
+    genuinely NULL attribute keeps NULL (ADVICE r1 #3)."""
+    fact = make_data_a(
+        spark, [(1, 101, 1001, "apple", 0), (9, 901, 9001, "durian", 0)]
+    )
+    dim = make_data_b(spark, [(1, None)])  # matched key, null name
+    out = broadcast_dim_join(
+        fact, dim, key="geographical_location_oid",
+        defaults={"geographical_location": "Unknown"},
+    )
+    got = {
+        r["geographical_location_oid"]: r["geographical_location"]
+        for r in out.collect()
+    }
+    assert got[1] is None  # matched: NULL preserved
+    assert got[9] == "Unknown"  # miss: default applied
+
+
+# --- mode tiebreak precision (VERDICT r1 "what's wrong" #2) ---
+
+
+def test_mode_tiebreak_exact_above_2_53(spark):
+    """Two large camera oids differing only in the low bits must not
+    compare equal (the old double cast lost integer precision)."""
+    big_a = (1 << 53) + 1
+    big_b = (1 << 53) + 2  # indistinguishable as doubles
+    a = make_data_a(
+        spark,
+        [
+            (1, big_b, 1, "x", 0),
+            (1, big_a, 2, "x", 0),  # tie: 1 detection each
+        ],
+    )
+    out = group_stats(
+        a,
+        group_col="geographical_location_oid",
+        item_col="item_name",
+        mode_col="video_camera_oid",
+        mode_alias="most_active_camera",
+    )
+    assert out.collect()[0]["most_active_camera"] == big_a  # lowest wins
+
+
+# --- parquet round-trip (reference IntegrationTest.scala:79-211) ---
+
+
+def test_process_parquet_files_round_trip(spark, tmp_path):
+    """Write fixtures → run end-to-end → read output back → assert
+    the 3×nullable-StringType schema and snappy compression."""
+    a_dir, b_dir, out_dir = (
+        str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "out")
+    )
+    make_data_a(
+        spark,
+        [
+            (1, 101, 1001, "apple", 0),
+            (1, 101, 1001, "apple", 1),  # planted dup oid
+            (1, 102, 1002, "banana", 2),
+            (9, 901, 9001, "durian", 3),  # loc missing from dataB
+        ],
+    ).write.mode("overwrite").parquet(a_dir)
+    make_data_b(spark, [(1, "Singapore")]).write.mode("overwrite").parquet(b_dir)
+
+    result = process_parquet_files(spark, a_dir, b_dir, out_dir, top_x=5)
+    back = spark.read.parquet(out_dir)
+    assert [
+        (f.name, f.dataType.simpleString(), f.nullable) for f in back.schema
+    ] == [
+        ("geographical_location", "string", True),
+        ("item_rank", "string", True),
+        ("item_name", "string", True),
+    ]
+    got = rows_set(back)
+    assert got == rows_set(result)
+    assert ("Singapore", "1", "apple") in got  # dup counted once → rank 1 tie→apple
+    assert ("Unknown", "1", "durian") in got
+    assert any(f.endswith(".snappy.parquet") for f in os.listdir(out_dir))
+    # overwrite semantics: second run replaces, not appends
+    process_parquet_files(spark, a_dir, b_dir, out_dir, top_x=1)
+    assert spark.read.parquet(out_dir).count() == 2  # 1 per location
+
+
+# --- SQL surface (SURVEY.md §3.4; reference IntegrationTest.scala:243-251) ---
+
+
+def test_sql_and_dataframe_paths_agree(spark):
+    a = make_data_a(
+        spark,
+        [
+            (1, 101, 1001, "apple", 0),
+            (1, 102, 1002, "banana", 1),
+            (1, 103, 1003, "apple", 2),
+        ],
+    )
+    b = make_data_b(spark, [(1, "New York")])
+    top_items(a, b, top_x=5).createOrReplaceTempView("top_items_out")
+    sql_rows = spark.sql(
+        """
+        SELECT geographical_location, count(DISTINCT item_rank) AS n_ranks,
+               min(item_rank) AS min_rank, max(item_rank) AS max_rank
+        FROM top_items_out GROUP BY geographical_location
+        """
+    ).collect()
+    assert len(sql_rows) == 1
+    r = sql_rows[0]
+    assert (r["n_ranks"], r["min_rank"], r["max_rank"]) == (2, "1", "2")
+    ny = spark.sql(
+        "SELECT item_name FROM top_items_out "
+        "WHERE geographical_location = 'New York' AND item_rank = '1'"
+    ).collect()
+    assert ny[0]["item_name"] == "apple"
+
+
+def test_load_tables_registers_views(spark):
+    tables = load_tables(spark, "/root/testdata/sf0.001", names=("region", "nope"))
+    assert set(tables) == {"region"}
+    assert spark.sql("SELECT count(*) FROM region").collect()[0][0] == 5
