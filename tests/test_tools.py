@@ -1,0 +1,113 @@
+"""Tooling tests: generator (reference tools/GenerateParquet.scala),
+inspector (reference tools/ReadParquet.scala), CLI
+(reference ParquetCombinerRDD.scala:26-51)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark.cli import main as cli_main
+from parquet_combiner_spark.sources.io import write_parquet
+from parquet_combiner_spark.tools.generate import (
+    generate_detection_data,
+    generate_location_data,
+)
+from parquet_combiner_spark.tools.inspect import inspect
+
+
+def test_generator_row_counts_and_dup_rate(spark):
+    da = generate_detection_data(
+        spark, 2000, num_locations=10, duplication_rate=0.2
+    )
+    assert da.count() == 2000
+    distinct = da.select("detection_oid").distinct().count()
+    # 20% of rows are clones of existing keys (a clone source may be
+    # hit twice, so distinct >= n_unique is not exact — but total-minus
+    # -distinct must equal at least one dup per planted clone's key).
+    assert distinct == 1600  # n_unique: every base id appears
+    # schema matches dataA exactly
+    assert da.columns == [
+        "geographical_location_oid",
+        "video_camera_oid",
+        "detection_oid",
+        "item_name",
+        "timestamp_detected",
+    ]
+
+
+def test_generator_deterministic_across_partitioning(spark):
+    a = generate_detection_data(spark, 500, num_locations=5).repartition(2)
+    b = generate_detection_data(spark, 500, num_locations=5).repartition(13)
+    key = ["detection_oid", "timestamp_detected"]
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.orderBy(*key).first() == b.orderBy(*key).first()
+
+
+def test_generator_skew(spark):
+    da = generate_detection_data(
+        spark, 3000, num_locations=10, skew_location_id=3, skew_factor=5.0
+    )
+    counts = {
+        r["geographical_location_oid"]: r["count"]
+        for r in da.groupBy("geographical_location_oid").count().collect()
+    }
+    # skew_p = 0.7 * 5 / 6 ≈ 0.583 → location 3 holds a majority
+    assert counts[3] > 0.5 * 3000
+    assert set(counts) <= set(range(1, 11))
+    # cameras are co-located: camera oid in (loc*10+1, loc*10+10]
+    bad = da.where(
+        (F.col("video_camera_oid") <= F.col("geographical_location_oid") * 10)
+        | (F.col("video_camera_oid") > F.col("geographical_location_oid") * 10 + 10)
+    ).count()
+    assert bad == 0
+
+
+def test_generator_locations(spark):
+    db = generate_location_data(spark, 5)
+    rows = db.orderBy("geographical_location_oid").collect()
+    assert [r["geographical_location_oid"] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0]["geographical_location"] == "New York City"
+
+
+def test_inspector_detects_kind_and_dup_rate(spark, tmp_path):
+    da = generate_detection_data(spark, 1000, num_locations=5, duplication_rate=0.1)
+    p = str(tmp_path / "dataA")
+    write_parquet(da, p)
+    rep = inspect(spark, p, show=False)
+    assert rep["kind"] == "dataA"
+    assert rep["rows"] == 1000
+    assert abs(rep["dup_rate_pct"] - 10.0) < 3.0
+    assert rep["key_col"] == "detection_oid"
+    assert "geographical_location_oid" in rep["numeric_summary"]
+
+
+def test_inspector_unknown_kind(spark, tmp_path):
+    p = str(tmp_path / "weird")
+    spark.range(5).select(F.col("id").alias("x")).write.parquet(p)
+    rep = inspect(spark, p, show=False)
+    assert rep["kind"] == "unknown"
+    assert rep["rows"] == 5
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    da = generate_detection_data(spark, 800, num_locations=3, duplication_rate=0.15)
+    db = generate_location_data(spark, 2)  # loc 3 missing -> "Unknown"
+    a, b, out = (str(tmp_path / n) for n in ("a", "b", "out"))
+    write_parquet(da, a)
+    write_parquet(db, b)
+    rc = cli_main([a, b, out, "2"])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert res.columns == ["geographical_location", "item_rank", "item_name"]
+    assert [f.dataType.simpleString() for f in res.schema.fields] == ["string"] * 3
+    names = {r["geographical_location"] for r in res.collect()}
+    assert "Unknown" in names  # loc 3 exists in dataA but not dataB
+    per_loc = res.groupBy("geographical_location").count().collect()
+    assert all(r["count"] <= 2 for r in per_loc)
+
+
+def test_cli_error_exit_code(tmp_path):
+    rc = cli_main(
+        [str(tmp_path / "nope_a"), str(tmp_path / "nope_b"), str(tmp_path / "o")]
+    )
+    assert rc == 1
