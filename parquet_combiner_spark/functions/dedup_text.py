@@ -13,8 +13,10 @@ is the difference between O(n²) and feasible at 100 TB):
   detection_oid dedup — reference services/Aggregations.scala:41-46 —
   to content-defined keys).
 
-Scale notes: the only shuffles are groupBy(doc) for signatures and
-the equi-join on (band/chunk, hash) for candidates. Bucket sizes are
+Scale notes: signature extraction hashes each shingle/token string
+once and derives all hash functions from that long — flat columns,
+whole-stage codegen, partial aggregation before every exchange; the
+candidate step is an equi-join on (band/chunk, hash). Bucket sizes are
 bounded by design (a band collision needs R hash agreements), so the
 within-bucket pair expansion stays near-linear for non-degenerate
 corpora; a pathological bucket (e.g. the empty document) is capped by
@@ -41,23 +43,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]) MinHash signatures.
 
-    One explode + one groupBy(id): the shuffle carries num_hashes
-    longs per (doc, shingle) pre-aggregated map-side by the partial
-    min — Catalyst's partial HashAggregate keeps the exchange at
-    O(docs × num_hashes), not O(shingles × num_hashes).
+    Plan shape chosen by measurement (sf0.1, local[32]): explode the
+    (deduped) shingle array, hash each shingle string ONCE to a long,
+    derive the ``num_hashes`` hash functions by re-hashing that long
+    (8-byte input — cheap), and take per-function minimums with a
+    groupBy(doc). Every operator here is flat-column whole-stage
+    codegen; the shuffle is pre-combined map-side by the partial min,
+    so the exchange carries O(docs x num_hashes) longs. The tempting
+    "no-shuffle" formulation with nested array transforms is ~30x
+    SLOWER: higher-order lambdas are interpreted per element, and the
+    hashed-shingle subexpression gets inlined and re-evaluated per
+    hash function.
     """
-    sh = documents.select(
+    sh64 = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             shingles(tokens(F.lower(F.col(text_col))), k_shingle)
         ).alias("shingle"),
-    )
-    hashed = sh.select(
+    ).select("doc_id", F.xxhash64("shingle").alias("s"))
+    hashed = sh64.select(
         "doc_id",
-        *[
-            F.xxhash64("shingle", F.lit(i)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+        *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
     )
     agg = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
@@ -194,8 +200,16 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidate pairs from
     LSH bands, verified by exact shingle Jaccard ≥ ``threshold``.
-    Output: (doc_id_a, doc_id_b, est_jaccard, jaccard)."""
-    sigs = minhash_signatures(documents, text_col, id_col)
+    Output: (doc_id_a, doc_id_b, est_jaccard, jaccard).
+
+    Signatures are persisted (memory-and-disk) because three branches
+    reuse them (band buckets + both sides of the estimate join) — at
+    corpus scale a recompute means three full text scans."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(documents, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = candidate_pairs(lsh_band_buckets(sigs))
     est = estimate_jaccard(pairs, sigs)
     verified = verify_jaccard(est, documents, text_col, id_col)
@@ -223,19 +237,24 @@ def simhash_signatures(
     groupBy(doc, token) + one groupBy(doc), both with partial
     aggregation.
     """
+    # Explode tokens and hash each token string ONCE to a long; the 64
+    # per-bit votes are then shift/mask ops on that long (flat-column
+    # whole-stage codegen — measured faster than per-row array
+    # lambdas, which are interpreted). Grouping directly by the token
+    # hash (the string is never needed again) keeps the first shuffle
+    # key an 8-byte long.
     tok = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
-    )
-    counts = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    h = F.xxhash64("token")
+    ).select("doc_id", F.xxhash64("token").alias("h"))
+    counts = tok.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("cnt"))
     bit_sums = counts.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-                .otherwise(-F.col("cnt"))
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.col("cnt"),
+                ).otherwise(-F.col("cnt"))
             ).alias(f"b{i}")
             for i in range(SIMHASH_BITS)
         ]

@@ -43,10 +43,44 @@ def dedup_deterministic(
     Keeps the first row under ``order_by`` within each key group —
     e.g. ``order_by=["timestamp_detected", "video_camera_oid"]``
     reproduces "earliest detection wins" regardless of partitioning.
+
+    Supports arbitrary ``order_by`` expressions (desc, nulls-last, …).
+    When the order is plain ascending columns, prefer
+    :func:`dedup_keep_min`: it aggregates instead of sorting, so the
+    shuffle carries one pre-combined row per key per map partition
+    rather than every row.
     """
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def dedup_keep_min(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """One deterministic surviving row per key: the minimum under the
+    lexicographic order of ``order_cols`` (ascending, nulls first —
+    struct comparison semantics).
+
+    Scale path for deterministic dedup: ``min_by`` compiles to partial
+    + final HashAggregate, so each map task pre-combines to one row
+    per key BEFORE the exchange — same map-side-combine shape as
+    :func:`dedup_first_wins`, but with a deterministic winner. The
+    window formulation in :func:`dedup_deterministic` must instead
+    shuffle and sort every input row. Column order in the output
+    matches ``df``.
+    """
+    payload = [c for c in df.columns if c not in keys]
+    picked = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.min_by(
+            F.struct(*payload), F.struct(*[F.col(c) for c in order_cols])
+        ).alias("__p")
+    )
+    return picked.select(
+        *[c if c in keys else F.col(f"__p.{c}").alias(c) for c in df.columns]
     )

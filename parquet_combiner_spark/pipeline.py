@@ -81,7 +81,13 @@ def location_stats(
     camera column survives; mode tiebreak = lowest camera oid; -1
     sentinel for empty groups (reference :124-127).
     """
-    deduped = dedup_first_wins(data_a, ["detection_oid"])
+    # Project to the 4 needed columns before the dedup shuffle —
+    # timestamp_detected is never used downstream and would otherwise
+    # ride the biggest exchange in the plan.
+    deduped = dedup_first_wins(
+        data_a.select(LOC, "video_camera_oid", "detection_oid", "item_name"),
+        ["detection_oid"],
+    )
     return group_stats(
         deduped,
         group_col=LOC,

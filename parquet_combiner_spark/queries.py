@@ -27,10 +27,7 @@ from parquet_combiner_spark.operators.aggregate import (
     group_stats,
     summary_stats,
 )
-from parquet_combiner_spark.operators.dedup import (
-    dedup_deterministic,
-    dedup_first_wins,
-)
+from parquet_combiner_spark.operators.dedup import dedup_keep_min
 from parquet_combiner_spark.operators.join import broadcast_dim_join
 from parquet_combiner_spark.operators.skew import salted_count
 from parquet_combiner_spark.operators.topk import top_k_per_group
@@ -66,14 +63,15 @@ def top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The testdata plants ~24% duplicate (orderkey, linenumber) keys —
     # the analog of the reference's 15% duplicate detection_oids. The
-    # deterministic variant keeps the lowest (partkey, suppkey) row per
+    # deterministic dedup keeps the lowest (partkey, suppkey) row per
     # key so the oracle can reproduce the exact surviving payload
     # (SURVEY.md §7.4 risk 1; first-wins D1 semantics are covered by
-    # the ported reference tests instead).
-    deduped = dedup_deterministic(
+    # the ported reference tests instead). min_by aggregation form:
+    # map-side combine before the shuffle, no per-key sort.
+    deduped = dedup_keep_min(
         li,
         ["l_orderkey", "l_linenumber"],
-        [F.asc("l_partkey"), F.asc("l_suppkey")],
+        ["l_partkey", "l_suppkey"],
     )
     counts = group_counts(deduped, ["l_suppkey", "l_partkey"], "part_count")
     ranked = top_k_per_group(
@@ -191,7 +189,7 @@ def earliest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "ts"
     )
-    first = dedup_deterministic(ev, ["user_id"], [F.asc("ts"), F.asc("event_id")])
+    first = dedup_keep_min(ev, ["user_id"], ["ts", "event_id"])
     return first.select("user_id", "event_id", "event_type")
 
 
