@@ -1,0 +1,8 @@
+from parquet_combiner_spark.streaming.pipeline import (  # noqa: F401
+    archive_stream,
+    dedup_stream,
+    enrich_with_locations,
+    stream_detections,
+    top_items_per_window,
+    windowed_item_counts,
+)

@@ -1,0 +1,174 @@
+"""Structured Streaming surface: the reference's *proposed* real-time
+architecture, actually implemented.
+
+The reference ships only a prose design (design.pdf p.1-2, summarized
+in SURVEY.md §2.10): Kinesis ingestion → KCL consumer doing (a)
+deduplication on ``detection_oid`` via DynamoDB conditional writes
+with TTL, (b) enrichment join against dataB cached in ElastiCache,
+(c) raw archive to S3, at a 10K events/sec design target. Each maps
+onto a built-in Structured Streaming primitive — no external KV
+store, no consumer library, and the same operator code paths as the
+batch engine:
+
+- DynamoDB conditional-write dedup + TTL →
+  ``withWatermark(...).dropDuplicates([key])`` (state store keyed by
+  detection_oid; the watermark IS the TTL — state older than the
+  delay is evicted).
+- ElastiCache lookup join → stream-static broadcast join against the
+  dataB DataFrame ("Unknown" on miss, same semantics as the batch
+  broadcast_dim_join).
+- S3 raw archive → ``writeStream.format("parquet")`` with checkpoint.
+- (beyond the prose design) windowed per-location top-X items — the
+  flagship batch query as a sliding-window streaming aggregation.
+
+Scale posture: every stateful op here is keyed by high-cardinality
+columns (detection_oid / location, window), so state partitions
+evenly across executors; watermarks bound state size; the dimension
+side of the enrich join is broadcast (no shuffle of the stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark import schemas
+
+DEFAULT_WATERMARK_DELAY = "10 minutes"
+
+
+def stream_detections(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based detection stream with the dataA schema plus an
+    ``event_time`` timestamp derived from ``timestamp_detected``
+    (epoch seconds → timestamp, the watermark column).
+
+    A Parquet-directory source stands in for the reference's Kinesis
+    stream; swapping in Kafka is a one-line ``format`` change because
+    everything downstream only sees the schema.
+    """
+    reader = spark.readStream.schema(schemas.DATA_A_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn(
+        "event_time", F.timestamp_seconds(F.col("timestamp_detected"))
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    event_time_col: str = "event_time",
+    delay: str = DEFAULT_WATERMARK_DELAY,
+) -> DataFrame:
+    """Streaming first-wins dedup on ``keys`` with watermark-bounded
+    state (design.pdf's DynamoDB conditional write + TTL, as the
+    built-in stateful dedup operator).
+
+    A duplicate arriving within ``delay`` of the original's event
+    time is dropped; state for keys older than the watermark is
+    evicted, so memory is O(keys per delay window), not O(all keys
+    ever seen).
+    """
+    keys = keys or ["detection_oid"]
+    return stream.withWatermark(event_time_col, delay).dropDuplicates(keys)
+
+
+def enrich_with_locations(
+    stream: DataFrame,
+    data_b: DataFrame,
+    key: str = "geographical_location_oid",
+    name_col: str = "geographical_location",
+    default: str = "Unknown",
+) -> DataFrame:
+    """Stream-static left join against the location dim (design.pdf's
+    ElastiCache lookup). The static side is broadcast — the stream is
+    never shuffled. Misses get ``default`` only when the join missed,
+    not when the dim stores a genuine NULL name (same miss-gating as
+    the batch broadcast_dim_join)."""
+    dim = (
+        data_b.select(
+            F.col(key), F.col(name_col), F.lit(True).alias("__dim_matched")
+        )
+        .dropDuplicates([key])
+    )
+    joined = stream.join(F.broadcast(dim), on=key, how="left")
+    return joined.withColumn(
+        name_col,
+        F.when(F.col("__dim_matched").isNull(), F.lit(default)).otherwise(
+            F.col(name_col)
+        ),
+    ).drop("__dim_matched")
+
+
+def archive_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = False,
+):
+    """Raw archive sink (design.pdf's S3 archive): append-mode Parquet
+    with checkpointed exactly-once file output. Returns the started
+    StreamingQuery."""
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_item_counts(
+    stream: DataFrame,
+    window_duration: str = "10 minutes",
+    slide: str | None = None,
+    event_time_col: str = "event_time",
+    delay: str = DEFAULT_WATERMARK_DELAY,
+) -> DataFrame:
+    """Per-(window, location, item) deduped detection counts — the
+    batch A1 aggregation under a (sliding) event-time window.
+
+    Dedup-then-count composes the stateful dedup with the windowed
+    aggregation; the watermark bounds both states and lets append
+    mode emit each window exactly once when it finalizes."""
+    deduped = dedup_stream(
+        stream, ["detection_oid"], event_time_col, delay
+    )
+    win = F.window(F.col(event_time_col), window_duration, slide)
+    return deduped.groupBy(
+        win.alias("window"),
+        "geographical_location_oid",
+        "item_name",
+    ).agg(F.count(F.lit(1)).alias("count"))
+
+
+def top_items_per_window(
+    counts_batch: DataFrame, top_x: int = 5
+) -> DataFrame:
+    """Rank finalized window counts into per-(window, location) top-X —
+    the ``foreachBatch`` companion to :func:`windowed_item_counts`
+    (window rank is not a streaming-native operator, so it runs on
+    each finalized micro-batch, which is tiny: one row per
+    (window, location, item) group).
+
+    Use::
+
+        windowed_item_counts(stream).writeStream.foreachBatch(
+            lambda df, _: top_items_per_window(df, 5).write...).start()
+    """
+    from parquet_combiner_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        counts_batch,
+        ["window", "geographical_location_oid"],
+        [F.desc("count"), F.asc_nulls_first("item_name")],
+        top_x,
+        rank_col="item_rank",
+    )

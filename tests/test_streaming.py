@@ -1,0 +1,151 @@
+"""Structured Streaming tests: dedup with watermark state, stream-
+static enrich join, windowed counts, parquet archive — the
+implemented version of the reference's design.pdf streaming prose
+(SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark.schemas import DATA_A_SCHEMA
+from parquet_combiner_spark.streaming import (
+    archive_stream,
+    dedup_stream,
+    enrich_with_locations,
+    stream_detections,
+    top_items_per_window,
+    windowed_item_counts,
+)
+from tests.conftest import make_data_b
+
+BASE = 1_700_000_000  # epoch seconds
+
+
+def _write_detections(spark, path, rows):
+    spark.createDataFrame(rows, DATA_A_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _run_to_memory(stream_df, name, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture()
+def detections_dir(spark, tmp_path):
+    rows = [
+        # loc 1: items with a planted duplicate detection_oid 100
+        (1, 11, 100, "car", BASE + 10),
+        (1, 11, 100, "car", BASE + 15),  # dup, within watermark
+        (1, 12, 101, "car", BASE + 20),
+        (1, 12, 102, "bike", BASE + 30),
+        # loc 2 (absent from dataB -> "Unknown")
+        (2, 21, 200, "dog", BASE + 40),
+    ]
+    p = str(tmp_path / "stream_in")
+    _write_detections(spark, p, rows)
+    return p
+
+
+def test_stream_dedup_drops_duplicates(spark, detections_dir):
+    stream = stream_detections(spark, detections_dir)
+    assert stream.isStreaming
+    deduped = dedup_stream(stream, ["detection_oid"])
+    _run_to_memory(deduped, "t_dedup")
+    got = spark.sql("SELECT detection_oid FROM t_dedup").collect()
+    oids = sorted(r[0] for r in got)
+    assert oids == [100, 101, 102, 200]  # 5 input rows, 4 survive
+
+
+def test_stream_static_enrich_join(spark, detections_dir):
+    data_b = make_data_b(spark, [(1, "New York"), (3, "Tokyo")])
+    stream = stream_detections(spark, detections_dir)
+    enriched = enrich_with_locations(stream, data_b)
+    _run_to_memory(enriched, "t_enrich")
+    got = {
+        (r["geographical_location_oid"], r["geographical_location"])
+        for r in spark.sql(
+            "SELECT geographical_location_oid, geographical_location FROM t_enrich"
+        ).collect()
+    }
+    assert got == {(1, "New York"), (2, "Unknown")}
+
+
+def test_stream_enrich_preserves_null_dim_name(spark, detections_dir):
+    data_b = make_data_b(spark, [(1, None), (2, "Osaka")])
+    stream = stream_detections(spark, detections_dir)
+    enriched = enrich_with_locations(stream, data_b)
+    _run_to_memory(enriched, "t_enrich_null")
+    got = {
+        (r["geographical_location_oid"], r["geographical_location"])
+        for r in spark.sql(
+            "SELECT geographical_location_oid, geographical_location"
+            " FROM t_enrich_null"
+        ).collect()
+    }
+    # matched key with NULL name stays NULL (not "Unknown")
+    assert got == {(1, None), (2, "Osaka")}
+
+
+def test_windowed_counts_and_topk(spark, tmp_path):
+    # two 10-minute windows; second window has a late-closing tail
+    rows = (
+        [(1, 11, i, "car", BASE + i) for i in range(3)]
+        + [(1, 11, 10 + i, "bike", BASE + 60 + i) for i in range(2)]
+        + [(1, 11, 100 + i, "dog", BASE + 700 + i) for i in range(4)]
+        # watermark pusher: far-future row finalizes earlier windows
+        + [(9, 91, 999, "cat", BASE + 7200)]
+    )
+    p = str(tmp_path / "win_in")
+    _write_detections(spark, p, rows)
+    counts = windowed_item_counts(
+        stream_detections(spark, p), "10 minutes", delay="5 minutes"
+    )
+    _run_to_memory(counts, "t_win", output_mode="append")
+    batch = spark.sql(
+        "SELECT window, geographical_location_oid, item_name, count FROM t_win"
+    )
+    got = {
+        (r["geographical_location_oid"], r["item_name"]): r["count"]
+        for r in batch.collect()
+    }
+    # first window: 3 cars + 2 bikes; second window: 4 dogs
+    assert got[(1, "car")] == 3
+    assert got[(1, "bike")] == 2
+    assert got[(1, "dog")] == 4
+
+    ranked = top_items_per_window(batch, top_x=1)
+    top = {
+        (r["geographical_location_oid"], r["window"]): r["item_name"]
+        for r in ranked.collect()
+    }
+    # per window, loc 1's top item is car (w1) and dog (w2)
+    assert set(top.values()) >= {"car", "dog"}
+    assert all(r["item_rank"] == 1 for r in ranked.collect())
+
+
+def test_archive_stream_round_trip(spark, detections_dir, tmp_path):
+    out = str(tmp_path / "archive")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_detections(spark, detections_dir)
+    q = archive_stream(stream, out, ckpt, trigger_available_now=True)
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 5  # raw archive: no dedup
+    assert "event_time" in back.columns
+    # restart with no new data: checkpoint prevents re-ingestion
+    q2 = archive_stream(
+        stream_detections(spark, detections_dir), out, ckpt,
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 5
