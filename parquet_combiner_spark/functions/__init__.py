@@ -80,8 +80,11 @@ def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.4: the synthetic embeddings are near-orthogonal (max
+    # pairwise cosine ~0.5-0.6), so a "near-dup" bar of 0.9 would be
+    # vacuously empty; 0.4 exercises the LSH recall path on real pairs
     return similarity.embedding_near_dup_pairs(
-        _embs(spark, sf_dir), min_cosine=0.9, num_planes=8
+        _embs(spark, sf_dir), min_cosine=0.4, num_planes=5, num_tables=12
     )
 
 

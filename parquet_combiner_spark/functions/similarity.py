@@ -155,36 +155,63 @@ def embedding_near_dup_pairs(
     min_cosine: float = 0.95,
     dim: int = 64,
     num_planes: int = DEFAULT_PLANES,
+    num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join:
-    (id_a, id_b, sim) with sim ≥ ``min_cosine``, id_a < id_b. The
-    self-join is an equi-join on the bucket code — no cross join."""
-    planes = hyperplanes(dim, num_planes)
-    coded = _as_double(embeddings, vec_col).select(
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    self-join: (id_a, id_b, sim) with sim ≥ ``min_cosine``, id_a <
+    id_b.
+
+    OR-amplification across ``num_tables`` independent hyperplane
+    sets: a pair is a candidate if it collides in ANY table, lifting
+    recall from p^planes to 1-(1-p^planes)^tables while each table's
+    join stays an equi-join on (table, code) — never a cross join.
+    Candidate ids are deduped BEFORE scoring so each pair's cosine is
+    computed once, and the id-pair shuffle carries no vectors."""
+    tables = [
+        (t, hyperplanes(dim, num_planes, seed=42 + t))
+        for t in range(num_tables)
+    ]
+    e = _as_double(embeddings, vec_col)
+    coded = e.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("emb"),
-        lsh_code(F.col(vec_col), planes).alias("code"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_code(F.col(vec_col), planes).alias("code"),
+                    )
+                    for t, planes in tables
+                ]
+            )
+        ).alias("tc"),
+    ).select("vid", "tc.tbl", "tc.code")
     a = coded.alias("a")
     b = coded.alias("b")
-    sim = cosine(F.col("a.emb"), F.col("b.emb"))
-    return (
+    cand = (
         a.join(
             b,
             on=[
+                F.col("a.tbl") == F.col("b.tbl"),
                 F.col("a.code") == F.col("b.code"),
                 F.col("a.vid") < F.col("b.vid"),
             ],
         )
-        .where(sim >= min_cosine)
         .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.round(sim, 6).alias("sim"),
+            F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b")
         )
         .distinct()
+    )
+    emb_a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
+    emb_b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
+    sim = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(emb_a, "id_a")
+        .join(emb_b, "id_b")
+        .where(sim >= min_cosine)
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
     )
 
 

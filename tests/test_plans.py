@@ -1,0 +1,96 @@
+"""Plan-shape regression tests: pin the physical-plan properties that
+make each query scale (SURVEY.md §4 — what the reference hand-built,
+Catalyst must be SHOWN to be doing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark.functions import dedup_text, similarity
+from parquet_combiner_spark.pipeline import top_items
+from parquet_combiner_spark.plans import (
+    assert_broadcast_join,
+    assert_in_plan,
+    assert_no_cartesian_product,
+    assert_partial_aggregate,
+    assert_pushed_filters,
+)
+from parquet_combiner_spark.schemas import DATA_A_SCHEMA
+from tests.conftest import make_data_a, make_data_b
+
+ROWS_A = [(1, 11, i, "car", 1_700_000_000 + i) for i in range(10)]
+ROWS_B = [(1, "New York"), (2, "Boston")]
+
+
+def test_top_items_plan_shape(spark):
+    out = top_items(make_data_a(spark, ROWS_A), make_data_b(spark, ROWS_B), 5)
+    plan = assert_broadcast_join(out)
+    assert_partial_aggregate(out)
+    assert_no_cartesian_product(out)
+    # top-K via window rank computes group limits map-side first
+    assert "WindowGroupLimit" in plan
+    # the dim join stays broadcast; the fact side is never sort-merged
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    p = str(tmp_path / "pushdown")
+    spark.createDataFrame(ROWS_A, DATA_A_SCHEMA).write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .where(F.col("geographical_location_oid") == 1)
+        .select("detection_oid")
+    )
+    plan = assert_pushed_filters(df)
+    # column pruning: scan reads only the two needed columns
+    assert "timestamp_detected" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_minhash_plan_no_cartesian(spark):
+    docs = spark.createDataFrame(
+        [(i, "some words repeated here " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert_no_cartesian_product(dedup_text.minhash_near_dup_pairs(docs))
+    assert_no_cartesian_product(dedup_text.simhash_near_dup_pairs(docs))
+
+
+def test_embedding_near_dup_plan_no_cartesian(spark):
+    embs = spark.createDataFrame(
+        [(i, [float(i)] * 8, "x") for i in range(6)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    assert_no_cartesian_product(
+        similarity.embedding_near_dup_pairs(embs, dim=8, num_tables=2)
+    )
+
+
+def test_lsh_topk_plan_no_cartesian(spark):
+    embs = spark.createDataFrame(
+        [(i, [float(i % 3)] * 8, "x") for i in range(8)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    q = embs.where(F.col("vec_id") < 2)
+    assert_no_cartesian_product(
+        similarity.cosine_topk_lsh(embs, q, k=2, dim=8)
+    )
+
+
+def test_group_counts_partial_aggregation(spark):
+    da = make_data_a(spark, ROWS_A)
+    counts = da.groupBy("geographical_location_oid", "item_name").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert_partial_aggregate(counts)
+
+
+def test_dedup_keep_min_is_aggregate_not_sort(spark):
+    from parquet_combiner_spark.operators.dedup import dedup_keep_min
+
+    da = make_data_a(spark, ROWS_A)
+    deduped = dedup_keep_min(
+        da, ["detection_oid"], ["timestamp_detected", "video_camera_oid"]
+    )
+    plan = assert_partial_aggregate(deduped)
+    assert "Window" not in plan  # the whole point: no shuffle-and-sort
+    assert_in_plan(deduped, "min_by")
