@@ -64,6 +64,10 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_text.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
 # --- embeddings -----------------------------------------------------------
 
 
@@ -100,6 +104,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -149,6 +154,36 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id,
                count(*) AS n_copies
         FROM documents GROUP BY md5(text)
+    """,
+    # exact inverted-index jaccard IS SQL-expressible (unlike the
+    # xxhash64-based minhash/simhash estimates): DuckDB builds the
+    # same 3-token shingle sets and joins on the shingle string.
+    "ngram_jaccard_pairs": """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' ')
+            )) AS shs FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(shs) AS s FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(shs) AS n_sh FROM sh
+        ), inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   count(*) AS n_inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b,
+               round(n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE),
+                     4) AS jaccard
+        FROM inter
+        JOIN sizes na ON inter.doc_id_a = na.doc_id
+        JOIN sizes nb ON inter.doc_id_b = nb.doc_id
+        WHERE n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.3
     """,
     "ann_cosine_topk": """
         WITH e AS (

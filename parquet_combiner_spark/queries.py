@@ -245,6 +245,41 @@ def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (W: lag + running sum over per-user windows, the
+    training-pipeline workhorse the reference's window surface lacks):
+    a new session starts when the gap to the previous event exceeds 30
+    minutes; output per (user, session): event count and span.
+
+    ts is nanos-since-epoch (see _events); both sides compute gaps in
+    integer nanos so there is no float/timezone drift to reconcile.
+    """
+    from pyspark.sql import Window
+
+    gap_ns = 30 * 60 * 1_000_000_000  # 30 minutes
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn("__prev_ts", F.lag("ts").over(w)).withColumn(
+        "__new_session",
+        (
+            F.col("__prev_ts").isNull()
+            | ((F.col("ts") - F.col("__prev_ts")) > gap_ns)
+        ).cast("int"),
+    )
+    sessions = with_gap.withColumn(
+        "session_id",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            (F.max("ts") - F.min("ts")) / F.lit(60_000_000_000.0), 4
+        ).alias("duration_min"),
+    )
+
+
 def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship shape #2 (A2 + F2 modulo): top-3 event types per
     user-id bucket, deterministic tiebreak."""
@@ -278,6 +313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_buckets_union": order_buckets_union,
     "top_orders_global": top_orders_global,
     "events_by_type": events_by_type,
+    "user_sessions": user_sessions,
     "user_bucket_top_events": user_bucket_top_events,
 }
 
@@ -412,6 +448,28 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type, count(*) AS n_events,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY event_type
+    """,
+    "user_sessions": """
+        WITH g AS (
+            SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                   lag(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_tns
+            FROM events
+        ), s AS (
+            SELECT user_id, tns,
+                   sum(CASE WHEN prev_tns IS NULL
+                            OR tns - prev_tns > 1800000000000
+                       THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY tns, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               round((max(tns) - min(tns)) / 60000000000.0, 4)
+                   AS duration_min
+        FROM s GROUP BY user_id, session_id
     """,
     "user_bucket_top_events": """
         SELECT user_bucket, event_type, n, CAST(rn AS INTEGER) AS rank FROM (

@@ -99,6 +99,19 @@ def test_minhash_no_cartesian_product(spark, docs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_jaccard_exact_pairs(spark, docs):
+    pairs = dedup_text.ngram_jaccard_pairs(docs, threshold=0.3)
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 3)] == 1.0  # identical text → jaccard exactly 1
+    assert (1, 2) in got and 0.3 <= got[(1, 2)] < 1.0
+    assert not any(4 in p or 5 in p for p in got)  # unrelated docs absent
+    # exact algorithm: must agree with verify_jaccard's set arithmetic
+    # for the overlapping pair (same shingle definition both paths)
+    cand = spark.createDataFrame([(1, 2)], "doc_id_a long, doc_id_b long")
+    v = dedup_text.verify_jaccard(cand, docs).collect()[0]["jaccard"]
+    assert abs(got[(1, 2)] - v) < 1e-9
+
+
 def test_simhash_near_dups(spark, docs):
     # A 1-token edit in an 18-token doc measurably lands at hamming 11
     # (short docs flip many vote sums); the pigeonhole bucketing

@@ -53,6 +53,7 @@ def test_minhash_plan_no_cartesian(spark):
     )
     assert_no_cartesian_product(dedup_text.minhash_near_dup_pairs(docs))
     assert_no_cartesian_product(dedup_text.simhash_near_dup_pairs(docs))
+    assert_no_cartesian_product(dedup_text.ngram_jaccard_pairs(docs))
 
 
 def test_embedding_near_dup_plan_no_cartesian(spark):
