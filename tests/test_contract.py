@@ -1,0 +1,79 @@
+"""Driver-contract and registry tests.
+
+The reference dispatches queries through a string-keyed factory that
+throws on unknown names (reference services/AggregationFactory.scala:
+29-37, tested at ParquetCombinerRDDUnitTest.scala:380-406); the
+engine's registry generalizes that — these tests pin the same
+dispatch guarantees plus the driver contract's invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from parquet_combiner_spark.pipeline import item_count
+from tests.conftest import make_data_a
+
+
+def test_registry_dispatch_and_unknown_name():
+    qs = entry_mod.queries()
+    assert len(qs) >= 26
+    assert all(callable(fn) for fn in qs.values())
+    with pytest.raises(KeyError):
+        qs["no_such_query"]  # unknown name fails fast (factory parity)
+
+
+def test_every_oracle_has_a_query():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle without query: {missing}"
+    # the non-SQL-expressible exceptions are exactly the hash-based
+    # estimators (documented rows-only checks)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "doc_lang_id",
+        "minhash_near_dup_pairs",
+        "simhash_near_dup_pairs",
+        "ann_cosine_topk_lsh",
+        "embedding_near_dup_pairs",
+    }
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "l_suppkey",
+        "supplier_name",
+        "l_partkey",
+        "part_count",
+        "part_rank",
+    ]
+    assert df.schema["part_rank"].dataType.simpleString() == "string"
+
+
+def test_item_count_exact_values(spark):
+    """Port of reference ParquetCombinerRDDUnitTest.scala:409-459: a
+    duplicate detection_oid must not double-count (loc 2's item1 = 1,
+    not 2)."""
+    rows = [
+        (1, 101, 1, "item1", 1000),
+        (1, 101, 2, "item2", 1001),
+        (1, 102, 3, "item1", 1002),
+        (2, 201, 4, "item1", 1003),
+        (2, 201, 4, "item1", 1004),  # duplicate detection_oid
+        (2, 202, 5, "item3", 1005),
+    ]
+    out = item_count(make_data_a(spark, rows))
+    got = {
+        (r["geographical_location_oid"], r["item_name"]): r["count"]
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "item1"): 2,
+        (1, "item2"): 1,
+        (2, "item1"): 1,  # deduped: 4 counted once
+        (2, "item3"): 1,
+    }
