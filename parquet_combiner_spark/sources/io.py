@@ -62,6 +62,56 @@ def write_parquet(
     writer.parquet(path)
 
 
+def _fs_size_bytes(spark: SparkSession, path: str) -> int:
+    """Total byte size of a path via Spark's Hadoop FS layer (works on
+    local/HDFS/S3 alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def combine_parquet(
+    spark: SparkSession,
+    input_paths: str | list[str],
+    output_path: str,
+    target_file_mb: int = 128,
+    compression: str = "snappy",
+    partition_by: list[str] | None = None,
+    shuffle: bool = False,
+) -> int:
+    """The namesake operation: compact one or more Parquet datasets
+    into ``output_path`` with sensibly-sized files.
+
+    Small-file sprawl is the classic large-pipeline failure mode (a
+    100 TB table in 1 KB files is unreadable); this sizes the output
+    file count from the ACTUAL input bytes (Hadoop FS metadata, no
+    scan) and ``coalesce``s down to it — a narrow, shuffle-free plan.
+    Pass ``shuffle=True`` to ``repartition`` instead when inputs are
+    skewed and evenly-sized output files matter more than avoiding
+    one exchange; with ``partition_by``, repartitioning by the
+    partition columns routes each output directory's rows to one
+    writer. Returns the target file count.
+    """
+    paths = [input_paths] if isinstance(input_paths, str) else list(input_paths)
+    df = spark.read.parquet(*paths)
+    total = sum(_fs_size_bytes(spark, p) for p in paths)
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    if partition_by:
+        out = df.repartition(int(n_files), *partition_by) if shuffle else df
+    elif shuffle:
+        out = df.repartition(int(n_files))
+    else:
+        out = df.coalesce(int(n_files))
+    write_parquet(
+        out,
+        output_path,
+        compression=compression,
+        partition_by=partition_by,
+    )
+    return int(n_files)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

@@ -106,6 +106,44 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert all(r["count"] <= 2 for r in per_loc)
 
 
+def test_combine_parquet_compacts_small_files(spark, tmp_path):
+    from parquet_combiner_spark.sources.io import combine_parquet
+
+    src = str(tmp_path / "sprawl")
+    # 40 tiny files
+    spark.range(10_000).repartition(40).write.parquet(src)
+    out = str(tmp_path / "compact")
+    n = combine_parquet(spark, src, out, target_file_mb=128)
+    assert n == 1  # tiny input -> one file
+    files = [
+        f for f in __import__("os").listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000  # no rows lost
+    assert {r["id"] for r in back.collect()} == set(range(10_000))
+
+
+def test_combine_parquet_multiple_inputs_partitioned(spark, tmp_path):
+    from parquet_combiner_spark.sources.io import combine_parquet
+    from pyspark.sql import functions as F
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(100).withColumn("k", F.col("id") % 2).repartition(7).write.parquet(a)
+    spark.range(100, 200).withColumn("k", F.col("id") % 2).repartition(5).write.parquet(b)
+    out = str(tmp_path / "merged")
+    combine_parquet(
+        spark, [a, b], out, partition_by=["k"], shuffle=True
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("k=")
+    ) == ["k=0", "k=1"]
+
+
 def test_cli_error_exit_code(tmp_path):
     rc = cli_main(
         [str(tmp_path / "nope_a"), str(tmp_path / "nope_b"), str(tmp_path / "o")]
