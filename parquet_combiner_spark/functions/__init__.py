@@ -113,9 +113,35 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _STOPWORD_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
+_MARKER_LISTS = ",\n".join(
+    "      {'score': len(list_filter(toks, w -> w IN (%s)))"
+    " / CAST(greatest(len(toks),1) AS DOUBLE), 'lang': '%s'}"
+    % (", ".join(f"'{m}'" for m in markers), lang)
+    for lang, markers in text.LANG_MARKERS.items()
+)
+_EN_MARKERS = ", ".join(f"'{m}'" for m in text.LANG_MARKERS["en"])
+
 PIPELINE_ORACLE_SQL: dict[str, str] = {
     # minhash/simhash/LSH queries intentionally absent: xxhash64-based,
     # not reproducible in DuckDB → rows-only check.
+    "doc_lang_id": f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang, toks, [
+{_MARKER_LISTS}
+            ] AS scores FROM t
+        )
+        SELECT doc_id, lang,
+               CASE WHEN list_sort(scores)[-1].score > 0
+                    THEN list_sort(scores)[-1].lang
+                    ELSE 'unknown' END AS predicted_lang,
+               round(len(list_filter(toks, w -> w IN ({_EN_MARKERS})))
+                     / CAST(greatest(len(toks), 1) AS DOUBLE),
+                     4) AS en_score
+        FROM s
+    """,
     "doc_token_stats": f"""
         SELECT doc_id, lang,
                length(text) AS n_chars_calc,

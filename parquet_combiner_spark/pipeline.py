@@ -99,6 +99,57 @@ def location_stats(
     )
 
 
+def all_aggregations(
+    data_a: DataFrame, data_b: DataFrame, top_x: int = 5
+) -> dict[str, DataFrame]:
+    """All three queries served from ONE shared dedup (reference
+    performAggregations, ParquetCombinerRDD.scala:116-148, which
+    persists the raw inputs but still dedups inside EACH aggregation —
+    here the deduped projection itself is persisted, so the biggest
+    shuffle in the pipeline runs once instead of three times).
+
+    Callers should unpersist ``results["_deduped"]`` when done.
+    """
+    from pyspark import StorageLevel
+
+    deduped = dedup_first_wins(
+        data_a.select(LOC, "video_camera_oid", "detection_oid", "item_name"),
+        ["detection_oid"],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = group_counts(deduped, [LOC, "item_name"], count_col="count")
+    ranked = top_k_per_group(
+        counts,
+        [LOC],
+        [F.desc("count"), F.asc_nulls_first("item_name")],
+        top_x,
+        rank_col="item_rank",
+    )
+    top = broadcast_dim_join(
+        ranked, data_b, key=LOC,
+        defaults={"geographical_location": "Unknown"},
+    ).select(
+        "geographical_location",
+        F.col("item_rank").cast("string").alias("item_rank"),
+        "item_name",
+    )
+    stats = group_stats(
+        deduped,
+        group_col=LOC,
+        item_col="item_name",
+        mode_col="video_camera_oid",
+        total_alias="total_detections",
+        unique_alias="unique_items",
+        mode_alias="most_active_camera",
+    )
+    return {
+        "top_items": top,
+        "item_count": counts,
+        "location_stats": stats,
+        "_deduped": deduped,
+    }
+
+
 def process_parquet_files(
     spark,
     data_a_path: str,

@@ -32,7 +32,6 @@ def test_every_oracle_has_a_query():
     # estimators (documented rows-only checks)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "doc_lang_id",
         "minhash_near_dup_pairs",
         "simhash_near_dup_pairs",
         "ann_cosine_topk_lsh",

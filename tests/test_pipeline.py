@@ -8,7 +8,12 @@ from __future__ import annotations
 
 from conftest import make_data_a, make_data_b
 
-from parquet_combiner_spark.pipeline import item_count, location_stats, top_items
+from parquet_combiner_spark.pipeline import (
+    all_aggregations,
+    item_count,
+    location_stats,
+    top_items,
+)
 
 # Canonical 18-row fixture (ParquetCombinerRDDIntegrationTest.scala:81-105):
 # loc1: apple x2, banana x2 (+dup oid 1005), cherry
@@ -168,6 +173,26 @@ def test_location_stats(spark):
     assert out[1]["unique_items"] == 2
     assert out[1]["most_active_camera"] == 101
     assert out[2]["total_detections"] == 1
+
+
+def test_all_aggregations_shared_dedup(spark):
+    """all_aggregations serves the three reference queries from one
+    persisted dedup and agrees with each standalone query."""
+    da = make_data_a(spark, CANONICAL_A)
+    db = make_data_b(spark, CANONICAL_B)
+    res = all_aggregations(da, db, top_x=5)
+    try:
+        assert sorted(map(tuple, res["top_items"].collect())) == sorted(
+            map(tuple, top_items(da, db, 5).collect())
+        )
+        assert sorted(map(tuple, res["item_count"].collect())) == sorted(
+            map(tuple, item_count(da).collect())
+        )
+        assert sorted(map(tuple, res["location_stats"].collect())) == sorted(
+            map(tuple, location_stats(da).collect())
+        )
+    finally:
+        res["_deduped"].unpersist()
 
 
 def test_dedup_across_locations(spark):
