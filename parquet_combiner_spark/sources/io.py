@@ -62,6 +62,31 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table: rows are hash-partitioned into
+    ``num_buckets`` files by ``bucket_cols`` AT WRITE TIME, so a later
+    join or aggregation on those columns needs NO exchange — the
+    shuffle was paid once, at write, instead of on every query.
+
+    This is the 100 TB answer for repeatedly-joined fact tables
+    (e.g. lineitem ⋈ orders on the order key): two tables bucketed the
+    same way join with zero network movement. Requires a metastore
+    table (``saveAsTable``) because bucket metadata lives in the
+    catalog, not the files.
+    """
+    writer = df.write.mode(mode).bucketBy(int(num_buckets), *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def _fs_size_bytes(spark: SparkSession, path: str) -> int:
     """Total byte size of a path via Spark's Hadoop FS layer (works on
     local/HDFS/S3 alike)."""
