@@ -77,6 +77,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(embs, queries, k=5)
 
 
+def q_ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 16)
+    return similarity.cosine_topk_pandas(embs, queries, k=5)
+
+
 def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 16)
@@ -106,6 +112,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_label_stats": q_embedding_label_stats,
@@ -212,6 +219,29 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         WHERE n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.3
     """,
     "ann_cosine_topk": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 16
+        ), pairs AS (
+            SELECT q.q_id, e.vec_id AS n_id,
+                   list_dot_product(q.q_emb, e.emb)
+                   / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                      * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+            FROM q, e WHERE e.vec_id <> q.q_id
+        )
+        SELECT q_id, n_id, round(cos, 6) AS sim,
+               CAST(rn AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id
+            ) AS rn FROM pairs
+        ) WHERE rn <= 5
+    """,
+    # same exact semantics as ann_cosine_topk, computed by the
+    # Arrow-batched numpy path — shares the oracle verbatim
+    "ann_cosine_topk_pandas": """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
             FROM embeddings

@@ -91,6 +91,71 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_pandas(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy — the high-throughput
+    variant of :func:`cosine_topk_bruteforce` for wide embeddings.
+
+    The (small) query set is collected to a numpy matrix and shipped
+    in the closure; each Arrow batch of candidates becomes one
+    C-speed matmul (batch x dim @ dim x queries) followed by a
+    per-batch partial top-k, so only ``batches x queries x k``
+    candidate rows reach the final exact rank — the same
+    partial-then-final shape as a Spark aggregation, with the inner
+    loop vectorized instead of interpreted per element.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        _as_double(queries, vec_col)
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = (
+        f"q_id long, n_id long, sim double"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sims = (mat @ q_mat.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * q_norm[None, :]
+            )
+            frames = []
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = ids != q_ids[qi]
+                cids, csims = ids[mask], col[mask]
+                if len(cids) > k:  # partial top-k per batch
+                    keep = np.argpartition(-csims, k)[:k]
+                    cids, csims = cids[keep], csims[keep]
+                frames.append(
+                    pd.DataFrame(
+                        {"q_id": q_ids[qi], "n_id": cids, "sim": csims}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = _as_double(candidates, vec_col).select(
+        F.col(id_col), F.col(vec_col)
+    ).mapInPandas(score, schema=out_schema)
+    ranked = top_k_per_group(
+        partial, ["q_id"], [F.desc("sim"), F.asc("n_id")], k, rank_col="rank"
+    )
+    return ranked.select("q_id", "n_id", F.round("sim", 6).alias("sim"), "rank")
+
+
 def hyperplanes(dim: int, num_planes: int = DEFAULT_PLANES, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.default_rng(seed)

@@ -159,6 +159,15 @@ def test_bruteforce_topk_orders_by_cosine(spark, embs):
     assert ranked == [1, 4, 2, 3]  # by decreasing cosine to vec 0
 
 
+def test_pandas_topk_matches_bruteforce(spark, embs):
+    q = embs.where(F.col("vec_id") < 2)
+    jvm = similarity.cosine_topk_bruteforce(embs, q, k=3)
+    arrow = similarity.cosine_topk_pandas(embs, q, k=3)
+    assert sorted(map(tuple, jvm.collect())) == sorted(
+        map(tuple, arrow.collect())
+    )
+
+
 def test_lsh_topk_is_subset_of_bruteforce(spark, embs):
     queries = embs.where(F.col("vec_id") == 0)
     brute = {
