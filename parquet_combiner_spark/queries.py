@@ -280,6 +280,38 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W: frame-spec window (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    — rolling mean of event value per user in event-time order."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg_4"),
+    )
+
+
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension: ROLLUP over (returnflag, linestatus) — subtotal and
+    grand-total rows the reference's flat groupBy surface lacks;
+    grouping-level flags exported so null group keys stay
+    distinguishable from rollup rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
 def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship shape #2 (A2 + F2 modulo): top-3 event types per
     user-id bucket, deterministic tiebreak."""
@@ -314,6 +346,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_global": top_orders_global,
     "events_by_type": events_by_type,
     "user_sessions": user_sessions,
+    "user_rolling_value": user_rolling_value,
+    "pricing_rollup": pricing_rollup,
     "user_bucket_top_events": user_bucket_top_events,
 }
 
@@ -470,6 +504,22 @@ ORACLE_SQL: dict[str, str] = {
                round((max(tns) - min(tns)) / 60000000000.0, 4)
                    AS duration_min
         FROM s GROUP BY user_id, session_id
+    """,
+    "user_rolling_value": """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ), 4) AS rolling_avg_4
+        FROM events
+    """,
+    "pricing_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "user_bucket_top_events": """
         SELECT user_bucket, event_type, n, CAST(rn AS INTEGER) AS rank FROM (
