@@ -77,6 +77,45 @@ def test_lsh_topk_plan_no_cartesian(spark):
     )
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """The reference hand-rolls salting for skewed joins
+    (utils/SkewedDataHandler.scala:26-65); this engine's position
+    (SURVEY.md §4) is that AQE does it at runtime. Prove it: execute a
+    join where one key holds ~95% of rows and assert the final
+    adaptive plan actually split the skewed partition (skew=true in
+    AQEShuffleRead)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(210_000).select(
+            F.when(F.col("id") < 200_000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = fact.join(dim, "k")
+        assert len(joined.collect()) == 210_000
+        # the *executed* (final adaptive) plan of this very DataFrame
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the skew:\n{plan}"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
 def test_group_counts_partial_aggregation(spark):
     da = make_data_a(spark, ROWS_A)
     counts = da.groupBy("geographical_location_oid", "item_name").agg(
