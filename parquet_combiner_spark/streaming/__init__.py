@@ -1,3 +1,6 @@
+from parquet_combiner_spark.streaming.sessionize import (  # noqa: F401
+    sessionize_stream,
+)
 from parquet_combiner_spark.streaming.pipeline import (  # noqa: F401
     archive_stream,
     dedup_stream,

@@ -133,6 +133,52 @@ def test_windowed_counts_and_topk(spark, tmp_path):
     assert all(r["item_rank"] == 1 for r in ranked.collect())
 
 
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap splits AND
+    watermark-timeout closure across micro-batches."""
+    import os
+
+    from parquet_combiner_spark.streaming import sessionize_stream
+
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    # batch 1 (file 1): user 1 has two sessions split by a >30min gap;
+    # user 2 has one session
+    batch1 = [
+        (1, 11, 1, "a", BASE),
+        (1, 11, 2, "a", BASE + 60),        # same session (1 min later)
+        (1, 11, 3, "a", BASE + 60 * 60),   # 59min gap -> new session
+        (2, 21, 4, "b", BASE + 10),
+    ]
+    # batch 2 (file 2): far-future event pushes the watermark past
+    # every open session's timeout -> they close via state timeout
+    batch2 = [(9, 91, 9, "z", BASE + 6 * 3600)]
+    spark.createDataFrame(batch1, DATA_A_SCHEMA).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    spark.createDataFrame(batch2, DATA_A_SCHEMA).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    stream = stream_detections(spark, src, max_files_per_trigger=1)
+    ev = stream.select(
+        F.col("geographical_location_oid").alias("user_id"), "event_time"
+    )
+    sessions = sessionize_stream(ev, gap_minutes=30.0, watermark_delay="1 minute")
+    _run_to_memory(sessions, "t_sessions")
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    base_ms = BASE * 1000
+    # user 1: first session (2 events) closed by the in-stream gap;
+    # second session (1 event) closed by watermark timeout
+    assert got[(1, base_ms)] == 2
+    assert got[(1, base_ms + 3600 * 1000)] == 1
+    # user 2: single event closed by timeout
+    assert got[(2, base_ms + 10_000)] == 1
+
+
 def test_archive_stream_round_trip(spark, detections_dir, tmp_path):
     out = str(tmp_path / "archive")
     ckpt = str(tmp_path / "ckpt")
