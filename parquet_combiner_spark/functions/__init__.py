@@ -15,7 +15,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_combiner_spark.functions import dedup_text, similarity, text
+from parquet_combiner_spark.functions import (
+    dedup_text,
+    multimodal,
+    similarity,
+    text,
+)
 from parquet_combiner_spark.sources.io import table_path
 
 
@@ -68,6 +73,33 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
+def q_doc_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal scan-side pass over an opaque binary column (the
+    text bytes stand in for media payloads — the testdata ships no
+    binary column, and the plumbing is payload-agnostic)."""
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.binary_metadata(payloads, "payload", "doc_id")
+
+
+def q_doc_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (deterministic fake encoder — see multimodal module)."""
+    payloads = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = multimodal.extract_image_features(payloads, dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        F.round(F.element_at("feature", 1), 4).alias("f0"),
+        F.round(F.element_at("feature", 8), 4).alias("f7"),
+    )
+
+
 # --- embeddings -----------------------------------------------------------
 
 
@@ -111,6 +143,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "doc_binary_metadata": q_doc_binary_metadata,
+    "doc_payload_features": q_doc_payload_features,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
@@ -182,6 +216,14 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     """,
     "doc_fingerprints": """
         SELECT doc_id, md5(text) AS fp_md5 FROM documents
+    """,
+    # doc_payload_features intentionally absent (sha256-seeded fake
+    # encoder floats — not reasonably SQL-expressible) → rows-only.
+    "doc_binary_metadata": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
     """,
     "exact_dedup_docs": """
         SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id,

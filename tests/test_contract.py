@@ -36,6 +36,7 @@ def test_every_oracle_has_a_query():
         "simhash_near_dup_pairs",
         "ann_cosine_topk_lsh",
         "embedding_near_dup_pairs",
+        "doc_payload_features",
     }
 
 
