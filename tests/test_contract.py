@@ -35,6 +35,7 @@ def test_every_oracle_has_a_query():
         "minhash_near_dup_pairs",
         "simhash_near_dup_pairs",
         "ann_cosine_topk_lsh",
+        "ann_cosine_topk_ivf",
         "embedding_near_dup_pairs",
         "doc_payload_features",
     }

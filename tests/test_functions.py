@@ -168,6 +168,29 @@ def test_pandas_topk_matches_bruteforce(spark, embs):
     )
 
 
+def test_ivf_topk_subset_and_recall(spark, embs):
+    q = embs.where(F.col("vec_id") < 2)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in similarity.cosine_topk_bruteforce(embs, q, k=3).collect()
+    }
+    ivf = {
+        (r["q_id"], r["n_id"])
+        for r in similarity.cosine_topk_ivf(
+            embs, q, k=3, n_centroids=4, nprobe=4
+        ).collect()
+    }
+    # nprobe == n_centroids probes every cell -> recall is exactly 1
+    assert ivf == exact
+    partial = {
+        (r["q_id"], r["n_id"])
+        for r in similarity.cosine_topk_ivf(
+            embs, q, k=3, n_centroids=4, nprobe=1
+        ).collect()
+    }
+    assert partial <= exact  # fewer probes: a subset, never junk
+
+
 def test_lsh_topk_is_subset_of_bruteforce(spark, embs):
     queries = embs.where(F.col("vec_id") == 0)
     brute = {
