@@ -41,9 +41,15 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm the JVM + file listing once so per-query numbers measure the
-    # query, not session cold-start (the driver measures wall anyway).
+    # Warm run: JVM JIT + whole-stage-codegen compilation at the tiny
+    # SF so the measured numbers reflect steady-state execution (what
+    # a long-running cluster sees), not one-time class compilation.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for name in names:
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in names:
