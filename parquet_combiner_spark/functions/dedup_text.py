@@ -174,9 +174,23 @@ def verify_jaccard(
     k_shingle: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (n-gram Jaccard
-    near-dup component). Joins the (small) candidate set back to the
-    shingle arrays — cost is O(candidates), not O(n²)."""
-    sets = documents.select(
+    near-dup component). Cost is O(candidates), not O(n²): the corpus
+    is first semi-joined down to docs that actually appear in a
+    candidate pair (broadcast of the small id set), so shingle arrays
+    are built for the candidate docs only — at corpus scale this is
+    the difference between re-tokenizing everything twice and
+    re-tokenizing a few thousand near-dup suspects."""
+    needed = (
+        pairs.select(F.col("doc_id_a").alias("__id"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("__id")))
+        .distinct()
+    )
+    docs_needed = documents.join(
+        F.broadcast(needed),
+        documents[id_col] == needed["__id"],
+        "leftsemi",
+    )
+    sets = docs_needed.select(
         F.col(id_col).alias("doc_id"),
         shingles(tokens(F.lower(F.col(text_col))), k_shingle).alias("sh"),
     )
@@ -211,7 +225,10 @@ def minhash_near_dup_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     pairs = candidate_pairs(lsh_band_buckets(sigs))
-    est = estimate_jaccard(pairs, sigs)
+    # persist the (small) estimated candidate set: verify_jaccard
+    # consumes it twice (the semi-join id set + the pair join) and a
+    # recompute would mean running the LSH join again
+    est = estimate_jaccard(pairs, sigs).persist(StorageLevel.MEMORY_AND_DISK)
     verified = verify_jaccard(est, documents, text_col, id_col)
     return verified.where(F.col("jaccard") >= threshold).select(
         "doc_id_a", "doc_id_b", "est_jaccard", "jaccard"
