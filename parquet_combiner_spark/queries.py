@@ -280,6 +280,18 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-extension: exact interpolated percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` — verified bit-equal).
+    At 100 TB swap for ``approx_percentile`` (t-digest, mergeable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
 def user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W: frame-spec window (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     — rolling mean of event value per user in event-time order."""
@@ -346,6 +358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_global": top_orders_global,
     "events_by_type": events_by_type,
     "user_sessions": user_sessions,
+    "price_percentiles": price_percentiles,
     "user_rolling_value": user_rolling_value,
     "pricing_rollup": pricing_rollup,
     "user_bucket_top_events": user_bucket_top_events,
@@ -504,6 +517,13 @@ ORACLE_SQL: dict[str, str] = {
                round((max(tns) - min(tns)) / 60000000000.0, 4)
                    AS duration_min
         FROM s GROUP BY user_id, session_id
+    """,
+    "price_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        FROM lineitem GROUP BY l_returnflag
     """,
     "user_rolling_value": """
         SELECT user_id, event_id,

@@ -24,12 +24,25 @@ def read_parquet(
 ) -> DataFrame:
     """Parquet scan, optionally schema-enforced (fail-fast).
 
-    With an explicit schema Spark skips footer-based schema merging and
-    validates names/types at analysis time instead of task runtime
-    (contrast reference DataReader.scala:16-23 getAs[...] at runtime).
+    Spark's schema-on-read silently NULL-fills columns absent from the
+    files, so passing ``reader.schema(...)`` alone does NOT catch a
+    missing column. This reader therefore checks the file footer's
+    column set against the declared schema up front (metadata only, no
+    data scan) and raises immediately — contrast the reference, where
+    a missing column surfaces as a getAs failure at task runtime
+    (reference DataReader.scala:16-23).
     """
     reader = spark.read
     if schema is not None:
+        actual = {f.lower() for f in spark.read.parquet(path).schema.names}
+        missing = [
+            f.name for f in schema.fields if f.name.lower() not in actual
+        ]
+        if missing:
+            raise ValueError(
+                f"parquet at {path} is missing declared column(s) "
+                f"{missing}; found {sorted(actual)}"
+            )
         reader = reader.schema(schema)
     return reader.parquet(path)
 

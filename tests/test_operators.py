@@ -271,6 +271,22 @@ def test_sql_and_dataframe_paths_agree(spark):
     assert ny[0]["item_name"] == "apple"
 
 
+def test_schema_enforced_read_fails_fast(spark, tmp_path):
+    """S1's fail-fast claim: a schema-enforced read of a file missing
+    a declared column errors at read-definition time with a clear
+    message — NOT null-filled silently (Spark's default) and not a
+    task-runtime getAs failure (the reference's behavior,
+    DataReader.scala:16-23)."""
+    import pytest
+
+    from parquet_combiner_spark.sources.io import read_data_a
+
+    p = str(tmp_path / "wrong")
+    spark.range(3).write.parquet(p)  # only an 'id' column
+    with pytest.raises(ValueError, match="missing declared column"):
+        read_data_a(spark, p)
+
+
 def test_load_tables_registers_views(spark):
     tables = load_tables(spark, "/root/testdata/sf0.001", names=("region", "nope"))
     assert set(tables) == {"region"}
