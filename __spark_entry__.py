@@ -33,12 +33,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     registry: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     registry.update(_q.QUERIES)
-    try:  # LLM-data-pipeline operators (round 2+)
-        from parquet_combiner_spark.functions import PIPELINE_QUERIES
+    # hard import: a broken functions package must fail loudly here,
+    # not silently shrink the contract to the base queries
+    from parquet_combiner_spark.functions import PIPELINE_QUERIES
 
-        registry.update(PIPELINE_QUERIES)
-    except ImportError:
-        pass
+    registry.update(PIPELINE_QUERIES)
     return registry
 
 
@@ -48,10 +47,7 @@ def oracle_sql() -> dict[str, str]:
     weaker rows-only check."""
     oracles: dict[str, str] = {}
     oracles.update(_q.ORACLE_SQL)
-    try:
-        from parquet_combiner_spark.functions import PIPELINE_ORACLE_SQL
+    from parquet_combiner_spark.functions import PIPELINE_ORACLE_SQL
 
-        oracles.update(PIPELINE_ORACLE_SQL)
-    except ImportError:
-        pass
+    oracles.update(PIPELINE_ORACLE_SQL)
     return oracles

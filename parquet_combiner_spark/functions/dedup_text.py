@@ -218,17 +218,21 @@ def minhash_near_dup_pairs(
 
     Signatures are persisted (memory-and-disk) because three branches
     reuse them (band buckets + both sides of the estimate join) — at
-    corpus scale a recompute means three full text scans."""
+    corpus scale a recompute means three full text scans. The persist
+    is released before returning: the (small) estimated candidate set
+    is materialized via an eager ``localCheckpoint`` — which truncates
+    lineage, so downstream consumers never re-trigger the LSH join,
+    and whose blocks are GC-managed (ContextCleaner) instead of pinned
+    for the session lifetime the way an unreleased ``persist`` would
+    be."""
     from pyspark import StorageLevel
 
     sigs = minhash_signatures(documents, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     pairs = candidate_pairs(lsh_band_buckets(sigs))
-    # persist the (small) estimated candidate set: verify_jaccard
-    # consumes it twice (the semi-join id set + the pair join) and a
-    # recompute would mean running the LSH join again
-    est = estimate_jaccard(pairs, sigs).persist(StorageLevel.MEMORY_AND_DISK)
+    est = estimate_jaccard(pairs, sigs).localCheckpoint(eager=True)
+    sigs.unpersist()
     verified = verify_jaccard(est, documents, text_col, id_col)
     return verified.where(F.col("jaccard") >= threshold).select(
         "doc_id_a", "doc_id_b", "est_jaccard", "jaccard"
@@ -308,6 +312,12 @@ def simhash_near_dup_pairs(
     base_w, extra = divmod(SIMHASH_BITS, n_chunks)
     widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
+
+    def _mask(width: int) -> int:
+        # width 64 (max_hamming=0, single chunk): 2^64-1 overflows
+        # LongType; all-ones is -1 in two's complement
+        return -1 if width >= 64 else (1 << width) - 1
+
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -317,7 +327,7 @@ def simhash_near_dup_pairs(
                     F.struct(
                         F.lit(c).alias("chunk_id"),
                         F.shiftright(F.col("simhash"), offsets[c])
-                        .bitwiseAND(F.lit((1 << widths[c]) - 1))
+                        .bitwiseAND(F.lit(_mask(widths[c])).cast("long"))
                         .alias("chunk_val"),
                     )
                     for c in range(n_chunks)

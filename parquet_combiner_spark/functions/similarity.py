@@ -52,6 +52,22 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality, read from the data (one-row scan).
+
+    Hyperplane arrays MUST match the vector length: ``zip_with``
+    null-pads a mismatch, the dot product folds to NULL, every sign
+    test fails, and all vectors silently land in LSH bucket 0 — a
+    hidden O(n²) pair expansion instead of an error."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(
+            f"cannot infer embedding dim from column {vec_col!r} "
+            "(empty DataFrame or null/empty vectors)"
+        )
+    return int(row["d"])
+
+
 def cosine_topk_bruteforce(
     candidates: DataFrame,
     queries: DataFrame,
@@ -138,7 +154,11 @@ def cosine_topk_pandas(
                 mask = ids != q_ids[qi]
                 cids, csims = ids[mask], col[mask]
                 if len(cids) > k:  # partial top-k per batch
-                    keep = np.argpartition(-csims, k)[:k]
+                    # lexsort, not argpartition: ties at the k-th
+                    # boundary must resolve by n_id asc, or the final
+                    # exact rank never sees the survivor the total
+                    # (sim desc, n_id asc) order would keep
+                    keep = np.lexsort((cids, -csims))[:k]
                     cids, csims = cids[keep], csims[keep]
                 frames.append(
                     pd.DataFrame(
@@ -180,7 +200,7 @@ def cosine_topk_lsh(
     candidates: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    dim: int = 64,
+    dim: int | None = None,
     num_planes: int = DEFAULT_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -189,8 +209,10 @@ def cosine_topk_lsh(
     query's LSH bucket. Output: (q_id, n_id, sim, rank) — a subset of
     the brute-force result (recall < 1 by design, controlled by
     ``num_planes``; fewer planes → bigger buckets → higher recall).
+    ``dim`` defaults to the actual vector length (see
+    :func:`_vector_dim` for why a mismatch must not pass silently).
     """
-    planes = hyperplanes(dim, num_planes)
+    planes = hyperplanes(dim or _vector_dim(candidates, vec_col), num_planes)
     cand = _as_double(candidates, vec_col).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_emb"),
@@ -218,7 +240,7 @@ def cosine_topk_lsh(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.95,
-    dim: int = 64,
+    dim: int | None = None,
     num_planes: int = DEFAULT_PLANES,
     num_tables: int = 8,
     id_col: str = "vec_id",
@@ -234,6 +256,7 @@ def embedding_near_dup_pairs(
     join stays an equi-join on (table, code) — never a cross join.
     Candidate ids are deduped BEFORE scoring so each pair's cosine is
     computed once, and the id-pair shuffle carries no vectors."""
+    dim = dim or _vector_dim(embeddings, vec_col)
     tables = [
         (t, hyperplanes(dim, num_planes, seed=42 + t))
         for t in range(num_tables)

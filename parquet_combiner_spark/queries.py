@@ -41,7 +41,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
     rejects by default; read it as a long (nanos since epoch) — order
-    semantics are identical and no query exposes ts in its output."""
+    semantics are identical and no query exposes ts in its output.
+
+    The conf set here is session-wide BY NECESSITY: it is consulted
+    lazily at scan time, so a save/restore around the read would break
+    the returned (lazy) DataFrame. It is also an engine default
+    (session.py) — setting it here covers driver-owned sessions not
+    built by our factory. Scope of the side effect: it only changes
+    how TIMESTAMP(NANOS) parquet columns are read (long instead of an
+    analysis error); timestamps of other precisions are unaffected."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(table_path(sf_dir, "events"))
 

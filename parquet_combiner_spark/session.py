@@ -28,6 +28,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # TIMESTAMP(NANOS) parquet columns (events.ts in the testdata) are
+    # rejected by the vectorized reader unless read as raw nanos longs;
+    # an engine default, so query code need not mutate session conf
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.driver.extraJavaOptions": "-Duser.timezone=UTC",

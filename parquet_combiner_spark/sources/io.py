@@ -136,7 +136,16 @@ def combine_parquet(
     total = sum(_fs_size_bytes(spark, p) for p in paths)
     n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
     if partition_by:
-        out = df.repartition(int(n_files), *partition_by) if shuffle else df
+        # without a shuffle the best available compaction is a
+        # coalesce (each task still writes one file per partition
+        # value it holds); shuffle=True routes each partition
+        # directory's rows to few writers and is the recommended
+        # combination with partition_by
+        out = (
+            df.repartition(int(n_files), *partition_by)
+            if shuffle
+            else df.coalesce(int(n_files))
+        )
     elif shuffle:
         out = df.repartition(int(n_files))
     else:

@@ -87,22 +87,16 @@ def enrich_with_locations(
 ) -> DataFrame:
     """Stream-static left join against the location dim (design.pdf's
     ElastiCache lookup). The static side is broadcast — the stream is
-    never shuffled. Misses get ``default`` only when the join missed,
-    not when the dim stores a genuine NULL name (same miss-gating as
-    the batch broadcast_dim_join)."""
-    dim = (
-        data_b.select(
-            F.col(key), F.col(name_col), F.lit(True).alias("__dim_matched")
-        )
-        .dropDuplicates([key])
+    never shuffled. Delegates to the batch ``broadcast_dim_join`` (it
+    is stream-static-safe: only the static dim side is deduped and
+    broadcast), so miss-gated defaults and deterministic dim dedup
+    have exactly one implementation."""
+    from parquet_combiner_spark.operators.join import broadcast_dim_join
+
+    dim = data_b.select(F.col(key), F.col(name_col))
+    return broadcast_dim_join(
+        stream, dim, key=key, defaults={name_col: default}
     )
-    joined = stream.join(F.broadcast(dim), on=key, how="left")
-    return joined.withColumn(
-        name_col,
-        F.when(F.col("__dim_matched").isNull(), F.lit(default)).otherwise(
-            F.col(name_col)
-        ),
-    ).drop("__dim_matched")
 
 
 def archive_stream(

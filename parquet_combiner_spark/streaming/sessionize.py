@@ -69,13 +69,19 @@ def sessionize_stream(
             )
             cur = state.get if state.exists else None
             for t in ts:
+                t = int(t)
                 if cur is None:
-                    cur = (int(t), int(t), 1)
+                    cur = (t, t, 1)
                 elif t - cur[1] > gap_ms:
                     closed.append((user_id, cur[0], cur[1], cur[2]))
-                    cur = (int(t), int(t), 1)
+                    cur = (t, t, 1)
                 else:
-                    cur = (cur[0], int(t), cur[2] + 1)
+                    # a LATE event (t within the watermark but behind
+                    # state from an earlier micro-batch) must never
+                    # regress session_end or re-arm the timeout
+                    # earlier — it joins the session without moving
+                    # its bounds backwards
+                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
             state.update(cur)
             # close via watermark: when event time passes last + gap
             state.setTimeoutTimestamp(cur[1] + gap_ms)

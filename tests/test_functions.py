@@ -255,3 +255,53 @@ def test_binary_metadata_builtins_match_python(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"anything")
+
+
+def test_pandas_topk_tiebreak_on_duplicate_embeddings(spark):
+    # duplicate embeddings (exactly what a dedup corpus contains) tie
+    # at the k-th boundary of the per-batch partial top-k; the partial
+    # stage must keep the lowest n_id or the final exact rank diverges
+    # from the (sim desc, n_id asc) total order
+    rows = [Row(vec_id=i, embedding=[1.0, 0.0, 0.0, 0.0]) for i in range(10)]
+    embs = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    q = embs.where(F.col("vec_id") == 0)
+    got = similarity.cosine_topk_pandas(embs, q, k=3).orderBy("rank").collect()
+    assert [r["n_id"] for r in got] == [1, 2, 3]
+
+
+def test_simhash_max_hamming_zero(spark):
+    # max_hamming=0 -> a single 64-bit chunk; its all-ones mask must
+    # not overflow LongType
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over it"),
+            Row(doc_id=2, text="the quick brown fox jumps over it"),
+            Row(doc_id=3, text="completely different words entirely now"),
+        ]
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in dedup_text.simhash_near_dup_pairs(docs, max_hamming=0).collect()
+    }
+    assert got == {(1, 2): 0}
+
+
+def test_lsh_dim_inferred_from_data(spark, embs):
+    # the fixture is 4-dim; without an explicit dim the hyperplanes
+    # must still match the vector length (a mismatch null-pads every
+    # dot product and collapses all vectors into LSH bucket 0)
+    queries = embs.where(F.col("vec_id") == 0)
+    explicit = similarity.cosine_topk_lsh(
+        embs, queries, k=4, dim=4, num_planes=4
+    )
+    inferred = similarity.cosine_topk_lsh(embs, queries, k=4, num_planes=4)
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, inferred.collect())
+    )
+
+
+def test_vector_dim_raises_on_empty(spark, embs):
+    with pytest.raises(ValueError, match="cannot infer embedding dim"):
+        similarity._vector_dim(embs.where(F.lit(False)), "embedding")

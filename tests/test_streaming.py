@@ -195,3 +195,44 @@ def test_archive_stream_round_trip(spark, detections_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_sessionize_late_event_does_not_regress_session(spark, tmp_path):
+    """A late (out-of-order, within-watermark) event arriving in a
+    later micro-batch must extend the session backwards — never move
+    session_end or the timeout earlier."""
+    import os
+
+    from parquet_combiner_spark.streaming import sessionize_stream
+
+    src = str(tmp_path / "late_in")
+    os.makedirs(src)
+    batches = [
+        [(1, 11, 1, "a", BASE + 100)],
+        # late: behind the state's last event, above the watermark
+        # (wm after batch 1 = BASE+100 - 60s = BASE+40)
+        [(1, 11, 2, "a", BASE + 50)],
+        # watermark pusher: closes user 1's session via timeout
+        [(9, 91, 9, "z", BASE + 6 * 3600)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, DATA_A_SCHEMA).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+
+    stream = stream_detections(spark, src, max_files_per_trigger=1)
+    ev = stream.select(
+        F.col("geographical_location_oid").alias("user_id"), "event_time"
+    )
+    sessions = sessionize_stream(
+        ev, gap_minutes=30.0, watermark_delay="1 minute"
+    )
+    _run_to_memory(sessions, "t_late_sessions")
+    got = {
+        r["user_id"]: (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_late_sessions").collect()
+    }
+    base_ms = BASE * 1000
+    # both events in one session; start stretched back to the late
+    # event, end stays at the newest event
+    assert got[1] == (base_ms + 50_000, base_ms + 100_000, 2)

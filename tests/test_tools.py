@@ -149,3 +149,24 @@ def test_cli_error_exit_code(tmp_path):
         [str(tmp_path / "nope_a"), str(tmp_path / "nope_b"), str(tmp_path / "o")]
     )
     assert rc == 1
+
+
+def test_combine_parquet_partitioned_no_shuffle_still_compacts(spark, tmp_path):
+    from parquet_combiner_spark.sources.io import combine_parquet
+    from pyspark.sql import functions as F
+    import os
+
+    src = str(tmp_path / "sprawl_part")
+    spark.range(10_000).withColumn("k", F.col("id") % 2).repartition(
+        40
+    ).write.parquet(src)
+    out = str(tmp_path / "compact_part")
+    n = combine_parquet(spark, src, out, partition_by=["k"], shuffle=False)
+    assert n == 1
+    # without the coalesce this wrote ~40 files per partition dir
+    for d in ("k=0", "k=1"):
+        files = [
+            f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+    assert spark.read.parquet(out).count() == 10_000
