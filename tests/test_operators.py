@@ -291,3 +291,38 @@ def test_load_tables_registers_views(spark):
     tables = load_tables(spark, "/root/testdata/sf0.001", names=("region", "nope"))
     assert set(tables) == {"region"}
     assert spark.sql("SELECT count(*) FROM region").collect()[0][0] == 5
+
+
+def test_dedup_keep_min_packed_matches_struct_form(spark):
+    import pytest
+
+    from parquet_combiner_spark.operators.dedup import (
+        dedup_keep_min,
+        dedup_keep_min_packed,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # key (1, 1): lexicographic min payload is (2, 9), not (3, 1)
+            Row(k1=1, k2=1, a=3, b=1),
+            Row(k1=1, k2=1, a=2, b=9),
+            Row(k1=1, k2=1, a=2, b=5),
+            Row(k1=2, k2=1, a=7, b=7),
+        ]
+    )
+    expect = sorted(
+        map(tuple, dedup_keep_min(df, ["k1", "k2"], ["a", "b"]).collect())
+    )
+    got_df = dedup_keep_min_packed(df, ["k1", "k2"], ["a", "b"])
+    assert sorted(map(tuple, got_df.collect())) == expect == [
+        (1, 1, 2, 5),
+        (2, 1, 7, 7),
+    ]
+    assert got_df.columns == df.columns
+    # the whole point: no SortAggregate fallback anywhere in the plan
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+    with pytest.raises(ValueError, match="whole payload"):
+        dedup_keep_min_packed(df.withColumn("c", F.lit(1)), ["k1"], ["a", "b"])
