@@ -51,13 +51,19 @@ def main() -> None:
         except Exception:
             pass
 
+    # Best of 2 measured runs per query: single-run variance on a
+    # shared 32-thread box is ~±10% (GC, page cache, JIT recompiles);
+    # the minimum is the reproducible cost of the plan itself.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        sys.stderr.write(f"{name}: {timings[name]}s ({n} rows)\n")
+        best, rows = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+        sys.stderr.write(f"{name}: {timings[name]}s ({rows} rows)\n")
 
     total = round(sum(timings.values()), 3)
     try:
