@@ -263,8 +263,13 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     a new session starts when the gap to the previous event exceeds 30
     minutes; output per (user, session): event count and span.
 
-    ts is nanos-since-epoch (see _events); both sides compute gaps in
-    integer nanos so there is no float/timezone drift to reconcile.
+    ts is nanos-since-epoch (see _events); both sides compute gaps AND
+    the output span in integer nanos/millis so there is no float to
+    reconcile at all. (Round 2 lesson: a rounded float ``duration_min``
+    passed the local 9-sig-digit checker but failed the driver's
+    stricter hash — Spark's HALF_UP decimal-string rounding vs DuckDB's
+    binary-double rounding can disagree in the last place on halfway
+    values. Integer math is the only safe contract for derived spans.)
     """
     from pyspark.sql import Window
 
@@ -286,9 +291,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            (F.max("ts") - F.min("ts")) / F.lit(60_000_000_000.0), 4
-        ).alias("duration_min"),
+        # integer nanos -> integer millis via integral division (`div`
+        # returns LONG); exact on both engines, unlike any float path
+        F.expr("(max(ts) - min(ts)) div 1000000").alias("duration_ms"),
     )
 
 
@@ -526,8 +531,7 @@ ORACLE_SQL: dict[str, str] = {
             FROM g
         )
         SELECT user_id, session_id, count(*) AS n_events,
-               round((max(tns) - min(tns)) / 60000000000.0, 4)
-                   AS duration_min
+               (max(tns) - min(tns)) // 1000000 AS duration_ms
         FROM s GROUP BY user_id, session_id
     """,
     "price_percentiles": """
