@@ -271,6 +271,29 @@ def test_pandas_topk_tiebreak_on_duplicate_embeddings(spark):
     assert [r["n_id"] for r in got] == [1, 2, 3]
 
 
+def test_simhash_bucket_cap_drops_degenerate_buckets(spark):
+    # web-scale degenerate case: hundreds of byte-identical docs share
+    # every chunk bucket, whose quadratic expansion the cap must drop
+    # while small buckets still surface genuine near-dup pairs
+    mass = "spam spam spam wonderful spam and eggs again " * 3
+    real = "a genuinely distinct document about distributed query engines"
+    rows = [Row(doc_id=100 + i, text=mass) for i in range(300)]
+    rows += [Row(doc_id=1, text=real), Row(doc_id=2, text=real)]
+    docs = spark.createDataFrame(rows)
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in dedup_text.simhash_near_dup_pairs(
+            docs, max_hamming=3, max_bucket_size=50
+        ).collect()
+    }
+    assert capped == {(1, 2): 0}
+    # with the cap lifted the same operator returns the full expansion
+    n_uncapped = dedup_text.simhash_near_dup_pairs(
+        docs, max_hamming=3, max_bucket_size=10**6
+    ).count()
+    assert n_uncapped == 300 * 299 // 2 + 1
+
+
 def test_simhash_max_hamming_zero(spark):
     # max_hamming=0 -> a single 64-bit chunk; its all-ones mask must
     # not overflow LongType
