@@ -412,6 +412,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k_shingle: int = 3,
+    max_doc_freq: int = 100_000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via inverted-index
     self-join — no signatures, no probabilistic recall loss, still no
@@ -423,10 +424,20 @@ def ngram_jaccard_pairs(
     |A ∪ B| = |A| + |B| - |A ∩ B| from per-doc shingle counts. A pair
     with Jaccard > 0 shares a shingle by definition, so the join finds
     every qualifying pair — recall is exactly 1 (contrast MinHash-LSH
-    where recall follows the banding s-curve). The shuffle cost is the
-    posting-list expansion Σ_shingle |postings|², so this is the right
-    tool below ~10M docs or after a stop-shingle filter; MinHash-LSH
-    is the escape hatch when posting lists explode.
+    where recall follows the banding s-curve).
+
+    The shuffle cost is the posting-list expansion Σ_shingle
+    |postings|², which a single stop-shingle ("the quick brown" in 10⁶
+    docs) turns quadratic. ``max_doc_freq`` is the standard
+    set-similarity-join mitigation: shingles whose posting list
+    exceeds it are dropped from intersection counting (one extra
+    groupBy + a broadcast-friendly semi-join, both pre-aggregated).
+    Per-doc set sizes are computed BEFORE the filter, so for surviving
+    pairs the reported Jaccard is exact-or-underestimated (never
+    inflated) and results are exact whenever no shingle exceeds the
+    cap; a pair whose ONLY shared shingles are stop-shingles is
+    missed — the accepted trade, those pairs are ad-copy boilerplate,
+    not near-dups. Set ``max_doc_freq=None`` to disable.
     Output: (doc_id_a, doc_id_b, jaccard), jaccard >= threshold.
     """
     sh = documents.select(
@@ -436,6 +447,20 @@ def ngram_jaccard_pairs(
         ).alias("shingle"),
     ).select("doc_id", F.xxhash64("shingle").alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        # document frequency per shingle (shingles are distinct within
+        # a doc, so count == df). Anti-join against the OVER-cap set:
+        # stop-shingles are by definition few (a vocabulary can only
+        # hold corpus_size/max_doc_freq of them), so the anti side is
+        # tiny and AQE broadcasts it — the postings stream is never
+        # shuffled for the filter.
+        stop = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(stop, "sh", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -112,6 +112,32 @@ def test_ngram_jaccard_exact_pairs(spark, docs):
     assert abs(got[(1, 2)] - v) < 1e-9
 
 
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # planted stop-shingle corpus: 100 docs that are pure shared
+    # boilerplate plus one unique token each. Uncapped, the boilerplate
+    # posting lists expand to ~C(100,2) high-jaccard pairs; with the
+    # document-frequency cap those shingles drop out of intersection
+    # counting, so boilerplate-only pairs vanish while a genuine
+    # distinct near-dup pair is still found exactly.
+    boiler = "click here to subscribe to our newsletter for daily updates"
+    real = "an original essay on the economics of open source software"
+    rows = [Row(doc_id=100 + i, text=f"{boiler} item{i}") for i in range(100)]
+    rows += [Row(doc_id=1, text=real), Row(doc_id=2, text=real)]
+    docs = spark.createDataFrame(rows)
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup_text.ngram_jaccard_pairs(
+            docs, threshold=0.3, max_doc_freq=10
+        ).collect()
+    }
+    assert capped == {(1, 2): 1.0}
+    # cap high enough to be a no-op -> boilerplate pairs come back
+    uncapped = dedup_text.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_doc_freq=None
+    ).count()
+    assert uncapped > 100 * 99 // 2  # boilerplate pairs + the real one
+
+
 def test_simhash_near_dups(spark, docs):
     # A 1-token edit in an 18-token doc measurably lands at hamming 11
     # (short docs flip many vote sums); the pigeonhole bucketing
