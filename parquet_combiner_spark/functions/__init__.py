@@ -85,7 +85,15 @@ def q_doc_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary
-    payloads (deterministic fake encoder — see multimodal module)."""
+    payloads (deterministic fake encoder — see multimodal module).
+
+    The fake features are digest-byte/255.0 stored as float32; the
+    query re-quantizes them to the exact integer byte (``round(f*255)``
+    is exact: the float32 round-trip error is ~1e-7 ≪ 0.5), so the
+    whole Python feature path is hash-checkable against a DuckDB
+    oracle that derives the same bytes from sha256 hex — no float
+    formatting in the contract (the round-2 ``user_sessions`` lesson).
+    """
     payloads = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -95,8 +103,8 @@ def q_doc_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "n_bytes",
         "sha256",
-        F.round(F.element_at("feature", 1), 4).alias("f0"),
-        F.round(F.element_at("feature", 8), 4).alias("f7"),
+        F.round(F.element_at("feature", 1) * 255).cast("int").alias("f0_byte"),
+        F.round(F.element_at("feature", 8) * 255).cast("int").alias("f7_byte"),
     )
 
 
@@ -226,8 +234,25 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "doc_fingerprints": """
         SELECT doc_id, md5(text) AS fp_md5 FROM documents
     """,
-    # doc_payload_features intentionally absent (sha256-seeded fake
-    # encoder floats — not reasonably SQL-expressible) → rows-only.
+    # the fake encoder's features are sha256 digest bytes / 255.0;
+    # re-quantized to integer bytes by the query, they equal the hex
+    # nibbles of DuckDB's sha256 — byte i = 16*nib(2i) + nib(2i+1)
+    "doc_payload_features": """
+        WITH h AS (
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   sha256(text) AS hx
+            FROM documents
+        )
+        SELECT media_id, n_bytes, hx AS sha256,
+               CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+                    AS INTEGER) AS f0_byte,
+               CAST((strpos('0123456789abcdef', substr(hx, 15, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(hx, 16, 1)) - 1
+                    AS INTEGER) AS f7_byte
+        FROM h
+    """,
     "doc_binary_metadata": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -37,7 +37,6 @@ def test_every_oracle_has_a_query():
         "ann_cosine_topk_lsh",
         "ann_cosine_topk_ivf",
         "embedding_near_dup_pairs",
-        "doc_payload_features",
     }
 
 
