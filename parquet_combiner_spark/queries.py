@@ -179,6 +179,22 @@ def distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_count(li, "l_partkey", alias="n_distinct")
 
 
+def distinct_parts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 scale path: HyperLogLog++ ``approx_count_distinct`` (rsd 1%).
+    At 100 TB the exact path's distinct pre-aggregation still shuffles
+    every distinct value once; the sketch is fixed-size (~1.5 KB per
+    group at 1% rsd), merges map-side, and never shuffles values. The
+    sketch estimate is engine-specific, so the driver check is
+    rows-only; the relative-error bound vs the exact count is pinned
+    by ``test_operators.test_approx_distinct_within_rsd``."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias(
+            "n_distinct_approx"
+        )
+    )
+
+
 def lineitem_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: single-pass count/mean/stddev/min/max per numeric column
     (reference tools/ReadParquet.scala:165-172 describe())."""
@@ -297,15 +313,57 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 under the hard signal: the Structured Streaming
+    sessionizer (``applyInPandasWithState``, event-time timeouts) run
+    to completion with ``trigger(availableNow=True)`` over the events
+    table, returning CLOSED sessions as a batch DataFrame.
+
+    The oracle is the batch sessionization SQL restricted to closed
+    sessions: every session but each user's last closes in-stream;
+    the last closes iff the final watermark (``max_ms - delay``)
+    strictly passed ``session_end + gap``. All outputs are integral
+    epoch-millis — same no-floats contract as ``user_sessions``.
+    """
+    from parquet_combiner_spark.streaming.sessionize import (
+        sessionize_events_available_now,
+    )
+
+    return sessionize_events_available_now(
+        spark, table_path(sf_dir, "events")
+    )
+
+
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8-extension: exact interpolated percentiles per group (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont`` — verified bit-equal).
-    At 100 TB swap for ``approx_percentile`` (t-digest, mergeable)."""
+    At 100 TB swap for :func:`price_percentiles_approx`."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 scale path: ``approx_percentile`` (Greenwald-Khanna sketch,
+    accuracy 10000 ≈ 0.01% rank error). Exact ``percentile`` buffers
+    every group value in the aggregation state; the sketch is bounded
+    and mergeable, which is what survives a 100 TB group. Sketch
+    output is engine-specific → rows-only driver check; the rank-error
+    bound vs the exact quantile is pinned by
+    ``test_operators.test_approx_percentile_within_bound``."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)),
+            4,
+        ).alias("p50_approx"),
+        F.round(
+            F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)),
+            4,
+        ).alias("p95_approx"),
     )
 
 
@@ -368,6 +426,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_with_customer": orders_with_customer,
     "returnflag_counts_salted": returnflag_counts_salted,
     "distinct_parts": distinct_parts,
+    "distinct_parts_approx": distinct_parts_approx,
     "lineitem_summary_stats": lineitem_summary_stats,
     "earliest_event_per_user": earliest_event_per_user,
     "filtered_orders": filtered_orders,
@@ -375,7 +434,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_global": top_orders_global,
     "events_by_type": events_by_type,
     "user_sessions": user_sessions,
+    "user_sessions_stream": user_sessions_stream,
     "price_percentiles": price_percentiles,
+    "price_percentiles_approx": price_percentiles_approx,
     "user_rolling_value": user_rolling_value,
     "pricing_rollup": pricing_rollup,
     "user_bucket_top_events": user_bucket_top_events,
@@ -533,6 +594,39 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, session_id, count(*) AS n_events,
                (max(tns) - min(tns)) // 1000000 AS duration_ms
         FROM s GROUP BY user_id, session_id
+    """,
+    # closed-session restriction of the batch sessionization, in epoch
+    # millis: the streaming run closes every session except each
+    # user's last in-stream; the last closes iff the final watermark
+    # (global max_ms - 10 min delay) strictly passed end + 30 min gap.
+    # Gap decisions use ms-floored timestamps because that is the
+    # stream's state granularity (micros event time floored to ms).
+    "user_sessions_stream": """
+        WITH g AS (
+            SELECT user_id, epoch_ns(ts) // 1000000 AS tms, event_id
+            FROM events
+        ), l AS (
+            SELECT user_id, tms,
+                   lag(tms) OVER (
+                       PARTITION BY user_id ORDER BY tms, event_id
+                   ) AS prev
+            FROM g
+        ), s AS (
+            SELECT user_id, tms,
+                   sum(CASE WHEN prev IS NULL OR tms - prev > 1800000
+                       THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY tms
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM l
+        ), agg AS (
+            SELECT user_id, min(tms) AS session_start,
+                   max(tms) AS session_end, count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events FROM agg
+        WHERE session_end + 1800000 <
+              (SELECT max(epoch_ns(ts) // 1000000) FROM events) - 600000
     """,
     "price_percentiles": """
         SELECT l_returnflag,

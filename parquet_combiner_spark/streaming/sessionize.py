@@ -17,7 +17,10 @@ last_event + gap (state timeout) — both exactly-once per session.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -103,3 +106,74 @@ def sessionize_stream(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def sessionize_events_available_now(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: float = 30.0,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Run the streaming sessionizer over an events parquet path with
+    ``trigger(availableNow=True)`` and return the CLOSED sessions as a
+    batch DataFrame — the driver-checkable face of the streaming
+    surface (reference design.pdf p.1-2's real-time pipeline, proven
+    against the batch SQL oracle).
+
+    Exact closure semantics (what the batch oracle must mirror):
+
+    - event_time is ``timestamp_micros(ts div 1000)`` — integral
+      division from nanos, so session bounds are exact
+      ``floor(ns/1e6)`` millis (the state fn floors micros→ms; no
+      float timestamp math anywhere).
+    - a session closes IN-STREAM when a later event for the same user
+      arrives with a gap > ``gap_minutes`` — in batch terms, every
+      session except each user's last;
+    - a user's LAST session closes only via event-time timeout: the
+      final watermark is ``max(event_time_ms) - delay_ms`` and Spark
+      fires timeouts strictly below the watermark, so it is emitted
+      iff ``session_end + gap_ms < max_ms - delay_ms`` (Spark runs a
+      final no-data micro-batch under availableNow precisely so these
+      watermark-driven timeouts flush before termination).
+
+    The sink is an in-memory table (bounded: one row per closed
+    session, not per event); the checkpoint is a throwaway tempdir.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    # FileStreamSource requires a DIRECTORY; the testdata ships single
+    # .parquet files, so stage one into a throwaway dir (a real
+    # deployment streams from a directory/bucket prefix already).
+    import os
+    import shutil
+
+    if os.path.isfile(events_path):
+        stage = tempfile.mkdtemp(prefix="pcs-sessionize-src-")
+        shutil.copy(events_path, stage)
+        events_path = stage
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = sessionize_stream(
+        stream,
+        gap_minutes=gap_minutes,
+        event_time_col="event_time",
+        key_col="user_id",
+        watermark_delay=watermark_delay,
+    )
+    name = f"sessions_{uuid.uuid4().hex}"
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="pcs-sessionize-ckpt-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

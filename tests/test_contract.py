@@ -30,6 +30,10 @@ def test_every_oracle_has_a_query():
     assert not missing, f"oracle without query: {missing}"
     # the non-SQL-expressible exceptions are exactly the hash-based
     # estimators (documented rows-only checks)
+    # the non-oracle entries are exactly the engine-specific
+    # estimators: xxhash64-based LSH families and sketch aggregates
+    # (HLL++/GK values differ between engines by design; their error
+    # bounds are pinned by pytest instead)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "minhash_near_dup_pairs",
@@ -37,6 +41,8 @@ def test_every_oracle_has_a_query():
         "ann_cosine_topk_lsh",
         "ann_cosine_topk_ivf",
         "embedding_near_dup_pairs",
+        "distinct_parts_approx",
+        "price_percentiles_approx",
     }
 
 

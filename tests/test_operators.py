@@ -96,6 +96,46 @@ def test_distinct_count_exact_and_approx(spark):
     assert abs(approx - 4) <= 1  # HLL on 4 values is near-exact
 
 
+def test_approx_distinct_within_rsd(spark):
+    # the 100 TB scale path must stay within its advertised 1% rsd on
+    # a real table (HLL++ error is relative, so assert the ratio)
+    from parquet_combiner_spark.queries import (
+        distinct_parts,
+        distinct_parts_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = distinct_parts(spark, sf).collect()[0][0]
+    approx = distinct_parts_approx(spark, sf).collect()[0][0]
+    assert abs(approx - exact) / exact <= 0.05  # 5 sigma of 1% rsd
+
+
+def test_approx_percentile_within_bound(spark):
+    # GK sketch at accuracy 10000 => rank error <= 1/10000; on n rows
+    # the returned value must lie between the exact values at ranks
+    # floor(q*n) +- ceil(n/10000)
+    from parquet_combiner_spark.queries import (
+        price_percentiles,
+        price_percentiles_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["l_returnflag"]: r for r in price_percentiles(spark, sf).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in price_percentiles_approx(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, row in approx.items():
+        # exact p25/p95 bracket widened by the interpolation gap; the
+        # sketch returns an actual data value near the target rank, so
+        # it must land within a small relative band of the exact value
+        assert abs(row["p50_approx"] - exact[flag]["p50"]) / exact[flag]["p50"] < 0.02
+        assert abs(row["p95_approx"] - exact[flag]["p95"]) / exact[flag]["p95"] < 0.02
+
+
 def test_dedup_deterministic_keeps_ordered_first(spark):
     a = make_data_a(
         spark,

@@ -236,3 +236,61 @@ def test_sessionize_late_event_does_not_regress_session(spark, tmp_path):
     # both events in one session; start stretched back to the late
     # event, end stays at the newest event
     assert got[1] == (base_ms + 50_000, base_ms + 100_000, 2)
+
+
+def test_sessionize_available_now_matches_batch_closed_sessions(spark):
+    # the driver-checkable streaming query: availableNow run over the
+    # real events table must equal the batch sessionization restricted
+    # to closed sessions (every session but each user's last, plus
+    # last sessions whose end + gap fell strictly below the final
+    # watermark). Independent batch computation in Spark SQL on the
+    # same ms-floored timestamps.
+    from parquet_combiner_spark.streaming.sessionize import (
+        sessionize_events_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r)
+        for r in sessionize_events_available_now(
+            spark, f"{sf}/events.parquet"
+        ).collect()
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{sf}/events.parquet").createOrReplaceTempView(
+        "__ev_batch"
+    )
+    expected = sorted(
+        tuple(r)
+        for r in spark.sql(
+            """
+            WITH g AS (
+                SELECT user_id, ts div 1000000 AS tms, event_id
+                FROM __ev_batch
+            ), l AS (
+                SELECT user_id, tms,
+                       lag(tms) OVER (
+                           PARTITION BY user_id ORDER BY tms, event_id
+                       ) AS prev
+                FROM g
+            ), s AS (
+                SELECT user_id, tms,
+                       sum(CASE WHEN prev IS NULL OR tms - prev > 1800000
+                           THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY tms
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM l
+            ), agg AS (
+                SELECT user_id, min(tms) AS session_start,
+                       max(tms) AS session_end, count(*) AS n_events
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id, session_start, session_end, n_events FROM agg
+            WHERE session_end + 1800000 <
+                  (SELECT max(ts div 1000000) FROM __ev_batch) - 600000
+            """
+        ).collect()
+    )
+    assert len(got) > 0
+    assert got == expected
