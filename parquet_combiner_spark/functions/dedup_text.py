@@ -235,6 +235,8 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidate pairs from
     LSH bands, verified by exact shingle Jaccard ≥ ``threshold``.
@@ -251,10 +253,12 @@ def minhash_near_dup_pairs(
     be."""
     from pyspark import StorageLevel
 
-    sigs = minhash_signatures(documents, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sigs = minhash_signatures(
+        documents, text_col, id_col, num_hashes=num_hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = candidate_pairs(
+        lsh_band_buckets(sigs, num_bands=num_bands, num_hashes=num_hashes)
     )
-    pairs = candidate_pairs(lsh_band_buckets(sigs))
     est = estimate_jaccard(pairs, sigs).localCheckpoint(eager=True)
     sigs.unpersist()
     verified = verify_jaccard(est, documents, text_col, id_col)
