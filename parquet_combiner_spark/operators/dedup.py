@@ -108,10 +108,16 @@ def dedup_keep_min_packed(
     the minimum itself, ties cannot tear rows the way independent
     per-column ``min_by`` calls could. Column order matches ``df``.
 
-    Requires: exactly two ordering columns, non-negative ints < 2^31,
-    and ``order_cols`` == payload (every non-key column). Raises
-    ``ValueError`` otherwise; value-range violations surface as wrong
-    packing only beyond 2^31, which parquet int32 columns cannot hold.
+    Requires: exactly two ordering columns of integer type holding
+    non-negative values < 2^31, and ``order_cols`` == payload (every
+    non-key column). Shape/dtype violations raise ``ValueError`` at
+    plan time; VALUE violations (negative or >= 2^31 — which int32
+    parquet columns CAN hold on the negative side) would silently
+    break the pack's lexicographic monotonicity and pick the wrong
+    survivor, so each row's values are range-checked inline and raise
+    at execution time. The guard is four long comparisons inside the
+    same whole-stage-codegen projection that builds the pack — noise
+    next to the xxhash-free HashAggregate this operator exists for.
     """
     payload = [c for c in df.columns if c not in keys]
     if len(order_cols) != 2 or set(payload) != set(order_cols):
@@ -120,8 +126,35 @@ def dedup_keep_min_packed(
             f"form the whole payload; got order_cols={list(order_cols)} "
             f"payload={payload}"
         )
+    dtypes = dict(df.dtypes)
+    bad = [
+        c for c in order_cols
+        if dtypes[c] not in ("tinyint", "smallint", "int", "bigint")
+    ]
+    if bad:
+        raise ValueError(
+            "dedup_keep_min_packed order_cols must be integer-typed; "
+            f"got {[(c, dtypes[c]) for c in bad]}"
+        )
     a, b = order_cols
-    packed = F.shiftleft(F.col(a).cast("long"), 32) + F.col(b).cast("long")
+    in_range = (
+        (F.col(a) >= 0)
+        & (F.col(a) < F.lit(1 << 31).cast("long"))
+        & (F.col(b) >= 0)
+        & (F.col(b) < F.lit(1 << 31).cast("long"))
+    )
+    packed = F.when(
+        in_range,
+        F.shiftleft(F.col(a).cast("long"), 32) + F.col(b).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "dedup_keep_min_packed: ordering value out of [0, 2^31) "
+                f"range in column '{a}' or '{b}' - the packed-long order "
+                "would be wrong; use dedup_keep_min instead"
+            )
+        )
+    )
     agg = df.groupBy(*[F.col(k) for k in keys]).agg(
         F.min(packed).alias("__pk")
     )

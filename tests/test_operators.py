@@ -366,3 +366,27 @@ def test_dedup_keep_min_packed_matches_struct_form(spark):
 
     with pytest.raises(ValueError, match="whole payload"):
         dedup_keep_min_packed(df.withColumn("c", F.lit(1)), ["k1"], ["a", "b"])
+
+
+def test_dedup_keep_min_packed_guards_range_and_dtype(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from parquet_combiner_spark.operators.dedup import dedup_keep_min_packed
+
+    # negative ordering value (int32 parquet columns CAN hold these)
+    # must raise at execution, not silently mis-pack and pick the
+    # wrong survivor
+    neg = spark.createDataFrame(
+        [Row(k=1, a=-3, b=1), Row(k=1, a=2, b=9)]
+    )
+    with pytest.raises(SparkRuntimeException, match="out of \\[0, 2\\^31\\)"):
+        dedup_keep_min_packed(neg, ["k"], ["a", "b"]).collect()
+    # >= 2^31 longs likewise
+    big = spark.createDataFrame([Row(k=1, a=1 << 31, b=1)])
+    with pytest.raises(SparkRuntimeException, match="out of \\[0, 2\\^31\\)"):
+        dedup_keep_min_packed(big, ["k"], ["a", "b"]).collect()
+    # non-integer dtype fails loudly at plan time
+    bad = spark.createDataFrame([Row(k=1, a=1.5, b="x")])
+    with pytest.raises(ValueError, match="integer-typed"):
+        dedup_keep_min_packed(bad, ["k"], ["a", "b"])
