@@ -41,15 +41,22 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm run: JVM JIT + whole-stage-codegen compilation at the tiny
-    # SF so the measured numbers reflect steady-state execution (what
-    # a long-running cluster sees), not one-time class compilation.
+    # Warm run: JVM JIT + whole-stage-codegen compilation at the
+    # smallest sibling SF so the measured numbers reflect steady-state
+    # execution (what a long-running cluster sees), not one-time class
+    # compilation. Derived from sf_dir's parent so a non-default
+    # SPARK_GRAFT_SF_DIR still warms real data; falls back to sf_dir
+    # itself. Warm-up failures are non-fatal but logged - a silent
+    # no-op here would push compilation cost into the first
+    # measurement.
+    candidates = sorted(Path(sf_dir).resolve().parent.glob("sf*"))
+    warm_dir = str(candidates[0]) if candidates else sf_dir
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     for name in names:
         try:
-            qs[name](spark, "/root/testdata/sf0.001").count()
-        except Exception:
-            pass
+            qs[name](spark, warm_dir).count()
+        except Exception as e:  # noqa: BLE001
+            sys.stderr.write(f"warm-up failed for {name} at {warm_dir}: {e}\n")
 
     # Best of 2 measured runs per query: single-run variance on a
     # shared 32-thread box is ~±10% (GC, page cache, JIT recompiles);

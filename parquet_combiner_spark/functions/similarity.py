@@ -133,6 +133,12 @@ def cosine_topk_pandas(
         .select(F.col(id_col), F.col(vec_col))
         .collect()
     )
+    if not q_rows:
+        # empty query set: pd.concat([]) inside the executor would
+        # raise; short-circuit with an empty frame of the output shape
+        return candidates.sparkSession.createDataFrame(
+            [], schema="q_id long, n_id long, sim double, rank int"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -72,10 +72,17 @@ def dedup_stream(
     A duplicate arriving within ``delay`` of the original's event
     time is dropped; state for keys older than the watermark is
     evicted, so memory is O(keys per delay window), not O(all keys
-    ever seen).
+    ever seen). That eviction is exactly what
+    ``dropDuplicatesWithinWatermark`` provides: plain
+    ``dropDuplicates(keys)`` only evicts state when the event-time
+    column is part of the dedup subset — on a bare key subset its
+    state grows unboundedly, silently contradicting the TTL claim
+    this operator exists to make.
     """
     keys = keys or ["detection_oid"]
-    return stream.withWatermark(event_time_col, delay).dropDuplicates(keys)
+    return stream.withWatermark(
+        event_time_col, delay
+    ).dropDuplicatesWithinWatermark(keys)
 
 
 def enrich_with_locations(
