@@ -177,6 +177,31 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_stats,
 }
 
+# --- LSH oracle generation -------------------------------------------------
+# The hyperplanes are SEEDED and data-independent, so the "not
+# SQL-expressible" argument does not apply to the sign-LSH families:
+# embedding the plane vectors as SQL literals (full-precision repr —
+# round-trips float64 exactly) lets DuckDB reproduce the exact bucket
+# codes, candidate sets, and cosines. Dim 64 matches the driver
+# testdata at every SF (the Spark side infers it from data; the static
+# oracle hardcodes it, which is all the driver's tables need).
+
+_EMB_DIM = 64
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _lsh_code_sql(planes: list[list[float]], emb: str) -> str:
+    """SQL for the P-bit sign code: bits are disjoint so OR == sum."""
+    return "(" + " + ".join(
+        f"(CASE WHEN list_dot_product({emb}, {_plane_lit(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ) + ")"
+
+
 _STOPWORD_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
 _MARKER_LISTS = ",\n".join(
@@ -345,6 +370,59 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                 PARTITION BY q_id ORDER BY cos DESC, n_id
             ) AS rn FROM pairs
         ) WHERE rn <= 5
+    """,
+    "ann_cosine_topk_lsh": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ), coded AS (
+            SELECT vec_id, emb,
+                   {_lsh_code_sql(similarity.hyperplanes(_EMB_DIM, 8), "emb")}
+                   AS code
+            FROM e
+        ), q AS (
+            SELECT vec_id AS q_id, emb AS q_emb, code
+            FROM coded WHERE vec_id < 16
+        ), pairs AS (
+            SELECT q.q_id, c.vec_id AS n_id,
+                   list_dot_product(q.q_emb, c.emb)
+                   / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                      * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+            FROM q JOIN coded c
+              ON q.code = c.code AND c.vec_id <> q.q_id
+        )
+        SELECT q_id, n_id, round(cos, 6) AS sim,
+               CAST(rn AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY cos DESC, n_id
+            ) AS rn FROM pairs
+        ) WHERE rn <= 5
+    """,
+    "embedding_near_dup_pairs": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ), coded AS (
+            SELECT vec_id, emb,
+{",".join(
+    f'''
+                   {_lsh_code_sql(similarity.hyperplanes(_EMB_DIM, 5, seed=42 + t), "emb")}
+                   AS c{t}'''
+    for t in range(12)
+)}
+            FROM e
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.emb, b.emb)
+                   / (sqrt(list_dot_product(a.emb, a.emb))
+                      * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+            FROM coded a JOIN coded b
+              ON a.vec_id < b.vec_id
+             AND ({" OR ".join(f"a.c{t} = b.c{t}" for t in range(12))})
+        )
+        SELECT id_a, id_b, round(cos, 6) AS sim
+        FROM pairs WHERE cos >= 0.4
     """,
     "embedding_label_stats": """
         SELECT label, count(*) AS n,

@@ -38,9 +38,7 @@ def test_every_oracle_has_a_query():
     assert rows_only == {
         "minhash_near_dup_pairs",
         "simhash_near_dup_pairs",
-        "ann_cosine_topk_lsh",
         "ann_cosine_topk_ivf",
-        "embedding_near_dup_pairs",
         "distinct_parts_approx",
         "price_percentiles_approx",
     }
