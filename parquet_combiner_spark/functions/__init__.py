@@ -81,6 +81,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT n-gram Jaccard pair graph
+    (the oracle-able pair source), so the full pair→cluster→keeper
+    pipeline sits under the driver's hash check: DuckDB reproduces the
+    same pairs, then the same components via a recursive CTE."""
+    pairs = dedup_text.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+    return dedup_text.dedup_keepers(dedup_text.near_dup_clusters(pairs))
+
+
 def q_doc_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal scan-side pass over an opaque binary column (the
     text bytes stand in for media payloads — the testdata ships no
@@ -167,6 +176,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
     "doc_binary_metadata": q_doc_binary_metadata,
     "doc_payload_features": q_doc_payload_features,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -203,6 +213,36 @@ def _lsh_code_sql(planes: list[list[float]], emb: str) -> str:
 
 
 _STOPWORD_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+# shared by ngram_jaccard_pairs and (as the pair source) the
+# near_dup_clusters recursive-CTE oracle
+_NGRAM_PAIRS_SQL = """
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, greatest(len(t) - 3, 0) + 1),
+                i -> array_to_string(t[i+1:i+3], ' ')
+            )) AS shs FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(shs) AS s FROM sh
+        ), sizes AS (
+            SELECT doc_id, len(shs) AS n_sh FROM sh
+        ), inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   count(*) AS n_inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b,
+               round(n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE),
+                     4) AS jaccard
+        FROM inter
+        JOIN sizes na ON inter.doc_id_a = na.doc_id
+        JOIN sizes nb ON inter.doc_id_b = nb.doc_id
+        WHERE n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.3
+"""
 
 _MARKER_LISTS = ",\n".join(
     "      {'score': len(list_filter(toks, w -> w IN (%s)))"
@@ -300,32 +340,27 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # exact inverted-index jaccard IS SQL-expressible (unlike the
     # xxhash64-based minhash/simhash estimates): DuckDB builds the
     # same 3-token shingle sets and joins on the shingle string.
-    "ngram_jaccard_pairs": """
-        WITH toks AS (
-            SELECT doc_id, string_split(lower(text), ' ') AS t
-            FROM documents
-        ), sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-                range(0, greatest(len(t) - 3, 0) + 1),
-                i -> array_to_string(t[i+1:i+3], ' ')
-            )) AS shs FROM toks
-        ), ex AS (
-            SELECT doc_id, unnest(shs) AS s FROM sh
-        ), sizes AS (
-            SELECT doc_id, len(shs) AS n_sh FROM sh
-        ), inter AS (
-            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                   count(*) AS n_inter
-            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+    "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
+    # connected components over the same exact pair graph via a
+    # recursive CTE (transitive closure then min reachable id) — tiny
+    # at oracle scale; the Spark side is the iterative label
+    # propagation that scales instead.
+    "near_dup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            {_NGRAM_PAIRS_SQL}
+        ), edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
         )
-        SELECT doc_id_a, doc_id_b,
-               round(n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE),
-                     4) AS jaccard
-        FROM inter
-        JOIN sizes na ON inter.doc_id_a = na.doc_id
-        JOIN sizes nb ON inter.doc_id_b = nb.doc_id
-        WHERE n_inter / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) >= 0.3
+        SELECT src AS doc_id,
+               least(src, min(dst)) AS cluster_id,
+               least(src, min(dst)) = src AS keep
+        FROM reach GROUP BY src
     """,
     "ann_cosine_topk": """
         WITH e AS (

@@ -500,6 +500,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: (doc_id,
+    cluster_id) with cluster_id = the minimum doc id reachable through
+    any chain of near-dup pairs — the missing step between PAIR
+    detection (minhash/simhash/ngram families above) and an actual
+    dedup decision, because near-duplication is transitive in
+    practice: if A~B and B~C, keeping "one of A,B" and "one of B,C"
+    independently can still keep near-identical A and C.
+
+    Iterative min-label propagation on DataFrames: each round every
+    node takes the min of its own label and its neighbors' labels;
+    converges in O(cluster diameter) rounds (near-dup clusters are
+    shallow — dups of a common source — so typically 2-4). Each round
+    is one equi-join + one partial-aggregated groupBy on the PAIR
+    table only (nodes outside any pair are not in the graph and are
+    their own cluster by definition — callers union them back if
+    needed). Labels are eagerly localCheckpoint-ed every round, which
+    both truncates the O(iterations)-deep lineage (a 100 TB job would
+    otherwise re-run every prior round on any recompute) and bounds
+    the driver-side loop to convergence-check ACTIONS — no data is
+    ever collected. Raises if ``max_iter`` rounds don't converge
+    (a real corpus hitting that has a pathological chain; the cap
+    makes it loud instead of silently wrong).
+
+    Output: one row per distinct id appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("label")
+    ).select(F.col("src").alias("node"), "label").localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # neighbor labels: edge (src -> dst) carries label(src) to dst
+        neighbor = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {max_iter} rounds - "
+        "pathological chain structure in the pair graph"
+    )
+
+
+def dedup_keepers(
+    clusters: DataFrame,
+) -> DataFrame:
+    """Keeper decision from :func:`near_dup_clusters` output: one
+    deterministic keeper per cluster (the minimum doc id — which IS
+    the cluster_id by construction), everything else marked for drop.
+    Output: (doc_id, cluster_id, keep boolean)."""
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def exact_dedup_docs(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -112,6 +112,35 @@ def test_ngram_jaccard_exact_pairs(spark, docs):
     assert abs(got[(1, 2)] - v) < 1e-9
 
 
+def test_near_dup_clusters_transitive_chain(spark):
+    # near-duplication is transitive in practice: pairs (1,2) (2,3)
+    # (3,4) must collapse into ONE cluster labeled by the min id, even
+    # though (1,4) was never detected as a pair; separate component
+    # (10,11) keeps its own label; keeper = min id of each cluster
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        "doc_id_a long, doc_id_b long",
+    )
+    clusters = dedup_text.near_dup_clusters(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    keepers = {
+        r["doc_id"]: r["keep"]
+        for r in dedup_text.dedup_keepers(clusters).collect()
+    }
+    assert keepers == {1: True, 2: False, 3: False, 4: False,
+                       10: True, 11: False}
+    # a long path exercises multi-round propagation (diameter 6)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 26)], "doc_id_a long, doc_id_b long"
+    )
+    got_chain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_text.near_dup_clusters(chain).collect()
+    }
+    assert got_chain == {i: 20 for i in range(20, 27)}
+
+
 def test_ngram_jaccard_stop_shingle_cap(spark):
     # planted stop-shingle corpus: 100 docs that are pure shared
     # boilerplate plus one unique token each. Uncapped, the boilerplate
