@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from parquet_combiner_spark.functions import (
     dedup_text,
     multimodal,
+    sampling,
     similarity,
     text,
 )
@@ -88,6 +89,22 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pairs, then the same components via a recursive CTE."""
     pairs = dedup_text.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
     return dedup_text.dedup_keepers(dedup_text.near_dup_clusters(pairs))
+
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = "v1"
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test assignment —
+    same doc, same split, on every run, engine, and partitioning
+    (the property df.sample/rand() cannot give a training pipeline)."""
+    return sampling.hash_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        "doc_id",
+        _SPLITS,
+        seed=_SPLIT_SEED,
+    )
 
 
 def q_doc_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,6 +194,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "doc_split": q_doc_split,
     "doc_binary_metadata": q_doc_binary_metadata,
     "doc_payload_features": q_doc_payload_features,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -306,6 +324,14 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     """,
     "doc_fingerprints": """
         SELECT doc_id, md5(text) AS fp_md5 FROM documents
+    """,
+    # generated from the same thresholds as the Spark side, so the
+    # split assignment can never drift between engine and oracle
+    "doc_split": f"""
+        SELECT doc_id,
+               {sampling.split_oracle_case_sql("doc_id", _SPLITS, _SPLIT_SEED)}
+               AS split
+        FROM documents
     """,
     # the fake encoder's features are sha256 digest bytes / 255.0;
     # re-quantized to integer bytes by the query, they equal the hex

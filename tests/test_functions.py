@@ -10,7 +10,13 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from parquet_combiner_spark.functions import dedup_text, multimodal, similarity, text
+from parquet_combiner_spark.functions import (
+    dedup_text,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
 
 @pytest.fixture(scope="module")
@@ -110,6 +116,46 @@ def test_ngram_jaccard_exact_pairs(spark, docs):
     cand = spark.createDataFrame([(1, 2)], "doc_id_a long, doc_id_b long")
     v = dedup_text.verify_jaccard(cand, docs).collect()[0]["jaccard"]
     assert abs(got[(1, 2)] - v) < 1e-9
+
+
+def test_hash_split_deterministic_total_and_proportional(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = sampling.hash_split(df, "doc_id", splits, seed="v1")
+    b = sampling.hash_split(df, "doc_id", splits, seed="v1")
+    # exactly-one-split coverage and run-to-run determinism
+    assert a.count() == 5000
+    assert a.exceptAll(b).count() == 0
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    # a different seed decorrelates the assignment
+    c = sampling.hash_split(df, "doc_id", splits, seed="v2")
+    moved = (
+        a.join(c.withColumnRenamed("split", "split2"), "doc_id")
+        .where(F.col("split") != F.col("split2"))
+        .count()
+    )
+    assert moved > 1000  # ~32% expected under independence
+
+
+def test_hash_sample_rate_edges_and_subset(spark):
+    import pytest
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    assert sampling.hash_sample(df, "doc_id", 0.0).count() == 0
+    assert sampling.hash_sample(df, "doc_id", 1.0).count() == 2000
+    s25 = sampling.hash_sample(df, "doc_id", 0.25, seed="s")
+    n = s25.count()
+    assert abs(n / 2000 - 0.25) < 0.05
+    # nested property: a lower-rate sample with the same seed is a
+    # strict subset (thresholds are prefixes of the same hash)
+    s10 = sampling.hash_sample(df, "doc_id", 0.10, seed="s")
+    assert s10.exceptAll(s25).count() == 0
+    with pytest.raises(ValueError, match="rate"):
+        sampling.hash_sample(df, "doc_id", 1.5)
 
 
 def test_near_dup_clusters_transitive_chain(spark):
