@@ -591,7 +591,12 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS session_id
             FROM g
         )
-        SELECT user_id, session_id, count(*) AS n_events,
+        -- DuckDB types window sum() over integers as HUGEINT, which
+        -- exports to Arrow as decimal128(38,0); Spark emits int64 for
+        -- the same running sum.  Values are identical — the explicit
+        -- BIGINT cast keeps the driver's value-hash type-stable.
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
                (max(tns) - min(tns)) // 1000000 AS duration_ms
         FROM s GROUP BY user_id, session_id
     """,

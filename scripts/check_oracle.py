@@ -38,6 +38,12 @@ def _norm(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, Decimal):
+        # The driver's hash is type-sensitive: a DuckDB HUGEINT/DECIMAL
+        # (e.g. window sum() over integers) exports to Arrow as
+        # decimal128 and hash-mismatches Spark's int64 even when values
+        # are identical.  Normalizing here keeps the local diff useful,
+        # but the oracle SQL must CAST the column (see user_sessions).
+        _norm.decimal_seen = True
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
@@ -110,6 +116,16 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        _norm.decimal_seen = False
+        for row in orows[:50]:
+            for v in row:
+                _norm(v)
+        if _norm.decimal_seen:
+            print(
+                f"WARNTYPE {name}: oracle emits Decimal — the driver's "
+                "type-sensitive hash will mismatch Spark; add an "
+                "explicit CAST in the oracle SQL"
+            )
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
