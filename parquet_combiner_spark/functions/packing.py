@@ -56,8 +56,16 @@ def pack_sequences(
     parts = num_partitions or proj.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
-    ranged = proj.repartitionByRange(int(parts), F.col("__id")).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        proj.repartitionByRange(int(parts), F.col("__id"))
+        .withColumn("__pid", F.spark_partition_id())
+        # Pin the partitioning: the totals collect below and the final
+        # select are two separate jobs, and RangePartitioner re-samples
+        # its split points (seeded by the physical RDD id) on each
+        # execution — without materializing once, the driver-computed
+        # base offsets could attach to different partition boundaries
+        # in the second job, corrupting seq_id/seq_offset.
+        .localCheckpoint(eager=True)
     )
     # one row per partition reaches the driver; prefix-sum the bases.
     # (bounded metadata, not data - the same class of driver-side work
@@ -83,20 +91,14 @@ def pack_sequences(
     )
     w = Window.partitionBy("__pid").orderBy("__id")
     local_cum = F.sum("__n").over(w) - F.col("__n")
-    start = (local_cum + base_expr).alias("__start")
     return ranged.select(
         F.col("__id").alias(id_col),
         F.col("__n").alias("n_tokens"),
-        F.expr(f"({start._jc.toString() if False else ''})") if False else
-        ((local_cum + base_expr) / 1).cast("long").alias("__unused"),
-    ) if False else ranged.select(
-        F.col("__id").alias(id_col),
-        F.col("__n").alias("n_tokens"),
-        ((local_cum + base_expr)).alias("__start"),
+        (local_cum + base_expr).alias("__start"),
     ).select(
         id_col,
         "n_tokens",
-        F.expr("__start div " + str(int(budget))).alias("seq_id"),
+        F.expr(f"__start div {int(budget)}").alias("seq_id"),
         F.pmod(F.col("__start"), F.lit(int(budget))).cast("long").alias(
             "seq_offset"
         ),
