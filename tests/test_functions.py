@@ -429,3 +429,140 @@ def test_lsh_dim_inferred_from_data(spark, embs):
 def test_vector_dim_raises_on_empty(spark, embs):
     with pytest.raises(ValueError, match="cannot infer embedding dim"):
         similarity._vector_dim(embs.where(F.lit(False)), "embedding")
+
+
+# --- planted-recall fixture for the rows-only near-dup estimators ---
+#
+# minhash_near_dup_pairs / simhash_near_dup_pairs are xxhash64-based and
+# get only the driver's rows-only check — nothing there bounds their
+# RECALL, which is exactly the number a dedup user trusts. This corpus
+# plants near-dup pairs at known Jaccard levels and measures recall
+# against the exact ngram_jaccard_pairs truth (recall-1 inverted index
+# on the same shingle definition). Everything is deterministic: xxhash64
+# is seeded, the corpus is literal, so the measured recall is a fixed
+# number, not a flaky sample. (Reference analog: the heavy-duplication
+# scenario, ParquetCombinerRDDIntegrationTest.scala:321-378,
+# generalized to near-duplicates.)
+
+_PLANT_N_TOK = 50  # 48 3-shingles per doc
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """~200 docs: 48 planted pairs at J ≈ {.88, .78, .68, .60, .45, .28}
+    plus 100 unrelated distractors.
+
+    Each pair is (base, mutated): the base doc is 50 tokens of
+    pair-private vocabulary (no cross-pair token overlap, so the truth
+    graph is exactly the planted pairs); the mutation replaces m
+    isolated positions spaced 3 apart, so each replacement breaks
+    exactly 3 shingles: J = (S - 3m) / (S + 3m) with S = 48 shingles.
+    """
+    rows = []
+    pid = 0
+    for m in (1, 2, 3, 4, 6, 9):
+        for _ in range(8):
+            base = [f"p{pid}w{j}" for j in range(_PLANT_N_TOK)]
+            mut = list(base)
+            for i in range(m):
+                mut[2 + 3 * i] = f"p{pid}x{i}"
+            rows.append(Row(doc_id=2 * pid, text=" ".join(base)))
+            rows.append(Row(doc_id=2 * pid + 1, text=" ".join(mut)))
+            pid += 1
+    for d in range(100):
+        rows.append(
+            Row(
+                doc_id=10_000 + d,
+                text=" ".join(f"d{d}t{j}" for j in range(_PLANT_N_TOK)),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def planted_truth(spark, planted_docs):
+    """Exact Jaccard ground truth: (pair -> jaccard), 48 pairs."""
+    truth = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup_text.ngram_jaccard_pairs(
+            planted_docs, threshold=0.2
+        ).collect()
+    }
+    assert len(truth) == 48  # the exact join finds every planted pair
+    return truth
+
+
+def _minhash_found(docs, num_hashes, num_bands):
+    return {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup_text.minhash_near_dup_pairs(
+            docs, threshold=0.2, num_hashes=num_hashes, num_bands=num_bands
+        ).collect()
+    }
+
+
+def test_minhash_planted_recall_at_registry_knobs(
+    spark, planted_docs, planted_truth
+):
+    """The registry's 32/8 knob (functions/__init__.py) must keep
+    recall >= 0.9 for J >= 0.7 pairs — the regression guard behind the
+    speed-motivated drop from 64/16. Measured recall on this corpus is
+    1.0 (16/16); the 0.9 bound leaves slack for corpus tweaks without
+    letting a real recall regression through. Precision needs no bound:
+    the verify stage recomputes exact Jaccard, so found ⊆ truth."""
+    found = _minhash_found(planted_docs, num_hashes=32, num_bands=8)
+    high = {p for p, j in planted_truth.items() if j >= 0.7}
+    recall = len(found & high) / len(high)
+    assert recall >= 0.9
+    assert found <= set(planted_truth)  # exact-verify: no false pairs
+
+
+def test_minhash_more_hashes_never_lose_recall(
+    spark, planted_docs, planted_truth
+):
+    """64/16 (the quality-first default) must dominate 32/8 at every
+    planted similarity level — more hash functions widen the s-curve,
+    they never narrow it. Converts the 'dial num_hashes back up for
+    recall-critical sweeps' docstring claim into a check."""
+    found_32 = _minhash_found(planted_docs, num_hashes=32, num_bands=8)
+    found_64 = _minhash_found(planted_docs, num_hashes=64, num_bands=16)
+    for jmin in (0.7, 0.5, 0.35):
+        tier = {p for p, j in planted_truth.items() if j >= jmin}
+        rec_32 = len(found_32 & tier) / len(tier)
+        rec_64 = len(found_64 & tier) / len(tier)
+        assert rec_64 >= rec_32, f"64/16 lost recall at J>={jmin}"
+    # and both find everything actually similar (J >= 0.7)
+    high = {p for p, j in planted_truth.items() if j >= 0.7}
+    assert high <= found_64
+
+
+def test_simhash_planted_pigeonhole_recall_is_total(
+    spark, planted_docs, planted_truth
+):
+    """Pigeonhole guarantee under the cap: EVERY pair within the
+    hamming budget must be found (max_hamming+1 chunks -> a qualifying
+    pair agrees exactly on >= 1 chunk). Ground truth comes from the
+    signatures themselves, so the test pins candidate generation, not
+    the hash function."""
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup_text.simhash_signatures(planted_docs).collect()
+    }
+    within = {
+        (a, b)
+        for (a, b) in planted_truth
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert len(within) > 0  # the corpus plants hamming<=3 pairs
+    found = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup_text.simhash_near_dup_pairs(
+            planted_docs, max_hamming=3
+        ).collect()
+    }
+    assert within <= found  # recall exactly 1 below the cap
+    # and nothing outside the budget sneaks in
+    assert all(
+        bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
+        for (a, b) in found
+    )
