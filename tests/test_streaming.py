@@ -238,6 +238,60 @@ def test_sessionize_late_event_does_not_regress_session(spark, tmp_path):
     assert got[1] == (base_ms + 50_000, base_ms + 100_000, 2)
 
 
+def test_sessionize_ms_floor_boundary_diverges_from_batch_nanos(
+    spark, tmp_path
+):
+    """Pin the INTENDED batch/stream divergence at sub-ms resolution:
+    batch ``user_sessions`` decides gaps on exact nanos
+    (queries.user_sessions), the streaming sessionizer on ms-floored
+    event times (sessionize.py floors micros→ms). An event pair whose
+    30-min gap straddles the threshold only below 1 ms must therefore
+    SPLIT in batch and STAY ONE SESSION in streaming. If a refactor
+    ever changes either side's time resolution, this test moves."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_combiner_spark.queries import user_sessions
+    from parquet_combiner_spark.streaming.sessionize import (
+        sessionize_events_available_now,
+    )
+
+    gap_ns = 30 * 60 * 1_000_000_000
+    base_ns = 1_700_000_000 * 1_000_000_000
+    t1 = base_ns + 900_000  # 0.9 ms past the ms boundary
+    # 30 min + 0.05 ms later: nanos gap exceeds the threshold, but both
+    # timestamps floor to ms values exactly 30 min (== gap, not >) apart
+    t2 = t1 + gap_ns + 50_000
+    assert (t2 - t1) > gap_ns
+    assert (t2 // 1_000_000) - (t1 // 1_000_000) == gap_ns // 1_000_000
+    pusher = t1 + 6 * 3600 * 1_000_000_000  # closes user 1 via watermark
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array([t1, t2, pusher], type=pa.timestamp("ns")),
+            "user_id": pa.array([1, 1, 9], type=pa.int64()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(table, path)
+
+    batch = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in user_sessions(spark, str(tmp_path)).collect()
+    }
+    # nanos side: the 0.05 ms-over gap splits user 1 into two sessions
+    assert batch[(1, 1)] == 1 and batch[(1, 2)] == 1
+
+    stream = {
+        r["user_id"]: (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_events_available_now(spark, path).collect()
+    }
+    # ms side: both events land in one closed session spanning exactly
+    # the 30-min gap
+    base_ms = base_ns // 1_000_000
+    assert stream[1] == (base_ms, base_ms + 1_800_000, 2)
+
+
 def test_sessionize_available_now_matches_batch_closed_sessions(spark):
     # the driver-checkable streaming query: availableNow run over the
     # real events table must equal the batch sessionization restricted
