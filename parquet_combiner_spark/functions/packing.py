@@ -13,27 +13,80 @@ Scale design — the naive formulation is a global window cumsum
 (``sum(n) OVER (ORDER BY doc_id)``), which Spark executes by moving
 EVERYTHING into one partition: correct at test scale, a wall at
 100 TB. This implementation is the classic two-phase distributed
-prefix sum instead:
+prefix sum over DETERMINISTIC range buckets:
 
-1. range-repartition by the ordering key (Spark's RangePartitioner
-   samples split points; partition p holds a contiguous key range,
-   and partition ids increase with the range);
-2. per-partition token totals — ONE ROW PER PARTITION — are
-   collected, prefix-summed on the driver (bounded, like collecting
-   AQE statistics, not data), and shipped back as a broadcast map;
-3. each row's global start offset = its within-partition window
-   cumsum (cheap: partitions sort locally, no exchange) + its
-   partition's base offset.
+1. the driver computes ~``parts-1`` ascending split points over the
+   ordering key (one ``approxQuantile`` pass — bounded sketch
+   metadata, the same class of driver work as range-split sampling)
+   and embeds them as plan literals; every row's bucket is then a
+   PURE FUNCTION of its key, identical in every job and on recompute;
+2. per-bucket token totals — one row per bucket — are aggregated
+   (map-side combined), collected, prefix-summed on the driver, and
+   shipped back as a literal bucket→base map;
+3. each row's global start offset = its within-bucket window cumsum
+   + its bucket's base offset. The window clusters by bucket, so the
+   plan has exactly ONE full-data exchange (hash on the bucket) and
+   never a single-partition window.
 
-Total cost: one range shuffle of the (id, token_count) projection +
-one local sort per partition. No stage ever holds more than one
-partition of the stream.
+Because the bucket column is deterministic, the totals job and the
+final job agree on bucket membership BY CONSTRUCTION — no checkpoint,
+persist, or cross-job partition pinning is needed, lineage stays
+intact (executor loss just recomputes — safe on a real cluster), and
+split-point quality affects only bucket balance, never the output:
+any splits yield the identical packing.
+
+(An earlier design derived buckets from ``spark_partition_id()`` over
+``repartitionByRange`` + ``localCheckpoint``; the checkpoint lost the
+partitioning info, forcing a SECOND full-data hash exchange before
+the window, pinned blocks for the session, and — localCheckpoint
+being non-reliable — died with any executor. The bucket-literal
+design removes all three.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _resolve_partitions(spark: SparkSession) -> int:
+    """Bucket-count default: ``spark.sql.shuffle.partitions`` when it
+    parses as an int, else ``defaultParallelism`` (some deployments
+    set the conf to non-numeric values like "auto")."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
+def _range_splits(proj: DataFrame, parts: int) -> list:
+    """Ascending split points over ``__id`` (at most ``parts-1``),
+    computed once on the driver. Only bucket BALANCE depends on their
+    quality; the packed output is invariant to the choice of splits.
+
+    ``approxQuantile`` needs a numeric column; for non-numeric ids
+    (string doc ids) fall back to a bounded driver sample — both are
+    one pass and O(parts) driver memory."""
+    if parts <= 1:
+        return []
+    try:
+        qs = [i / parts for i in range(1, parts)]
+        splits = proj.stat.approxQuantile("__id", qs, 1.0 / (4 * parts))
+    except Exception:  # non-numeric id column
+        sample = proj.select("__id").rdd.takeSample(False, parts * 20, seed=42)
+        ids = sorted(r[0] for r in sample if r[0] is not None)
+        if not ids:
+            return []
+        step = len(ids) / parts
+        splits = [ids[min(int(i * step), len(ids) - 1)] for i in range(1, parts)]
+    deduped: list = []
+    for s in splits:
+        if not deduped or s > deduped[-1]:
+            deduped.append(s)
+    return deduped
 
 
 def pack_sequences(
@@ -46,6 +99,10 @@ def pack_sequences(
     """(id, n_tokens, seq_id, seq_offset): pack documents in ``id``
     order into sequences of ``budget`` tokens. Deterministic: depends
     only on the (id → token count) mapping, never on partitioning.
+
+    Runs two scans of the (id, token_count) projection (totals, then
+    the final pass) — persist ``docs`` first if its upstream is
+    expensive to recompute.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -53,45 +110,49 @@ def pack_sequences(
         F.col(id_col).alias("__id"),
         F.col(token_col).cast("long").alias("__n"),
     )
-    parts = num_partitions or proj.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
+    parts = (
+        int(num_partitions)
+        if num_partitions is not None
+        else _resolve_partitions(proj.sparkSession)
     )
-    ranged = (
-        proj.repartitionByRange(int(parts), F.col("__id"))
-        .withColumn("__pid", F.spark_partition_id())
-        # Pin the partitioning: the totals collect below and the final
-        # select are two separate jobs, and RangePartitioner re-samples
-        # its split points (seeded by the physical RDD id) on each
-        # execution — without materializing once, the driver-computed
-        # base offsets could attach to different partition boundaries
-        # in the second job, corrupting seq_id/seq_offset.
-        .localCheckpoint(eager=True)
-    )
-    # one row per partition reaches the driver; prefix-sum the bases.
-    # (bounded metadata, not data - the same class of driver-side work
-    # as range-split sampling itself)
+    splits = _range_splits(proj, parts)
+    if splits:
+        # flat chained sum of CASE WHENs, not a higher-order
+        # F.aggregate lambda: lambdas are interpreted per element,
+        # this stays inside whole-stage codegen. Depth = len(splits)
+        # (one per target partition) — fine into the thousands.
+        terms = [
+            F.when(F.col("__id") >= F.lit(s), 1).otherwise(0) for s in splits
+        ]
+        bkt = reduce(add, terms)
+    else:
+        bkt = F.lit(0)
+    bucketed = proj.withColumn("__bkt", bkt)
+    # one row per bucket reaches the driver; prefix-sum the bases.
     totals = {
-        r["__pid"]: r["__t"]
-        for r in ranged.groupBy("__pid").agg(F.sum("__n").alias("__t")).collect()
+        r["__bkt"]: r["__t"]
+        for r in bucketed.groupBy("__bkt").agg(F.sum("__n").alias("__t")).collect()
     }
     bases: dict[int, int] = {}
     acc = 0
-    for pid in sorted(totals):
-        bases[pid] = acc
-        acc += totals[pid]
+    for b in sorted(totals):
+        bases[b] = acc
+        acc += totals[b]
+    if not bases:
+        bases = {0: 0}
     base_expr = F.element_at(
         F.create_map(
-            *[
-                x
-                for pid in sorted(bases)
-                for x in (F.lit(pid), F.lit(bases[pid]))
-            ]
+            *[x for b in sorted(bases) for x in (F.lit(b), F.lit(bases[b]))]
         ),
-        F.col("__pid"),
+        F.col("__bkt"),
     )
-    w = Window.partitionBy("__pid").orderBy("__id")
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local_cum = F.sum("__n").over(w) - F.col("__n")
-    return ranged.select(
+    return bucketed.select(
         F.col("__id").alias(id_col),
         F.col("__n").alias("n_tokens"),
         (local_cum + base_expr).alias("__start"),

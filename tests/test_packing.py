@@ -96,3 +96,44 @@ def test_pack_empty_input(spark):
 def test_pack_rejects_bad_budget(spark):
     with pytest.raises(ValueError, match="budget must be positive"):
         pack_sequences(_docs_df(spark, {1: 1}, 1), "n_tokens", 0)
+
+
+def test_pack_string_ids_uses_sample_fallback(spark):
+    """Non-numeric ordering keys can't go through approxQuantile; the
+    bounded driver-sample fallback must yield the same deterministic
+    packing in lexicographic id order."""
+    counts = {f"doc{i:04d}": (i * 13) % 50 + 1 for i in range(80)}
+    rows = [Row(doc_id=k, n_tokens=n) for k, n in counts.items()]
+    df = spark.createDataFrame(rows).repartition(6)
+    got = _got(pack_sequences(df, "n_tokens", budget=64))
+    exp, acc = {}, 0
+    for k in sorted(counts):
+        exp[k] = (counts[k], acc // 64, acc % 64)
+        acc += counts[k]
+    assert got == exp
+
+
+def test_resolve_partitions_tolerates_non_numeric_conf(spark):
+    """Some deployments hand this engine a session whose
+    spark.sql.shuffle.partitions is non-numeric ("auto" on vendor
+    distros — OSS Spark validates its own conf.set, so the bad value
+    can only arrive from a foreign session, stubbed here); the
+    bucket-count default must fall back to defaultParallelism instead
+    of raising."""
+    from types import SimpleNamespace
+
+    from parquet_combiner_spark.functions.packing import _resolve_partitions
+
+    def fake(conf_value):
+        return SimpleNamespace(
+            conf=SimpleNamespace(get=lambda key: conf_value),
+            sparkContext=SimpleNamespace(defaultParallelism=12),
+        )
+
+    assert _resolve_partitions(fake("auto")) == 12
+    assert _resolve_partitions(fake(None)) == 12
+    assert _resolve_partitions(fake("16")) == 16
+    # the real session path still resolves its configured int
+    assert _resolve_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

@@ -116,6 +116,28 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
 
 
+def test_pack_sequences_plan_single_exchange_no_global_window(spark):
+    """The scale property sequence packing exists for: the plan has
+    exactly ONE full-data exchange (hash on the deterministic range
+    bucket feeding the window) and the window clusters by __bkt —
+    never the naive global single-partition window cumsum."""
+    from parquet_combiner_spark.functions.packing import pack_sequences
+    from parquet_combiner_spark.plans import plan_text
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1).alias("n_tokens")
+    )
+    out = pack_sequences(docs, "n_tokens", 256)
+    # simple mode: each node printed once, so count == #exchanges
+    plan = plan_text(out, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(__bkt" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # window is the per-bucket cumsum, clustered by the bucket column
+    win_spec = plan.split("Window [")[1].split("\n")[0]
+    assert "[__bkt" in win_spec, plan
+
+
 def test_group_counts_partial_aggregation(spark):
     da = make_data_a(spark, ROWS_A)
     counts = da.groupBy("geographical_location_oid", "item_name").agg(
