@@ -34,7 +34,7 @@ from parquet_combiner_spark.operators.dedup import (
 from parquet_combiner_spark.operators.join import broadcast_dim_join
 from parquet_combiner_spark.operators.skew import salted_count
 from parquet_combiner_spark.operators.topk import top_k_per_group
-from parquet_combiner_spark.sources.io import table_path
+from parquet_combiner_spark.sources.io import ensure_ts_nanos, table_path
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -42,9 +42,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) which Spark's reader
-    rejects by default; read it as a long (nanos since epoch) — order
-    semantics are identical and no query exposes ts in its output.
+    """events.ts physical type depends on the testdata generation:
+    earlier rounds shipped parquet TIMESTAMP(NANOS) (readable only as
+    a long via the legacy conf), current testdata TIMESTAMP(MICROS)
+    which Spark reads natively as timestamp_ntz. Normalize to integer
+    nanos-since-epoch (:func:`ensure_ts_nanos`) so every downstream
+    gap/span computation is exact integer math and agrees with the
+    DuckDB oracles' ``epoch_ns(ts)`` under either representation.
 
     The conf set here is session-wide BY NECESSITY: it is consulted
     lazily at scan time, so a save/restore around the read would break
@@ -54,7 +58,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     how TIMESTAMP(NANOS) parquet columns are read (long instead of an
     analysis error); timestamps of other precisions are unaffected."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(table_path(sf_dir, "events"))
+    return ensure_ts_nanos(spark.read.parquet(table_path(sf_dir, "events")))
 
 
 # ---------------------------------------------------------------------------

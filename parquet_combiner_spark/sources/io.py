@@ -14,9 +14,42 @@ import os
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from parquet_combiner_spark import schemas
+
+
+def ensure_ts_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to integer nanos-since-epoch.
+
+    Event tables show up with three physical representations across
+    parquet writers, and the engine's session/gap semantics are all
+    exact integer math, so every reader funnels through this:
+
+    - ``bigint`` — TIMESTAMP(NANOS) read as a long via the legacy
+      ``nanosAsLong`` conf (or an already-integer column): pass-through;
+    - ``timestamp_ntz`` — a wall-clock value; converted with
+      timestamp-difference arithmetic against the ntz epoch so the
+      result is session-timezone-INDEPENDENT and equals DuckDB's
+      ``epoch_ns`` of the same naive value;
+    - ``timestamp`` — an instant; ``unix_micros``.
+
+    Micros-precision inputs become exact ``micros * 1000`` nanos.
+    """
+    t = dict(df.dtypes).get(col)
+    if t in (None, "bigint"):
+        return df
+    if t == "timestamp_ntz":
+        conv = F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) * 1000"
+        )
+    elif t == "timestamp":
+        conv = F.unix_micros(F.col(col)) * F.lit(1000)
+    else:
+        raise TypeError(f"cannot normalize {col!r} of type {t} to nanos")
+    return df.withColumn(col, conv.cast("long"))
 
 
 def read_parquet(

@@ -122,10 +122,13 @@ def sessionize_events_available_now(
 
     Exact closure semantics (what the batch oracle must mirror):
 
-    - event_time is ``timestamp_micros(ts div 1000)`` — integral
-      division from nanos, so session bounds are exact
-      ``floor(ns/1e6)`` millis (the state fn floors micros→ms; no
-      float timestamp math anywhere).
+    - ts is first normalized to integer nanos (``ensure_ts_nanos`` —
+      robust to TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)/ntz
+      testdata alike), then event_time is
+      ``timestamp_micros(ts div 1000)`` — integral division from
+      nanos, so session bounds are exact ``floor(ns/1e6)`` millis
+      (the state fn floors micros→ms; no float timestamp math
+      anywhere).
     - a session closes IN-STREAM when a later event for the same user
       arrives with a gap > ``gap_minutes`` — in batch terms, every
       session except each user's last;
@@ -151,11 +154,11 @@ def sessionize_events_available_now(
         stage = tempfile.mkdtemp(prefix="pcs-sessionize-src-")
         shutil.copy(events_path, stage)
         events_path = stage
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(events_path)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from parquet_combiner_spark.sources.io import ensure_ts_nanos
+
+    stream = ensure_ts_nanos(
+        spark.readStream.schema(schema).parquet(events_path)
+    ).withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
     sessions = sessionize_stream(
         stream,
         gap_minutes=gap_minutes,

@@ -310,10 +310,12 @@ def test_sessionize_available_now_matches_batch_closed_sessions(spark):
             spark, f"{sf}/events.parquet"
         ).collect()
     )
+    from parquet_combiner_spark.sources.io import ensure_ts_nanos
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(f"{sf}/events.parquet").createOrReplaceTempView(
-        "__ev_batch"
-    )
+    ensure_ts_nanos(
+        spark.read.parquet(f"{sf}/events.parquet")
+    ).createOrReplaceTempView("__ev_batch")
     expected = sorted(
         tuple(r)
         for r in spark.sql(
