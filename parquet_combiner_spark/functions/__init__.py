@@ -10,10 +10,12 @@ rows-only check; everything else hash-matches an ANSI-SQL oracle.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from parquet_combiner_spark.functions import (
     dedup_text,
@@ -79,7 +81,8 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_NGRAM_PAIR_CACHE: OrderedDict[tuple[str, str], DataFrame] = OrderedDict()
+_NGRAM_PAIR_CACHE_MAX = 2  # sf_dirs per session; LRU beyond this
 
 
 def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,17 +90,43 @@ def _ngram_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ngram_jaccard_pairs`` and ``near_dup_clusters`` share; when the
     driver runs the whole registry in one session the join would
     otherwise execute twice. Memoized per (session, sf_dir) as an
-    eagerly materialized localCheckpoint — bounded (a handful of
-    sf_dirs per session) and self-invalidating (a new session has a
-    new applicationId)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    eagerly persisted DataFrame — MEMORY_AND_DISK, not a
+    localCheckpoint: the pair join is deterministic, so block loss
+    just recomputes through intact lineage, and ``unpersist`` frees
+    the blocks (a localCheckpoint pins them until session end).
+    Bounded: at most ``_NGRAM_PAIR_CACHE_MAX`` sf_dirs (LRU, evicted
+    entries unpersisted); entries from stopped sessions are dropped
+    (their blocks died with the app)."""
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _NGRAM_PAIR_CACHE if k[0] != app_id]:
+        del _NGRAM_PAIR_CACHE[stale]
+    key = (app_id, sf_dir)
     pairs = _NGRAM_PAIR_CACHE.get(key)
     if pairs is None:
         pairs = dedup_text.ngram_jaccard_pairs(
             _docs(spark, sf_dir), threshold=0.3
-        ).localCheckpoint(eager=True)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pairs.count()  # materialize once for both consumers
+        while len(_NGRAM_PAIR_CACHE) >= _NGRAM_PAIR_CACHE_MAX:
+            _, evicted = _NGRAM_PAIR_CACHE.popitem(last=False)
+            evicted.unpersist()
         _NGRAM_PAIR_CACHE[key] = pairs
+    else:
+        _NGRAM_PAIR_CACHE.move_to_end(key)
     return pairs
+
+
+def clear_ngram_pair_cache() -> None:
+    """Evict and unpersist every cached pair DataFrame. The bench
+    harness calls this before each measured ``near_dup_clusters`` run
+    so the pair-join cost is attributed to that named line instead of
+    whichever consumer happened to run first."""
+    while _NGRAM_PAIR_CACHE:
+        _, df = _NGRAM_PAIR_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,6 +588,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
 __all__ = [
     "PIPELINE_QUERIES",
     "PIPELINE_ORACLE_SQL",
+    "clear_ngram_pair_cache",
     "dedup_text",
     "similarity",
     "text",

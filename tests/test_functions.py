@@ -566,3 +566,45 @@ def test_simhash_planted_pigeonhole_recall_is_total(
         bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3
         for (a, b) in found
     )
+
+
+def test_ngram_pair_cache_bounded_lru_eviction(spark, tmp_path):
+    """The shared pair cache must stay bounded (2 sf_dirs), unpersist
+    what it evicts, and keep both consumers correct when an evicted
+    sf_dir is re-entered (the pair join is deterministic, so a
+    recompute yields the identical pair set)."""
+    import shutil
+
+    from parquet_combiner_spark import functions as fmod
+
+    fmod.clear_ngram_pair_cache()
+    dirs = []
+    for i in range(3):
+        d = tmp_path / f"sf_{i}"
+        d.mkdir()
+        shutil.copy(
+            "/root/testdata/sf0.001/documents.parquet",
+            d / "documents.parquet",
+        )
+        dirs.append(str(d))
+
+    first = fmod._ngram_pairs_cached(spark, dirs[0])
+    n_first = first.count()
+    assert first.storageLevel.useMemory or first.storageLevel.useDisk
+
+    fmod._ngram_pairs_cached(spark, dirs[1])
+    assert len(fmod._NGRAM_PAIR_CACHE) == 2
+
+    fmod._ngram_pairs_cached(spark, dirs[2])
+    cached_dirs = [k[1] for k in fmod._NGRAM_PAIR_CACHE]
+    assert len(cached_dirs) == 2
+    assert dirs[0] not in cached_dirs  # LRU evicted
+    assert not (first.storageLevel.useMemory or first.storageLevel.useDisk)
+
+    # re-entering the evicted dir recomputes the identical pair set,
+    # and the downstream consumer still works on top of it
+    assert fmod.q_ngram_jaccard_pairs(spark, dirs[0]).count() == n_first
+    assert fmod.q_near_dup_clusters(spark, dirs[0]).count() > 0
+
+    fmod.clear_ngram_pair_cache()
+    assert len(fmod._NGRAM_PAIR_CACHE) == 0
