@@ -6,12 +6,19 @@ Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 Each query is fully materialized via a count-style action on the
 result (no driver-side collect of the data itself).
+
+Noise posture: per-query MEDIAN of 3 measured runs (after a warm-up
+pass). Single-run variance on a shared 32-thread box is ~±10-30%
+(GC, page cache, JIT recompiles, noisy neighbors) and has twice
+produced phantom regressions on unchanged code; the median of 3 is
+robust to one bad run in either direction, which best-of-2 was not.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -25,21 +32,33 @@ HEADLINE = [
     "orders_with_customer",
     "returnflag_counts_salted",
     "earliest_event_per_user",
+    "user_sessions",
     "user_bucket_top_events",
     "minhash_near_dup_pairs",
+    "near_dup_clusters",
+    "doc_pack_sequences",
     "ann_cosine_topk",
     "doc_quality",
 ]
+
+RUNS = 3
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
+    from parquet_combiner_spark.functions import clear_ngram_pair_cache
     from parquet_combiner_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
+
+    # near_dup_clusters shares a memoized pair join with
+    # ngram_jaccard_pairs; cleared before every run below so the
+    # expensive join is attributed to this named line on each
+    # measurement instead of whichever consumer ran first.
+    pre_run = {"near_dup_clusters": clear_ngram_pair_cache}
 
     # Warm run: JVM JIT + whole-stage-codegen compilation at the
     # smallest sibling SF so the measured numbers reflect steady-state
@@ -57,20 +76,23 @@ def main() -> None:
             qs[name](spark, warm_dir).count()
         except Exception as e:  # noqa: BLE001
             sys.stderr.write(f"warm-up failed for {name} at {warm_dir}: {e}\n")
+    clear_ngram_pair_cache()  # warm-up must not pre-pay a measured line
 
-    # Best of 2 measured runs per query: single-run variance on a
-    # shared 32-thread box is ~±10% (GC, page cache, JIT recompiles);
-    # the minimum is the reproducible cost of the plan itself.
     timings: dict[str, float] = {}
     for name in names:
-        best, rows = None, 0
-        for _ in range(2):
+        runs, rows = [], 0
+        for _ in range(RUNS):
+            pre = pre_run.get(name)
+            if pre is not None:
+                pre()
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        sys.stderr.write(f"{name}: {timings[name]}s ({rows} rows)\n")
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        sys.stderr.write(
+            f"{name}: median {timings[name]}s of "
+            f"{[round(r, 3) for r in sorted(runs)]} ({rows} rows)\n"
+        )
 
     total = round(sum(timings.values()), 3)
     try:
