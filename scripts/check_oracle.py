@@ -38,12 +38,9 @@ def _norm(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, Decimal):
-        # The driver's hash is type-sensitive: a DuckDB HUGEINT/DECIMAL
-        # (e.g. window sum() over integers) exports to Arrow as
-        # decimal128 and hash-mismatches Spark's int64 even when values
-        # are identical.  Normalizing here keeps the local diff useful,
-        # but the oracle SQL must CAST the column (see user_sessions).
-        _norm.decimal_seen = True
+        # Normalized so the local value diff stays useful; the
+        # type-level mismatch itself is reported by
+        # hugeint_decimal_columns (the oracle SQL must CAST).
         v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
@@ -60,6 +57,22 @@ def _norm(v):
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)
+
+
+def hugeint_decimal_columns(cols: list[str], types: list) -> list[str]:
+    """Oracle columns whose DuckDB type exports to Arrow as
+    decimal128: HUGEINT (e.g. any window ``sum()`` over integers) and
+    DECIMAL. The driver's hash is TYPE-sensitive — these mismatch
+    Spark's int64/double even when every value is equal, so they must
+    be CAST in the oracle SQL. Detected from the relation's declared
+    types (a value scan of the first rows misses columns that are
+    NULL or small in the sample — the user_sessions-class drift)."""
+    flagged = []
+    for c, t in zip(cols, types):
+        t = str(t).upper()
+        if "HUGEINT" in t or "DECIMAL" in t:
+            flagged.append(f"{c}:{t}")
+    return flagged
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -110,22 +123,26 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
+            otypes = list(rel.types)
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"ERROR    {name}: oracle failed: {e}")
             failures.append(name)
             continue
         problems = []
-        _norm.decimal_seen = False
-        for row in orows[:50]:
-            for v in row:
-                _norm(v)
-        if _norm.decimal_seen:
+        bad_types = hugeint_decimal_columns(ocols, otypes)
+        if bad_types:
+            # counted as a failure: the local value hash normalizes
+            # Decimals and would pass, but the driver's type-sensitive
+            # hash will not — exactly the silent drift this flags.
             print(
-                f"WARNTYPE {name}: oracle emits Decimal — the driver's "
-                "type-sensitive hash will mismatch Spark; add an "
-                "explicit CAST in the oracle SQL"
+                f"WARNTYPE {name}: oracle columns {', '.join(bad_types)} "
+                "export to Arrow as decimal128 — the driver's "
+                "type-sensitive hash will mismatch Spark even on equal "
+                "values; add an explicit CAST in the oracle SQL"
             )
+            failures.append(name)
+            continue
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):

@@ -81,3 +81,42 @@ def test_item_count_exact_values(spark):
         (2, "item1"): 1,  # deduped: 4 counted once
         (2, "item3"): 1,
     }
+
+
+def test_check_oracle_flags_hugeint_decimal_at_type_level():
+    """The local oracle checker must detect HUGEINT/DECIMAL oracle
+    columns from the relation's DECLARED types (a value scan of the
+    first rows misses NULL/small samples): a window sum() over
+    integers is DuckDB HUGEINT, which the driver's type-sensitive
+    hash rejects against Spark's int64 even on equal values."""
+    import importlib.util
+    from pathlib import Path
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_mod",
+        Path(__file__).resolve().parent.parent / "scripts" / "check_oracle.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    con = duckdb.connect()
+    rel = con.sql(
+        "SELECT g, sum(x) OVER (PARTITION BY g ORDER BY x) AS running "
+        "FROM (VALUES (1, 10), (1, 20), (2, 5)) t(g, x)"
+    )
+    flagged = mod.hugeint_decimal_columns(rel.columns, list(rel.types))
+    assert flagged and flagged[0].startswith("running:"), flagged
+    assert "HUGEINT" in flagged[0]
+
+    ok = con.sql(
+        "SELECT g, CAST(sum(x) OVER (PARTITION BY g ORDER BY x) AS BIGINT)"
+        " AS running FROM (VALUES (1, 10), (1, 20), (2, 5)) t(g, x)"
+    )
+    assert mod.hugeint_decimal_columns(ok.columns, list(ok.types)) == []
+
+    dec = con.sql("SELECT CAST(1.5 AS DECIMAL(10,2)) AS d")
+    assert mod.hugeint_decimal_columns(dec.columns, list(dec.types)) == [
+        "d:DECIMAL(10,2)"
+    ]
