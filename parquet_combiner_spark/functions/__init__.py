@@ -61,6 +61,14 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.exact_dedup_docs(_docs(spark, sf_dir))
 
 
+# The registry's production MinHash knobs — shared with the
+# planted-recall regression tests (test_functions.py) so the recall
+# guard always exercises the configuration actually registered here,
+# not a hardcoded copy that silently goes stale when this is retuned.
+REGISTRY_MINHASH_HASHES = 32
+REGISTRY_MINHASH_BANDS = 8
+
+
 def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32 hashes / 8 bands (4 rows per band): measured ~1.9x faster
     than the library's quality-first 64/16 default with an identical
@@ -71,7 +79,10 @@ def q_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket sizes stay near-linear at corpus scale). Dial num_hashes
     back up for recall-critical sweeps below ~0.6 Jaccard."""
     return dedup_text.minhash_near_dup_pairs(
-        _docs(spark, sf_dir), threshold=0.5, num_hashes=32, num_bands=8
+        _docs(spark, sf_dir),
+        threshold=0.5,
+        num_hashes=REGISTRY_MINHASH_HASHES,
+        num_bands=REGISTRY_MINHASH_BANDS,
     )
 
 

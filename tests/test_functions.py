@@ -504,13 +504,24 @@ def _minhash_found(docs, num_hashes, num_bands):
 def test_minhash_planted_recall_at_registry_knobs(
     spark, planted_docs, planted_truth
 ):
-    """The registry's 32/8 knob (functions/__init__.py) must keep
-    recall >= 0.9 for J >= 0.7 pairs — the regression guard behind the
-    speed-motivated drop from 64/16. Measured recall on this corpus is
-    1.0 (16/16); the 0.9 bound leaves slack for corpus tweaks without
-    letting a real recall regression through. Precision needs no bound:
-    the verify stage recomputes exact Jaccard, so found ⊆ truth."""
-    found = _minhash_found(planted_docs, num_hashes=32, num_bands=8)
+    """The registry's production knob (REGISTRY_MINHASH_HASHES/BANDS
+    in functions/__init__.py — read from there so this guard tracks
+    retunes) must keep recall >= 0.9 for J >= 0.7 pairs — the
+    regression guard behind the speed-motivated drop from 64/16.
+    Measured recall on this corpus is 1.0 (16/16); the 0.9 bound
+    leaves slack for corpus tweaks without letting a real recall
+    regression through. Precision needs no bound: the verify stage
+    recomputes exact Jaccard, so found ⊆ truth."""
+    from parquet_combiner_spark.functions import (
+        REGISTRY_MINHASH_BANDS,
+        REGISTRY_MINHASH_HASHES,
+    )
+
+    found = _minhash_found(
+        planted_docs,
+        num_hashes=REGISTRY_MINHASH_HASHES,
+        num_bands=REGISTRY_MINHASH_BANDS,
+    )
     high = {p for p, j in planted_truth.items() if j >= 0.7}
     recall = len(found & high) / len(high)
     assert recall >= 0.9
@@ -523,9 +534,20 @@ def test_minhash_more_hashes_never_lose_recall(
     """64/16 (the quality-first default) must dominate 32/8 at every
     planted similarity level — more hash functions widen the s-curve,
     they never narrow it. Converts the 'dial num_hashes back up for
-    recall-critical sweeps' docstring claim into a check."""
+    recall-critical sweeps' docstring claim into a check.
+
+    NOTE this dominance is deterministic (not merely expected) only
+    because minhash_signatures derives h_i = xxhash64(shingle, i)
+    independently of num_hashes, making 32/8's 8 four-row bands an
+    exact PREFIX of 64/16's 16 bands: every band bucket that fires at
+    32/8 also exists at 64/16, so found_32 ⊆ found_64 structurally.
+    If hash derivation were ever seeded by num_hashes (or the band
+    layout changed), the property would become probabilistic and this
+    test could fail spuriously on a corpus tweak — re-derive before
+    blaming the corpus."""
     found_32 = _minhash_found(planted_docs, num_hashes=32, num_bands=8)
     found_64 = _minhash_found(planted_docs, num_hashes=64, num_bands=16)
+    assert found_32 <= found_64  # the prefix-band property, directly
     for jmin in (0.7, 0.5, 0.35):
         tier = {p for p, j in planted_truth.items() if j >= jmin}
         rec_32 = len(found_32 & tier) / len(tier)
