@@ -338,6 +338,26 @@ def user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def windowed_top_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 windowed top-N under the hard signal: the streaming
+    dedup → tumbling-window count → rank pipeline (the reference's
+    proposed real-time flagship) run to completion with
+    ``trigger(availableNow=True)`` over the events table.
+
+    The oracle is the batch formulation: 1-hour tumbling windows on
+    ms-floored event time, top-3 event types per window (count desc,
+    type asc), restricted to windows the final watermark finalized
+    (``window_end <= max_ms - delay``). All outputs integral millis.
+    """
+    from parquet_combiner_spark.streaming import (
+        windowed_top_events_available_now,
+    )
+
+    return windowed_top_events_available_now(
+        spark, table_path(sf_dir, "events")
+    )
+
+
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8-extension: exact interpolated percentiles per group (Spark
     ``percentile`` ≡ DuckDB ``quantile_cont`` — verified bit-equal).
@@ -439,6 +459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_by_type": events_by_type,
     "user_sessions": user_sessions,
     "user_sessions_stream": user_sessions_stream,
+    "windowed_top_events_stream": windowed_top_events_stream,
     "price_percentiles": price_percentiles,
     "price_percentiles_approx": price_percentiles_approx,
     "user_rolling_value": user_rolling_value,
@@ -636,6 +657,30 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, session_start, session_end, n_events FROM agg
         WHERE session_end + 1800000 <
               (SELECT max(epoch_ns(ts) // 1000000) FROM events) - 600000
+    """,
+    # batch formulation of the streaming windowed top-N: 1h tumbling
+    # windows on ms-floored event time; append mode emits a window iff
+    # the final watermark (max event-time ms - 10 min delay) passed
+    # its end. rank CAST to INT matches Spark's row_number output.
+    "windowed_top_events_stream": """
+        WITH g AS (
+            SELECT epoch_ns(ts) // 1000000 AS tms, event_type FROM events
+        ), c AS (
+            SELECT (tms // 3600000) * 3600000 AS window_start_ms,
+                   event_type, count(*) AS n
+            FROM g GROUP BY 1, 2
+        ), r AS (
+            SELECT window_start_ms, event_type, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY window_start_ms
+                       ORDER BY n DESC, event_type
+                   ) AS INT) AS item_rank
+            FROM c
+        )
+        SELECT window_start_ms, event_type, n, item_rank FROM r
+        WHERE item_rank <= 3
+          AND window_start_ms + 3600000 <=
+              (SELECT max(tms) - 600000 FROM g)
     """,
     "price_percentiles": """
         SELECT l_returnflag,

@@ -8,4 +8,5 @@ from parquet_combiner_spark.streaming.pipeline import (  # noqa: F401
     stream_detections,
     top_items_per_window,
     windowed_item_counts,
+    windowed_top_events_available_now,
 )

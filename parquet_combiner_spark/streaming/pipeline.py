@@ -126,38 +126,124 @@ def archive_stream(
     return writer.start()
 
 
+def windowed_top_events_available_now(
+    spark: SparkSession,
+    events_path: str,
+    window_duration: str = "1 hour",
+    top_x: int = 3,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """The windowed top-N pipeline (reference design.pdf p.1-2's
+    real-time top items, retargeted to the events table) run to
+    completion with ``trigger(availableNow=True)`` and ranked on the
+    finalized windows — the driver-checkable face of the windowed
+    streaming aggregation, the same way ``user_sessions_stream``
+    covers the stateful sessionizer.
+
+    Emission semantics the batch oracle must mirror: append mode
+    emits a tumbling window iff the final watermark passed its END.
+    Spark tracks event time in floored MILLIS, so with
+    ``max_ms = max(floor(event_time_us/1000))`` the emitted windows
+    are exactly those with ``window_end_ms <= max_ms - delay_ms``.
+    Because each window is emitted exactly once, ranking the memory
+    sink afterwards equals the production ``foreachBatch`` ranking of
+    each finalized batch.
+
+    Output: (window_start_ms, event_type, n, item_rank) — integral
+    epoch millis, no floats/timestamps in the contract.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from parquet_combiner_spark.sources.io import ensure_ts_nanos
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):  # FileStreamSource needs a DIRECTORY
+        stage = tempfile.mkdtemp(prefix="pcs-wintop-src-")
+        shutil.copy(events_path, stage)
+        events_path = stage
+    stream = ensure_ts_nanos(
+        spark.readStream.schema(schema).parquet(events_path)
+    ).withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    counts = windowed_item_counts(
+        stream,
+        window_duration,
+        None,
+        "event_time",
+        watermark_delay,
+        group_cols=("event_type",),
+        dedup_keys=("event_id",),
+    )
+    name = f"win_counts_{uuid.uuid4().hex}"
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="pcs-wintop-ckpt-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    ranked = top_items_per_window(
+        spark.table(name),
+        top_x,
+        group_cols=("window",),
+        item_col="event_type",
+    )
+    return ranked.select(
+        F.expr("unix_micros(window.start) div 1000").alias("window_start_ms"),
+        "event_type",
+        F.col("count").alias("n"),
+        "item_rank",
+    )
+
+
 def windowed_item_counts(
     stream: DataFrame,
     window_duration: str = "10 minutes",
     slide: str | None = None,
     event_time_col: str = "event_time",
     delay: str = DEFAULT_WATERMARK_DELAY,
+    group_cols: tuple[str, ...] = (
+        "geographical_location_oid",
+        "item_name",
+    ),
+    dedup_keys: tuple[str, ...] = ("detection_oid",),
 ) -> DataFrame:
-    """Per-(window, location, item) deduped detection counts — the
-    batch A1 aggregation under a (sliding) event-time window.
+    """Per-(window, *group_cols) deduped counts — the batch A1
+    aggregation under a (sliding) event-time window; defaults keep the
+    reference's detections shape, ``group_cols``/``dedup_keys``
+    retarget it to any event table.
 
     Dedup-then-count composes the stateful dedup with the windowed
     aggregation; the watermark bounds both states and lets append
     mode emit each window exactly once when it finalizes."""
     deduped = dedup_stream(
-        stream, ["detection_oid"], event_time_col, delay
+        stream, list(dedup_keys), event_time_col, delay
     )
     win = F.window(F.col(event_time_col), window_duration, slide)
     return deduped.groupBy(
         win.alias("window"),
-        "geographical_location_oid",
-        "item_name",
+        *group_cols,
     ).agg(F.count(F.lit(1)).alias("count"))
 
 
 def top_items_per_window(
-    counts_batch: DataFrame, top_x: int = 5
+    counts_batch: DataFrame,
+    top_x: int = 5,
+    group_cols: tuple[str, ...] = ("window", "geographical_location_oid"),
+    item_col: str = "item_name",
 ) -> DataFrame:
-    """Rank finalized window counts into per-(window, location) top-X —
-    the ``foreachBatch`` companion to :func:`windowed_item_counts`
+    """Rank finalized window counts into per-group top-X — the
+    ``foreachBatch`` companion to :func:`windowed_item_counts`
     (window rank is not a streaming-native operator, so it runs on
     each finalized micro-batch, which is tiny: one row per
-    (window, location, item) group).
+    (window, *group_cols, item) group).
 
     Use::
 
@@ -168,8 +254,8 @@ def top_items_per_window(
 
     return top_k_per_group(
         counts_batch,
-        ["window", "geographical_location_oid"],
-        [F.desc("count"), F.asc_nulls_first("item_name")],
+        list(group_cols),
+        [F.desc("count"), F.asc_nulls_first(item_col)],
         top_x,
         rank_col="item_rank",
     )
