@@ -444,13 +444,41 @@ def ngram_jaccard_pairs(
     not near-dups. Set ``max_doc_freq=None`` to disable.
     Output: (doc_id_a, doc_id_b, jaccard), jaccard >= threshold.
     """
+    # Shingle hashing mirrors minhash_signatures' measured-fast shape:
+    # hash each token once (the only per-element lambda doing real
+    # work), combine k consecutive token-hashes per shingle from
+    # shifted arrays_zip slices (long inputs, no string
+    # materialization — the array_join(slice(...)) string formulation
+    # is interpreted per shingle and was the dominant cost of this
+    # join), dedup hashes per doc with array_distinct (flat function).
+    # Distinct-hash sets == distinct-string sets modulo xxhash64
+    # collisions, which the join already assumed.
+    tok_hashes = F.transform(
+        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+    )
+    n_shingles = F.greatest(
+        F.size(tok_hashes) - F.lit(k_shingle - 1), F.lit(1)
+    )
+    zipped = F.arrays_zip(
+        *[F.slice(tok_hashes, j + 1, n_shingles) for j in range(k_shingle)]
+    )
+    sh_arr = F.array_distinct(
+        F.transform(
+            zipped,
+            lambda s: F.xxhash64(*[s[str(j)] for j in range(k_shingle)]),
+        )
+    )
+    # per-doc set size rides through the explode (8 bytes per
+    # posting), replacing a separate sizes aggregation plus two joins
+    # against the pair stream — sizes are computed BEFORE the
+    # stop-shingle filter, preserving the never-inflated guarantee.
     sh = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            shingles(tokens(F.lower(F.col(text_col))), k_shingle)
-        ).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("sh"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        F.col(id_col).alias("doc_id"), sh_arr.alias("sh_arr")
+    ).select(
+        "doc_id",
+        F.size("sh_arr").alias("n_sh"),
+        F.explode("sh_arr").alias("sh"),
+    )
     if max_doc_freq is not None:
         # document frequency per shingle (shingles are distinct within
         # a doc, so count == df). Anti-join against the OVER-cap set:
@@ -478,25 +506,17 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
+            # functionally dependent on the ids — no extra cardinality
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sz_a = sizes.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a")
-    )
-    sz_b = sizes.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b")
     )
     jac = F.col("n_inter") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
-    return (
-        inter.join(sz_a, "doc_id_a")
-        .join(sz_b, "doc_id_b")
-        .where(jac >= threshold)
-        .select(
-            "doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard")
-        )
+    return inter.where(jac >= threshold).select(
+        "doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard")
     )
 
 
