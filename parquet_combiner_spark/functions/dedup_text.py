@@ -571,23 +571,22 @@ def near_dup_clusters(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # the previous label rides through the checkpoint so the
+        # convergence check is a filter-count on the materialized
+        # round, not an extra join against the old labels
+        stepped = (
             labels.join(neighbor, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     "label", F.coalesce("nbr_label", "label")
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("label") != F.col("__old")).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
