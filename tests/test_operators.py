@@ -390,3 +390,54 @@ def test_dedup_keep_min_packed_guards_range_and_dtype(spark):
     bad = spark.createDataFrame([Row(k=1, a=1.5, b="x")])
     with pytest.raises(ValueError, match="integer-typed"):
         dedup_keep_min_packed(bad, ["k"], ["a", "b"])
+
+
+def test_ensure_ts_nanos_all_representations_tz_independent(spark):
+    """ensure_ts_nanos must yield identical integer nanos for every
+    physical representation of the same instant, and the
+    timestamp_ntz path (wall-clock arithmetic) must not depend on the
+    session timezone — a driver-owned session could run under any TZ,
+    and DuckDB's epoch_ns treats naive values as UTC."""
+    from datetime import datetime
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from parquet_combiner_spark.sources.io import ensure_ts_nanos
+
+    wall = datetime(2024, 3, 15, 12, 30, 45, 123456)  # naive wall clock
+    expect_ns = 1710505845123456000  # epoch nanos of that wall time as UTC
+
+    # bigint: pass-through
+    df_long = spark.createDataFrame(
+        [(expect_ns,)], T.StructType([T.StructField("ts", T.LongType())])
+    )
+    assert ensure_ts_nanos(df_long).collect()[0]["ts"] == expect_ns
+
+    # timestamp_ntz: wall-clock arithmetic, invariant under session TZ
+    df_ntz = spark.createDataFrame(
+        [(wall,)],
+        T.StructType([T.StructField("ts", T.TimestampNTZType())]),
+    )
+    saved_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = ensure_ts_nanos(df_ntz).collect()[0]["ts"]
+            assert got == expect_ns, f"ntz conversion drifted under {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved_tz)
+
+    # timestamp (an instant): unix_micros path
+    df_ts = spark.createDataFrame(
+        [(wall,)], T.StructType([T.StructField("ts", T.TimestampType())])
+    )
+    # created under UTC session TZ, so the instant equals the wall time
+    assert ensure_ts_nanos(df_ts).collect()[0]["ts"] == expect_ns
+
+    # unsupported types fail loudly
+    df_str = spark.createDataFrame(
+        [("x",)], T.StructType([T.StructField("ts", T.StringType())])
+    )
+    with pytest.raises(TypeError, match="cannot normalize"):
+        ensure_ts_nanos(df_str)
