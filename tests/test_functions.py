@@ -481,15 +481,25 @@ def planted_docs(spark):
 
 @pytest.fixture(scope="module")
 def planted_truth(spark, planted_docs):
-    """Exact Jaccard ground truth: (pair -> jaccard), 48 pairs."""
-    truth = {
+    """Exact Jaccard ground truth: (pair -> jaccard). Completeness is
+    asserted by test_planted_truth_exact_join_finds_all_pairs (not
+    here, so a corpus regression surfaces as ONE clear FAIL instead of
+    errors in every dependent test)."""
+    return {
         (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
         for r in dedup_text.ngram_jaccard_pairs(
             planted_docs, threshold=0.2
         ).collect()
     }
-    assert len(truth) == 48  # the exact join finds every planted pair
-    return truth
+
+
+def test_planted_truth_exact_join_finds_all_pairs(spark, planted_truth):
+    """The exact inverted-index join has recall 1 on the planted
+    corpus: every one of the 48 planted pairs (8 per mutation level)
+    is found, and only planted pairs are (pair-private vocabulary)."""
+    assert len(planted_truth) == 48
+    # distractor docs (ids >= 10_000) never appear in any pair
+    assert all(a < 10_000 and b < 10_000 for a, b in planted_truth)
 
 
 def _minhash_found(docs, num_hashes, num_bands):
