@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from parquet_combiner_spark.functions.text import shingles, tokens
+from parquet_combiner_spark.functions.text import tokens
 
 NUM_HASHES = 64
 NUM_BANDS = 16  # 16 bands × 4 rows; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
@@ -190,6 +190,38 @@ def estimate_jaccard(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     )
 
 
+def hashed_shingle_set(text_col: str, k_shingle: int = 3):
+    """array<long> of DISTINCT k-shingle hashes of a text column — the
+    shared shingle representation of the exact-Jaccard operators.
+
+    Flat-codegen shape (the measured-fast minhash_signatures pattern):
+    hash each token once, combine the k consecutive token-hashes of
+    each shingle from shifted ``arrays_zip`` slices (long inputs — the
+    string-materializing ``array_join(slice(...))`` lambda this
+    replaces was interpreted per shingle and dominated the pair join),
+    then ``array_distinct`` on the hash array. Distinct-hash sets
+    equal distinct-string sets modulo xxhash64 collisions, which every
+    consumer (set intersection / equi-join keys) already assumed.
+    A doc shorter than ``k_shingle`` tokens yields one shingle of its
+    available tokens (xxhash64 skips the nulls ``slice`` pads with).
+    """
+    tok_hashes = F.transform(
+        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+    )
+    n_shingles = F.greatest(
+        F.size(tok_hashes) - F.lit(k_shingle - 1), F.lit(1)
+    )
+    zipped = F.arrays_zip(
+        *[F.slice(tok_hashes, j + 1, n_shingles) for j in range(k_shingle)]
+    )
+    return F.array_distinct(
+        F.transform(
+            zipped,
+            lambda s: F.xxhash64(*[s[str(j)] for j in range(k_shingle)]),
+        )
+    )
+
+
 def verify_jaccard(
     pairs: DataFrame,
     documents: DataFrame,
@@ -203,7 +235,9 @@ def verify_jaccard(
     candidate pair (broadcast of the small id set), so shingle arrays
     are built for the candidate docs only — at corpus scale this is
     the difference between re-tokenizing everything twice and
-    re-tokenizing a few thousand near-dup suspects."""
+    re-tokenizing a few thousand near-dup suspects. Sets are hashed
+    shingles (:func:`hashed_shingle_set`): long-array intersections,
+    no string materialization, same definition as the pair join."""
     needed = (
         pairs.select(F.col("doc_id_a").alias("__id"))
         .unionByName(pairs.select(F.col("doc_id_b").alias("__id")))
@@ -216,7 +250,7 @@ def verify_jaccard(
     )
     sets = docs_needed.select(
         F.col(id_col).alias("doc_id"),
-        shingles(tokens(F.lower(F.col(text_col))), k_shingle).alias("sh"),
+        hashed_shingle_set(text_col, k_shingle).alias("sh"),
     )
     a = sets.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
@@ -444,36 +478,13 @@ def ngram_jaccard_pairs(
     not near-dups. Set ``max_doc_freq=None`` to disable.
     Output: (doc_id_a, doc_id_b, jaccard), jaccard >= threshold.
     """
-    # Shingle hashing mirrors minhash_signatures' measured-fast shape:
-    # hash each token once (the only per-element lambda doing real
-    # work), combine k consecutive token-hashes per shingle from
-    # shifted arrays_zip slices (long inputs, no string
-    # materialization — the array_join(slice(...)) string formulation
-    # is interpreted per shingle and was the dominant cost of this
-    # join), dedup hashes per doc with array_distinct (flat function).
-    # Distinct-hash sets == distinct-string sets modulo xxhash64
-    # collisions, which the join already assumed.
-    tok_hashes = F.transform(
-        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
-    )
-    n_shingles = F.greatest(
-        F.size(tok_hashes) - F.lit(k_shingle - 1), F.lit(1)
-    )
-    zipped = F.arrays_zip(
-        *[F.slice(tok_hashes, j + 1, n_shingles) for j in range(k_shingle)]
-    )
-    sh_arr = F.array_distinct(
-        F.transform(
-            zipped,
-            lambda s: F.xxhash64(*[s[str(j)] for j in range(k_shingle)]),
-        )
-    )
     # per-doc set size rides through the explode (8 bytes per
     # posting), replacing a separate sizes aggregation plus two joins
     # against the pair stream — sizes are computed BEFORE the
     # stop-shingle filter, preserving the never-inflated guarantee.
     sh = documents.select(
-        F.col(id_col).alias("doc_id"), sh_arr.alias("sh_arr")
+        F.col(id_col).alias("doc_id"),
+        hashed_shingle_set(text_col, k_shingle).alias("sh_arr"),
     ).select(
         "doc_id",
         F.size("sh_arr").alias("n_sh"),
