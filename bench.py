@@ -33,6 +33,9 @@ HEADLINE = [
     "returnflag_counts_salted",
     "earliest_event_per_user",
     "user_sessions",
+    # the applyInPandasWithState path: Arrow batches through Python
+    # state — the one headline plan whose cost is NOT JVM codegen
+    "user_sessions_stream",
     "user_bucket_top_events",
     "minhash_near_dup_pairs",
     "near_dup_clusters",
