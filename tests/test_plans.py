@@ -46,6 +46,29 @@ def test_filter_pushdown_reaches_scan(spark, tmp_path):
     assert "timestamp_detected" not in plan.split("ReadSchema")[1].split("\n")[0]
 
 
+def test_ngram_pair_join_aggregates_sizes_inline(spark):
+    """The exact-Jaccard pair plan must finish at the pair
+    aggregation: per-doc set sizes ride through the explode as
+    grouping keys, so NO join sits above the final HashAggregate (the
+    old shape re-joined a sizes aggregation onto the pair stream
+    twice — two extra shuffles of the pair stream)."""
+    import re
+
+    from parquet_combiner_spark.plans import plan_text
+
+    docs = spark.createDataFrame(
+        [(i, "some words repeated here " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    plan = plan_text(dedup_text.ngram_jaccard_pairs(docs), mode="simple")
+    first_agg = plan.find("HashAggregate")
+    first_join = re.search(r"\w*Join", plan).start()
+    assert 0 <= first_agg < first_join, plan
+    # sizes are grouping keys of the pair aggregation, not join inputs
+    agg_keys = plan.split("HashAggregate(keys=[")[1].split("]")[0]
+    assert "n_sh" in agg_keys, plan
+
+
 def test_minhash_plan_no_cartesian(spark):
     docs = spark.createDataFrame(
         [(i, "some words repeated here " * 3) for i in range(6)],
