@@ -107,3 +107,52 @@ class TestProperties:
             .collect()
         }
         assert plain == salted
+
+
+# --- exact n-gram Jaccard vs a pure-python reference ---------------------
+#
+# Documents drawn from a 6-word vocabulary with 1-8 tokens: shingle
+# sets collide constantly (shared shingles, sub-k docs, duplicate
+# texts), exactly the regime where an inverted-index + inline-sizes
+# formulation could drift from the definition.
+
+_VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff"]
+_DOC = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=8)
+_CORPUS = st.lists(_DOC, min_size=2, max_size=10)
+
+
+def _py_shingles(toks: list[str], k: int = 3) -> frozenset:
+    if len(toks) <= k:
+        return frozenset({" ".join(toks)})
+    return frozenset(
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    )
+
+
+class TestNgramJaccardProperty:
+    @given(corpus=_CORPUS)
+    @SETTINGS
+    def test_pairs_match_python_reference(self, spark, corpus):
+        from parquet_combiner_spark.functions.dedup_text import (
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.25).collect()
+        }
+        expected = {}
+        sets = [_py_shingles(toks) for toks in corpus]
+        for a in range(len(corpus)):
+            for b in range(a + 1, len(corpus)):
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue
+                j = inter / len(sets[a] | sets[b])
+                if j >= 0.25:
+                    expected[(a, b)] = round(j, 4)
+        assert got == expected
