@@ -69,6 +69,28 @@ def test_ngram_pair_join_aggregates_sizes_inline(spark):
     assert "n_sh" in agg_keys, plan
 
 
+def test_partitioned_write_prunes_partitions_at_read(spark, tmp_path):
+    """The 100 TB payoff of write_parquet(partition_by=...): an
+    equality filter on the partition column must prune at the scan
+    (PartitionFilters), so a per-location query reads one directory,
+    not the whole table."""
+    from parquet_combiner_spark.plans import plan_text
+    from parquet_combiner_spark.sources.io import write_parquet
+
+    p = str(tmp_path / "partitioned")
+    write_parquet(
+        spark.createDataFrame(ROWS_A, DATA_A_SCHEMA),
+        p,
+        partition_by=["geographical_location_oid"],
+    )
+    df = spark.read.parquet(p).where(
+        F.col("geographical_location_oid") == 1
+    )
+    plan = plan_text(df)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "geographical_location_oid" in pf, plan
+
+
 def test_minhash_plan_no_cartesian(spark):
     docs = spark.createDataFrame(
         [(i, "some words repeated here " * 3) for i in range(6)],
