@@ -161,6 +161,7 @@ def windowed_top_events_available_now(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
+    stage = None
     if os.path.isfile(events_path):  # FileStreamSource needs a DIRECTORY
         stage = tempfile.mkdtemp(prefix="pcs-wintop-src-")
         shutil.copy(events_path, stage)
@@ -178,17 +179,23 @@ def windowed_top_events_available_now(
         dedup_keys=("event_id",),
     )
     name = f"win_counts_{uuid.uuid4().hex}"
+    ckpt = tempfile.mkdtemp(prefix="pcs-wintop-ckpt-")
     query = (
         counts.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="pcs-wintop-ckpt-")
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        # memory sink holds the rows; staged copy + checkpoint are
+        # throwaways once the run terminates
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
     ranked = top_items_per_window(
         spark.table(name),
         top_x,

@@ -150,6 +150,7 @@ def sessionize_events_available_now(
     import os
     import shutil
 
+    stage = None
     if os.path.isfile(events_path):
         stage = tempfile.mkdtemp(prefix="pcs-sessionize-src-")
         shutil.copy(events_path, stage)
@@ -167,16 +168,22 @@ def sessionize_events_available_now(
         watermark_delay=watermark_delay,
     )
     name = f"sessions_{uuid.uuid4().hex}"
+    ckpt = tempfile.mkdtemp(prefix="pcs-sessionize-ckpt-")
     query = (
         sessions.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="pcs-sessionize-ckpt-"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        # the memory sink holds the rows; neither the staged source
+        # copy nor the checkpoint is needed after termination, and a
+        # bench session runs this repeatedly
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
     return spark.table(name)
