@@ -218,6 +218,35 @@ def q_doc_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_W = _RESIZE_H = 8  # fake raster budget: 8*8*3 = 192 bytes
+_FRAME_EVERY = 4
+
+
+def q_doc_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (decode stubbed — see multimodal
+    module): Arrow-batched mapInPandas, binary payload in → binary
+    payload out. The fake resized payload is the sha256 hexdigest
+    repeated to the 192-byte raster budget, so the DuckDB oracle
+    reproduces the exact output blob."""
+    payloads = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return multimodal.resize_images(payloads, _RESIZE_W, _RESIZE_H)
+
+
+def q_doc_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (decode stubbed): each payload
+    explodes executor-side into every-4th fake frame with a
+    deterministic per-frame content hash — the row-expanding
+    mapInPandas pattern a video pipeline needs."""
+    payloads = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return multimodal.sample_frames(payloads, every_n=_FRAME_EVERY)
+
+
 # --- embeddings -----------------------------------------------------------
 
 
@@ -291,6 +320,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_binary_metadata": q_doc_binary_metadata,
     "doc_payload_features": q_doc_payload_features,
+    "doc_payload_resize": q_doc_payload_resize,
+    "doc_payload_frames": q_doc_payload_frames,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
@@ -500,6 +531,37 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                sha256(text) AS sha256
         FROM documents
+    """,
+    # fake resize: payload out = sha256 hexdigest repeated to the
+    # width*height*3 budget (hex-string bytes — reproducible in
+    # VARCHAR-space, where DuckDB's sha256 lives). reps derived from
+    # the same knobs as the Spark side.
+    "doc_payload_resize": f"""
+        SELECT doc_id AS media_id,
+               CAST({_RESIZE_W} AS INTEGER) AS width,
+               CAST({_RESIZE_H} AS INTEGER) AS height,
+               CAST({_RESIZE_W * _RESIZE_H * 3} AS INTEGER) AS n_bytes,
+               encode(repeat(sha256(text),
+                             {-(-_RESIZE_W * _RESIZE_H * 3 // 64)}))
+                   AS payload
+        FROM documents
+    """,
+    # fake frame sampling: one frame per FAKE_BYTES_PER_FRAME payload
+    # bytes (+1), every 4th sampled; frame hash = sha256(payload':'idx)
+    "doc_payload_frames": f"""
+        WITH d AS (
+            SELECT doc_id AS media_id, text,
+                   octet_length(encode(text))
+                       // {multimodal.FAKE_BYTES_PER_FRAME} + 1 AS n_frames
+            FROM documents
+        ), f AS (
+            SELECT media_id, text,
+                   unnest(range(0, n_frames, {_FRAME_EVERY})) AS idx
+            FROM d
+        )
+        SELECT media_id, CAST(idx AS INTEGER) AS frame_idx,
+               sha256(text || ':' || CAST(idx AS VARCHAR)) AS frame_sha256
+        FROM f
     """,
     "exact_dedup_docs": """
         SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id,

@@ -106,6 +106,128 @@ def extract_image_features(
     return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def fake_resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode → resize → re-encode: the
+    "resized image" is the payload's sha256 hexdigest repeated to the
+    width*height*3 byte budget (an RGB raster's size). Hex-string
+    bytes so a SQL oracle can reproduce the exact blob; a real
+    resizer returns real pixels through the same signature."""
+    target = width * height * 3
+    hexd = hashlib.sha256(payload).hexdigest()
+    reps = -(-target // len(hexd))
+    return (hexd * reps)[:target].encode()
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer=fake_resize_payload,
+) -> DataFrame:
+    """Arrow-batched resize over an opaque binary column — the decode
+    (stubbed, see module docstring) and re-encode are the per-row
+    Python work; everything around them is vectorized Arrow transfer.
+    Output keeps the binary payload contract (media_id, width, height,
+    n_bytes, payload) so downstream stages are agnostic to whether a
+    payload was resized."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = pdf["payload"].map(
+                lambda b: resizer(bytes(b), width, height)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(width, index=pdf.index, dtype="int32"),
+                    "height": pd.Series(
+                        height, index=pdf.index, dtype="int32"
+                    ),
+                    "n_bytes": out.map(len).astype("int32"),
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FAKE_BYTES_PER_FRAME = 64  # shared with the SQL oracle
+
+
+def fake_frame_count(payload: bytes) -> int:
+    """Fake "video length": one frame per FAKE_BYTES_PER_FRAME payload
+    bytes, plus one (a real counter reads the container's frame
+    index). 64 bytes/frame makes even short test documents span
+    multiple sampled frames, so the row-expanding path is exercised."""
+    return len(payload) // FAKE_BYTES_PER_FRAME + 1
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 4,
+    frame_counter=fake_frame_count,
+) -> DataFrame:
+    """Frame sampling over an opaque video column: each media row
+    EXPLODES into rows for frames 0, every_n, 2*every_n, ... —
+    ``mapInPandas`` may emit any number of output rows per input row,
+    which is exactly the shape a frame sampler needs (and the frame
+    decode is the stubbed step: the fake emits a deterministic
+    per-frame content hash instead of pixels).
+
+    Scale note: output size is rows × frames/every_n; the explosion
+    happens executor-side inside the Arrow stream, never on the
+    driver, and no shuffle is introduced."""
+    if every_n <= 0:
+        raise ValueError(f"every_n must be positive, got {every_n}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            mids, idxs, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx in range(0, frame_counter(b), every_n):
+                    mids.append(mid)
+                    idxs.append(idx)
+                    hashes.append(
+                        hashlib.sha256(
+                            b + b":" + str(idx).encode()
+                        ).hexdigest()
+                    )
+            if mids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(mids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "frame_sha256": hashes,
+                    }
+                )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def binary_metadata(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     """Metadata over any binary column with pure built-ins (no Python
     at all): byte length + sha256 — the cheap scan-side pass a media

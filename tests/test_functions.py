@@ -640,3 +640,53 @@ def test_ngram_pair_cache_bounded_lru_eviction(spark, tmp_path):
 
     fmod.clear_ngram_pair_cache()
     assert len(fmod._NGRAM_PAIR_CACHE) == 0
+
+
+def test_resize_images_deterministic_payload_contract(spark):
+    """Resize plumbing: binary in -> binary out at the raster budget,
+    payload exactly the deterministic fake (hexdigest repeated)."""
+    import hashlib
+
+    from parquet_combiner_spark.functions import multimodal
+
+    media = spark.createDataFrame(
+        [(1, b"hello"), (2, b"")], "media_id long, payload binary"
+    )
+    got = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(media, 8, 8).collect()
+    }
+    for mid, raw in ((1, b"hello"), (2, b"")):
+        expect = (hashlib.sha256(raw).hexdigest() * 3)[:192].encode()
+        assert bytes(got[mid]["payload"]) == expect
+        assert got[mid]["n_bytes"] == 192
+        assert (got[mid]["width"], got[mid]["height"]) == (8, 8)
+
+
+def test_sample_frames_explodes_rows(spark):
+    """Frame sampling must EXPLODE media rows executor-side: a payload
+    spanning k fake frames yields ceil(k/every_n) rows with frame
+    indices 0, every_n, ... and deterministic per-frame hashes."""
+    import hashlib
+
+    from parquet_combiner_spark.functions import multimodal
+
+    big = b"x" * (multimodal.FAKE_BYTES_PER_FRAME * 9)  # 10 fake frames
+    media = spark.createDataFrame(
+        [(1, big), (2, b"tiny")], "media_id long, payload binary"
+    )
+    rows = multimodal.sample_frames(media, every_n=4).collect()
+    by_media: dict[int, list] = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 10 frames sampled every 4th -> indices 0, 4, 8
+    assert sorted(r["frame_idx"] for r in by_media[1]) == [0, 4, 8]
+    assert [r["frame_idx"] for r in by_media[2]] == [0]
+    for r in by_media[1]:
+        expect = hashlib.sha256(
+            big + b":" + str(r["frame_idx"]).encode()
+        ).hexdigest()
+        assert r["frame_sha256"] == expect
+
+    with pytest.raises(ValueError, match="every_n must be positive"):
+        multimodal.sample_frames(media, every_n=0)
