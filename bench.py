@@ -60,8 +60,10 @@ def main() -> None:
     # near_dup_clusters shares a memoized pair join with
     # ngram_jaccard_pairs; cleared before every run below so the
     # expensive join is attributed to this named line on each
-    # measurement instead of whichever consumer ran first.
+    # measurement, and again after its last run so the persisted pair
+    # blocks don't compete for memory with later measured queries.
     pre_run = {"near_dup_clusters": clear_ngram_pair_cache}
+    post_runs = {"near_dup_clusters": clear_ngram_pair_cache}
 
     # Warm run: JVM JIT + whole-stage-codegen compilation at the
     # smallest sibling SF so the measured numbers reflect steady-state
@@ -91,6 +93,9 @@ def main() -> None:
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+        post = post_runs.get(name)
+        if post is not None:
+            post()
         timings[name] = round(statistics.median(runs), 3)
         sys.stderr.write(
             f"{name}: median {timings[name]}s of "

@@ -532,17 +532,19 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                sha256(text) AS sha256
         FROM documents
     """,
-    # fake resize: payload out = sha256 hexdigest repeated to the
-    # width*height*3 budget (hex-string bytes — reproducible in
-    # VARCHAR-space, where DuckDB's sha256 lives). reps derived from
-    # the same knobs as the Spark side.
+    # fake resize: payload out = sha256 hexdigest repeated-then-
+    # TRUNCATED to the width*height*3 budget (hex-string bytes —
+    # reproducible in VARCHAR-space, where DuckDB's sha256 lives).
+    # reps and the left() truncation both derive from the same knobs
+    # as the Spark side, so non-multiple-of-64 budgets stay in sync.
     "doc_payload_resize": f"""
         SELECT doc_id AS media_id,
                CAST({_RESIZE_W} AS INTEGER) AS width,
                CAST({_RESIZE_H} AS INTEGER) AS height,
                CAST({_RESIZE_W * _RESIZE_H * 3} AS INTEGER) AS n_bytes,
-               encode(repeat(sha256(text),
-                             {-(-_RESIZE_W * _RESIZE_H * 3 // 64)}))
+               encode(left(repeat(sha256(text),
+                                  {-(-_RESIZE_W * _RESIZE_H * 3 // 64)}),
+                           {_RESIZE_W * _RESIZE_H * 3}))
                    AS payload
         FROM documents
     """,

@@ -34,6 +34,25 @@ NUM_HASHES = 64
 NUM_BANDS = 16  # 16 bands × 4 rows; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
 
 
+def _shingle_zip(text_col: str, k_shingle: int):
+    """array<struct> of the k consecutive token-hashes of every
+    shingle window — the shared shingle-window construction of
+    MinHash signatures and exact-Jaccard sets. Each token string is
+    hashed ONCE (the only per-element lambda), then the k shifted
+    slices are zipped; a doc shorter than ``k_shingle`` tokens yields
+    one window of its available token-hashes (``arrays_zip`` pads the
+    short slices with nulls, which downstream ``xxhash64`` skips)."""
+    tok_hashes = F.transform(
+        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+    )
+    n_shingles = F.greatest(
+        F.size(tok_hashes) - F.lit(k_shingle - 1), F.lit(1)
+    )
+    return F.arrays_zip(
+        *[F.slice(tok_hashes, j + 1, n_shingles) for j in range(k_shingle)]
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     text_col: str = "text",
@@ -65,17 +84,9 @@ def minhash_signatures(
     hashed-shingle subexpression gets inlined and re-evaluated per
     hash function.
     """
-    tok_hashes = F.transform(
-        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
-    )
-    n_shingles = F.greatest(
-        F.size(tok_hashes) - F.lit(k_shingle - 1), F.lit(1)
-    )
-    zipped = F.arrays_zip(
-        *[F.slice(tok_hashes, j + 1, n_shingles) for j in range(k_shingle)]
-    )
     sh64 = documents.select(
-        F.col(id_col).alias("doc_id"), F.explode(zipped).alias("sh")
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingle_zip(text_col, k_shingle)).alias("sh"),
     ).select(
         "doc_id",
         F.xxhash64(
@@ -194,29 +205,20 @@ def hashed_shingle_set(text_col: str, k_shingle: int = 3):
     """array<long> of DISTINCT k-shingle hashes of a text column — the
     shared shingle representation of the exact-Jaccard operators.
 
-    Flat-codegen shape (the measured-fast minhash_signatures pattern):
-    hash each token once, combine the k consecutive token-hashes of
-    each shingle from shifted ``arrays_zip`` slices (long inputs — the
+    Flat-codegen shape: the shared :func:`_shingle_zip` window
+    construction (also the MinHash signature front end, so the two
+    families can never drift on the shingle definition), one xxhash64
+    per window combining its k token-hashes (long inputs — the
     string-materializing ``array_join(slice(...))`` lambda this
-    replaces was interpreted per shingle and dominated the pair join),
-    then ``array_distinct`` on the hash array. Distinct-hash sets
-    equal distinct-string sets modulo xxhash64 collisions, which every
-    consumer (set intersection / equi-join keys) already assumed.
-    A doc shorter than ``k_shingle`` tokens yields one shingle of its
-    available tokens (xxhash64 skips the nulls ``slice`` pads with).
+    replaced was interpreted per shingle and dominated the pair
+    join), then ``array_distinct`` on the hash array. Distinct-hash
+    sets equal distinct-string sets modulo xxhash64 collisions, which
+    every consumer (set intersection / equi-join keys) already
+    assumed.
     """
-    tok_hashes = F.transform(
-        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
-    )
-    n_shingles = F.greatest(
-        F.size(tok_hashes) - F.lit(k_shingle - 1), F.lit(1)
-    )
-    zipped = F.arrays_zip(
-        *[F.slice(tok_hashes, j + 1, n_shingles) for j in range(k_shingle)]
-    )
     return F.array_distinct(
         F.transform(
-            zipped,
+            _shingle_zip(text_col, k_shingle),
             lambda s: F.xxhash64(*[s[str(j)] for j in range(k_shingle)]),
         )
     )

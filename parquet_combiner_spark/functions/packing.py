@@ -100,8 +100,9 @@ def pack_sequences(
     order into sequences of ``budget`` tokens. Deterministic: depends
     only on the (id → token count) mapping, never on partitioning.
 
-    Runs two scans of the (id, token_count) projection (totals, then
-    the final pass) — persist ``docs`` first if its upstream is
+    Runs three passes over the (id, token_count) projection — the
+    split-point sketch (approxQuantile or sample), the bucket totals,
+    and the final pass — so persist ``docs`` first if its upstream is
     expensive to recompute.
     """
     if budget <= 0:

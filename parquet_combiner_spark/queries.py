@@ -340,9 +340,13 @@ def user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def windowed_top_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 windowed top-N under the hard signal: the streaming
-    dedup → tumbling-window count → rank pipeline (the reference's
-    proposed real-time flagship) run to completion with
-    ``trigger(availableNow=True)`` over the events table.
+    tumbling-window count → rank pipeline (the reference's proposed
+    real-time flagship) run to completion with
+    ``trigger(availableNow=True)`` over the events table. The dedup
+    stage is deliberately absent here — its within-watermark
+    first-wins semantics are not batch-SQL-mirrorable under
+    duplicates, and this query exists for the oracle contract; the
+    dedup composition is pinned by test_streaming.py instead.
 
     The oracle is the batch formulation: 1-hour tumbling windows on
     ms-floored event time, top-3 event types per window (count desc,

@@ -38,7 +38,11 @@ def ensure_ts_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
     Micros-precision inputs become exact ``micros * 1000`` nanos.
     """
     t = dict(df.dtypes).get(col)
-    if t in (None, "bigint"):
+    if t is None:
+        raise TypeError(
+            f"ensure_ts_nanos: column {col!r} not found in {df.columns}"
+        )
+    if t == "bigint":
         return df
     if t == "timestamp_ntz":
         conv = F.expr(

@@ -169,6 +169,11 @@ def windowed_top_events_available_now(
     stream = ensure_ts_nanos(
         spark.readStream.schema(schema).parquet(events_path)
     ).withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    # dedup_keys=(): raw windowed counts. The within-watermark
+    # first-wins dedup stage is NOT mirrorable in batch SQL once
+    # duplicate ids exist, and this query's whole point is the oracle
+    # contract; the dedup composition itself is pinned by
+    # test_streaming.py with planted duplicates.
     counts = windowed_item_counts(
         stream,
         window_duration,
@@ -176,23 +181,23 @@ def windowed_top_events_available_now(
         "event_time",
         watermark_delay,
         group_cols=("event_type",),
-        dedup_keys=("event_id",),
+        dedup_keys=(),
     )
     name = f"win_counts_{uuid.uuid4().hex}"
     ckpt = tempfile.mkdtemp(prefix="pcs-wintop-ckpt-")
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         query.awaitTermination()
     finally:
         # memory sink holds the rows; staged copy + checkpoint are
-        # throwaways once the run terminates
+        # throwaways once the run terminates OR fails to start
         shutil.rmtree(ckpt, ignore_errors=True)
         if stage is not None:
             shutil.rmtree(stage, ignore_errors=True)
@@ -225,16 +230,21 @@ def windowed_item_counts(
     """Per-(window, *group_cols) deduped counts — the batch A1
     aggregation under a (sliding) event-time window; defaults keep the
     reference's detections shape, ``group_cols``/``dedup_keys``
-    retarget it to any event table.
+    retarget it to any event table. An EMPTY ``dedup_keys`` skips the
+    dedup stage (raw counts) — used when the consumer needs an
+    ANSI-SQL-mirrorable contract, because within-watermark first-wins
+    dedup is not expressible in batch SQL once duplicates exist.
 
     Dedup-then-count composes the stateful dedup with the windowed
     aggregation; the watermark bounds both states and lets append
     mode emit each window exactly once when it finalizes."""
-    deduped = dedup_stream(
-        stream, list(dedup_keys), event_time_col, delay
+    counted = (
+        dedup_stream(stream, list(dedup_keys), event_time_col, delay)
+        if dedup_keys
+        else stream.withWatermark(event_time_col, delay)
     )
     win = F.window(F.col(event_time_col), window_duration, slide)
-    return deduped.groupBy(
+    return counted.groupBy(
         win.alias("window"),
         *group_cols,
     ).agg(F.count(F.lit(1)).alias("count"))

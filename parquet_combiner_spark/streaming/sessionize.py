@@ -169,20 +169,20 @@ def sessionize_events_available_now(
     )
     name = f"sessions_{uuid.uuid4().hex}"
     ckpt = tempfile.mkdtemp(prefix="pcs-sessionize-ckpt-")
-    query = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
         query.awaitTermination()
     finally:
         # the memory sink holds the rows; neither the staged source
-        # copy nor the checkpoint is needed after termination, and a
-        # bench session runs this repeatedly
+        # copy nor the checkpoint is needed after termination (or a
+        # failed start), and a bench session runs this repeatedly
         shutil.rmtree(ckpt, ignore_errors=True)
         if stage is not None:
             shutil.rmtree(stage, ignore_errors=True)
