@@ -470,8 +470,9 @@ def ngram_jaccard_pairs(
     |postings|², which a single stop-shingle ("the quick brown" in 10⁶
     docs) turns quadratic. ``max_doc_freq`` is the standard
     set-similarity-join mitigation: shingles whose posting list
-    exceeds it are dropped from intersection counting (one extra
-    groupBy + a broadcast-friendly semi-join, both pre-aggregated).
+    exceeds it are dropped from intersection counting (a window count
+    over the same sh clustering the self-join needs — zero extra
+    passes or shuffles).
     Per-doc set sizes are computed BEFORE the filter, so for surviving
     pairs the reported Jaccard is exact-or-underestimated (never
     inflated) and results are exact whenever no shingle exceeds the
@@ -494,18 +495,22 @@ def ngram_jaccard_pairs(
     )
     if max_doc_freq is not None:
         # document frequency per shingle (shingles are distinct within
-        # a doc, so count == df). Anti-join against the OVER-cap set:
-        # stop-shingles are by definition few (a vocabulary can only
-        # hold corpus_size/max_doc_freq of them), so the anti side is
-        # tiny and AQE broadcasts it — the postings stream is never
-        # shuffled for the filter.
-        stop = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > max_doc_freq)
-            .select("sh")
-        )
-        sh = sh.join(stop, "sh", "left_anti")
+        # a doc, so count == df), computed as a WINDOW count over the
+        # sh clustering the self-join below needs anyway: the postings
+        # stream shuffles by sh exactly once, the window's partition
+        # is reused by both join sides (ReusedExchange), and the whole
+        # posting list of an over-cap shingle is dropped (drop-all,
+        # same deterministic semantics as the anti-join formulation
+        # this replaces — which cost a second full extraction pass and
+        # a second postings shuffle). Worst-case partition (one hot
+        # stop shingle) is identical to what the join itself would
+        # face, so the window adds no new skew exposure.
+        from pyspark.sql import Window
+
+        df_count = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        sh = sh.withColumn("__df", df_count).where(
+            F.col("__df") <= max_doc_freq
+        ).drop("__df")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
