@@ -112,6 +112,58 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """JSON-lines scan — the raw-ingestion format of an LLM data
+    pipeline (one document object per line). Optionally
+    schema-enforced with the same fail-fast posture as
+    :func:`read_parquet`: JSON schema-on-read silently NULL-fills
+    fields absent from the data, so with a declared schema the field
+    set is first checked against an inferred sample (JSON has no
+    footer — inference reads data, but only to derive the schema),
+    and malformed lines fail the job (``FAILFAST``) instead of
+    becoming silent nulls (permissive mode's default).
+
+    Scale note: line-delimited JSON splits by line across tasks like
+    any text source, but costs a full parse per read — ingest once,
+    then operate on parquet (:func:`write_parquet`).
+    """
+    if schema is not None:
+        actual = {f.lower() for f in spark.read.json(path).schema.names}
+        missing = [
+            f.name for f in schema.fields if f.name.lower() not in actual
+        ]
+        if missing:
+            raise ValueError(
+                f"jsonl at {path} is missing declared field(s) "
+                f"{missing}; found {sorted(actual)}"
+            )
+        return spark.read.schema(schema).option("mode", mode).json(path)
+    return spark.read.option("mode", mode).json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    partition_by: list[str] | None = None,
+) -> None:
+    """JSON-lines sink — the export format downstream training
+    consumers read. Same partitioned-layout option as the parquet
+    sink; gzip by default (line-JSON is verbose — ~4-10x parquet)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

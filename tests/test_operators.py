@@ -441,3 +441,62 @@ def test_ensure_ts_nanos_all_representations_tz_independent(spark):
     )
     with pytest.raises(TypeError, match="cannot normalize"):
         ensure_ts_nanos(df_str)
+
+
+def test_jsonl_round_trip_schema_enforced(spark, tmp_path):
+    """JSONL source/sink: round-trip preserves rows and types under a
+    declared schema; a missing declared field fails fast instead of
+    silently null-filling; malformed lines fail the read (FAILFAST)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from parquet_combiner_spark.sources.io import read_jsonl, write_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows = [(1, "hello world", "en"), (2, "der hund", "de"), (3, None, None)]
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, p)
+
+    back = read_jsonl(spark, p, schema=schema)
+    assert back.schema == schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+    missing = T.StructType(
+        schema.fields + [T.StructField("absent_col", T.LongType())]
+    )
+    with pytest.raises(ValueError, match="missing declared field"):
+        read_jsonl(spark, p, schema=missing)
+
+    # malformed line: FAILFAST surfaces the parse error as a job
+    # failure instead of a silent null row
+    bad = tmp_path / "bad_jsonl"
+    bad.mkdir()
+    (bad / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en"}\n{broken\n'
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        read_jsonl(spark, str(bad), schema=schema).collect()
+
+
+def test_jsonl_partitioned_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.sources.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}", "en" if i % 2 else "de") for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    p = str(tmp_path / "by_lang")
+    write_jsonl(df, p, partition_by=["lang"])
+    back = read_jsonl(spark, p)
+    assert back.count() == 10
+    only_en = read_jsonl(spark, p).where(F.col("lang") == "en")
+    assert only_en.count() == 5
