@@ -38,9 +38,11 @@ HEADLINE = [
     "user_sessions_stream",
     "user_bucket_top_events",
     "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
     "near_dup_clusters",
     "doc_pack_sequences",
     "ann_cosine_topk",
+    "embedding_near_dup_pairs",
     "doc_quality",
 ]
 
