@@ -317,29 +317,29 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash long): Charikar SimHash over token counts.
 
-    Each token votes ±count on each of 64 bit positions (sign of its
-    xxhash64 bit); the signature takes the sign of each bit-sum. One
-    groupBy(doc, token) + one groupBy(doc), both with partial
-    aggregation.
+    Each token occurrence votes ±1 on each of 64 bit positions (sign
+    of its xxhash64 bit); the signature takes the sign of each
+    bit-sum. Summing ±1 per OCCURRENCE equals the textbook ±count per
+    distinct token, so the per-(doc, token) counting stage an earlier
+    version ran first is mathematically redundant — this is ONE
+    partial-aggregated groupBy(doc), one shuffle carrying 64 longs
+    per doc.
     """
     # Explode tokens and hash each token string ONCE to a long; the 64
     # per-bit votes are then shift/mask ops on that long (flat-column
     # whole-stage codegen — measured faster than per-row array
-    # lambdas, which are interpreted). Grouping directly by the token
-    # hash (the string is never needed again) keeps the first shuffle
-    # key an 8-byte long.
+    # lambdas, which are interpreted).
     tok = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     ).select("doc_id", F.xxhash64("token").alias("h"))
-    counts = tok.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("cnt"))
-    bit_sums = counts.groupBy("doc_id").agg(
+    bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
                     F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                    F.col("cnt"),
-                ).otherwise(-F.col("cnt"))
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
             ).alias(f"b{i}")
             for i in range(SIMHASH_BITS)
         ]
