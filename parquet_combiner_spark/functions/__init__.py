@@ -227,12 +227,25 @@ def q_doc_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     module): Arrow-batched mapInPandas, binary payload in → binary
     payload out. The fake resized payload is the sha256 hexdigest
     repeated to the 192-byte raster budget, so the DuckDB oracle
-    reproduces the exact output blob."""
+    reproduces the exact output blob.
+
+    ``resize_images`` itself stays binary-in/binary-out; only THIS
+    query's boundary decodes the payload to a string column — the
+    driver's canonicalizer hashes via pandas ``factorize``, which
+    cannot hash raw BINARY cells (``bytearray`` is unhashable), and
+    the fake payload is ASCII hex text so the decode is lossless."""
     payloads = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("payload"),
     )
-    return multimodal.resize_images(payloads, _RESIZE_W, _RESIZE_H)
+    resized = multimodal.resize_images(payloads, _RESIZE_W, _RESIZE_H)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        F.decode("payload", "UTF-8").alias("payload"),
+    )
 
 
 def q_doc_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,7 +547,9 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     """,
     # fake resize: payload out = sha256 hexdigest repeated-then-
     # TRUNCATED to the width*height*3 budget (hex-string bytes —
-    # reproducible in VARCHAR-space, where DuckDB's sha256 lives).
+    # reproducible in VARCHAR-space, where DuckDB's sha256 lives; no
+    # encode(): the query boundary ships the payload as a decoded
+    # string so the driver canonicalizer can hash it).
     # reps and the left() truncation both derive from the same knobs
     # as the Spark side, so non-multiple-of-64 budgets stay in sync.
     "doc_payload_resize": f"""
@@ -542,9 +557,9 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                CAST({_RESIZE_W} AS INTEGER) AS width,
                CAST({_RESIZE_H} AS INTEGER) AS height,
                CAST({_RESIZE_W * _RESIZE_H * 3} AS INTEGER) AS n_bytes,
-               encode(left(repeat(sha256(text),
-                                  {-(-_RESIZE_W * _RESIZE_H * 3 // 64)}),
-                           {_RESIZE_W * _RESIZE_H * 3}))
+               left(repeat(sha256(text),
+                           {-(-_RESIZE_W * _RESIZE_H * 3 // 64)}),
+                    {_RESIZE_W * _RESIZE_H * 3})
                    AS payload
         FROM documents
     """,

@@ -75,6 +75,21 @@ def hugeint_decimal_columns(cols: list[str], types: list) -> list[str]:
     return flagged
 
 
+def binary_output_columns(sdf) -> list[str]:
+    """Spark output columns the DRIVER's canonicalizer cannot hash:
+    raw BINARY collects as ``bytearray``, which pandas ``factorize``
+    rejects ("unhashable type") before any comparison happens — the
+    r6 ``doc_payload_resize`` failure. The local ``_norm`` hexes
+    bytes and would silently pass, so flag at the type level instead."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, T.BinaryType)
+    ]
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -115,6 +130,16 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"ERROR    {name}: spark side failed: {e}")
+            failures.append(name)
+            continue
+        bin_cols = binary_output_columns(sdf)
+        if bin_cols:
+            print(
+                f"WARNTYPE {name}: spark columns {', '.join(bin_cols)} "
+                "are raw BINARY — the driver canonicalizer cannot hash "
+                "bytearray cells; re-encode the query boundary "
+                "(decode/hex/md5)"
+            )
             failures.append(name)
             continue
         if name not in oracles:
