@@ -338,6 +338,66 @@ def user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via the BUILT-IN ``session_window`` — the
+    JVM-native formulation of ``user_sessions``' semantics (batch
+    mode; the streaming twin is ``user_sessions_stream_native``).
+    Whole-stage-codegen session assignment, no window-function
+    partition sort over all events, no Python: the plan you'd run at
+    100 TB when per-event custom state is not required.
+
+    ``session_window`` merges INCLUSIVELY at the gap (two events
+    exactly gap apart share a session — verified empirically, pinned
+    by test_streaming.py), the same boundary as the lag-based
+    ``user_sessions`` and the custom streaming operator. Event time is
+    ms-floored; all outputs integral epoch millis."""
+    gap_ms = 30 * 60_000
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.timestamp_millis(F.expr("ts div 1000000")).alias("event_time"),
+    )
+    return (
+        ev.groupBy(
+            F.session_window("event_time", f"{gap_ms // 1000} seconds").alias(
+                "session"
+            ),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(session.start) div 1000").alias(
+                "session_start"
+            ),
+            (F.expr("unix_micros(session.end) div 1000") - gap_ms).alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+def user_sessions_stream_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 on the JVM-native path: ``groupBy(session_window(...))``
+    as a streaming session aggregation (no Python in the loop — the
+    scale answer to the ``applyInPandasWithState`` operator's
+    interpreter cost), run to completion with availableNow and
+    checked against the closed-session batch oracle.
+
+    Emission semantics: append mode emits a session iff the final
+    watermark (``max_ms - delay``) passed its window END
+    (``last_event + gap``) — inclusive, unlike the custom operator's
+    strictly-below timeout firing; both boundaries sit in the oracle
+    WHERE clauses."""
+    from parquet_combiner_spark.streaming.sessionize import (
+        sessionize_events_available_now_native,
+    )
+
+    return sessionize_events_available_now_native(
+        spark, table_path(sf_dir, "events")
+    )
+
+
 def windowed_top_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 windowed top-N under the hard signal: the streaming
     tumbling-window count → rank pipeline (the reference's proposed
@@ -462,7 +522,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_global": top_orders_global,
     "events_by_type": events_by_type,
     "user_sessions": user_sessions,
+    "user_sessions_native": user_sessions_native,
     "user_sessions_stream": user_sessions_stream,
+    "user_sessions_stream_native": user_sessions_stream_native,
     "windowed_top_events_stream": windowed_top_events_stream,
     "price_percentiles": price_percentiles,
     "price_percentiles_approx": price_percentiles_approx,
@@ -629,6 +691,35 @@ ORACLE_SQL: dict[str, str] = {
                (max(tns) - min(tns)) // 1000000 AS duration_ms
         FROM s GROUP BY user_id, session_id
     """,
+    # session_window semantics on ms-floored event time: sessions
+    # merge INCLUSIVELY at the gap (windows [t, t+gap] touching ⇒
+    # merge — verified empirically, pinned by
+    # test_native_session_window_exact_gap_boundary), so the split
+    # predicate is the same strict > as the custom operator. Full
+    # session set — batch mode has no watermark restriction.
+    "user_sessions_native": """
+        WITH g AS (
+            SELECT user_id, epoch_ns(ts) // 1000000 AS tms, event_id
+            FROM events
+        ), l AS (
+            SELECT user_id, tms,
+                   lag(tms) OVER (
+                       PARTITION BY user_id ORDER BY tms, event_id
+                   ) AS prev
+            FROM g
+        ), s AS (
+            SELECT user_id, tms,
+                   sum(CASE WHEN prev IS NULL OR tms - prev > 1800000
+                       THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY tms
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM l
+        )
+        SELECT user_id, min(tms) AS session_start,
+               max(tms) AS session_end, count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
     # closed-session restriction of the batch sessionization, in epoch
     # millis: the streaming run closes every session except each
     # user's last in-stream; the last closes iff the final watermark
@@ -660,6 +751,39 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT user_id, session_start, session_end, n_events FROM agg
         WHERE session_end + 1800000 <
+              (SELECT max(epoch_ns(ts) // 1000000) FROM events) - 600000
+    """,
+    # the native session_window streaming run: same inclusive-merge /
+    # strict-> split as user_sessions_native, restricted to sessions
+    # whose window end (last + gap) the final watermark passed
+    # INCLUSIVELY (append-mode state eviction fires at end <=
+    # watermark — verified empirically, unlike the custom operator's
+    # strictly-below timeout firing; both pinned by pytest).
+    "user_sessions_stream_native": """
+        WITH g AS (
+            SELECT user_id, epoch_ns(ts) // 1000000 AS tms, event_id
+            FROM events
+        ), l AS (
+            SELECT user_id, tms,
+                   lag(tms) OVER (
+                       PARTITION BY user_id ORDER BY tms, event_id
+                   ) AS prev
+            FROM g
+        ), s AS (
+            SELECT user_id, tms,
+                   sum(CASE WHEN prev IS NULL OR tms - prev > 1800000
+                       THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY tms
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM l
+        ), agg AS (
+            SELECT user_id, min(tms) AS session_start,
+                   max(tms) AS session_end, count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events FROM agg
+        WHERE session_end + 1800000 <=
               (SELECT max(epoch_ns(ts) // 1000000) FROM events) - 600000
     """,
     # batch formulation of the streaming windowed top-N: 1h tumbling

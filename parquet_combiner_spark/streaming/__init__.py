@@ -1,5 +1,6 @@
 from parquet_combiner_spark.streaming.sessionize import (  # noqa: F401
     sessionize_stream,
+    sessionize_stream_native,
 )
 from parquet_combiner_spark.streaming.pipeline import (  # noqa: F401
     archive_stream,

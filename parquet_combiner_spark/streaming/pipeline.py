@@ -152,57 +152,32 @@ def windowed_top_events_available_now(
     Output: (window_start_ms, event_type, n, item_rank) — integral
     epoch millis, no floats/timestamps in the contract.
     """
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    from parquet_combiner_spark.streaming.run import (
+        run_events_stream_available_now,
+    )
 
-    from parquet_combiner_spark.sources.io import ensure_ts_nanos
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    stage = None
-    if os.path.isfile(events_path):  # FileStreamSource needs a DIRECTORY
-        stage = tempfile.mkdtemp(prefix="pcs-wintop-src-")
-        shutil.copy(events_path, stage)
-        events_path = stage
-    stream = ensure_ts_nanos(
-        spark.readStream.schema(schema).parquet(events_path)
-    ).withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
     # dedup_keys=(): raw windowed counts. The within-watermark
     # first-wins dedup stage is NOT mirrorable in batch SQL once
     # duplicate ids exist, and this query's whole point is the oracle
     # contract; the dedup composition itself is pinned by
     # test_streaming.py with planted duplicates.
-    counts = windowed_item_counts(
-        stream,
-        window_duration,
-        None,
-        "event_time",
-        watermark_delay,
-        group_cols=("event_type",),
-        dedup_keys=(),
+    counts = run_events_stream_available_now(
+        spark,
+        events_path,
+        lambda stream: windowed_item_counts(
+            stream,
+            window_duration,
+            None,
+            "event_time",
+            watermark_delay,
+            group_cols=("event_type",),
+            dedup_keys=(),
+        ),
+        prefix="wintop",
+        event_time=F.timestamp_micros(F.expr("ts div 1000")),
     )
-    name = f"win_counts_{uuid.uuid4().hex}"
-    ckpt = tempfile.mkdtemp(prefix="pcs-wintop-ckpt-")
-    try:
-        query = (
-            counts.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    finally:
-        # memory sink holds the rows; staged copy + checkpoint are
-        # throwaways once the run terminates OR fails to start
-        shutil.rmtree(ckpt, ignore_errors=True)
-        if stage is not None:
-            shutil.rmtree(stage, ignore_errors=True)
     ranked = top_items_per_window(
-        spark.table(name),
+        counts,
         top_x,
         group_cols=("window",),
         item_col="event_type",

@@ -1,0 +1,87 @@
+"""Shared harness for running a finite Structured Streaming job to
+completion and handing back its finalized output as a batch DataFrame.
+
+Every driver-checkable streaming query (stateful sessionization,
+native session windows, windowed top-N) needs the same scaffolding:
+stage a single-file events path into a directory (FileStreamSource
+requires one), build the watermarked stream, run it into a memory
+sink with ``trigger(availableNow=True)``, and clean up. Centralizing
+it also fixes the memory-sink leak the per-query copies shared: the
+finalized rows are re-materialized as a fresh local DataFrame and the
+uuid-named temp view is DROPPED, so repeated runs (bench loops,
+check_oracle sweeps) no longer accumulate sink tables in driver
+memory for the session lifetime.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from parquet_combiner_spark.sources.io import ensure_ts_nanos
+
+
+def run_events_stream_available_now(
+    spark: SparkSession,
+    events_path: str,
+    transform: Callable[[DataFrame], DataFrame],
+    *,
+    prefix: str,
+    event_time: Column,
+) -> DataFrame:
+    """Stream the events table through ``transform`` to completion and
+    return the append-mode output as a batch DataFrame.
+
+    - ``ts`` is normalized to integer nanos (``ensure_ts_nanos``) and
+      ``event_time`` (a Column over the normalized frame) becomes the
+      watermark-eligible timestamp column.
+    - The memory sink is bounded by construction: append-mode output
+      is one row per finalized session/window, never per event.
+    - Checkpoint and staged source copy are throwaways; the temp view
+      is dropped before returning. The sink rows survive the drop via
+      an eager ``localCheckpoint`` — executor-side blocks whose
+      lifetime the ContextCleaner manages (measured ~3s cheaper at
+      sf0.1 than a driver collect + createDataFrame round-trip of the
+      same rows).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    stage = None
+    if os.path.isfile(events_path):
+        # FileStreamSource requires a DIRECTORY; the testdata ships
+        # single .parquet files, so stage one into a throwaway dir (a
+        # real deployment streams from a directory/bucket prefix).
+        stage = tempfile.mkdtemp(prefix=f"pcs-{prefix}-src-")
+        shutil.copy(events_path, stage)
+        events_path = stage
+    stream = ensure_ts_nanos(
+        spark.readStream.schema(schema).parquet(events_path)
+    ).withColumn("event_time", event_time)
+    out = transform(stream)
+    name = f"{prefix}_{uuid.uuid4().hex}"
+    ckpt = tempfile.mkdtemp(prefix=f"pcs-{prefix}-ckpt-")
+    try:
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        result = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — sink never registered
+            pass
+    return result

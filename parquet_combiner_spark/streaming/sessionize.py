@@ -17,9 +17,6 @@ last_event + gap (state timeout) — both exactly-once per session.
 
 from __future__ import annotations
 
-import tempfile
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -54,6 +51,7 @@ def sessionize_stream(
     gap_ms = int(gap_minutes * 60_000)
 
     def fn(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
@@ -64,27 +62,57 @@ def sessionize_stream(
             closed.append((user_id, start_ms, last_ms, n))
             state.remove()
         else:
-            ts = (
+            # Vectorized within-batch fold (the cross-batch dependency
+            # lives in the state object; within a batch the gap splits
+            # are a pure array computation — no per-event Python).
+            ts = np.sort(
                 pd.concat(list(pdfs))[event_time_col]
                 .astype("datetime64[ms]")
                 .astype("int64")
-                .sort_values()
+                .to_numpy()
             )
             cur = state.get if state.exists else None
-            for t in ts:
-                t = int(t)
-                if cur is None:
-                    cur = (t, t, 1)
-                elif t - cur[1] > gap_ms:
-                    closed.append((user_id, cur[0], cur[1], cur[2]))
-                    cur = (t, t, 1)
+            if ts.size == 0:  # defensive: no data and no timeout
+                if cur is not None:
+                    state.update(cur)
+                    state.setTimeoutTimestamp(cur[1] + gap_ms)
+                return
+            if cur is not None:
+                s0, l0, n0 = cur
+                # Effective "previous event" for each gap check is
+                # max(carried last, previous batch event): a LATE
+                # event behind the carried state must never regress
+                # session_end or split on its raw predecessor. Once
+                # any event exceeds l0 (sorted order ⇒ all later ones
+                # do too) the max reduces to the plain predecessor, so
+                # this one expression is faithful across splits.
+                prev = np.maximum(
+                    l0, np.concatenate(([np.int64(l0)], ts[:-1]))
+                )
+            else:
+                prev = np.concatenate((ts[:1], ts[:-1]))
+            splits = np.flatnonzero(ts - prev > gap_ms)
+            bounds = np.concatenate(([0], splits, [len(ts)]))
+            segments = [
+                (int(ts[a]), int(ts[b - 1]), int(b - a))
+                for a, b in zip(bounds[:-1], bounds[1:])
+                if b > a
+            ]
+            if cur is not None:
+                if splits.size and splits[0] == 0:
+                    # the whole batch is beyond the carried session's
+                    # gap: it closes untouched
+                    closed.append((user_id, s0, l0, n0))
                 else:
-                    # a LATE event (t within the watermark but behind
-                    # state from an earlier micro-batch) must never
-                    # regress session_end or re-arm the timeout
-                    # earlier — it joins the session without moving
-                    # its bounds backwards
-                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
+                    first = segments[0]
+                    segments[0] = (
+                        min(s0, first[0]),
+                        max(l0, first[1]),
+                        n0 + first[2],
+                    )
+            for start, end, n in segments[:-1]:
+                closed.append((user_id, start, end, n))
+            cur = segments[-1]
             state.update(cur)
             # close via watermark: when event time passes last + gap
             state.setTimeoutTimestamp(cur[1] + gap_ms)
@@ -142,48 +170,99 @@ def sessionize_events_available_now(
     The sink is an in-memory table (bounded: one row per closed
     session, not per event); the checkpoint is a throwaway tempdir.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    # FileStreamSource requires a DIRECTORY; the testdata ships single
-    # .parquet files, so stage one into a throwaway dir (a real
-    # deployment streams from a directory/bucket prefix already).
-    import os
-    import shutil
-
-    stage = None
-    if os.path.isfile(events_path):
-        stage = tempfile.mkdtemp(prefix="pcs-sessionize-src-")
-        shutil.copy(events_path, stage)
-        events_path = stage
-    from parquet_combiner_spark.sources.io import ensure_ts_nanos
-
-    stream = ensure_ts_nanos(
-        spark.readStream.schema(schema).parquet(events_path)
-    ).withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-    sessions = sessionize_stream(
-        stream,
-        gap_minutes=gap_minutes,
-        event_time_col="event_time",
-        key_col="user_id",
-        watermark_delay=watermark_delay,
+    from parquet_combiner_spark.streaming.run import (
+        run_events_stream_available_now,
     )
-    name = f"sessions_{uuid.uuid4().hex}"
-    ckpt = tempfile.mkdtemp(prefix="pcs-sessionize-ckpt-")
-    try:
-        query = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+
+    return run_events_stream_available_now(
+        spark,
+        events_path,
+        lambda stream: sessionize_stream(
+            stream,
+            gap_minutes=gap_minutes,
+            event_time_col="event_time",
+            key_col="user_id",
+            watermark_delay=watermark_delay,
+        ),
+        prefix="sessionize",
+        event_time=F.timestamp_micros(F.expr("ts div 1000")),
+    )
+
+
+def sessionize_stream_native(
+    stream: DataFrame,
+    gap_minutes: float = 30.0,
+    event_time_col: str = "event_time",
+    key_col: str = "user_id",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """JVM-native gap sessionization: ``groupBy(session_window(...))``
+    — Spark's built-in streaming session aggregation, zero Python in
+    the loop (reference design.pdf p.1-2's 10K events/s target; the
+    ``applyInPandasWithState`` operator above stays as the
+    custom-state-semantics extensibility demo).
+
+    ``session_window`` merges INCLUSIVELY at the gap — two events
+    exactly ``gap`` apart share a session, the same ``t - last <=
+    gap`` boundary as the custom operator (verified empirically,
+    pinned by
+    test_streaming.py::test_native_session_window_exact_gap_boundary).
+    The intended divergence is emission: append mode evicts a session
+    once ``end <= watermark`` (inclusive), while the custom
+    operator's event-time timeout fires strictly below the watermark
+    (pinned by test_native_emission_boundary_at_watermark_equality).
+    The emitted window's end is ``last_event + gap``; subtracting the
+    gap recovers the custom operator's (session_start, session_end =
+    first/last event time) contract exactly when event times are
+    whole millis."""
+    gap_ms = int(gap_minutes * 60_000)
+    win = F.session_window(F.col(event_time_col), f"{gap_ms // 1000} seconds")
+    return (
+        stream.withWatermark(event_time_col, watermark_delay)
+        .groupBy(win.alias("session"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.expr("unix_micros(session.start) div 1000").alias(
+                "session_start"
+            ),
+            (F.expr("unix_micros(session.end) div 1000") - gap_ms).alias(
+                "session_end"
+            ),
+            "n_events",
         )
-        query.awaitTermination()
-    finally:
-        # the memory sink holds the rows; neither the staged source
-        # copy nor the checkpoint is needed after termination (or a
-        # failed start), and a bench session runs this repeatedly
-        shutil.rmtree(ckpt, ignore_errors=True)
-        if stage is not None:
-            shutil.rmtree(stage, ignore_errors=True)
-    return spark.table(name)
+    )
+
+
+def sessionize_events_available_now_native(
+    spark: SparkSession,
+    events_path: str,
+    gap_minutes: float = 30.0,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """The native ``session_window`` sessionizer run to completion
+    over an events parquet path — the driver-checkable face of the
+    JVM-native streaming path, sharing the custom operator's output
+    contract (user_id, session_start, session_end, n_events; integral
+    epoch millis).
+
+    Event time is ms-FLOORED before windowing
+    (``timestamp_millis(ts div 1e6)``) so session bounds live in the
+    same integral-millis space as the custom operator and the batch
+    oracle; the only intended divergence is the exact-gap boundary
+    (see :func:`sessionize_stream_native`)."""
+    from parquet_combiner_spark.streaming.run import (
+        run_events_stream_available_now,
+    )
+
+    return run_events_stream_available_now(
+        spark,
+        events_path,
+        lambda stream: sessionize_stream_native(
+            stream,
+            gap_minutes=gap_minutes,
+            watermark_delay=watermark_delay,
+        ),
+        prefix="sessnative",
+        event_time=F.timestamp_millis(F.expr("ts div 1000000")),
+    )

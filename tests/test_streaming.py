@@ -292,6 +292,152 @@ def test_sessionize_ms_floor_boundary_diverges_from_batch_nanos(
     assert stream[1] == (base_ms, base_ms + 1_800_000, 2)
 
 
+def test_native_session_window_exact_gap_boundary(spark, tmp_path):
+    """Pin the exact-gap MERGE boundary for all three sessionizers:
+    Spark's ``session_window`` merges INCLUSIVELY at the gap (two
+    events exactly gap apart share a session) — the same ``<= gap``
+    rule the custom operator implements. The testdata contains no
+    exact-gap pairs (checked each round), so only planted data can
+    catch a regression in either implementation or a Spark behavior
+    change; the native oracles' strict-> split predicate rests on
+    exactly this."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_combiner_spark.queries import user_sessions_native
+    from parquet_combiner_spark.streaming.sessionize import (
+        sessionize_events_available_now,
+        sessionize_events_available_now_native,
+    )
+
+    gap_ns = 30 * 60 * 1_000_000_000
+    base_ns = 1_700_000_000 * 1_000_000_000
+    t1 = base_ns
+    t2 = t1 + gap_ns  # EXACTLY the gap
+    pusher = t1 + 6 * 3600 * 1_000_000_000
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array([t1, t2, pusher], type=pa.timestamp("ns")),
+            "user_id": pa.array([1, 1, 9], type=pa.int64()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(table, path)
+    base_ms = base_ns // 1_000_000
+    gap_ms = gap_ns // 1_000_000
+    one_session = [(1, base_ms, base_ms + gap_ms, 2)]
+
+    custom = [
+        tuple(r)
+        for r in sessionize_events_available_now(spark, path)
+        .where(F.col("user_id") == 1)
+        .collect()
+    ]
+    assert custom == one_session
+
+    native = [
+        tuple(r)
+        for r in sessionize_events_available_now_native(spark, path)
+        .where(F.col("user_id") == 1)
+        .collect()
+    ]
+    assert native == one_session
+
+    batch_native = [
+        tuple(r)
+        for r in user_sessions_native(spark, str(tmp_path))
+        .where(F.col("user_id") == 1)
+        .collect()
+    ]
+    assert batch_native == one_session
+
+
+def test_native_emission_boundary_at_watermark_equality(spark, tmp_path):
+    """Pin the INTENDED custom/native divergence: when the final
+    watermark lands EXACTLY on ``session_end + gap``, the custom
+    operator's event-time timeout (fires strictly below the
+    watermark) holds the session open, while the native
+    session_window's append-mode eviction (``end <= watermark``)
+    emits it. The native oracle's ``<=`` emission predicate and the
+    custom oracle's ``<`` rest on exactly this."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_combiner_spark.streaming.sessionize import (
+        sessionize_events_available_now,
+        sessionize_events_available_now_native,
+    )
+
+    gap_ns = 30 * 60 * 1_000_000_000
+    delay_ns = 10 * 60 * 1_000_000_000
+    base_ns = 1_700_000_000 * 1_000_000_000
+    # pusher makes final watermark == base + gap, exactly user 1's
+    # single-event session timeout
+    pusher = base_ns + gap_ns + delay_ns
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array([base_ns, pusher], type=pa.timestamp("ns")),
+            "user_id": pa.array([1, 9], type=pa.int64()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(table, path)
+
+    custom = (
+        sessionize_events_available_now(spark, path)
+        .where(F.col("user_id") == 1)
+        .collect()
+    )
+    assert custom == []  # strictly-below timeout: not yet fired
+
+    base_ms = base_ns // 1_000_000
+    native = [
+        tuple(r)
+        for r in sessionize_events_available_now_native(spark, path)
+        .where(F.col("user_id") == 1)
+        .collect()
+    ]
+    assert native == [(1, base_ms, base_ms, 1)]  # inclusive eviction
+
+
+def test_native_stream_sessions_agree_with_custom_off_boundary(spark):
+    """On the real testdata (no exact-gap pairs) the JVM-native
+    session_window stream and the custom applyInPandasWithState
+    stream must produce session sets that differ ONLY by the two
+    pinned boundary rules (gap split and watermark-emission
+    inclusivity) — over sf0.001 that means the interiors agree: every
+    custom-closed session is native-closed or watermark-held, and
+    vice versa."""
+    from parquet_combiner_spark.streaming.sessionize import (
+        sessionize_events_available_now,
+        sessionize_events_available_now_native,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    custom = {
+        tuple(r)
+        for r in sessionize_events_available_now(
+            spark, f"{sf}/events.parquet"
+        ).collect()
+    }
+    native = {
+        tuple(r)
+        for r in sessionize_events_available_now_native(
+            spark, f"{sf}/events.parquet"
+        ).collect()
+    }
+    assert custom and native
+    # no exact-gap pairs -> identical session partitioning; the only
+    # admissible asymmetry is watermark emission (< vs <=), which can
+    # only add sessions to the native side
+    assert custom <= native
+    assert len(native - custom) <= len(
+        {u for (u, *_rest) in native}
+    )  # at most one extra (each user's last) session per user
+
+
 def test_sessionize_available_now_matches_batch_closed_sessions(spark):
     # the driver-checkable streaming query: availableNow run over the
     # real events table must equal the batch sessionization restricted
