@@ -309,7 +309,12 @@ def q_ann_cosine_topk_ivf_fullprobe(
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.4: the synthetic embeddings are near-orthogonal (max
     # pairwise cosine ~0.5-0.6), so a "near-dup" bar of 0.9 would be
-    # vacuously empty; 0.4 exercises the LSH recall path on real pairs
+    # vacuously empty; 0.4 exercises the LSH recall path on real pairs.
+    # These knobs make buckets DENSE on this testdata (~1/3 of all
+    # pairs are candidates), so the library's density guard fires a
+    # RuntimeWarning here BY DESIGN — the no-silent-caps posture; the
+    # sparse production shape is pinned by
+    # test_embedding_lsh_planted_recall_at_production_knobs.
     return similarity.embedding_near_dup_pairs(
         _embs(spark, sf_dir), min_cosine=0.4, num_planes=5, num_tables=12
     )

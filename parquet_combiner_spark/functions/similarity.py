@@ -268,14 +268,18 @@ def _pair_cosine_arrow(
     one Arrow/numpy pass instead of three interpreted aggregate-lambda
     folds (dot + two norms) per pair. Accumulates sequentially over
     the dimension axis so every dot/norm reproduces the JVM/DuckDB
-    left-to-right fold bit-for-bit (same IEEE-754 op sequence)."""
+    left-to-right fold bit-for-bit (same IEEE-754 op sequence).
+
+    Ids pass through untouched (pandas → pandas) and the output
+    schema carries the INPUT id type — string/int32 id columns work
+    the same as longs."""
     import numpy as np
     import pandas as pd
 
     schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", pairs_with_vecs.schema["id_a"].dataType),
+            T.StructField("id_b", pairs_with_vecs.schema["id_b"].dataType),
             T.StructField("cos", T.DoubleType()),
         ]
     )
@@ -325,7 +329,10 @@ def _lsh_codes_arrow(
     (vectorized across rows × planes) — the identical IEEE-754
     multiply/add sequence per (vector, plane) as the JVM fold, not a
     pairwise/BLAS-reassociated matmul whose near-zero dots could flip
-    a sign bit."""
+    a sign bit.
+
+    Ids pass through untouched (``numpy.repeat`` handles object
+    dtypes) and ``vid`` carries the INPUT id column's type."""
     import numpy as np
     import pandas as pd
 
@@ -337,7 +344,7 @@ def _lsh_codes_arrow(
 
     schema = T.StructType(
         [
-            T.StructField("vid", T.LongType()),
+            T.StructField("vid", e.schema[id_col].dataType),
             T.StructField("tbl", T.IntegerType()),
             T.StructField("code", T.LongType()),
         ]
@@ -358,7 +365,7 @@ def _lsh_codes_arrow(
                     codes[:, t] |= (
                         pos[:, t * num_planes + p].astype(np.int64) << p
                     )
-            vids = np.asarray(pdf[id_col], dtype=np.int64)
+            vids = pdf[id_col].to_numpy()
             yield pd.DataFrame(
                 {
                     "vid": np.repeat(vids, n_tables),
@@ -374,6 +381,10 @@ def _lsh_codes_arrow(
     )
 
 
+DENSITY_WARN = 0.25  # candidate pairs / all pairs; above this the
+# LSH bucketing is not pruning and the plan degenerates toward O(n²)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.95,
@@ -382,6 +393,7 @@ def embedding_near_dup_pairs(
     num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    density_warn: float | None = DENSITY_WARN,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     self-join: (id_a, id_b, sim) with sim ≥ ``min_cosine``, id_a <
@@ -392,7 +404,20 @@ def embedding_near_dup_pairs(
     recall from p^planes to 1-(1-p^planes)^tables while each table's
     join stays an equi-join on (table, code) — never a cross join.
     Candidate ids are deduped BEFORE scoring so each pair's cosine is
-    computed once, and the id-pair shuffle carries no vectors."""
+    computed once, and the id-pair shuffle carries no vectors.
+
+    Density guard (no silent caps): the whole 100×-scale argument
+    rests on bucket SPARSITY — when knobs/data make buckets dense the
+    candidate set approaches all-pairs and the "LSH" is a cross join
+    wearing an equi-join's plan. The candidate set is therefore
+    materialized (eager localCheckpoint, the minhash pattern — it is
+    id pairs only, and scoring reuses the blocks instead of re-running
+    the self-join) and its density vs n·(n−1)/2 measured; above
+    ``density_warn`` a RuntimeWarning names the knobs. Pass
+    ``density_warn=None`` to skip the count when the caller owns the
+    tradeoff."""
+    import warnings
+
     dim = dim or _vector_dim(embeddings, vec_col)
     tables = [
         (t, hyperplanes(dim, num_planes, seed=42 + t))
@@ -416,6 +441,22 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
+    if density_warn is not None:
+        cand = cand.localCheckpoint(eager=True)
+        n = embeddings.count()
+        n_cand = cand.count()
+        total = n * (n - 1) // 2
+        density = n_cand / total if total else 0.0
+        if density > density_warn:
+            warnings.warn(
+                f"embedding LSH candidate density {density:.3f} "
+                f"({n_cand}/{total} pairs) exceeds {density_warn} at "
+                f"num_planes={num_planes}, num_tables={num_tables}: "
+                "the bucketing is not pruning (near-all-pairs scoring); "
+                "raise num_planes or revisit min_cosine",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     emb_a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
     emb_b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
     # Arrow-batched scoring: when knobs/data make buckets dense the

@@ -431,6 +431,101 @@ def test_vector_dim_raises_on_empty(spark, embs):
         similarity._vector_dim(embs.where(F.lit(False)), "embedding")
 
 
+@pytest.fixture(scope="module")
+def planted_embeddings(spark):
+    """64-dim corpus with 20 PLANTED near-dup pairs at cosine ≈ 0.98
+    and 300 near-orthogonal distractors — the production-shaped corpus
+    the registry's 0.4/5-plane testdata configuration cannot stand in
+    for (its synthetic vectors have no true near-dups at all).
+    Deterministic: seeded generator, so recall/density are fixed
+    numbers, not flaky samples."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        noise = rng.standard_normal(64)
+        noise -= (noise @ v) * v  # orthogonal perturbation direction
+        # unit vector + 0.2 orthogonal noise -> cos = 1/sqrt(1.04) ~ .98
+        d = v + 0.2 * noise / np.linalg.norm(noise)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in d]))
+    for j in range(300):
+        v = rng.standard_normal(64)
+        rows.append((1000 + j, [float(x) for x in v / np.linalg.norm(v)]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_embedding_lsh_planted_recall_at_production_knobs(
+    spark, planted_embeddings
+):
+    """At PRODUCTION-like knobs (min_cosine 0.95, 10 planes, 12
+    tables) the multi-table LSH must find every planted ≥0.95 pair
+    (OR-amplified collision probability ≈ 0.9994 at cos 0.98) while
+    the candidate set stays SPARSE — the bucket-pruning property the
+    registry's dense testdata configuration masks. No density warning
+    may fire here."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_dup_pairs(
+                planted_embeddings,
+                min_cosine=0.95,
+                num_planes=10,
+                num_tables=12,
+            ).collect()
+        }
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= got  # full recall on the planted pairs
+    # precision is exact by construction (cosine is re-verified), so
+    # anything extra would be a genuinely-similar random pair: none
+    # exist at 0.95 among near-orthogonal 64-dim distractors
+    assert got == planted
+
+
+def test_embedding_lsh_density_guard_warns_when_degenerate(
+    spark, planted_embeddings
+):
+    """The no-silent-caps guard: knobs that collapse the bucketing
+    (1 plane -> 2 buckets per table) make the candidate set
+    near-all-pairs, and the builder must say so instead of silently
+    shipping an O(n²) plan wearing an equi-join."""
+    with pytest.warns(RuntimeWarning, match="candidate density"):
+        similarity.embedding_near_dup_pairs(
+            planted_embeddings, min_cosine=0.95, num_planes=1, num_tables=4
+        )
+
+
+def test_embedding_near_dup_string_ids_pass_through(spark):
+    """Arrow paths must carry NON-long id columns untouched (the JVM
+    formulation always did): string ids flow through coding, the
+    self-join, and pair scoring with the input type preserved."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(16)
+    v /= np.linalg.norm(v)
+    rows = [
+        ("doc-a", [float(x) for x in v]),
+        ("doc-b", [float(x) for x in v]),  # exact dup -> cos 1.0
+        ("doc-c", [float(x) for x in rng.standard_normal(16)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = similarity.embedding_near_dup_pairs(
+        df, min_cosine=0.95, num_planes=4, num_tables=4, density_warn=None
+    )
+    assert dict(out.dtypes)["id_a"] == "string"
+    got = [(r["id_a"], r["id_b"], r["sim"]) for r in out.collect()]
+    assert got == [("doc-a", "doc-b", 1.0)]
+
+
 # --- planted-recall fixture for the rows-only near-dup estimators ---
 #
 # minhash_near_dup_pairs / simhash_near_dup_pairs are xxhash64-based and
