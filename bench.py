@@ -33,12 +33,19 @@ HEADLINE = [
     "returnflag_counts_salted",
     "earliest_event_per_user",
     "user_sessions",
+    # lag-window vs built-in session_window batch formulations
+    "user_sessions_native",
     # the applyInPandasWithState path: Arrow batches through Python
     # state — the one headline plan whose cost is NOT JVM codegen
     "user_sessions_stream",
+    # ...and the JVM-native streaming session aggregation it races
+    "user_sessions_stream_native",
     "user_bucket_top_events",
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
+    # the exact inverted-index pair join, measured under its OWN name
+    # (near_dup_clusters consumes the same join via the shared cache)
+    "ngram_jaccard_pairs",
     "near_dup_clusters",
     "doc_pack_sequences",
     "ann_cosine_topk",
@@ -59,13 +66,20 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # near_dup_clusters shares a memoized pair join with
-    # ngram_jaccard_pairs; cleared before every run below so the
-    # expensive join is attributed to this named line on each
-    # measurement, and again after its last run so the persisted pair
-    # blocks don't compete for memory with later measured queries.
-    pre_run = {"near_dup_clusters": clear_ngram_pair_cache}
-    post_runs = {"near_dup_clusters": clear_ngram_pair_cache}
+    # ngram_jaccard_pairs and near_dup_clusters share a memoized pair
+    # join; cleared before every run of EITHER so the expensive join is
+    # attributed to the named line being measured (not to whichever
+    # consumer ran first), and after each one's last run so the
+    # persisted pair blocks don't compete for memory with later
+    # measured queries.
+    pre_run = {
+        "ngram_jaccard_pairs": clear_ngram_pair_cache,
+        "near_dup_clusters": clear_ngram_pair_cache,
+    }
+    post_runs = {
+        "ngram_jaccard_pairs": clear_ngram_pair_cache,
+        "near_dup_clusters": clear_ngram_pair_cache,
+    }
 
     # Warm run: JVM JIT + whole-stage-codegen compilation at the
     # smallest sibling SF so the measured numbers reflect steady-state

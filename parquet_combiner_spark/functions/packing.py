@@ -50,6 +50,7 @@ from operator import add
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _resolve_partitions(spark: SparkSession) -> int:
@@ -69,13 +70,16 @@ def _range_splits(proj: DataFrame, parts: int) -> list:
 
     ``approxQuantile`` needs a numeric column; for non-numeric ids
     (string doc ids) fall back to a bounded driver sample — both are
-    one pass and O(parts) driver memory."""
+    one pass and O(parts) driver memory. The dispatch is on the id
+    column's DTYPE, not a blanket except: genuine runtime failures
+    (executor loss, corrupt state) must propagate, not silently buy
+    an extra full scan via the fallback."""
     if parts <= 1:
         return []
-    try:
+    if isinstance(proj.schema["__id"].dataType, T.NumericType):
         qs = [i / parts for i in range(1, parts)]
         splits = proj.stat.approxQuantile("__id", qs, 1.0 / (4 * parts))
-    except Exception:  # non-numeric id column
+    else:
         sample = proj.select("__id").rdd.takeSample(False, parts * 20, seed=42)
         ids = sorted(r[0] for r in sample if r[0] is not None)
         if not ids:

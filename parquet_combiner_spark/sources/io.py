@@ -112,6 +112,9 @@ def write_parquet(
     writer.parquet(path)
 
 
+_JSONL_INFER_LINES = 1000  # bound on the field-presence sample
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -131,16 +134,34 @@ def read_jsonl(
     Scale note: line-delimited JSON splits by line across tasks like
     any text source, but costs a full parse per read — ingest once,
     then operate on parquet (:func:`write_parquet`).
+
+    The field-presence check is SAMPLE-BOUND (first
+    ``_JSONL_INFER_LINES`` lines): a full inference pass would parse
+    the entire dataset a second time just to derive names. An empty
+    path is NO DATA, not "every field missing" — it returns an empty
+    DataFrame with the declared schema, matching the parquet reader's
+    empty-input behavior.
     """
     if schema is not None:
-        actual = {f.lower() for f in spark.read.json(path).schema.names}
+        sample = [
+            r[0] for r in spark.read.text(path).limit(_JSONL_INFER_LINES).collect()
+        ]
+        if not sample:
+            return spark.createDataFrame([], schema)
+        actual = {
+            f.lower()
+            for f in spark.read.json(
+                spark.sparkContext.parallelize(sample)
+            ).schema.names
+        }
         missing = [
             f.name for f in schema.fields if f.name.lower() not in actual
         ]
         if missing:
             raise ValueError(
                 f"jsonl at {path} is missing declared field(s) "
-                f"{missing}; found {sorted(actual)}"
+                f"{missing} in the first {_JSONL_INFER_LINES} lines; "
+                f"found {sorted(actual)}"
             )
         return spark.read.schema(schema).option("mode", mode).json(path)
     return spark.read.option("mode", mode).json(path)

@@ -485,6 +485,28 @@ def test_jsonl_round_trip_schema_enforced(spark, tmp_path):
         read_jsonl(spark, str(bad), schema=schema).collect()
 
 
+def test_jsonl_empty_path_returns_empty_frame(spark, tmp_path):
+    """An empty input directory is NO DATA, not 'every declared field
+    missing': the schema-enforced read returns an empty DataFrame of
+    the declared schema (parquet-reader parity) instead of raising."""
+    from pyspark.sql import types as T
+
+    from parquet_combiner_spark.sources.io import read_jsonl
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    empty = tmp_path / "empty_jsonl"
+    empty.mkdir()
+    (empty / "part-0.json").write_text("")
+    out = read_jsonl(spark, str(empty), schema=schema)
+    assert out.schema == schema
+    assert out.count() == 0
+
+
 def test_jsonl_partitioned_write(spark, tmp_path):
     from pyspark.sql import functions as F
 
