@@ -40,7 +40,41 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--show", type=int, default=0, metavar="N",
         help="also print the first N result rows",
     )
+    p.add_argument(
+        "--input-format", choices=("parquet", "jsonl"), default="parquet",
+        help=(
+            "jsonl: treat dataA/dataB as JSON-lines exports, ingest "
+            "them to staged parquet (schema-enforced, FAILFAST), then "
+            "run the pipeline on the staged tables — the "
+            "ingest-once-operate-on-parquet flow (default: parquet)"
+        ),
+    )
     return p.parse_args(argv)
+
+
+def ingest_jsonl_inputs(
+    spark, data_a: str, data_b: str, staging_root: str
+) -> tuple[str, str]:
+    """JSONL → parquet ingestion for both pipeline inputs: read each
+    JSON-lines path under its declared schema (fail-fast on missing
+    fields / malformed lines) and land it as snappy parquet under
+    ``staging_root``. Returns the staged (data_a, data_b) paths.
+
+    One full JSON parse per input, once — every downstream read is a
+    columnar parquet scan (predicate pushdown, column pruning), which
+    a repeated-read pipeline never gets from raw JSONL."""
+    from parquet_combiner_spark import schemas
+    from parquet_combiner_spark.sources.io import read_jsonl, write_parquet
+
+    staged = []
+    for name, path, schema in (
+        ("dataA", data_a, schemas.DATA_A_SCHEMA),
+        ("dataB", data_b, schemas.DATA_B_SCHEMA),
+    ):
+        out = f"{staging_root.rstrip('/')}/{name}"
+        write_parquet(read_jsonl(spark, path, schema=schema), out)
+        staged.append(out)
+    return staged[0], staged[1]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -57,8 +91,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="parquet-combiner", master=args.spark_master)
     t0 = time.monotonic()
     try:
+        data_a, data_b = args.data_a, args.data_b
+        if args.input_format == "jsonl":
+            data_a, data_b = ingest_jsonl_inputs(
+                spark, data_a, data_b, f"{args.output.rstrip('/')}_staging"
+            )
         result = process_parquet_files(
-            spark, args.data_a, args.data_b, args.output, top_x=args.top_x
+            spark, data_a, data_b, args.output, top_x=args.top_x
         )
         if args.show:
             result.show(args.show, truncate=False)

@@ -183,6 +183,23 @@ def test_pack_sequences_plan_single_exchange_no_global_window(spark):
     assert "[__bkt" in win_spec, plan
 
 
+def test_native_session_window_plan_stays_jvm_side(spark):
+    """The whole point of user_sessions_native: session assignment and
+    aggregation run inside the JVM — no Arrow/Python eval node
+    anywhere in the plan (the custom applyInPandasWithState operator
+    is the Python path BY DESIGN; the native one must never be), and
+    the aggregation is the session-window merge."""
+    from parquet_combiner_spark.plans import plan_text
+    from parquet_combiner_spark.queries import user_sessions_native
+
+    out = user_sessions_native(spark, "/root/testdata/sf0.001")
+    plan = plan_text(out, mode="simple")
+    for python_node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+        assert python_node not in plan, plan
+    assert "session_window" in plan.lower(), plan
+
+
 def test_group_counts_partial_aggregation(spark):
     da = make_data_a(spark, ROWS_A)
     counts = da.groupBy("geographical_location_oid", "item_name").agg(

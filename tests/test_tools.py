@@ -106,6 +106,34 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert all(r["count"] <= 2 for r in per_loc)
 
 
+def test_cli_jsonl_ingest_end_to_end(spark, tmp_path):
+    """The namesake pipeline fed from JSON-lines exports: --input-format
+    jsonl ingests both inputs to schema-enforced staged parquet, then
+    the flagship query runs on the staged tables — identical result to
+    the parquet-native path on the same data."""
+    from parquet_combiner_spark.sources.io import write_jsonl
+
+    da = generate_detection_data(spark, 500, num_locations=3, duplication_rate=0.1)
+    db = generate_location_data(spark, 3)
+    aj, bj, ap, bp = (
+        str(tmp_path / n) for n in ("a_jsonl", "b_jsonl", "a_pq", "b_pq")
+    )
+    write_jsonl(da, aj)
+    write_jsonl(db, bj)
+    write_parquet(da, ap)
+    write_parquet(db, bp)
+
+    out_j, out_p = str(tmp_path / "out_j"), str(tmp_path / "out_p")
+    assert cli_main([aj, bj, out_j, "2", "--input-format", "jsonl"]) == 0
+    assert cli_main([ap, bp, out_p, "2"]) == 0
+    got = sorted(tuple(r) for r in spark.read.parquet(out_j).collect())
+    want = sorted(tuple(r) for r in spark.read.parquet(out_p).collect())
+    assert got == want
+    # the staging tables landed as parquet next to the output
+    staged = spark.read.parquet(str(tmp_path / "out_j_staging" / "dataA"))
+    assert staged.count() == da.count()
+
+
 def test_combine_parquet_compacts_small_files(spark, tmp_path):
     from parquet_combiner_spark.sources.io import combine_parquet
 
