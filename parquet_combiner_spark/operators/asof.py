@@ -1,0 +1,91 @@
+"""As-of (point-in-time) join — the temporal join Spark has no native
+operator for (driver brief's canonical custom-operator example; the
+reference's surface has no temporal join either, SURVEY.md §2.3).
+
+For each fact row, attach the dimension row with the LARGEST dim time
+at-or-before the fact's time, per key — the attribution/feature-
+lookup join every event-sourced training pipeline needs ("state of X
+when Y happened").
+
+Scale design — union + window, NO join node at all:
+
+- A sort-merge or broadcast range join on ``(key, dim.t <= fact.t)``
+  degenerates: the range predicate makes every equi-join a partial
+  cross product per key. Instead both sides are TAGGED and UNIONED,
+  shuffled ONCE on the key, and a per-key ordered window propagates
+  the last dim payload forward onto each fact row (``last(...,
+  ignorenulls=True)``).
+- Cost: one hash exchange + one in-partition sort — identical shape
+  to the sessionization window, skew-bounded by per-key row counts.
+- The dim payload rides as ONE struct, so a dim row whose payload
+  columns are legitimately NULL still wins over an older dim row
+  (per-column ``last(ignorenulls)`` would silently fall through to
+  stale values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SRC = "__asof_src"
+_T = "__asof_t"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join_backward(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    fact_time: str,
+    dim_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: every fact row, plus ``value_cols`` from the
+    dim row with the greatest ``dim_time`` <= ``fact_time`` for the
+    same ``on`` key (NULLs when no such row — left-join semantics).
+
+    ``dim`` must be unique per (``on``, ``dim_time``) — pre-dedup it
+    (e.g. ``max_by``) if it is not; with duplicate timestamps "the"
+    as-of row is not well defined. Time columns must be the same
+    orderable type on both sides (use integer epoch units for
+    exactness). ``value_cols`` must not collide with fact columns.
+    """
+    missing = [c for c in value_cols if c not in dim.columns]
+    if missing:
+        raise ValueError(f"value_cols {missing} not in dim columns")
+    collisions = [c for c in value_cols if c in fact.columns]
+    if collisions:
+        raise ValueError(
+            f"value_cols {collisions} collide with fact columns"
+        )
+    d = dim.select(
+        *on,
+        F.col(dim_time).alias(_T),
+        F.lit(0).alias(_SRC),
+        F.struct(*value_cols).alias(_PAYLOAD),
+    )
+    # the fact side carries a typed-NULL payload so unionByName lines
+    # up; allowMissingColumns null-fills fact-only columns on dim rows
+    f = (
+        fact.withColumn(_T, F.col(fact_time))
+        .withColumn(_SRC, F.lit(1))
+        .withColumn(
+            _PAYLOAD, F.lit(None).cast(d.schema[_PAYLOAD].dataType)
+        )
+    )
+    u = f.unionByName(d, allowMissingColumns=True)
+    # dim sorts BEFORE fact at equal time (_SRC 0 < 1): at-or-before
+    # is inclusive, matching e.g. DuckDB's ASOF ON fact.t >= dim.t
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_T), F.col(_SRC))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col(_SRC) == 1)
+    for c in value_cols:
+        out = out.withColumn(c, F.col(_PAYLOAD)[c])
+    return out.drop(_SRC, _T, _PAYLOAD)

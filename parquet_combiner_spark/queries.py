@@ -338,6 +338,48 @@ def user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — the temporal-join family
+    (operators/asof.py; driver brief's canonical custom-operator
+    example): each 'purchase' event is attributed to the same user's
+    most recent at-or-before 'view' event. No join node at all — one
+    union, one key shuffle, one ordered window (see the operator
+    docstring for why a range join degenerates at scale).
+
+    Dim rows are pre-deduped to one per (user, time) via max_by on
+    event_id so "the" as-of row is well defined on both engines; all
+    times integral epoch millis; view_value passes through untouched
+    (no arithmetic → bit-identical)."""
+    from parquet_combiner_spark.operators.asof import asof_join_backward
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000").alias("tms"),
+        "value",
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tms"
+    )
+    dim = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "tms")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    return asof_join_backward(
+        fact,
+        dim,
+        on=["user_id"],
+        fact_time="tms",
+        dim_time="tms",
+        value_cols=["view_event_id", "view_value"],
+    )
+
+
 def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization via the BUILT-IN ``session_window`` — the
     JVM-native formulation of ``user_sessions``' semantics (batch
@@ -521,6 +563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_buckets_union": order_buckets_union,
     "top_orders_global": top_orders_global,
     "events_by_type": events_by_type,
+    "purchase_attribution_asof": purchase_attribution_asof,
     "user_sessions": user_sessions,
     "user_sessions_native": user_sessions_native,
     "user_sessions_stream": user_sessions_stream,
@@ -690,6 +733,30 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events,
                (max(tns) - min(tns)) // 1000000 AS duration_ms
         FROM s GROUP BY user_id, session_id
+    """,
+    # DuckDB has a NATIVE ASOF JOIN (inclusive: fact.t >= dim.t) — an
+    # independent implementation of the same temporal-join semantics
+    # the union+window operator computes, which is exactly what an
+    # oracle should be. Dim deduped per (user, time) identically.
+    "purchase_attribution_asof": """
+        WITH ev AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000000 AS tms, value
+            FROM events
+        ), f AS (
+            SELECT event_id, user_id, tms FROM ev
+            WHERE event_type = 'purchase'
+        ), d AS (
+            SELECT user_id, tms,
+                   max(event_id) AS view_event_id,
+                   max_by(value, event_id) AS view_value
+            FROM ev WHERE event_type = 'view'
+            GROUP BY user_id, tms
+        )
+        SELECT f.event_id, f.user_id, f.tms,
+               d.view_event_id, d.view_value
+        FROM f ASOF LEFT JOIN d
+          ON f.user_id = d.user_id AND f.tms >= d.tms
     """,
     # session_window semantics on ms-floored event time: sessions
     # merge INCLUSIVELY at the gap (windows [t, t+gap] touching ⇒

@@ -485,6 +485,50 @@ def test_jsonl_round_trip_schema_enforced(spark, tmp_path):
         read_jsonl(spark, str(bad), schema=schema).collect()
 
 
+def test_asof_join_backward_semantics(spark):
+    """Point-in-time join: inclusive at-or-before match, NULL on
+    no-match (left semantics), newest-wins among earlier dim rows,
+    and a dim payload whose FIELDS are NULL still wins over an older
+    non-null payload (the struct-carry property)."""
+    from parquet_combiner_spark.operators.asof import asof_join_backward
+
+    fact = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 50), (3, 1, 20), (4, 2, 100), (5, 3, 100)],
+        "fid long, k long, t long",
+    )
+    dim = spark.createDataFrame(
+        [(1, 30, "a"), (1, 50, "b"), (1, 90, None), (2, 101, "z")],
+        "k long, t long, v string",
+    )
+    got = {
+        r["fid"]: r["v"]
+        for r in asof_join_backward(
+            fact, dim, on=["k"], fact_time="t", dim_time="t",
+            value_cols=["v"],
+        ).collect()
+    }
+    assert got == {
+        1: None,  # dim row at t=90 wins over "b" even though v is NULL
+        2: "b",   # EXACT-time match is inclusive (50 >= 50)
+        3: None,  # no dim at-or-before t=20
+        4: None,  # dim exists only after the fact (101 > 100)
+        5: None,  # key with no dim rows at all
+    }
+
+
+def test_asof_join_validates_value_cols(spark):
+    import pytest
+
+    from parquet_combiner_spark.operators.asof import asof_join_backward
+
+    fact = spark.createDataFrame([(1, 1, 10)], "fid long, k long, t long")
+    dim = spark.createDataFrame([(1, 5, "a")], "k long, t long, v string")
+    with pytest.raises(ValueError, match="not in dim columns"):
+        asof_join_backward(fact, dim, ["k"], "t", "t", ["nope"])
+    with pytest.raises(ValueError, match="collide with fact columns"):
+        asof_join_backward(fact, dim, ["k"], "t", "t", ["t"])
+
+
 def test_jsonl_empty_path_returns_empty_frame(spark, tmp_path):
     """An empty input directory is NO DATA, not 'every declared field
     missing': the schema-enforced read returns an empty DataFrame of

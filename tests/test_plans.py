@@ -200,6 +200,32 @@ def test_native_session_window_plan_stays_jvm_side(spark):
     assert "session_window" in plan.lower(), plan
 
 
+def test_asof_join_plan_no_join_single_exchange(spark):
+    """The as-of operator's scale claim, pinned: NO join node of any
+    kind (a range join would degenerate to a per-key partial cross
+    product) and exactly ONE exchange of the unioned stream, hashed on
+    the key, feeding the ordered window."""
+    import re
+
+    from parquet_combiner_spark.operators.asof import asof_join_backward
+    from parquet_combiner_spark.plans import plan_text
+
+    fact = spark.range(1000).select(
+        F.col("id").alias("fid"), (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3).alias("t"),
+    )
+    dim = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 11).alias("t"),
+        F.col("id").alias("v"),
+    )
+    out = asof_join_backward(fact, dim, ["k"], "t", "t", ["v"])
+    plan = plan_text(out, mode="simple")
+    assert not re.search(r"\w*Join", plan), plan
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(k" in plan, plan
+    assert "Window" in plan, plan
+
+
 def test_group_counts_partial_aggregation(spark):
     da = make_data_a(spark, ROWS_A)
     counts = da.groupBy("geographical_location_oid", "item_name").agg(
