@@ -1,6 +1,7 @@
-"""As-of (point-in-time) join — the temporal join Spark has no native
-operator for (driver brief's canonical custom-operator example; the
-reference's surface has no temporal join either, SURVEY.md §2.3).
+"""Temporal joins Spark has no native operator for (driver brief's
+canonical custom-operator examples; the reference's surface has no
+temporal join either, SURVEY.md §2.3): the as-of (point-in-time)
+join and the bucketed range/interval join.
 
 For each fact row, attach the dimension row with the LARGEST dim time
 at-or-before the fact's time, per key — the attribution/feature-
@@ -89,3 +90,53 @@ def asof_join_backward(
     for c in value_cols:
         out = out.withColumn(c, F.col(_PAYLOAD)[c])
     return out.drop(_SRC, _T, _PAYLOAD)
+
+
+def interval_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    fact_time: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Range join: every (fact, interval) pair with the same ``on``
+    key and ``start <= fact_time <= end`` (inclusive both ends) —
+    a fact matching k intervals yields k rows, none yields zero
+    (inner semantics).
+
+    Scale design — BUCKETED equi-join, never a raw range predicate:
+    Catalyst plans a bare ``t BETWEEN start AND end`` join condition
+    as a per-key cross product (broadcast-nested-loop or worse).
+    Instead each interval EXPLODES into the time buckets it covers
+    (``sequence(start div w, end div w)``), each fact row computes its
+    single bucket, and the join is a plain equi-join on
+    (key..., bucket) with the exact BETWEEN as a post-filter.
+
+    ``bucket_width`` (same integer time unit as the columns) is the
+    scale knob: an interval spanning L time units explodes into
+    ~L/width + 1 rows, while a wider bucket co-locates more
+    non-matching pairs for the post-filter to discard. Pick it near
+    the TYPICAL interval length (each interval then lands in 1-2
+    buckets); unbounded-length intervals need capping upstream.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    w = int(bucket_width)
+    # `div` (integral), never `/` (float in Spark SQL): bucket ids
+    # must be exact longs on both sides
+    d = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({start_col} AS LONG) div {w}"),
+                F.expr(f"CAST({end_col} AS LONG) div {w}"),
+            )
+        ),
+    )
+    f = fact.withColumn("__bkt", F.expr(f"CAST({fact_time} AS LONG) div {w}"))
+    joined = f.join(d, on=[*on, "__bkt"]).where(
+        F.col(fact_time).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.drop("__bkt")

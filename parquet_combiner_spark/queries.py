@@ -380,6 +380,47 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ERR_WINDOW_MS = 3600_000  # 1 hour
+
+
+def purchases_after_error_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range/interval join — the second temporal-join family
+    (operators/asof.py `interval_join`): every purchase falling inside
+    the 1-hour window opened by an error from the same user, as a
+    bucketed equi-join (bucket width = window length, so each interval
+    covers at most 2 buckets) with the exact BETWEEN as a post-filter
+    — never a raw range predicate the planner would turn into a
+    per-key cross product. All times integral epoch millis."""
+    from parquet_combiner_spark.operators.asof import interval_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000").alias("tms"),
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tms"
+    )
+    intervals = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        "user_id",
+        F.col("tms").alias("win_start"),
+        (F.col("tms") + _ERR_WINDOW_MS).alias("win_end"),
+    )
+    return interval_join(
+        fact,
+        intervals,
+        on=["user_id"],
+        fact_time="tms",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_width=_ERR_WINDOW_MS,
+    ).select("event_id", "user_id", "tms", "error_event_id", "win_start")
+
+
 def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization via the BUILT-IN ``session_window`` — the
     JVM-native formulation of ``user_sessions``' semantics (batch
@@ -564,6 +605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_global": top_orders_global,
     "events_by_type": events_by_type,
     "purchase_attribution_asof": purchase_attribution_asof,
+    "purchases_after_error_interval": purchases_after_error_interval,
     "user_sessions": user_sessions,
     "user_sessions_native": user_sessions_native,
     "user_sessions_stream": user_sessions_stream,
@@ -733,6 +775,23 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_events,
                (max(tns) - min(tns)) // 1000000 AS duration_ms
         FROM s GROUP BY user_id, session_id
+    """,
+    # the range join's oracle is the PLAIN range predicate — exactly
+    # the formulation the distributed operator must never execute but
+    # a single-node engine evaluates fine at oracle scale
+    "purchases_after_error_interval": """
+        WITH ev AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000000 AS tms
+            FROM events
+        )
+        SELECT f.event_id, f.user_id, f.tms,
+               d.event_id AS error_event_id,
+               d.tms AS win_start
+        FROM ev f JOIN ev d
+          ON f.user_id = d.user_id
+         AND f.event_type = 'purchase' AND d.event_type = 'error'
+         AND f.tms BETWEEN d.tms AND d.tms + 3600000
     """,
     # DuckDB has a NATIVE ASOF JOIN (inclusive: fact.t >= dim.t) — an
     # independent implementation of the same temporal-join semantics

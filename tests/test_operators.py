@@ -529,6 +529,41 @@ def test_asof_join_validates_value_cols(spark):
         asof_join_backward(fact, dim, ["k"], "t", "t", ["t"])
 
 
+def test_interval_join_semantics(spark):
+    """Bucketed range join: inclusive on BOTH ends, k matching
+    intervals -> k rows, intervals spanning multiple buckets still
+    match facts in every covered bucket, non-overlapping facts drop
+    (inner semantics)."""
+    from parquet_combiner_spark.operators.asof import interval_join
+
+    fact = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 25), (3, 1, 31), (4, 1, 99), (5, 2, 10)],
+        "fid long, k long, t long",
+    )
+    intervals = spark.createDataFrame(
+        # [10,30] spans buckets 1-3 at width 10; [20,31] overlaps it
+        [(100, 1, 10, 30), (200, 1, 20, 31), (300, 2, 50, 60)],
+        "iid long, k long, s long, e long",
+    )
+    got = sorted(
+        (r["fid"], r["iid"])
+        for r in interval_join(
+            fact, intervals, on=["k"], fact_time="t",
+            start_col="s", end_col="e", bucket_width=10,
+        ).collect()
+    )
+    assert got == [
+        (1, 100),            # t=10 == start: inclusive
+        (2, 100), (2, 200),  # two overlapping intervals -> two rows
+        (3, 200),            # t=31 == end: inclusive (not in [10,30])
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket_width must be positive"):
+        interval_join(fact, intervals, ["k"], "t", "s", "e", 0)
+
+
 def test_jsonl_empty_path_returns_empty_frame(spark, tmp_path):
     """An empty input directory is NO DATA, not 'every declared field
     missing': the schema-enforced read returns an empty DataFrame of

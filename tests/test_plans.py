@@ -226,6 +226,29 @@ def test_asof_join_plan_no_join_single_exchange(spark):
     assert "Window" in plan, plan
 
 
+def test_interval_join_plan_is_equi_join_not_nested_loop(spark):
+    """The range join's scale claim, pinned: the physical join is an
+    EQUI-join on (key, bucket) — hash- or sort-merge-based — never the
+    BroadcastNestedLoopJoin/CartesianProduct a raw BETWEEN predicate
+    would plan to."""
+    from parquet_combiner_spark.operators.asof import interval_join
+    from parquet_combiner_spark.plans import plan_text
+
+    fact = spark.range(1000).select(
+        F.col("id").alias("fid"), (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3).alias("t"),
+    )
+    intervals = spark.range(200).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 11).alias("s"),
+        (F.col("id") * 11 + 40).alias("e"),
+    )
+    out = interval_join(fact, intervals, ["k"], "t", "s", "e", 50)
+    plan = plan_text(out, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_group_counts_partial_aggregation(spark):
     da = make_data_a(spark, ROWS_A)
     counts = da.groupBy("geographical_location_oid", "item_name").agg(
