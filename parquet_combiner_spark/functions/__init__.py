@@ -21,6 +21,7 @@ from parquet_combiner_spark.functions import (
     dedup_text,
     multimodal,
     packing,
+    quality,
     sampling,
     similarity,
     text,
@@ -151,6 +152,51 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pairs, then the same components via a recursive CTE."""
     pairs = _ngram_pairs_cached(spark, sf_dir)
     return dedup_text.dedup_keepers(dedup_text.near_dup_clusters(pairs))
+
+
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals + keep/drop verdict per doc —
+    a pure narrow map (see :mod:`quality`)."""
+    return quality.repetition_stats(_docs(spark, sf_dir))
+
+
+# Benchmark split for the decontamination demo: every 97th doc plays
+# the role of the held-out eval suite (~1% of the corpus, the size
+# relationship real benchmark decontamination has).
+_DECON_EVAL_MOD = 97
+_DECON_NGRAM = 3
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-overlap decontamination of the training partition
+    against the synthetic eval partition (see :mod:`quality`). The
+    registry runs the hashed (8-byte join key) scale path; the DuckDB
+    oracle joins the raw n-gram strings — agreement additionally
+    pins that xxhash64 introduced no collision flags on this data."""
+    docs = _docs(spark, sf_dir)
+    is_eval = (F.col("doc_id") % _DECON_EVAL_MOD) == 0
+    return quality.decontaminate(
+        docs.where(~is_eval), docs.where(is_eval), n=_DECON_NGRAM
+    )
+
+
+_STRAT_RATES = {"en": 0.25, "de": 0.75, "fr": 1.0}
+_STRAT_SEED = "strat-v1"
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (corpus re-balancing):
+    keep 25% of English, 75% of German, all French, drop the rest —
+    one content-addressed narrow filter, no shuffle (see
+    :func:`sampling.stratified_sample`)."""
+    return sampling.stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        key_col="doc_id",
+        strata_col="lang",
+        rates=_STRAT_RATES,
+        default_rate=0.0,
+        seed=_STRAT_SEED,
+    )
 
 
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -330,6 +376,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "exact_dedup_docs": q_exact_dedup_docs,
+    "doc_repetition_stats": q_doc_repetition_stats,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_stratified_sample": q_doc_stratified_sample,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -502,6 +551,82 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                {sampling.split_oracle_case_sql("doc_id", _SPLITS, _SPLIT_SEED)}
                AS split
         FROM documents
+    """,
+    # repetition fractions over ALL n-gram occurrences (repeats
+    # included — list_transform without list_distinct); the keep flag
+    # compares the same ROUNDED values the Spark side emits, and the
+    # thresholds are interpolated from the shared constants so engine
+    # and oracle can never drift
+    "doc_repetition_stats": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents
+        ), g AS (
+            SELECT doc_id, len(w) AS n_words,
+                   round(1.0 - len(list_distinct(w))
+                         / CAST(greatest(len(w), 1) AS DOUBLE), 4)
+                       AS dup_word_frac,
+                   list_transform(range(0, greatest(len(w) - 2, 0) + 1),
+                                  i -> array_to_string(w[i+1:i+2], ' '))
+                       AS bi,
+                   list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                                  i -> array_to_string(w[i+1:i+3], ' '))
+                       AS tri
+            FROM t
+        ), s AS (
+            SELECT doc_id, n_words, dup_word_frac,
+                   round(1.0 - len(list_distinct(tri))
+                         / CAST(greatest(len(tri), 1) AS DOUBLE), 4)
+                       AS dup_3gram_frac,
+                   coalesce(list_max(list_transform(
+                       list_distinct(bi),
+                       x -> len(list_filter(bi, y -> y = x)))), 0)
+                       AS top_bi_cnt,
+                   round(coalesce(list_max(list_transform(
+                             list_distinct(bi),
+                             x -> len(list_filter(bi, y -> y = x)))), 0)
+                         / CAST(greatest(len(bi), 1) AS DOUBLE), 4)
+                       AS top_bigram_frac
+            FROM g
+        )
+        SELECT doc_id, n_words, dup_word_frac, dup_3gram_frac,
+               top_bigram_frac,
+               (dup_word_frac <= {quality.DUP_WORD_FRAC_MAX}
+                AND (top_bi_cnt <= 1
+                     OR top_bigram_frac <= {quality.TOP_BIGRAM_FRAC_MAX}))
+                   AS repetition_keep
+        FROM s
+    """,
+    # raw-string n-gram join (the Spark side joins xxhash64 of the
+    # same n-grams — agreement doubles as a no-collision check)
+    "doc_decontaminate": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(0, greatest(len(w) - {_DECON_NGRAM}, 0) + 1),
+                i -> array_to_string(w[i+1:i+{_DECON_NGRAM}], ' ')
+            ))) AS s FROM t
+        ), ev AS (
+            SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_EVAL_MOD} = 0
+        ), hits AS (
+            SELECT doc_id, count(*) AS n_overlap
+            FROM sh JOIN ev USING (s)
+            WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_overlap, 0) AS n_overlap,
+               h.doc_id IS NOT NULL AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % {_DECON_EVAL_MOD} <> 0
+    """,
+    # generated from the same thresholds as the Spark side
+    "doc_stratified_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {sampling.stratified_sample_oracle_where_sql(
+            "doc_id", "lang", _STRAT_RATES, 0.0, _STRAT_SEED)}
     """,
     # the fake encoder's features are sha256 digest bytes / 255.0;
     # re-quantized to integer bytes by the query, they equal the hex

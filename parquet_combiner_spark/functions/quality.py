@@ -1,0 +1,169 @@
+"""Repetition-based quality filtering and benchmark decontamination.
+
+Two operator families a production LLM training-data pipeline runs on
+every corpus (beyond the reference's own surface — its scalar
+functions stop at cast/modulo/lowercase, reference
+tools/ReadParquet.scala:138):
+
+* **Repetition stats** (the Gopher/MassiveText repetition rules):
+  fraction of duplicate words, fraction of n-gram occurrences that
+  are repeats, and the share of the text covered by the single most
+  frequent bigram. Documents dominated by repetition are boilerplate
+  or generation loops; the ``repetition_keep`` flag applies the
+  published thresholds. Everything is JVM higher-order-function
+  expressions over the per-row token array — a narrow map with zero
+  shuffles, fully inside whole-stage codegen, so it scales linearly
+  to 100 TB with no skew concerns (per-row cost is bounded by
+  document length, and the top-bigram scan is O(distinct·n) on
+  arrays that live entirely in one row).
+
+* **Decontamination**: flag training documents that share any
+  word-n-gram with an evaluation/benchmark set (the standard
+  "n-gram overlap" decontamination used for public-benchmark
+  hygiene). The eval side is reduced to its DISTINCT n-grams and
+  broadcast (benchmark suites are tiny relative to a training
+  corpus); the training side explodes each document's distinct
+  n-grams and joins — so the only wide operation is the final
+  per-document count aggregation, which partial-aggregates map-side.
+  With ``hashed=True`` (the scale default) the join key is the
+  xxhash64 of the n-gram, shrinking both the broadcast table and the
+  exploded rows to 8 bytes per key; a false flag requires a 64-bit
+  collision between a train and eval n-gram (probability ~n_pairs ·
+  2^-64 — negligible, and the DuckDB oracle joining the raw strings
+  agrees on real data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark.functions.text import tokens
+
+# Keep-thresholds for the repetition filter. The dup-word bar follows
+# the Gopher appendix shape (drop documents whose duplicate-content
+# fraction is extreme); the absolute values are tuned so the filter
+# is non-degenerate on the driver's synthetic corpus (which is
+# intentionally repetitive: small vocabulary, ~50% duplicate words).
+DUP_WORD_FRAC_MAX = 0.60
+TOP_BIGRAM_FRAC_MAX = 0.10
+
+
+def ngram_array(toks: Column, n: int) -> Column:
+    """ALL k-token n-grams of a token array, repeats included (the
+    occurrence-level unit the repetition fractions are defined over;
+    ``text.shingles`` is the distinct-set variant used by Jaccard)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def dup_frac(arr: Column) -> Column:
+    """Fraction of the array's elements that are repeat occurrences:
+    1 − distinct/total. 0 for empty arrays."""
+    return F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(arr))
+        / F.greatest(F.size(arr), F.lit(1)).cast("double"),
+        4,
+    )
+
+
+def top_ngram_count(arr: Column) -> Column:
+    """Occurrence count of the single most frequent n-gram. Computed
+    with a per-row O(distinct·n) scan over the array — no shuffle, no
+    explode; the array never leaves its row."""
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda x: F.size(F.filter(arr, lambda y: y == x)),
+    )
+    return F.coalesce(F.array_max(counts), F.lit(0))
+
+
+def top_ngram_frac(arr: Column) -> Column:
+    """Share of all n-gram occurrences taken by the single most
+    frequent n-gram (Gopher's "top n-gram fraction")."""
+    return F.round(
+        top_ngram_count(arr)
+        / F.greatest(F.size(arr), F.lit(1)).cast("double"),
+        4,
+    )
+
+
+def repetition_stats(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals and the keep/drop verdict:
+    (id, n_words, dup_word_frac, dup_3gram_frac, top_bigram_frac,
+    repetition_keep). One narrow projection — no shuffle at any SF."""
+    toks = tokens(F.lower(F.col(text_col)))
+    bi = ngram_array(toks, 2)
+    dup_word = dup_frac(toks)
+    top_bi_cnt = top_ngram_count(bi)
+    top_bigram = top_ngram_frac(bi)
+    # a bigram seen ONCE cannot indicate repetition, but on a short
+    # document one occurrence already exceeds any fraction threshold —
+    # so the top-bigram rule only fires for bigrams that actually
+    # repeat (count > 1), same shape as Gopher's duplicate-ngram rule
+    return documents.select(
+        id_col,
+        F.size(toks).alias("n_words"),
+        dup_word.alias("dup_word_frac"),
+        dup_frac(ngram_array(toks, 3)).alias("dup_3gram_frac"),
+        top_bigram.alias("top_bigram_frac"),
+        (
+            (dup_word <= DUP_WORD_FRAC_MAX)
+            & ((top_bi_cnt <= 1) | (top_bigram <= TOP_BIGRAM_FRAC_MAX))
+        ).alias("repetition_keep"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-training-document benchmark overlap: (id, n_overlap,
+    contaminated), one row per ``train`` row, where ``n_overlap``
+    counts the document's DISTINCT word-n-grams that also appear
+    anywhere in ``eval_df``.
+
+    Plan shape (the part that must survive 100 TB): the eval side is
+    collapsed to distinct n-grams and broadcast — eval suites are
+    small by construction, and the distinct() keeps the broadcast
+    proportional to the benchmark's vocabulary, not its row count.
+    The train side's exploded n-grams are distinct per document
+    already (``array_distinct`` before the explode), so the join
+    output is at most one row per (doc, contaminated n-gram) and the
+    count aggregation partial-aggregates map-side. ``hashed=True``
+    joins on xxhash64(n-gram) so shuffled/broadcast keys are 8 bytes.
+    """
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = tokens(F.lower(F.col(text_col)))
+        g = F.explode(F.array_distinct(ngram_array(toks, n))).alias("gram")
+        cols = [F.col(id_col).alias("__id"), g] if keep_id else [g]
+        out = df.select(*cols)
+        if hashed:
+            out = out.withColumn("gram", F.xxhash64("gram"))
+        return out
+
+    eval_grams = grams(eval_df, keep_id=False).distinct()
+    hits = (
+        grams(train, keep_id=True)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        train.select(F.col(id_col).alias("__id"))
+        .join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.col("n_overlap").isNotNull().alias("contaminated"),
+        )
+    )

@@ -56,6 +56,54 @@ def hash_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a ~``rates[s]``
+    fraction of each stratum ``s`` (e.g. downsample a dominant
+    language while keeping 100% of a rare one — the standard corpus
+    re-balancing move). Strata absent from ``rates`` sample at
+    ``default_rate``.
+
+    Same content-addressed mechanics as ``hash_sample`` — the rate
+    just varies by stratum via a CASE over per-stratum thresholds —
+    so the whole operator stays a narrow map: no shuffle, no
+    per-stratum pass, no count of strata sizes. At 100 TB this is
+    one projection + filter fused into the scan."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thr: Column = F.lit(_threshold_hex(default_rate))
+    for s, r in rates.items():
+        thr = F.when(F.col(strata_col) == s, F.lit(_threshold_hex(r))).otherwise(thr)
+    return df.where(hash_bucket(F.col(key_col), seed) < thr)
+
+
+def stratified_sample_oracle_where_sql(
+    key_sql: str,
+    strata_sql: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "",
+) -> str:
+    """The DuckDB WHERE predicate computing the identical keep
+    decision — generated from the same thresholds as
+    ``stratified_sample`` so Spark and oracle can never drift."""
+    bucket = f"substr(md5(CAST({key_sql} AS VARCHAR) || '{seed}'), 1, {_PREFIX_CHARS})"
+    whens = " ".join(
+        f"WHEN {strata_sql} = '{s}' THEN '{_threshold_hex(r)}'"
+        for s, r in rates.items()
+    )
+    return f"{bucket} < (CASE {whens} ELSE '{_threshold_hex(default_rate)}' END)"
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

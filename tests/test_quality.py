@@ -1,0 +1,146 @@
+"""Repetition filters, decontamination, and stratified sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from parquet_combiner_spark.functions import quality, sampling
+from parquet_combiner_spark.plans import assert_broadcast_join
+
+
+@pytest.fixture(scope="module")
+def qdocs(spark):
+    rows = [
+        # pure repetition loop: 1 distinct word over 6 occurrences
+        Row(doc_id=1, text="spam spam spam spam spam spam", lang="en"),
+        # varied text, no repeated words or bigrams
+        Row(doc_id=2, text="the quick brown fox jumps over lazy dogs", lang="en"),
+        # half-repetitive: one bigram repeated among varied text
+        Row(doc_id=3, text="buy now buy now limited offer today only", lang="en"),
+        Row(doc_id=4, text="einzig artig verschieden", lang="de"),
+        Row(doc_id=5, text="w", lang="fr"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_repetition_stats_hand_computed(spark, qdocs):
+    out = {r["doc_id"]: r for r in quality.repetition_stats(qdocs).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 6
+    # 6 occurrences, 1 distinct -> 1 - 1/6
+    assert r1["dup_word_frac"] == pytest.approx(1 - 1 / 6, abs=1e-4)
+    # every bigram is "spam spam" -> top fraction 1.0
+    assert r1["top_bigram_frac"] == 1.0
+    assert not r1["repetition_keep"]
+
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["dup_3gram_frac"] == 0.0
+    # 7 bigrams, all distinct -> 1/7; above the fraction bar but no
+    # bigram repeats, so the rule must NOT fire
+    assert r2["top_bigram_frac"] == pytest.approx(1 / 7, abs=1e-4)
+    assert r2["repetition_keep"]
+
+    # "buy now" appears twice among 7 bigrams
+    assert out[3]["top_bigram_frac"] == pytest.approx(2 / 7, abs=1e-4)
+    assert not out[3]["repetition_keep"]
+
+
+def test_repetition_stats_degenerate_docs(spark, qdocs):
+    """Single-word and sub-n-gram docs must not divide by zero; a
+    1-word doc has no repetition by definition."""
+    out = {r["doc_id"]: r for r in quality.repetition_stats(qdocs).collect()}
+    r5 = out[5]
+    assert r5["n_words"] == 1
+    assert r5["dup_word_frac"] == 0.0
+    assert r5["repetition_keep"]
+
+
+@pytest.fixture(scope="module")
+def decon_data(spark):
+    train = spark.createDataFrame(
+        [
+            # shares the 3-grams of "alpha beta gamma delta" with eval:
+            # two distinct overlapping 3-grams
+            Row(doc_id=10, text="alpha beta gamma delta unrelated tail"),
+            # no overlap
+            Row(doc_id=11, text="completely clean training document here"),
+            # overlaps a single 3-gram
+            Row(doc_id=12, text="prefix words then alpha beta gamma"),
+        ]
+    )
+    eval_df = spark.createDataFrame(
+        [Row(doc_id=90, text="alpha beta gamma delta")]
+    )
+    return train, eval_df
+
+
+def test_decontaminate_counts_planted_overlap(spark, decon_data):
+    train, eval_df = decon_data
+    out = {r["doc_id"]: r for r in quality.decontaminate(train, eval_df).collect()}
+    assert len(out) == 3  # one row per train doc, clean ones included
+    assert out[10]["contaminated"] and out[10]["n_overlap"] == 2
+    assert not out[11]["contaminated"] and out[11]["n_overlap"] == 0
+    assert out[12]["contaminated"] and out[12]["n_overlap"] == 1
+
+
+def test_decontaminate_hashed_matches_string_join(spark, decon_data):
+    train, eval_df = decon_data
+    a = sorted(quality.decontaminate(train, eval_df, hashed=True).collect())
+    b = sorted(quality.decontaminate(train, eval_df, hashed=False).collect())
+    assert a == b
+
+
+def test_decontaminate_broadcasts_eval_side(spark, decon_data):
+    train, eval_df = decon_data
+    assert_broadcast_join(quality.decontaminate(train, eval_df))
+
+
+@pytest.fixture(scope="module")
+def strat_docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=i, lang=("en" if i % 2 == 0 else "de")) for i in range(200)]
+    )
+
+
+def test_stratified_sample_rate_extremes(spark, strat_docs):
+    out = sampling.stratified_sample(
+        strat_docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}
+    ).collect()
+    assert len(out) == 100
+    assert all(r["lang"] == "en" for r in out)
+
+
+def test_stratified_sample_unlisted_strata_use_default(spark, strat_docs):
+    kept = sampling.stratified_sample(
+        strat_docs, "doc_id", "lang", {"en": 1.0}, default_rate=0.0
+    ).collect()
+    assert {r["lang"] for r in kept} == {"en"}
+    all_kept = sampling.stratified_sample(
+        strat_docs, "doc_id", "lang", {}, default_rate=1.0
+    ).count()
+    assert all_kept == 200
+
+
+def test_stratified_sample_deterministic_and_monotone(spark, strat_docs):
+    lo = sampling.stratified_sample(
+        strat_docs, "doc_id", "lang", {"en": 0.3, "de": 0.3}
+    )
+    hi = sampling.stratified_sample(
+        strat_docs, "doc_id", "lang", {"en": 0.7, "de": 0.7}
+    )
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    # re-running produces the identical sample (content-addressed)
+    assert lo_ids == {r["doc_id"] for r in lo.collect()}
+    # raising every rate only ADDS documents (thresholds are nested)
+    assert lo_ids <= {r["doc_id"] for r in hi.collect()}
+
+
+def test_stratified_sample_rejects_bad_rates(spark, strat_docs):
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(strat_docs, "doc_id", "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(
+            strat_docs, "doc_id", "lang", {}, default_rate=-0.1
+        )
