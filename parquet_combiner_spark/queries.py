@@ -586,6 +586,77 @@ def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Known event types, pinned so the pivot never needs the extra
+# distinct-values job Spark runs when the list is omitted — at 100 TB
+# that implicit first pass is a full scan of the fact table.
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type count matrix (long → wide), the
+    feature-matrix reshape every per-entity ML featurization runs.
+
+    Formulated as one conditional aggregate per pinned value (see
+    :data:`EVENT_TYPES`) instead of ``DataFrame.pivot``: with the
+    value list given, ``pivot().count()`` still plans TWO exchanges
+    (a (user, type) count, then a pivotfirst re-aggregation by user),
+    and with the list omitted it adds a distinct-values scan job on
+    top. The conditional form is a single partial-aggregated
+    HashAggregate — one exchange, no extra job, missing combinations
+    are 0 by construction."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in EVENT_TYPES
+        ]
+    )
+
+
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (wide → long): the three lineitem measures as
+    (key, measure, val) rows — the reshape feeding generic per-metric
+    pipelines. Spark's native ``unpivot`` is a zero-shuffle narrow
+    expansion (each input row emits k value rows in place); the
+    oracle's UNION ALL reads the table k times instead, which is the
+    semantics, not the plan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+
+
+def current_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (operators/merge.py): events split into a base
+    snapshot (even event_id) and a CDC update batch (odd event_id),
+    compacted to the latest state per (user, event_type) — newest ts
+    wins, event_id breaks ts ties deterministically. The split is
+    synthetic but the compaction is the real operator; the oracle is
+    the window formulation over the reunified stream."""
+    from parquet_combiner_spark.operators.merge import merge_upsert
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    base = ev.where(F.col("event_id") % 2 == 0)
+    updates = ev.where(F.col("event_id") % 2 == 1)
+    return merge_upsert(
+        base,
+        updates,
+        keys=["user_id", "event_type"],
+        version_cols=["ts", "event_id"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -616,6 +687,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_rolling_value": user_rolling_value,
     "pricing_rollup": pricing_rollup,
     "user_bucket_top_events": user_bucket_top_events,
+    "user_event_matrix": user_event_matrix,
+    "lineitem_measures_unpivot": lineitem_measures_unpivot,
+    "current_user_state": current_user_state,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -969,5 +1043,41 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS rn
             FROM events GROUP BY user_id % 100, event_type
         ) WHERE rn <= 3
+    """,
+    "user_event_matrix": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'error') AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS signup,
+               count(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY user_id
+    """,
+    "lineitem_measures_unpivot": """
+        SELECT l_orderkey, l_linenumber,
+               'l_quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_extendedprice' AS measure, l_extendedprice AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_discount' AS measure, l_discount AS val
+        FROM lineitem
+    """,
+    # the window formulation of latest-wins compaction; the engine
+    # computes it as a partial-aggregated max_by instead (one
+    # pre-combined row per key crosses the shuffle)
+    "current_user_state": """
+        SELECT user_id, event_type, ts, event_id, value FROM (
+            SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_ns(ts) DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
     """,
 }
