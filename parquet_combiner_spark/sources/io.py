@@ -185,6 +185,62 @@ def write_jsonl(
     writer.json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    mode: str = "FAILFAST",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with the same fail-fast posture as the JSONL source.
+
+    With a declared ``schema``, ``enforceSchema`` is turned OFF
+    deliberately: Spark's default (true) silently applies the schema
+    positionally and IGNORES the file's header names, so a column
+    reorder upstream would corrupt every typed read without an error.
+    With it off, Spark validates the header against the schema's
+    field names and fails the read on drift. Malformed rows fail the
+    job (``FAILFAST``) instead of becoming silent nulls.
+
+    Scale note: like JSONL, CSV splits by line and costs a full parse
+    per read, and carries no column pruning or predicate pushdown —
+    ingest once, then operate on parquet (:func:`write_parquet`).
+    Without a schema, inference itself scans the data; pass a schema
+    for anything larger than a sample.
+    """
+    reader = (
+        spark.read.option("mode", mode)
+        .option("header", header)
+        .option("sep", sep)
+    )
+    if schema is not None:
+        return (
+            reader.schema(schema).option("enforceSchema", False).csv(path)
+        )
+    return reader.option("inferSchema", True).csv(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    header: bool = True,
+    sep: str = ",",
+    partition_by: list[str] | None = None,
+) -> None:
+    """CSV sink for interchange with non-columnar consumers. Complex
+    columns (arrays/structs/binary) are not CSV-representable —
+    project or serialize them first; Spark raises otherwise."""
+    writer = df.write.mode(mode).option("header", header).option("sep", sep)
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.csv(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

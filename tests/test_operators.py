@@ -601,3 +601,69 @@ def test_jsonl_partitioned_write(spark, tmp_path):
     assert back.count() == 10
     only_en = read_jsonl(spark, p).where(F.col("lang") == "en")
     assert only_en.count() == 5
+
+
+def test_csv_round_trip_schema_enforced(spark, tmp_path):
+    """CSV source/sink: round-trip preserves rows and types under a
+    declared schema; a header that does not match the schema fails
+    the read (enforceSchema=false) instead of silently mis-mapping
+    columns; malformed rows fail the read (FAILFAST)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from parquet_combiner_spark.sources.io import read_csv, write_csv
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows = [(1, 0.5, "en"), (2, 1.25, "de")]
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "docs_csv")
+    write_csv(df, p, compression=None)
+
+    back = read_csv(spark, p, schema=schema)
+    assert back.schema == schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+    # header drift: same arity, different names -> read must fail,
+    # not silently apply the schema positionally
+    drifted = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rating", T.DoubleType()),  # was "score"
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    with pytest.raises(Exception, match="(?i)header|schema"):
+        read_csv(spark, p, schema=drifted).collect()
+
+    # malformed row: non-numeric value in a typed column
+    bad = tmp_path / "bad_csv"
+    bad.mkdir()
+    (bad / "part-0.csv").write_text("doc_id,score,lang\n1,ok,en\n")
+    with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        read_csv(spark, str(bad), schema=schema).collect()
+
+
+def test_csv_untyped_inference_and_partitioned_write(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.io import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [Row(k=1, lang="en"), Row(k=2, lang="de"), Row(k=3, lang="en")]
+    )
+    p = str(tmp_path / "part_csv")
+    write_csv(df, p, compression=None, partition_by=["lang"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en"]
+    back = read_csv(spark, p)  # schema inferred
+    assert back.count() == 3
+    assert dict(back.dtypes)["k"] == "int"
