@@ -481,6 +481,24 @@ def user_sessions_stream_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchases_after_error_interval_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 STREAM-STREAM join under the hard signal: the interval
+    join of ``purchases_after_error_interval`` as two watermarked
+    event streams joined in flight (state evicted past
+    watermark − window). Inner-join emission is exhaustive once both
+    sides drain, so the BATCH query's oracle SQL checks this verbatim
+    — same rows, same integral-millis contract."""
+    from parquet_combiner_spark.streaming.pipeline import (
+        purchases_after_errors_stream_available_now,
+    )
+
+    return purchases_after_errors_stream_available_now(
+        spark, table_path(sf_dir, "events"), window_ms=_ERR_WINDOW_MS
+    )
+
+
 def windowed_top_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 windowed top-N under the hard signal: the streaming
     tumbling-window count → rank pipeline (the reference's proposed
@@ -677,6 +695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_by_type": events_by_type,
     "purchase_attribution_asof": purchase_attribution_asof,
     "purchases_after_error_interval": purchases_after_error_interval,
+    "purchases_after_error_interval_stream": purchases_after_error_interval_stream,
     "user_sessions": user_sessions,
     "user_sessions_native": user_sessions_native,
     "user_sessions_stream": user_sessions_stream,
@@ -867,6 +886,7 @@ ORACLE_SQL: dict[str, str] = {
          AND f.event_type = 'purchase' AND d.event_type = 'error'
          AND f.tms BETWEEN d.tms AND d.tms + 3600000
     """,
+
     # DuckDB has a NATIVE ASOF JOIN (inclusive: fact.t >= dim.t) — an
     # independent implementation of the same temporal-join semantics
     # the union+window operator computes, which is exactly what an
@@ -1081,3 +1101,9 @@ ORACLE_SQL: dict[str, str] = {
         ) WHERE rn = 1
     """,
 }
+
+# the stream-stream join must produce the batch interval join's exact
+# rows — one oracle checks both formulations
+ORACLE_SQL["purchases_after_error_interval_stream"] = ORACLE_SQL[
+    "purchases_after_error_interval"
+]

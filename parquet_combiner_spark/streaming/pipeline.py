@@ -251,3 +251,86 @@ def top_items_per_window(
         top_x,
         rank_col="item_rank",
     )
+
+
+def purchases_after_errors_stream_available_now(
+    spark: SparkSession,
+    events_path: str,
+    window_ms: int = 3_600_000,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join, run to completion: every purchase
+    falling inside the ``window_ms`` window opened by an error from
+    the same user — the streaming twin of the batch
+    ``purchases_after_error_interval`` query (operators/asof.py), and
+    the third stateful-join family the prose design's "correlate
+    events in flight" use case needs (design.pdf p.1-2).
+
+    Both sides carry a watermark AND the join condition bounds the
+    event-time distance, so Spark evicts join state for rows older
+    than (watermark − window) — the state-cleanup contract that makes
+    a stream-stream join runnable indefinitely; without the time
+    bound, both sides buffer forever. An INNER join emits each match
+    as soon as both rows have arrived (emission is never held back by
+    the watermark — only state eviction uses it), so running to
+    completion with ``availableNow`` yields exactly the batch join:
+    the DuckDB oracle for the batch query checks this query verbatim.
+
+    Event times are FLOORED TO MILLIS before the comparison so the
+    boundary semantics are bit-identical to the batch query's integer
+    millis BETWEEN (a raw-micros comparison could disagree on rows
+    that tie only after flooring).
+
+    Output: (event_id, user_id, tms, error_event_id, win_start) —
+    integral epoch millis, the batch query's exact contract.
+    """
+    from parquet_combiner_spark.streaming.run import (
+        run_events_stream_available_now,
+    )
+
+    def join_streams(stream: DataFrame) -> DataFrame:
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                "user_id",
+                F.col("event_time").alias("p_time"),
+            )
+            .withWatermark("p_time", watermark_delay)
+        )
+        errors = (
+            stream.where(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_event_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("event_time").alias("e_time"),
+            )
+            .withWatermark("e_time", watermark_delay)
+        )
+        return purchases.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("p_time") >= F.col("e_time"))
+            & (
+                F.col("p_time")
+                <= F.col("e_time")
+                + F.expr(f"INTERVAL {window_ms} MILLISECONDS")
+            ),
+            "inner",
+        ).select(
+            "event_id",
+            "user_id",
+            F.unix_millis("p_time").alias("tms"),
+            "error_event_id",
+            F.unix_millis("e_time").alias("win_start"),
+        )
+
+    return run_events_stream_available_now(
+        spark,
+        events_path,
+        join_streams,
+        prefix="ssjoin",
+        # millis-floored micros: comparisons equal the batch integer-ms
+        # BETWEEN exactly
+        event_time=F.timestamp_micros(F.expr("(ts div 1000000) * 1000")),
+    )

@@ -496,3 +496,54 @@ def test_sessionize_available_now_matches_batch_closed_sessions(spark):
     )
     assert len(got) > 0
     assert got == expected
+
+
+def test_stream_stream_interval_join_boundaries(spark, tmp_path):
+    """Stream-stream interval join: inclusive at BOTH window edges
+    (matching the batch BETWEEN), per-user correlation only, and
+    exhaustive emission once both streams drain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_combiner_spark.streaming.pipeline import (
+        purchases_after_errors_stream_available_now,
+    )
+
+    win_ms = 60_000
+    base_ns = 1_700_000_000 * 1_000_000_000
+    ms = 1_000_000  # ns per ms
+
+    def ev(eid, etype, user, t_ms):
+        return (eid, etype, user, base_ns + t_ms * ms)
+
+    rows = [
+        ev(100, "error", 1, 0),
+        ev(1, "purchase", 1, 0),            # at win_start: included
+        ev(2, "purchase", 1, win_ms),       # at win_end: included
+        ev(3, "purchase", 1, win_ms + 1),   # 1 ms past: excluded
+        ev(4, "purchase", 2, 10),           # other user: excluded
+        ev(5, "purchase", 1, -1),           # before the error: excluded
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[3] for r in rows], type=pa.timestamp("ns")),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(table, path)
+
+    out = purchases_after_errors_stream_available_now(
+        spark, path, window_ms=win_ms
+    )
+    got = {
+        (r["event_id"], r["error_event_id"], r["tms"], r["win_start"])
+        for r in out.collect()
+    }
+    base_ms = base_ns // ms
+    assert got == {
+        (1, 100, base_ms, base_ms),
+        (2, 100, base_ms + win_ms, base_ms),
+    }
