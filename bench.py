@@ -12,6 +12,15 @@ pass). Single-run variance on a shared 32-thread box is ~±10-30%
 (GC, page cache, JIT recompiles, noisy neighbors) and has twice
 produced phantom regressions on unchanged code; the median of 3 is
 robust to one bad run in either direction, which best-of-2 was not.
+
+Materialization: each measured run writes to the NOOP sink, which
+evaluates EVERY output column. The ``count()`` action used through
+round 6 let Catalyst prune computed columns that no aggregate
+consumed, so narrow-map queries (doc_quality, doc_token_stats, …)
+were partially measuring a pruned scan; round-7+ numbers are honest
+and therefore not strictly comparable to earlier rounds for those
+lines (measured skew at sf0.1 is small — doc_quality 1.61s count vs
+1.75s noop — but the principle stands).
 """
 
 from __future__ import annotations
@@ -51,9 +60,25 @@ HEADLINE = [
     "ann_cosine_topk",
     "embedding_near_dup_pairs",
     "doc_quality",
+    # round-7 additions: repetition filter (interpreted-HOF narrow
+    # map), decontamination (explode + broadcast join), CDC compaction
+    # (partial-aggregated max_by), conditional pivot, and the
+    # stream-stream interval join (stateful streaming cost)
+    "doc_repetition_stats",
+    "doc_decontaminate",
+    "current_user_state",
+    "user_event_matrix",
+    "purchases_after_error_interval_stream",
 ]
 
 RUNS = 3
+
+
+def _materialize(df) -> None:
+    """Evaluate EVERY output column (noop sink). ``count()`` lets
+    Catalyst prune computed columns no aggregate consumes — a narrow
+    projection can bench 'faster' than it runs in production."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -94,7 +119,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     for name in names:
         try:
-            qs[name](spark, warm_dir).count()
+            _materialize(qs[name](spark, warm_dir))
         except Exception as e:  # noqa: BLE001
             sys.stderr.write(f"warm-up failed for {name} at {warm_dir}: {e}\n")
     clear_ngram_pair_cache()  # warm-up must not pre-pay a measured line
@@ -107,8 +132,10 @@ def main() -> None:
             if pre is not None:
                 pre()
             t0 = time.perf_counter()
-            rows = qs[name](spark, sf_dir).count()
+            df = qs[name](spark, sf_dir)
+            _materialize(df)
             runs.append(time.perf_counter() - t0)
+        rows = df.count()  # unmeasured; stderr diagnostics only
         post = post_runs.get(name)
         if post is not None:
             post()

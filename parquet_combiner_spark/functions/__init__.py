@@ -370,6 +370,20 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_label_stats(_embs(spark, sf_dir))
 
 
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup over the embeddings table. min_cosine 0.4 for the same
+    reason as ``embedding_near_dup_pairs``: the synthetic vectors are
+    near-orthogonal, so a production 0.95 bar would be vacuously
+    all-keep; 0.4 exercises clustering, within-cluster scoring, and
+    the keeper decision on real dup groups. k-means is seeded and
+    deterministic but not SQL-expressible → rows-only under the
+    driver; the planted-dup recall pytest carries the exactness
+    claim (test_functions.py)."""
+    return similarity.semdedup(
+        _embs(spark, sf_dir), n_centroids=16, min_cosine=0.4
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -396,6 +410,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_ivf_fullprobe": q_ann_cosine_topk_ivf_fullprobe,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_label_stats": q_embedding_label_stats,
+    "embedding_semdedup": q_embedding_semdedup,
 }
 
 # --- LSH oracle generation -------------------------------------------------

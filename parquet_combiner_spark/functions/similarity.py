@@ -601,3 +601,96 @@ def embedding_label_stats(embeddings: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(norm(F.col("embedding"))), 4).alias("avg_norm"),
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means partitioning + within-cluster cosine —
+    the embedding-space analog of the MinHash pipeline, and the
+    standard way to prune paraphrase-level duplicates a lexical
+    dedup cannot see.
+
+    Composition of the engine's existing parts: the IVF coarse
+    quantizer (:func:`train_ivf_centroids` — bounded driver sample,
+    seeded, deterministic) partitions the corpus; candidate pairs are
+    generated ONLY within a centroid's member set (the paper's trick
+    — cosine-similar vectors share a nearest centroid, so the
+    quadratic blowup is bounded by cluster size, never corpus size);
+    pairs at ``cos >= min_cosine`` feed the same min-label
+    connected-components + keeper decision the text near-dup families
+    use (dedup_text.near_dup_clusters). At 100 TB, scale
+    ``n_centroids`` ∝ corpus/target-cluster-size: assignment is one
+    Arrow matmul pass, the self-join shuffles each vector once on
+    centroid_id, and per-cluster work is quadratic only in the
+    cluster.
+
+    Like the paper, recall is bounded by the partitioning: a dup pair
+    split across two centroids is missed (the price of never going
+    quadratic in the corpus). nprobe>1 assignment would trade cost
+    for recall; the planted-dup pytest pins the recall this
+    configuration must deliver.
+
+    Output: one row per input vector —
+    (``id_col``, centroid_id, dup_group, keep), where dup_group is
+    the minimum reachable id (singletons: their own id) and exactly
+    the minimum id of each dup group carries ``keep = true``.
+    """
+    from parquet_combiner_spark.functions.dedup_text import (
+        dedup_keepers,
+        near_dup_clusters,
+    )
+
+    cents = train_ivf_centroids(
+        embeddings,
+        n_centroids=n_centroids,
+        sample=sample,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    assigned = _ivf_assign(
+        embeddings, cents, 1, "vid", "emb", id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)  # one assignment pass feeds both join sides
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.centroid_id") == F.col("b.centroid_id"),
+            F.col("a.vid") < F.col("b.vid"),
+        ],
+    ).select(
+        F.col("a.vid").alias("id_a"),
+        F.col("b.vid").alias("id_b"),
+        F.col("a.emb").alias("emb_a"),
+        F.col("b.emb").alias("emb_b"),
+    )
+    dup_pairs = _pair_cosine_arrow(pairs).where(F.col("cos") >= min_cosine)
+    verdicts = dedup_keepers(
+        near_dup_clusters(dup_pairs, id_a="id_a", id_b="id_b")
+    )
+    return (
+        assigned.select(F.col("vid").alias(id_col), "centroid_id")
+        .join(
+            verdicts.select(
+                F.col("doc_id").alias(id_col),
+                F.col("cluster_id").alias("dup_group"),
+                "keep",
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce("dup_group", F.col(id_col)).alias("dup_group"),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )

@@ -785,3 +785,51 @@ def test_sample_frames_explodes_rows(spark):
 
     with pytest.raises(ValueError, match="every_n must be positive"):
         multimodal.sample_frames(media, every_n=0)
+
+
+def test_semdedup_planted_duplicates_collapse(spark):
+    """SemDedup: planted identical (and near-identical) embeddings
+    must land in one dup group with exactly the min id kept;
+    orthogonal vectors must all survive. Singletons (never in any
+    pair) keep their own id as dup_group."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(7)
+    dim = 16
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    base = rng.normal(size=dim)
+    near = base + rng.normal(scale=1e-3, size=dim)  # cos ~ 1
+    # orthogonal basis vectors: pairwise cos = 0
+    rows = [
+        Row(vec_id=1, embedding=unit(base), label=0),
+        Row(vec_id=2, embedding=unit(base), label=0),   # exact dup of 1
+        Row(vec_id=3, embedding=unit(near), label=0),   # near dup of 1
+    ] + [
+        Row(vec_id=10 + i, embedding=unit(np.eye(dim)[i]), label=1)
+        for i in range(6)
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semdedup(
+            spark.createDataFrame(rows), n_centroids=4, min_cosine=0.95
+        ).collect()
+    }
+    assert len(out) == 9  # one row per input vector
+    # the dup triple collapses onto min id 1; only 1 keeps
+    assert out[1]["dup_group"] == 1 and out[1]["keep"]
+    assert out[2]["dup_group"] == 1 and not out[2]["keep"]
+    assert out[3]["dup_group"] == 1 and not out[3]["keep"]
+    # orthogonal singletons: own group, all kept
+    for i in range(6):
+        assert out[10 + i]["dup_group"] == 10 + i and out[10 + i]["keep"]
+
+
+def test_semdedup_deterministic_across_runs(spark, embs):
+    a = sorted(tuple(r) for r in similarity.semdedup(embs, n_centroids=4, min_cosine=0.4).collect())
+    b = sorted(tuple(r) for r in similarity.semdedup(embs, n_centroids=4, min_cosine=0.4).collect())
+    assert a == b
