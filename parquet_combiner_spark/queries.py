@@ -604,6 +604,46 @@ def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIGH_VALUE_ORDER = 400_000.0
+
+
+def customers_without_high_value_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT ANTI join — the set-difference join family (NOT EXISTS):
+    customers with no order above the high-value bar (the exact
+    complement of ``customers_with_high_value_orders`` — the
+    partition property is pinned by pytest). The probe side is
+    filtered AND reduced to its join key before the join (an anti
+    join needs only key presence), so the shuffle carries one slim
+    column of the filtered minority; the build-side hash table dedups
+    keys by construction."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _HIGH_VALUE_ORDER)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(big, "c_custkey", "left_anti")
+
+
+def customers_with_high_value_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT SEMI join (EXISTS with a predicate): customers with at
+    least one order above the high-value bar. The price filter sits
+    on the orders scan (pushed to parquet), so the semi probe builds
+    over the filtered minority — EXISTS never multiplies rows the way
+    an inner-join-then-distinct would."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _HIGH_VALUE_ORDER)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(big, "c_custkey", "left_semi")
+
+
 # Known event types, pinned so the pivot never needs the extra
 # distinct-values job Spark runs when the list is omitted — at 100 TB
 # that implicit first pass is a full scan of the fact table.
@@ -709,6 +749,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_matrix": user_event_matrix,
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
     "current_user_state": current_user_state,
+    "customers_without_high_value_orders": customers_without_high_value_orders,
+    "customers_with_high_value_orders": customers_with_high_value_orders,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1063,6 +1105,20 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS rn
             FROM events GROUP BY user_id % 100, event_type
         ) WHERE rn <= 3
+    """,
+    "customers_without_high_value_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+        )
+    """,
+    "customers_with_high_value_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+        )
     """,
     "user_event_matrix": """
         SELECT user_id,

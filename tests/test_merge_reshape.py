@@ -100,3 +100,25 @@ def test_unpivot_is_narrow(spark):
     got = {(r["id"], r["measure"], r["val"]) for r in long.collect()}
     assert got == {(1, "a", 1.0), (1, "b", 2.0)}
     assert_not_in_plan(long, "Exchange")
+
+
+def test_semi_anti_partition_customers(spark):
+    """The semi and anti formulations over the same predicate must
+    PARTITION the customer table: disjoint, union = all customers."""
+    from parquet_combiner_spark.queries import (
+        customers_with_high_value_orders,
+        customers_without_high_value_orders,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    with_hv = {
+        r["c_custkey"]
+        for r in customers_with_high_value_orders(spark, sf).collect()
+    }
+    without_hv = {
+        r["c_custkey"]
+        for r in customers_without_high_value_orders(spark, sf).collect()
+    }
+    assert with_hv.isdisjoint(without_hv)
+    n_cust = spark.read.parquet(f"{sf}/customer.parquet").count()
+    assert len(with_hv) + len(without_hv) == n_cust
