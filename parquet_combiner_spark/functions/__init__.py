@@ -156,8 +156,10 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals + keep/drop verdict per doc —
-    a pure narrow map (see :mod:`quality`)."""
-    return quality.repetition_stats(_docs(spark, sf_dir))
+    a narrow map on the Arrow counting pass (the built-in-HOF
+    formulation is interpreter-bound ~10x slower; pytest pins the two
+    bit-identical, see :mod:`quality`)."""
+    return quality.repetition_stats_arrow(_docs(spark, sf_dir))
 
 
 # Benchmark split for the decontamination demo: every 97th doc plays

@@ -144,3 +144,23 @@ def test_stratified_sample_rejects_bad_rates(spark, strat_docs):
         sampling.stratified_sample(
             strat_docs, "doc_id", "lang", {}, default_rate=-0.1
         )
+
+
+def test_repetition_arrow_matches_builtin_bit_for_bit(spark, qdocs):
+    """The Arrow counting pass and the built-in array formulation
+    must agree exactly — fractions and rounding both happen in the
+    same JVM expressions, so any drift is a counting bug. Includes a
+    null-text row (both paths treat it as empty)."""
+    from pyspark.sql import Row
+
+    docs = qdocs.unionByName(
+        spark.createDataFrame(
+            [Row(doc_id=99, text=None, lang="en")],
+            schema=qdocs.schema,
+        )
+    )
+    a = sorted(tuple(r) for r in quality.repetition_stats(docs).collect())
+    b = sorted(
+        tuple(r) for r in quality.repetition_stats_arrow(docs).collect()
+    )
+    assert a == b
