@@ -604,6 +604,42 @@ def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing (histogram by quartile) — the scale-safe
+    formulation of ``NTILE(4)``: exact percentile thresholds in ONE
+    aggregation pass, broadcast back as a 1-row frame, bucket via
+    CASE, aggregate per bucket. ``NTILE`` over a global ORDER BY
+    window needs a single-partition total sort of every row — the one
+    plan shape this engine refuses; threshold-bucketing differs from
+    it only in tie placement (ties land in one bucket instead of
+    splitting to even bucket sizes) and runs as two partial-aggregated
+    HashAggregates plus a broadcast. The same move length-buckets
+    documents for packing."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    thr = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    quart = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+        .when(F.col("o_totalprice") <= F.col("q2"), 2)
+        .when(F.col("o_totalprice") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        orders.crossJoin(F.broadcast(thr))
+        .withColumn("quartile", quart)
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 _HIGH_VALUE_ORDER = 400_000.0
 
 
@@ -750,6 +786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
     "current_user_state": current_user_state,
     "customers_without_high_value_orders": customers_without_high_value_orders,
+    "order_price_quartiles": order_price_quartiles,
     "customers_with_high_value_orders": customers_with_high_value_orders,
 }
 
@@ -1105,6 +1142,24 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS rn
             FROM events GROUP BY user_id % 100, event_type
         ) WHERE rn <= 3
+    """,
+    "order_price_quartiles": """
+        WITH t AS (
+            SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                   quantile_cont(o_totalprice, 0.5) AS q2,
+                   quantile_cont(o_totalprice, 0.75) AS q3
+            FROM orders
+        )
+        SELECT CASE WHEN o_totalprice <= q1 THEN 1
+                    WHEN o_totalprice <= q2 THEN 2
+                    WHEN o_totalprice <= q3 THEN 3
+                    ELSE 4 END AS quartile,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders, t
+        GROUP BY 1
     """,
     "customers_without_high_value_orders": """
         SELECT c_custkey, c_name FROM customer c
