@@ -604,6 +604,109 @@ def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — the first MULTI-WAY join pipeline in the
+    registry: segment-filtered customer ⋈ date-filtered orders ⋈
+    date-filtered lineitem, revenue per order, global top-10.
+
+    Plan intent: all three filters reach their parquet scans
+    (PushedFilters), the c⋈o join keys the smaller filtered side,
+    AQE picks broadcast when the filtered customer fits, and the
+    top-10 is a TakeOrderedAndProject — never a full global sort.
+    Dates are epoch-millis integers at the boundary (timestamp
+    columns are NTZ; millis keep the oracle hash engine-neutral)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    joined = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).join(li, orders["o_orderkey"] == li["l_orderkey"])
+    rev = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+            2,
+        ).alias("revenue")
+    )
+    return (
+        rev.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "odate_ms"
+            ),
+        )
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — six-way join: revenue by nation for lineitems
+    where customer and supplier share a nation in one region, over one
+    order year. The three true dimensions (supplier, nation, region)
+    are broadcast explicitly; nation⋈region collapses to a key list
+    before touching any fact; customer⋈orders⋈lineitem remain
+    shuffle joins for AQE to reorder/size. The c_nationkey =
+    s_nationkey "local" predicate rides the supplier join, so no
+    extra shuffle materializes for it."""
+    region_asia = (
+        _t(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region_asia),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supplier),
+            (li["l_suppkey"] == supplier["s_suppkey"])
+            & (cust["c_nationkey"] == supplier["s_nationkey"]),
+        )
+        .join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+            2,
+        ).alias("revenue")
+    )
+
+
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile bucketing (histogram by quartile) — the scale-safe
     formulation of ``NTILE(4)``: exact percentile thresholds in ONE
@@ -787,6 +890,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state": current_user_state,
     "customers_without_high_value_orders": customers_without_high_value_orders,
     "order_price_quartiles": order_price_quartiles,
+    "shipping_priority": shipping_priority,
+    "local_supplier_volume": local_supplier_volume,
     "customers_with_high_value_orders": customers_with_high_value_orders,
 }
 
@@ -1142,6 +1247,31 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS rn
             FROM events GROUP BY user_id % 100, event_type
         ) WHERE rn <= 3
+    """,
+    "shipping_priority": """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               epoch_ms(o_orderdate) AS odate_ms
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "local_supplier_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
     """,
     "order_price_quartiles": """
         WITH t AS (

@@ -267,3 +267,36 @@ def test_dedup_keep_min_is_aggregate_not_sort(spark):
     plan = assert_partial_aggregate(deduped)
     assert "Window" not in plan  # the whole point: no shuffle-and-sort
     assert_in_plan(deduped, "min_by")
+
+
+def test_shipping_priority_plan_topk_and_pushdown(spark):
+    """TPC-H Q3 shape: the global top-10 must be TakeOrderedAndProject
+    (never a full Sort), and every filter must reach its parquet
+    scan."""
+    from parquet_combiner_spark.queries import shipping_priority
+
+    df = shipping_priority(spark, "/root/testdata/sf0.001")
+    plan = assert_no_cartesian_product(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_local_supplier_volume_locality_rides_supplier_join(spark):
+    """TPC-H Q5 shape: the c_nationkey = s_nationkey locality
+    predicate must be part of the supplier join's key set (no extra
+    exchange or post-filter), and the dims must broadcast."""
+    import re
+
+    from parquet_combiner_spark.queries import local_supplier_volume
+
+    df = local_supplier_volume(spark, "/root/testdata/sf0.001")
+    plan = assert_no_cartesian_product(df)
+    # formatted mode prints join keys as "Left keys [n]: [...]"
+    assert re.search(
+        r"Left keys \[2\]: \[l_suppkey\S* c_nationkey\S*\]", plan
+    ), plan
+    assert re.search(
+        r"Right keys \[2\]: \[s_suppkey\S* s_nationkey\S*\]", plan
+    ), plan
