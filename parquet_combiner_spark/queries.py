@@ -604,6 +604,26 @@ def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling event-time window (``F.window``) — the batch
+    twin of the streaming windowed aggregation: events per
+    (hour, type). Window assignment is a narrow projection (each row
+    maps to exactly one tumbling window), so the plan is one
+    partial-aggregated groupBy; the oracle is plain epoch floor
+    arithmetic, which is exactly what the tumbling window computes."""
+    ev = _events(spark, sf_dir)
+    win = F.window(F.timestamp_micros(F.expr("ts div 1000")), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape — the first MULTI-WAY join pipeline in the
     registry: segment-filtered customer ⋈ date-filtered orders ⋈
@@ -891,6 +911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_high_value_orders": customers_without_high_value_orders,
     "order_price_quartiles": order_price_quartiles,
     "shipping_priority": shipping_priority,
+    "hourly_event_type_counts": hourly_event_type_counts,
     "local_supplier_volume": local_supplier_volume,
     "customers_with_high_value_orders": customers_with_high_value_orders,
 }
@@ -1247,6 +1268,12 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS rn
             FROM events GROUP BY user_id % 100, event_type
         ) WHERE rn <= 3
+    """,
+    "hourly_event_type_counts": """
+        SELECT (epoch_ns(ts) // 1000000) // 3600000 * 3600000
+                   AS window_start_ms,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
     """,
     "shipping_priority": """
         SELECT o_orderkey,

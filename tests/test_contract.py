@@ -31,9 +31,10 @@ def test_every_oracle_has_a_query():
     # the non-SQL-expressible exceptions are exactly the hash-based
     # estimators (documented rows-only checks)
     # the non-oracle entries are exactly the engine-specific
-    # estimators: xxhash64-based LSH families and sketch aggregates
+    # estimators: xxhash64-based LSH families, sketch aggregates
     # (HLL++/GK values differ between engines by design; their error
-    # bounds are pinned by pytest instead)
+    # bounds are pinned by pytest instead), and the k-means-backed
+    # SemDedup (planted-dup recall pinned by pytest)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "minhash_near_dup_pairs",
@@ -41,6 +42,7 @@ def test_every_oracle_has_a_query():
         "ann_cosine_topk_ivf",
         "distinct_parts_approx",
         "price_percentiles_approx",
+        "embedding_semdedup",
     }
 
 
