@@ -69,6 +69,9 @@ HEADLINE = [
     "current_user_state",
     "user_event_matrix",
     "purchases_after_error_interval_stream",
+    # multi-way join pipelines (TPC-H Q3/Q5 shapes)
+    "shipping_priority",
+    "local_supplier_volume",
 ]
 
 RUNS = 3

@@ -588,6 +588,64 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-extension: CUBE over (returnflag, linestatus) — every
+    grouping-set combination including the per-linestatus margins
+    ROLLUP omits. Same grouping-flag export as ``pricing_rollup``."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+def parts_returned_and_held(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics): part keys that appear both
+    on returned ('R') and on held ('A') lineitems. Spark plans set
+    intersection as a left-semi aggregate join — no row
+    multiplication, partial aggregation on both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersect(a)
+
+
+def parts_returned_never_held(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference): returned part keys never held
+    by the low-key supplier group (the supplier filter keeps the
+    difference non-empty on this data — every part appears under both
+    flags corpus-wide). ``subtract`` is EXCEPT DISTINCT — a left-anti
+    aggregate under the hood, same scale shape as the anti join;
+    ``exceptAll`` would be BAG difference, a different (and here
+    wrong) answer."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    a = (
+        li.where((F.col("l_returnflag") == "A") & (F.col("l_suppkey") < 10))
+        .select("l_partkey")
+    )
+    return r.subtract(a)
+
+
+def event_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window rank-statistics family (percent_rank + cume_dist) per
+    event type — the distribution-position features a feature
+    pipeline derives per entity. One shuffle on the partition key;
+    rounded to 6 so both engines hash identically."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship shape #2 (A2 + F2 modulo): top-3 event types per
     user-id bucket, deterministic tiebreak."""
@@ -904,6 +962,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_percentiles_approx": price_percentiles_approx,
     "user_rolling_value": user_rolling_value,
     "pricing_rollup": pricing_rollup,
+    "pricing_cube": pricing_cube,
+    "parts_returned_and_held": parts_returned_and_held,
+    "parts_returned_never_held": parts_returned_never_held,
+    "event_value_percent_rank": event_value_percent_rank,
     "user_bucket_top_events": user_bucket_top_events,
     "user_event_matrix": user_event_matrix,
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
@@ -1257,6 +1319,35 @@ ORACLE_SQL: dict[str, str] = {
                CAST(grouping(l_linestatus) AS INTEGER) AS g_status
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "pricing_cube": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "parts_returned_and_held": """
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    "parts_returned_never_held": """
+        SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        EXCEPT
+        SELECT l_partkey FROM lineitem
+        WHERE l_returnflag = 'A' AND l_suppkey < 10
+    """,
+    "event_value_percent_rank": """
+        SELECT event_id, event_type,
+               round(percent_rank() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ), 6) AS pct_rank,
+               round(cume_dist() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ), 6) AS cume
+        FROM events
     """,
     "user_bucket_top_events": """
         SELECT user_bucket, event_type, n, CAST(rn AS INTEGER) AS rank FROM (
