@@ -156,3 +156,62 @@ class TestNgramJaccardProperty:
                 if j >= 0.25:
                     expected[(a, b)] = round(j, 4)
         assert got == expected
+
+
+class TestMergeUpsertProperties:
+    """merge_upsert algebra: idempotence and python-reference parity."""
+
+    CDC_ROWS = st.lists(
+        st.tuples(
+            st.integers(0, 5),    # key
+            st.integers(0, 3),    # version
+            st.integers(0, 99),   # payload disambiguator
+        ),
+        min_size=0,
+        max_size=20,
+    )
+
+    @staticmethod
+    def _frames(spark, rows):
+        from pyspark.sql import Row
+
+        # the row index rides the low digits of the version so no two
+        # rows of one source share (key, version) — the operator's
+        # determinism precondition
+        base = [
+            Row(k=k, v=v * 1000 + i, val=f"b{i}-{p}")
+            for i, (k, v, p) in enumerate(rows[: len(rows) // 2])
+        ]
+        upd = [
+            Row(k=k, v=v * 1000 + i, val=f"u{i}-{p}")
+            for i, (k, v, p) in enumerate(rows[len(rows) // 2 :])
+        ]
+        schema = "k long, v long, val string"
+        return (
+            spark.createDataFrame(base or [], schema),
+            spark.createDataFrame(upd or [], schema),
+        )
+
+    @given(rows=CDC_ROWS)
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_idempotent_and_matches_python_reference(self, spark, rows):
+        from parquet_combiner_spark.operators.merge import merge_upsert
+
+        base, upd = self._frames(spark, rows)
+        once = merge_upsert(base, upd, ["k"], ["v"])
+        got = {(r["k"], r["v"], r["val"]) for r in once.collect()}
+
+        # python reference: per key, max (v, priority) wins
+        ref = {}
+        for prio, df_rows in ((0, base.collect()), (1, upd.collect())):
+            for r in df_rows:
+                cur = ref.get(r["k"])
+                cand = (r["v"], prio, r["val"])
+                if cur is None or cand[:2] > cur[:2]:
+                    ref[r["k"]] = cand
+        assert got == {(k, v, val) for k, (v, _, val) in ref.items()}
+
+        # idempotence: re-applying the same update batch changes nothing
+        twice = merge_upsert(once, upd, ["k"], ["v"])
+        assert {(r["k"], r["v"], r["val"]) for r in twice.collect()} == got
