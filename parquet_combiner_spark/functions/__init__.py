@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from parquet_combiner_spark.functions import (
+    corpus,
     dedup_text,
     multimodal,
     packing,
@@ -198,6 +199,17 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates=_STRAT_RATES,
         default_rate=0.0,
         seed=_STRAT_SEED,
+    )
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed five-stage corpus-preparation pipeline
+    (:mod:`corpus`): repetition filter → quality filter → exact dedup
+    → decontamination → split, as ONE query whose oracle is the
+    composition of the per-stage oracles — the whole pipeline under
+    the driver's hash signal, not just its parts."""
+    return corpus.corpus_prep(
+        _docs(spark, sf_dir), eval_mod=_DECON_EVAL_MOD, ngram=_DECON_NGRAM
     )
 
 
@@ -395,6 +407,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "corpus_prep": q_corpus_prep,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -644,6 +657,98 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, lang FROM documents
         WHERE {sampling.stratified_sample_oracle_where_sql(
             "doc_id", "lang", _STRAT_RATES, 0.0, _STRAT_SEED)}
+    """,
+    # the five-stage pipeline as composed CTEs: each stage reuses the
+    # logic of its standalone oracle, restricted to the training
+    # partition; thresholds/splits interpolate from the shared
+    # constants in functions/corpus.py
+    "corpus_prep": f"""
+        WITH tr AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % {_DECON_EVAL_MOD} <> 0
+        ), g AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM tr
+        ), rep AS (
+            SELECT doc_id,
+                   round(1.0 - len(list_distinct(w))
+                         / CAST(greatest(len(w), 1) AS DOUBLE), 4)
+                       AS dup_word_frac,
+                   coalesce(list_max(list_transform(
+                       list_distinct(list_transform(
+                           range(0, greatest(len(w) - 2, 0) + 1),
+                           i -> array_to_string(w[i+1:i+2], ' '))),
+                       x -> len(list_filter(list_transform(
+                           range(0, greatest(len(w) - 2, 0) + 1),
+                           i -> array_to_string(w[i+1:i+2], ' ')),
+                           y -> y = x)))), 0) AS top_bi_cnt,
+                   round(coalesce(list_max(list_transform(
+                       list_distinct(list_transform(
+                           range(0, greatest(len(w) - 2, 0) + 1),
+                           i -> array_to_string(w[i+1:i+2], ' '))),
+                       x -> len(list_filter(list_transform(
+                           range(0, greatest(len(w) - 2, 0) + 1),
+                           i -> array_to_string(w[i+1:i+2], ' ')),
+                           y -> y = x)))), 0)
+                       / CAST(greatest(len(w) - 1, 1) AS DOUBLE), 4)
+                       AS top_bigram_frac
+            FROM g
+        ), qv AS (
+            SELECT doc_id,
+                   round(least(CAST(len(string_split(text, ' '))
+                                    AS DOUBLE) / 100.0, 1.0)
+                     * (1.0 - CAST(len(list_filter(
+                           string_split(lower(text), ' '),
+                           w -> w IN ({_STOPWORD_LIST}))) AS DOUBLE)
+                         / greatest(len(string_split(lower(text), ' ')), 1))
+                     * (1.0 - CAST(length(text)
+                           - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                           AS DOUBLE) / greatest(length(text), 1)), 4)
+                       AS quality,
+                   md5(text) AS fp,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM tr
+        ), kept AS (
+            SELECT tr.doc_id, tr.text, qv.fp, qv.n_tokens
+            FROM tr
+            JOIN rep ON tr.doc_id = rep.doc_id
+            JOIN qv ON tr.doc_id = qv.doc_id
+            WHERE rep.dup_word_frac <= {quality.DUP_WORD_FRAC_MAX}
+              AND (rep.top_bi_cnt <= 1
+                   OR rep.top_bigram_frac <= {quality.TOP_BIGRAM_FRAC_MAX})
+              AND qv.quality >= {corpus.QUALITY_MIN}
+        ), keepers AS (
+            SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp
+        ), dd AS (
+            SELECT kept.* FROM kept JOIN keepers USING (doc_id)
+        ), sh_eval AS (
+            SELECT DISTINCT unnest(list_distinct(list_transform(
+                range(0, greatest(len(string_split(lower(text), ' '))
+                                  - {_DECON_NGRAM}, 0) + 1),
+                i -> array_to_string(
+                    string_split(lower(text), ' ')[i+1:i+{_DECON_NGRAM}],
+                    ' ')))) AS s
+            FROM documents WHERE doc_id % {_DECON_EVAL_MOD} = 0
+        ), sh_dd AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(0, greatest(len(string_split(lower(text), ' '))
+                                  - {_DECON_NGRAM}, 0) + 1),
+                i -> array_to_string(
+                    string_split(lower(text), ' ')[i+1:i+{_DECON_NGRAM}],
+                    ' ')))) AS s
+            FROM dd
+        ), contaminated AS (
+            SELECT DISTINCT sh_dd.doc_id FROM sh_dd JOIN sh_eval USING (s)
+        ), surv AS (
+            SELECT dd.doc_id, dd.n_tokens FROM dd
+            LEFT JOIN contaminated c ON dd.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL
+        )
+        SELECT doc_id,
+               {sampling.split_oracle_case_sql(
+                   "doc_id", corpus.CORPUS_SPLITS, corpus.CORPUS_SPLIT_SEED)}
+                   AS split,
+               n_tokens
+        FROM surv
     """,
     # the fake encoder's features are sha256 digest bytes / 255.0;
     # re-quantized to integer bytes by the query, they equal the hex

@@ -1,0 +1,87 @@
+"""End-to-end corpus preparation: the composed LLM-data pipeline.
+
+Every production training-data run chains the same stages this module
+composes from the engine's own operators — and because each stage is
+individually oracle-checked, the COMPOSITE stays ANSI-SQL-expressible
+and sits under the driver's hash signal as one query:
+
+1. repetition filter  (quality.repetition_stats_arrow — Gopher rules)
+2. quality filter     (text.quality_score threshold)
+3. exact dedup        (min-doc_id keeper per md5 content fingerprint)
+4. decontamination    (quality.decontaminate vs the eval split)
+5. split assignment   (sampling.hash_split — content-addressed)
+
+Plan shape: stages 1-2 are narrow passes joined back on doc_id (one
+shuffle), dedup is one partial-aggregated groupBy on the fingerprint
+plus a semi-join, decontamination's wide side is one map-side-combined
+count against a broadcast eval n-gram set, and the split is a free
+narrow projection. Nothing in the chain is quadratic in the corpus,
+and every shuffle carries keys + small payloads, never full text
+bodies except the fingerprint groupBy's input."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parquet_combiner_spark.functions import quality, sampling
+from parquet_combiner_spark.functions.text import quality_score, token_count
+
+# Stage knobs — shared with the oracle generator below so engine and
+# SQL can never drift.
+QUALITY_MIN = 0.2
+CORPUS_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+CORPUS_SPLIT_SEED = "corpus-v1"
+
+
+def corpus_prep(
+    documents: DataFrame,
+    eval_mod: int = 97,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run the five-stage pipeline; returns one row per SURVIVING
+    training document: (id, split, n_tokens). Documents in the eval
+    partition (``id % eval_mod == 0``) are never emitted — they are
+    the benchmark being protected, not training data."""
+    is_eval = (F.col(id_col) % eval_mod) == 0
+    train, eval_df = documents.where(~is_eval), documents.where(is_eval)
+
+    # 1+2: repetition + quality flags (two narrow passes, one join)
+    rep_keep = (
+        quality.repetition_stats_arrow(train, text_col, id_col)
+        .where(F.col("repetition_keep"))
+        .select(id_col)
+    )
+    kept = (
+        train.join(rep_keep, id_col)
+        .where(F.round(quality_score(text_col), 4) >= QUALITY_MIN)
+    )
+
+    # 3: exact dedup — keeper is the min id per content fingerprint;
+    # partial-aggregated groupBy, then a semi-join back to rows
+    keepers = (
+        kept.groupBy(F.md5(F.col(text_col)).alias("__fp"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    deduped = kept.join(keepers, id_col, "left_semi")
+
+    # 4: drop documents sharing any n-gram with the eval set
+    clean_ids = (
+        quality.decontaminate(deduped, eval_df, ngram, text_col, id_col)
+        .where(~F.col("contaminated"))
+        .select(id_col)
+    )
+    survivors = deduped.join(clean_ids, id_col, "left_semi")
+
+    # 5: content-addressed split + the token count packing consumes
+    return sampling.hash_split(
+        survivors.select(
+            id_col, token_count(text_col).alias("n_tokens")
+        ),
+        id_col,
+        CORPUS_SPLITS,
+        seed=CORPUS_SPLIT_SEED,
+    ).select(id_col, "split", "n_tokens")

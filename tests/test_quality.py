@@ -164,3 +164,30 @@ def test_repetition_arrow_matches_builtin_bit_for_bit(spark, qdocs):
         tuple(r) for r in quality.repetition_stats_arrow(docs).collect()
     )
     assert a == b
+
+
+def test_corpus_prep_invariants(spark):
+    """The composed pipeline on real testdata: eval docs never leak
+    into the output, every survivor is a train doc, splits cover all
+    survivors, every stage actually removes something (non-degenerate
+    on this corpus), and no duplicate text survives."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.functions.corpus import corpus_prep
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = corpus_prep(docs)
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert ids and all(i % 97 != 0 for i in ids)  # eval never emitted
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert len(ids) == len(rows)  # one row per survivor
+    assert len(ids) < docs.where(F.col("doc_id") % 97 != 0).count()
+
+    # survivors' texts are unique (exact dedup held)
+    surv_texts = (
+        docs.join(out.select("doc_id"), "doc_id").select("text").collect()
+    )
+    texts = [r["text"] for r in surv_texts]
+    assert len(texts) == len(set(texts))
