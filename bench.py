@@ -72,6 +72,8 @@ HEADLINE = [
     # multi-way join pipelines (TPC-H Q3/Q5 shapes)
     "shipping_priority",
     "local_supplier_volume",
+    # the composed five-stage corpus-preparation pipeline
+    "corpus_prep",
 ]
 
 RUNS = 3

@@ -198,3 +198,21 @@ def test_combine_parquet_partitioned_no_shuffle_still_compacts(spark, tmp_path):
         ]
         assert len(files) == 1
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_prep_cli_writes_split_partitioned_survivors(spark, tmp_path, capsys):
+    """corpus-prep CLI: split-partitioned layout on disk, survivors
+    only, eval partition never written."""
+    import os
+
+    from parquet_combiner_spark.tools import prep
+
+    out = str(tmp_path / "prepped")
+    rc = prep.main(["/root/testdata/sf0.001/documents.parquet", out])
+    assert rc == 0
+    parts = sorted(d for d in os.listdir(out) if d.startswith("split="))
+    assert parts and set(parts) <= {"split=train", "split=val", "split=test"}
+    back = spark.read.parquet(out)
+    ids = [r["doc_id"] for r in back.select("doc_id").collect()]
+    assert ids and all(i % 97 != 0 for i in ids)
+    assert "Wrote" in capsys.readouterr().out
