@@ -4,8 +4,8 @@
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
-Each query is fully materialized via a count-style action on the
-result (no driver-side collect of the data itself).
+Each query is fully materialized via the noop sink (no driver-side
+collect of the data itself).
 
 Noise posture: per-query MEDIAN of 3 measured runs (after a warm-up
 pass). Single-run variance on a shared 32-thread box is ~±10-30%

@@ -300,3 +300,33 @@ def test_local_supplier_volume_locality_rides_supplier_join(spark):
     assert re.search(
         r"Right keys \[2\]: \[s_suppkey\S* s_nationkey\S*\]", plan
     ), plan
+
+
+def test_partitioned_sink_enables_dynamic_partition_pruning(spark, tmp_path):
+    """The 100 TB reason write_parquet has partition_by: a join whose
+    dim side is filtered prunes fact PARTITIONS at runtime (DPP) — the
+    scan's PartitionFilters must carry a dynamicpruningexpression fed
+    by the broadcast dim subquery, so only matching partition
+    directories are ever listed/read."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.plans import plan_text
+    from parquet_combiner_spark.sources.io import write_parquet
+
+    fact_p = str(tmp_path / "fact_dpp")
+    fact = spark.createDataFrame(
+        [Row(k=i, status=("A" if i % 3 else "B"), v=float(i)) for i in range(300)]
+    )
+    write_parquet(fact, fact_p, partition_by=["status"])
+    dim = spark.createDataFrame(
+        [Row(status="A", name="active"), Row(status="B", name="blocked")]
+    )
+    j = (
+        spark.read.parquet(fact_p)
+        .join(dim, "status")
+        .where(F.col("name") == "active")
+    )
+    plan = plan_text(j)
+    assert "dynamicpruningexpression" in plan, plan
+    n = j.count()
+    assert n == 200  # i%3 != 0 rows carry status A
