@@ -216,3 +216,23 @@ def test_prep_cli_writes_split_partitioned_survivors(spark, tmp_path, capsys):
     ids = [r["doc_id"] for r in back.select("doc_id").collect()]
     assert ids and all(i % 97 != 0 for i in ids)
     assert "Wrote" in capsys.readouterr().out
+
+
+def test_observe_metrics_ride_the_action(spark, tmp_path):
+    """quality_observation: row and null counters computed by the
+    write action itself (no second pass), read from the Observation."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools.observe import quality_observation
+
+    df = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v=None), Row(k=None, v="c")]
+    )
+    obs, observed = quality_observation(df)
+    out = str(tmp_path / "observed_out")
+    observed.write.mode("overwrite").parquet(out)
+    m = obs.get
+    assert m["n_rows"] == 3
+    assert m["null_k"] == 1 and m["null_v"] == 1
+    # the data itself is untouched by observation
+    assert spark.read.parquet(out).count() == 3
