@@ -667,3 +667,51 @@ def test_csv_untyped_inference_and_partitioned_write(spark, tmp_path):
     back = read_csv(spark, p)  # schema inferred
     assert back.count() == 3
     assert dict(back.dtypes)["k"] == "int"
+
+
+def test_write_sorted_narrows_rowgroup_stats(spark, tmp_path):
+    """The physical property write_sorted buys: per-file parquet
+    min/max ranges of the sort column are narrow and pairwise
+    disjoint (each file covers its own slice), where the unsorted
+    layout makes every file span ~the whole domain — so range
+    predicates can skip files/row groups. Verified from the parquet
+    footers with an independent reader (pyarrow)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.sources.io import write_sorted
+
+    df = spark.range(20_000).select(
+        (F.xxhash64("id") % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    sorted_p = str(tmp_path / "clustered")
+    plain_p = str(tmp_path / "plain")
+    write_sorted(df, sorted_p, ["k"], num_files=4)
+    df.repartition(4).write.parquet(plain_p)
+
+    def ranges(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            ks = [
+                md.row_group(i).column(0).statistics
+                for i in range(md.num_row_groups)
+            ]
+            out.append((min(s.min for s in ks), max(s.max for s in ks)))
+        return out
+
+    srt = sorted(ranges(sorted_p))
+    plain = ranges(plain_p)
+    assert len(srt) == 4
+    # disjoint slices: each file's max < next file's min
+    assert all(srt[i][1] <= srt[i + 1][0] for i in range(len(srt) - 1))
+    domain = srt[-1][1] - srt[0][0]
+    # every unsorted file spans ~the whole domain; sorted files don't
+    assert all((hi - lo) > 0.8 * domain for lo, hi in plain)
+    assert all((hi - lo) < 0.5 * domain for lo, hi in srt)
+
+    # round-trip intact
+    back = spark.read.parquet(sorted_p)
+    assert back.count() == 20_000
