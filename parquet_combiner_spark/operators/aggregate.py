@@ -108,3 +108,43 @@ def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def approx_item_counts(
+    df: DataFrame,
+    col: str,
+    items: Sequence[str],
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    alias: str = "est_n",
+) -> DataFrame:
+    """Count-Min-sketch frequency estimates for ``items`` — the third
+    member of the engine's sketch family (HLL++ distinct counts, GK
+    quantiles, CMS frequencies). The sketch is a fixed-size 2-D
+    counter array built in ONE mergeable aggregation pass
+    (``F.count_min_sketch``: partial sketches per task, merged), so
+    heavy-hitter estimates over a 100 TB column cost one scan and
+    O(1/eps · log(1/δ)) memory — the exact groupBy this approximates
+    must shuffle every distinct value.
+
+    Guarantee: est ≥ true, and est ≤ true + eps·N with probability
+    ``confidence`` (N = total rows). The sketch binary is
+    engine-specific → rows-only under the driver; the bound is pinned
+    by pytest.
+
+    The single small sketch is decoded driver-side via the JVM
+    CountMinSketch reader; the scan stays fully distributed.
+    """
+    row = df.agg(
+        F.count_min_sketch(
+            col, F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("sk")
+    ).head()
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(row["sk"])
+    )
+    ests = [(it, sketch.estimateCount(it)) for it in items]
+    return spark.createDataFrame(ests, f"{col} string, {alias} long")

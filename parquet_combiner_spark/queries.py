@@ -588,6 +588,19 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-sketch frequency estimates per event type — the
+    sketch family's frequency member (HLL++ = distinct, GK =
+    quantiles, CMS = counts). One mergeable single-pass aggregation;
+    sketch binary is engine-specific → rows-only under the driver,
+    with the est∈[true, true+eps·N] bound pinned by pytest
+    (test_operators.test_count_min_heavy_hitters_bound)."""
+    from parquet_combiner_spark.operators.aggregate import approx_item_counts
+
+    ev = _events(spark, sf_dir).select("event_type")
+    return approx_item_counts(ev, "event_type", EVENT_TYPES)
+
+
 def pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-extension: CUBE over (returnflag, linestatus) — every
     grouping-set combination including the per-linestatus margins
@@ -963,6 +976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_rolling_value": user_rolling_value,
     "pricing_rollup": pricing_rollup,
     "pricing_cube": pricing_cube,
+    "event_counts_cms": event_counts_cms,
     "parts_returned_and_held": parts_returned_and_held,
     "parts_returned_never_held": parts_returned_never_held,
     "event_value_percent_rank": event_value_percent_rank,

@@ -43,6 +43,7 @@ def test_every_oracle_has_a_query():
         "distinct_parts_approx",
         "price_percentiles_approx",
         "embedding_semdedup",
+        "event_counts_cms",
     }
 
 

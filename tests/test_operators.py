@@ -715,3 +715,25 @@ def test_write_sorted_narrows_rowgroup_stats(spark, tmp_path):
     # round-trip intact
     back = spark.read.parquet(sorted_p)
     assert back.count() == 20_000
+
+
+def test_count_min_heavy_hitters_bound(spark):
+    """CMS guarantee on real data: est >= exact, and est <= exact +
+    eps * N (eps 0.001, N = events rows) for every event type."""
+    from parquet_combiner_spark.operators.aggregate import approx_item_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    est = {
+        r["event_type"]: r["est_n"]
+        for r in approx_item_counts(
+            ev, "event_type", sorted(exact)
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert n <= est[t] <= n + 0.001 * n_total, (t, n, est[t])
