@@ -874,6 +874,47 @@ def customers_with_high_value_orders(
     return cust.join(big, "c_custkey", "left_semi")
 
 
+def current_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming/apply_cdc.py): the events table
+    staged as multiple files and streamed one file per micro-batch,
+    each batch MERGEd into a persisted state snapshot via the batch
+    ``merge_upsert`` operator — so the final snapshot must equal the
+    one-shot batch compaction, and the BATCH query's oracle checks
+    this verbatim. Exercises multi-batch incremental merge, not just
+    a single-batch passthrough."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.streaming.apply_cdc import (
+        apply_cdc_available_now,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="pcs-cdc-src-")
+    root = tempfile.mkdtemp(prefix="pcs-cdc-state-")
+    state_dir = f"{root}/state"
+    try:
+        # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
+        ev.repartition(3).write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        final = apply_cdc_available_now(
+            spark,
+            stage,
+            state_dir,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+            schema=schema,
+        )
+        return final.select(
+            "user_id", "event_type", "ts", "event_id", "value"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Known event types, pinned so the pivot never needs the extra
 # distinct-values job Spark runs when the list is omitted — at 100 TB
 # that implicit first pass is a full scan of the fact table.
@@ -984,6 +1025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_matrix": user_event_matrix,
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
     "current_user_state": current_user_state,
+    "current_user_state_stream": current_user_state_stream,
     "customers_without_high_value_orders": customers_without_high_value_orders,
     "order_price_quartiles": order_price_quartiles,
     "shipping_priority": shipping_priority,
@@ -1480,3 +1522,7 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["purchases_after_error_interval_stream"] = ORACLE_SQL[
     "purchases_after_error_interval"
 ]
+
+# the streaming CDC apply must converge to the batch compaction's
+# exact state — one oracle checks both formulations
+ORACLE_SQL["current_user_state_stream"] = ORACLE_SQL["current_user_state"]

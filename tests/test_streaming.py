@@ -547,3 +547,46 @@ def test_stream_stream_interval_join_boundaries(spark, tmp_path):
         (1, 100, base_ms, base_ms),
         (2, 100, base_ms + win_ms, base_ms),
     }
+
+
+def test_streaming_cdc_apply_converges_to_batch_compaction(spark, tmp_path):
+    """apply_cdc over multiple micro-batches must equal the one-shot
+    batch merge of the same rows, and re-running over the same source
+    from a fresh checkpoint (a full replay) must leave the state
+    unchanged (idempotent MERGE sink)."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.queries import current_user_state
+    from parquet_combiner_spark.streaming.apply_cdc import (
+        apply_cdc_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    from parquet_combiner_spark.queries import _events
+
+    ev = _events(spark, sf).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    src = str(tmp_path / "cdc_src")
+    ev.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    state = str(tmp_path / "cdc_state")
+
+    out = apply_cdc_available_now(
+        spark, src, state,
+        keys=["user_id", "event_type"],
+        version_cols=["ts", "event_id"],
+        schema=schema,
+    )
+    got = {tuple(r) for r in out.select(*ev.columns).collect()}
+    want = {tuple(r) for r in current_user_state(spark, sf).collect()}
+    assert got == want
+
+    # full replay into the EXISTING state (fresh checkpoint): no-op
+    replay = apply_cdc_available_now(
+        spark, src, state,
+        keys=["user_id", "event_type"],
+        version_cols=["ts", "event_id"],
+        schema=schema,
+    )
+    assert {tuple(r) for r in replay.select(*ev.columns).collect()} == want
