@@ -239,6 +239,29 @@ def filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_above_avg_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+: CORRELATED subqueries through the SQL surface — each
+    customer's max order compared against the global average order
+    value. Catalyst must decorrelate both subqueries into aggregates
+    + joins (one per-customer aggregate, one scalar broadcast) — the
+    naive per-row re-execution a correlated subquery literally
+    describes would be O(customers × orders) at 100 TB. The plan test
+    pins the decorrelation."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               round((SELECT max(o_totalprice) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey), 2) AS max_order
+        FROM customer c
+        WHERE (SELECT max(o_totalprice) FROM orders o
+               WHERE o.o_custkey = c.c_custkey)
+              > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
 def order_buckets_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: bag-semantics union of two filtered branches (reference
     utils/SkewedDataHandler.scala:64), then re-aggregate."""
@@ -1001,6 +1024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_summary_stats": lineitem_summary_stats,
     "earliest_event_per_user": earliest_event_per_user,
     "filtered_orders": filtered_orders,
+    "customers_above_avg_order": customers_above_avg_order,
     "order_buckets_union": order_buckets_union,
     "top_orders_global": top_orders_global,
     "events_by_type": events_by_type,
@@ -1145,6 +1169,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, o_orderstatus, o_totalprice AS total_price
         FROM orders
         WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    """,
+    "customers_above_avg_order": """
+        SELECT c_custkey, c_name,
+               round((SELECT max(o_totalprice) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey), 2) AS max_order
+        FROM customer c
+        WHERE (SELECT max(o_totalprice) FROM orders o
+               WHERE o.o_custkey = c.c_custkey)
+              > 1.8 * (SELECT avg(o_totalprice) FROM orders)
     """,
     "order_buckets_union": """
         SELECT bucket, o_orderstatus, count(*) AS n FROM (

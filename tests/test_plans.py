@@ -330,3 +330,19 @@ def test_partitioned_sink_enables_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruningexpression" in plan, plan
     n = j.count()
     assert n == 200  # i%3 != 0 rows carry status A
+
+
+def test_correlated_subqueries_decorrelate(spark):
+    """The correlated scalar subqueries must decorrelate into
+    aggregate + join plans — no per-row subquery re-execution: the
+    executed plan has aggregates and joins but no correlated
+    ScalarSubquery node over the orders scan per customer row."""
+    from parquet_combiner_spark.queries import customers_above_avg_order
+
+    df = customers_above_avg_order(spark, "/root/testdata/sf0.001")
+    plan = assert_no_cartesian_product(df)
+    assert_partial_aggregate(df)
+    # the per-customer max becomes an aggregate joined on o_custkey
+    assert "max(o_totalprice)" in plan
+    n = df.count()
+    assert n > 0  # non-vacuous on the testdata
