@@ -191,3 +191,26 @@ def test_corpus_prep_invariants(spark):
     )
     texts = [r["text"] for r in surv_texts]
     assert len(texts) == len(set(texts))
+
+
+def test_decontaminate_empty_eval_set(spark, decon_data):
+    """An empty benchmark set contaminates nothing — all train docs
+    come back clean with zero overlap (and the empty broadcast does
+    not error)."""
+    train, eval_df = decon_data
+    out = quality.decontaminate(train, eval_df.where("doc_id < 0")).collect()
+    assert len(out) == 3
+    assert all(not r["contaminated"] and r["n_overlap"] == 0 for r in out)
+
+
+def test_corpus_prep_empty_corpus(spark):
+    """Zero input documents: the pipeline returns an empty frame with
+    the contract schema instead of erroring in any stage."""
+    from parquet_combiner_spark.functions.corpus import corpus_prep
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = corpus_prep(empty)
+    assert out.columns == ["doc_id", "split", "n_tokens"]
+    assert out.count() == 0
