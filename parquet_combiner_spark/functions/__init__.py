@@ -202,6 +202,31 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_CAP = 20
+
+
+def q_doc_source_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the C4-style per-domain limit): keep
+    at most N docs per source, chosen DETERMINISTICALLY by content-
+    addressed hash order (not arrival order — so the kept set is
+    stable across runs/partitionings, like every sampling decision in
+    this engine). One window with a group limit: WindowGroupLimit
+    prunes map-side, so the shuffle carries at most N rows per
+    (source, map partition)."""
+    from parquet_combiner_spark.operators.topk import top_k_per_group
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", sampling.hash_bucket(F.col("doc_id")).alias("__h")
+    )
+    return top_k_per_group(
+        docs,
+        ["source"],
+        [F.asc("__h"), F.asc("doc_id")],
+        _SOURCE_CAP,
+        rank_col="rank",
+    ).select("doc_id", "source", F.col("rank").cast("int").alias("rank"))
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed five-stage corpus-preparation pipeline
     (:mod:`corpus`): repetition filter → quality filter → exact dedup
@@ -384,6 +409,16 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_label_stats(_embs(spark, sf_dir))
 
 
+def q_embedding_quantization_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-vector int8 quantization reconstruction error (storage
+    compression for embedding corpora, similarity.py). Deterministic
+    float math replicated by the DuckDB oracle; the ≤ scale/2 bound
+    is pinned by pytest."""
+    return similarity.quantization_error_stats(_embs(spark, sf_dir))
+
+
 def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup over the embeddings table. min_cosine 0.4 for the same
     reason as ``embedding_near_dup_pairs``: the synthetic vectors are
@@ -408,6 +443,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_stratified_sample": q_doc_stratified_sample,
     "corpus_prep": q_corpus_prep,
+    "doc_source_capped": q_doc_source_capped,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -426,6 +462,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_label_stats": q_embedding_label_stats,
     "embedding_semdedup": q_embedding_semdedup,
+    "embedding_quantization_error": q_embedding_quantization_error,
 }
 
 # --- LSH oracle generation -------------------------------------------------
@@ -657,6 +694,38 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, lang FROM documents
         WHERE {sampling.stratified_sample_oracle_where_sql(
             "doc_id", "lang", _STRAT_RATES, 0.0, _STRAT_SEED)}
+    """,
+    "embedding_quantization_error": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, v,
+                   greatest(list_max(list_transform(v, x -> abs(x)))
+                            / 127.0, 1e-30) AS scale
+            FROM e
+        ), q AS (
+            SELECT vec_id, v, scale,
+                   list_transform(v, x -> floor(x / scale + 0.5)) AS qv
+            FROM s
+        )
+        SELECT vec_id, round(scale, 9) AS scale,
+               round(list_max(list_transform(
+                   list_zip(qv, v),
+                   p -> abs(p[1] * scale - p[2]))), 9) AS max_abs_err
+        FROM q
+    """,
+    "doc_source_capped": f"""
+        SELECT doc_id, source, CAST(rn AS INTEGER) AS rank FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ''),
+                                       1, 8),
+                                doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {_SOURCE_CAP}
     """,
     # the five-stage pipeline as composed CTEs: each stage reuses the
     # logic of its standalone oracle, restricted to the training

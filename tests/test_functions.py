@@ -833,3 +833,44 @@ def test_semdedup_deterministic_across_runs(spark, embs):
     a = sorted(tuple(r) for r in similarity.semdedup(embs, n_centroids=4, min_cosine=0.4).collect())
     b = sorted(tuple(r) for r in similarity.semdedup(embs, n_centroids=4, min_cosine=0.4).collect())
     assert a == b
+
+
+def test_quantization_error_bound_and_range(spark, embs):
+    """int8 quantization guarantee: every component error is at most
+    scale/2 (round-to-nearest), q values stay in [-127, 127], and a
+    zero vector quantizes to zeros with no NaN."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    stats = similarity.quantization_error_stats(embs).collect()
+    assert stats
+    for r in stats:
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+
+    q = similarity.quantize_embeddings(embs)
+    rng = q.select(
+        F.array_max("qvec").alias("hi"), F.array_min("qvec").alias("lo")
+    ).collect()
+    assert all(-127 <= r["lo"] and r["hi"] <= 127 for r in rng)
+
+    zero = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0] * 8, label=0)]
+    )
+    zq = similarity.quantize_embeddings(zero).collect()[0]
+    assert list(zq["qvec"]) == [0] * 8
+
+
+def test_source_cap_limits_and_determinism(spark):
+    from parquet_combiner_spark.functions import (
+        _SOURCE_CAP,
+        q_doc_source_capped,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    a = q_doc_source_capped(spark, sf).collect()
+    per_source = {}
+    for r in a:
+        per_source.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) <= _SOURCE_CAP for v in per_source.values())
+    b = q_doc_source_capped(spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
