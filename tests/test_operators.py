@@ -737,3 +737,81 @@ def test_count_min_heavy_hitters_bound(spark):
     assert set(est) == set(exact)
     for t, n in exact.items():
         assert n <= est[t] <= n + 0.001 * n_total, (t, n, est[t])
+
+
+def test_write_zordered_bounds_both_dimensions(spark, tmp_path):
+    """Z-order layout: every file covers a small RECTANGLE of the 2-D
+    domain — per-file footer min/max ranges must be materially
+    narrower than the domain on BOTH columns (a 1-D sort can only
+    bound one), verified with pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.sources.io import write_zordered
+
+    # uniform 2-D grid, shuffled row order
+    n = 128
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+            F.xxhash64("id").alias("noise"),
+        )
+        .orderBy("noise")
+    )
+    p = str(tmp_path / "zorder")
+    write_zordered(df, p, ["x", "y"], num_files=16)
+
+    back = spark.read.parquet(p)
+    assert back.count() == n * n
+    assert "__z" not in back.columns  # curve key not persisted
+
+    def col_ranges(path, idx):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            st = [
+                md.row_group(i).column(idx).statistics
+                for i in range(md.num_row_groups)
+            ]
+            out.append(
+                max(s.max for s in st) - min(s.min for s in st)
+            )
+        return out
+
+    # 16 files over a 128x128 grid: Z-layout files cover small
+    # rectangles, except the few straddling a curve-quadrant boundary
+    # (a file across the y-midline jump legitimately sweeps the full
+    # x range). The honest claim is about the AVERAGE: on BOTH axes
+    # the mean file span is a fraction of the domain — while the 1-D
+    # sorted control below bounds one axis and leaves the other at
+    # ~the full domain for every file.
+    for idx in (0, 1):
+        spans = col_ranges(p, idx)
+        assert len(spans) == 16
+        assert sum(spans) / len(spans) <= 0.5 * n, (idx, spans)
+
+    from parquet_combiner_spark.sources.io import write_sorted
+
+    ctl = str(tmp_path / "xsorted")
+    write_sorted(df, ctl, ["x"], num_files=16)
+    y_spans = col_ranges(ctl, 1)
+    assert sum(y_spans) / len(y_spans) >= 0.9 * n, y_spans
+
+
+def test_write_zordered_rejects_bad_cols_and_empty(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.sources.io import write_zordered
+
+    df = spark.range(4).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    with pytest.raises(ValueError, match="exactly 2"):
+        write_zordered(df, str(tmp_path / "z1"), ["x"])
+    empty = df.where("x < 0")
+    p = str(tmp_path / "z2")
+    write_zordered(empty, p, ["x", "y"])  # empty input: plain write
+    assert spark.read.parquet(p).count() == 0
