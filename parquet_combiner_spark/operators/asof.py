@@ -140,3 +140,84 @@ def interval_join(
         F.col(fact_time).between(F.col(start_col), F.col(end_col))
     )
     return joined.drop("__bkt")
+
+
+def asof_join_cogrouped(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    fact_time: str,
+    dim_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """:func:`asof_join_backward` on the COGROUPED-MAP path:
+    ``fact.groupBy(on).cogroup(dim.groupBy(on)).applyInPandas`` with
+    ``pandas.merge_asof`` per key group — the Arrow-batched custom-
+    operator formulation of the same semantics (inclusive
+    at-or-before, NULL on no-match).
+
+    Same contract as the union+window operator: ``dim`` unique per
+    (on, time), orderable same-typed time columns, no value/fact
+    column collisions — and the same DuckDB ASOF oracle checks both.
+    When to prefer which: the union+window plan stays entirely in the
+    JVM (one shuffle, codegen window) — the default; the cogrouped
+    form is the extensibility template for per-key temporal logic
+    pandas can express but window functions cannot (interpolation,
+    nearest-neighbor joins, custom tolerance), at the cost of one
+    shuffle PER SIDE plus the Arrow transfer of both groups.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    missing = [c for c in value_cols if c not in dim.columns]
+    if missing:
+        raise ValueError(f"value_cols {missing} not in dim columns")
+    collisions = [c for c in value_cols if c in fact.columns]
+    if collisions:
+        raise ValueError(f"value_cols {collisions} collide with fact columns")
+
+    dim_fields = {f.name: f for f in dim.schema.fields}
+    out_schema = T.StructType(
+        list(fact.schema.fields)
+        + [
+            T.StructField(c, dim_fields[c].dataType, True)
+            for c in value_cols
+        ]
+    )
+    fact_cols = list(fact.columns)
+    # pandas nullable dtypes for value columns that Arrow must emit
+    # as null (NaN would fail a long column)
+    _NULLABLE = {"bigint": "Int64", "int": "Int32", "boolean": "boolean"}
+    nullable_casts = {
+        c: _NULLABLE[dim_fields[c].dataType.simpleString()]
+        for c in value_cols
+        if dim_fields[c].dataType.simpleString() in _NULLABLE
+    }
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(columns=fact_cols + value_cols)
+        if not len(right):
+            out = left.copy()
+            for c in value_cols:
+                out[c] = None
+        else:
+            out = pd.merge_asof(
+                left.sort_values(fact_time, kind="mergesort"),
+                right[[dim_time, *value_cols]].sort_values(
+                    dim_time, kind="mergesort"
+                ),
+                left_on=fact_time,
+                right_on=dim_time,
+                direction="backward",
+                allow_exact_matches=True,
+            )
+        for c, dtype in nullable_casts.items():
+            out[c] = out[c].astype(dtype)
+        return out[fact_cols + value_cols]
+
+    return (
+        fact.groupBy(*on)
+        .cogroup(dim.groupBy(*on))
+        .applyInPandas(merge, schema=out_schema)
+    )

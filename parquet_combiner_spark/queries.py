@@ -403,6 +403,43 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_attribution_asof_pandas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The as-of attribution on the COGROUPED-MAP path
+    (`cogroup().applyInPandas` + `pandas.merge_asof` per user) — the
+    Arrow custom-operator formulation racing the JVM union+window
+    operator under the SAME DuckDB ASOF oracle."""
+    from parquet_combiner_spark.operators.asof import asof_join_cogrouped
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000").alias("tms"),
+        "value",
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tms"
+    )
+    dim = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "tms")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    return asof_join_cogrouped(
+        fact,
+        dim,
+        on=["user_id"],
+        fact_time="tms",
+        dim_time="tms",
+        value_cols=["view_event_id", "view_value"],
+    )
+
+
 _ERR_WINDOW_MS = 3600_000  # 1 hour
 
 
@@ -1029,6 +1066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_global": top_orders_global,
     "events_by_type": events_by_type,
     "purchase_attribution_asof": purchase_attribution_asof,
+    "purchase_attribution_asof_pandas": purchase_attribution_asof_pandas,
     "purchases_after_error_interval": purchases_after_error_interval,
     "purchases_after_error_interval_stream": purchases_after_error_interval_stream,
     "user_sessions": user_sessions,
@@ -1559,3 +1597,9 @@ ORACLE_SQL["purchases_after_error_interval_stream"] = ORACLE_SQL[
 # the streaming CDC apply must converge to the batch compaction's
 # exact state — one oracle checks both formulations
 ORACLE_SQL["current_user_state_stream"] = ORACLE_SQL["current_user_state"]
+
+# both as-of formulations (JVM union+window, cogrouped pandas
+# merge_asof) compute the same temporal join — one oracle checks both
+ORACLE_SQL["purchase_attribution_asof_pandas"] = ORACLE_SQL[
+    "purchase_attribution_asof"
+]

@@ -815,3 +815,29 @@ def test_write_zordered_rejects_bad_cols_and_empty(spark, tmp_path):
     p = str(tmp_path / "z2")
     write_zordered(empty, p, ["x", "y"])  # empty input: plain write
     assert spark.read.parquet(p).count() == 0
+
+
+def test_asof_cogrouped_matches_jvm_operator(spark):
+    """The cogrouped pandas merge_asof formulation must reproduce the
+    union+window operator exactly on the edge cases: inclusive exact
+    time, no-match NULL, dim-only-after, key with no dim rows."""
+    from parquet_combiner_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_cogrouped,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 50), (3, 1, 20), (4, 2, 100), (5, 3, 100)],
+        "fid long, k long, t long",
+    )
+    dim = spark.createDataFrame(
+        [(1, 30, "a", 7), (1, 50, "b", 8), (2, 101, "z", 9)],
+        "k long, t long, v string, w long",
+    )
+    kw = dict(on=["k"], fact_time="t", dim_time="t", value_cols=["v", "w"])
+    jvm = sorted(tuple(r) for r in asof_join_backward(fact, dim, **kw).collect())
+    pdx = sorted(tuple(r) for r in asof_join_cogrouped(fact, dim, **kw).collect())
+    assert jvm == pdx
+    # long value column carries NULL (not NaN/0) through Arrow
+    by_fid = {r[0]: r for r in pdx}
+    assert by_fid[3][-1] is None and by_fid[5][-1] is None
