@@ -72,6 +72,10 @@ HEADLINE = [
     # multi-way join pipelines (TPC-H Q3/Q5 shapes)
     "shipping_priority",
     "local_supplier_volume",
+    # the as-of join both ways: JVM union+window vs cogrouped pandas
+    # merge_asof — the custom-operator overhead, measured
+    "purchase_attribution_asof",
+    "purchase_attribution_asof_pandas",
     # the composed five-stage corpus-preparation pipeline
     "corpus_prep",
 ]
