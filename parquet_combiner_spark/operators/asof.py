@@ -199,7 +199,26 @@ def asof_join_cogrouped(
         if dim_fields[c].dataType.simpleString() in _NULLABLE
     }
 
+    dim_cols = [*on, dim_time, *value_cols]
+
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # defensive: Spark has been observed delivering a cogrouped
+        # side WITHOUT one of its columns when the cogroup key is a
+        # strict subset of an upstream groupBy's keys (the raw-key
+        # formulation hit this at sf0.1: dim built by
+        # groupBy(user, t).agg(...) cogrouped on user arrived missing
+        # t). The explicit pre-selects below pin the shape; if a plan
+        # change ever reintroduces it, fail loudly instead of a
+        # cryptic pandas KeyError.
+        missing_l = [c for c in fact_cols if c not in left.columns]
+        missing_r = [
+            c for c in dim_cols if len(right) and c not in right.columns
+        ]
+        if missing_l or missing_r:
+            raise RuntimeError(
+                "cogrouped as-of received frames missing columns: "
+                f"left-missing={missing_l} right-missing={missing_r}"
+            )
         left = left.drop(columns=["__bkt"])
         if not len(left):
             return pd.DataFrame(columns=fact_cols + value_cols)
@@ -224,8 +243,10 @@ def asof_join_cogrouped(
         return out[fact_cols + value_cols]
 
     bkt = F.pmod(F.xxhash64(*[F.col(c) for c in on]), F.lit(num_buckets))
-    f_b = fact.withColumn("__bkt", bkt)
-    d_b = dim.withColumn("__bkt", bkt)
+    # explicit projections pin each side's delivered column set (see
+    # the defensive note in merge)
+    f_b = fact.select(*fact_cols, bkt.alias("__bkt"))
+    d_b = dim.select(*dim_cols, bkt.alias("__bkt"))
     return (
         f_b.groupBy("__bkt")
         .cogroup(d_b.groupBy("__bkt"))
