@@ -246,7 +246,19 @@ def asof_join_cogrouped(
     # explicit projections pin each side's delivered column set (see
     # the defensive note in merge)
     f_b = fact.select(*fact_cols, bkt.alias("__bkt"))
-    d_b = dim.select(*dim_cols, bkt.alias("__bkt"))
+    # The dim side is additionally pinned through a LAZY local
+    # checkpoint: in long sessions that executed plans sharing the
+    # dim's aggregation subtree, the cogroup's right side has been
+    # observed arriving WITHOUT the aggregation's grouping-key
+    # columns (the guard above catches it). The checkpoint replaces
+    # the agg lineage with a fresh scan — new attributes, nothing for
+    # the reuse/pruning interaction to key on. Lazy: materialized by
+    # the first action, blocks managed by the ContextCleaner. The
+    # dim side of an as-of join is the aggregated/smaller side by
+    # construction; the (large) fact side is never checkpointed.
+    d_b = dim.select(*dim_cols, bkt.alias("__bkt")).localCheckpoint(
+        eager=False
+    )
     return (
         f_b.groupBy("__bkt")
         .cogroup(d_b.groupBy("__bkt"))
