@@ -858,6 +858,40 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month rollup (``date_trunc`` — variable-width periods,
+    unlike the fixed-width ``F.window`` hour buckets of
+    ``hourly_event_type_counts``): orders and revenue per month.
+    Month start crosses the boundary as epoch millis (NTZ-safe)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        "o_totalprice",
+    )
+    return orders.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(
+        F.unix_millis(F.col("m").cast("timestamp")).alias("month_start_ms"),
+        "n_orders",
+        "revenue",
+    )
+
+
+def red_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-predicate family: LIKE prefix filter (pushed to the
+    parquet scan as StringStartsWith — plan-pinned) + per-brand
+    aggregation over the matching minority."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("red %"))
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        # round-4, not 2: Brand#4's avg is 944.074999... — epsilon
+        # below a .005 tie, where Spark's BigDecimal HALF_UP (.07) and
+        # DuckDB's shortest-repr rounding (.08) disagree; at 4 decimals
+        # no group value sits on a tie
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )
+
+
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile bucketing (histogram by quartile) — the scale-safe
     formulation of ``NTILE(4)``: exact percentile thresholds in ONE
@@ -1090,6 +1124,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state_stream": current_user_state_stream,
     "customers_without_high_value_orders": customers_without_high_value_orders,
     "order_price_quartiles": order_price_quartiles,
+    "monthly_order_volume": monthly_order_volume,
+    "red_parts_by_brand": red_parts_by_brand,
     "shipping_priority": shipping_priority,
     "hourly_event_type_counts": hourly_event_type_counts,
     "local_supplier_volume": local_supplier_volume,
@@ -1517,6 +1553,19 @@ ORACLE_SQL: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "monthly_order_volume": """
+        SELECT epoch_ms(date_trunc('month', o_orderdate))
+                   AS month_start_ms,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    """,
+    "red_parts_by_brand": """
+        SELECT p_brand, count(*) AS n_parts,
+               round(avg(p_retailprice), 4) AS avg_price
+        FROM part WHERE p_name LIKE 'red %'
+        GROUP BY p_brand
     """,
     "order_price_quartiles": """
         WITH t AS (

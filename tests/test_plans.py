@@ -346,3 +346,13 @@ def test_correlated_subqueries_decorrelate(spark):
     assert "max(o_totalprice)" in plan
     n = df.count()
     assert n > 0  # non-vacuous on the testdata
+
+
+def test_like_prefix_pushes_to_scan(spark):
+    """The LIKE 'red %' prefix must reach the parquet scan as
+    StringStartsWith — never a post-scan-only filter."""
+    from parquet_combiner_spark.queries import red_parts_by_brand
+
+    df = red_parts_by_brand(spark, "/root/testdata/sf0.001")
+    plan = assert_pushed_filters(df)
+    assert "StringStartsWith(p_name,red )" in plan, plan
