@@ -10,12 +10,11 @@ tools/ReadParquet.scala:138):
   are repeats, and the share of the text covered by the single most
   frequent bigram. Documents dominated by repetition are boilerplate
   or generation loops; the ``repetition_keep`` flag applies the
-  published thresholds. Everything is JVM higher-order-function
-  expressions over the per-row token array — a narrow map with zero
-  shuffles, fully inside whole-stage codegen, so it scales linearly
-  to 100 TB with no skew concerns (per-row cost is bounded by
-  document length, and the top-bigram scan is O(distinct·n) on
-  arrays that live entirely in one row).
+  published thresholds. Two bit-identical formulations: built-in
+  array expressions (the correctness reference) and an Arrow
+  counting pass (the registered ~10x-faster scale path) — both
+  narrow maps with zero shuffles and per-row cost bounded by
+  document length.
 
 * **Decontamination**: flag training documents that share any
   word-n-gram with an evaluation/benchmark set (the standard
@@ -59,17 +58,6 @@ def ngram_array(toks: Column, n: int) -> Column:
     )
 
 
-def dup_frac(arr: Column) -> Column:
-    """Fraction of the array's elements that are repeat occurrences:
-    1 − distinct/total. 0 for empty arrays."""
-    return F.round(
-        F.lit(1.0)
-        - F.size(F.array_distinct(arr))
-        / F.greatest(F.size(arr), F.lit(1)).cast("double"),
-        4,
-    )
-
-
 def top_ngram_count(arr: Column) -> Column:
     """Occurrence count of the single most frequent n-gram: sort the
     array (native, no lambda), then one linear fold tracking the
@@ -97,16 +85,6 @@ def top_ngram_count(arr: Column) -> Column:
 
     return F.aggregate(
         F.sort_array(arr), init, step, lambda acc: acc["best"]
-    )
-
-
-def top_ngram_frac(arr: Column) -> Column:
-    """Share of all n-gram occurrences taken by the single most
-    frequent n-gram (Gopher's "top n-gram fraction")."""
-    return F.round(
-        top_ngram_count(arr)
-        / F.greatest(F.size(arr), F.lit(1)).cast("double"),
-        4,
     )
 
 
