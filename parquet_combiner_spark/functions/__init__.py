@@ -63,6 +63,12 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.exact_dedup_docs(_docs(spark, sf_dir))
 
 
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-probability per document (the perplexity-
+    filter proxy, see :func:`text.doc_unigram_logprob`)."""
+    return text.doc_unigram_logprob(_docs(spark, sf_dir))
+
+
 # The registry's production MinHash knobs — shared with the
 # planted-recall regression tests (test_functions.py) so the recall
 # guard always exercises the configuration actually registered here,
@@ -438,6 +444,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_repetition_stats": q_doc_repetition_stats,
     "doc_decontaminate": q_doc_decontaminate,
@@ -576,6 +583,22 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                      / CAST(greatest(len(toks), 1) AS DOUBLE),
                      4) AS en_score
         FROM s
+    """,
+    "doc_unigram_logprob": """
+        WITH t AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ), v AS (
+            SELECT w, count(*) AS cnt FROM t GROUP BY w
+        ), tot AS (
+            SELECT count(*) AS n FROM t
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               round(avg(ln(v.cnt / CAST(tot.n AS DOUBLE))), 4)
+                   AS avg_logp
+        FROM t JOIN v USING (w), tot
+        GROUP BY t.doc_id
     """,
     "doc_token_stats": f"""
         SELECT doc_id, lang,

@@ -192,3 +192,40 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
         fingerprint_md5("text").alias("fp_md5"),
         rolling_fingerprint("text").alias("fp_rolling"),
     )
+
+
+def doc_unigram_logprob(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model scoring — the engine's stand-in for the
+    KenLM perplexity filter every web-scale pipeline runs (CCNet/
+    Gopher): score each document by the mean log-probability of its
+    tokens under the CORPUS'S OWN unigram distribution. Documents of
+    improbable gibberish score very negative; documents of pure
+    high-frequency filler score near the corpus ceiling — both tails
+    are what perplexity filtering trims.
+
+    Plan shape at 100 TB: one explode + partial-aggregated count
+    builds the unigram table (vocabulary-sized, ≪ corpus — Zipf),
+    which then BROADCASTS onto the exploded token stream; the
+    per-document mean is a second partial-aggregated groupBy. Two
+    shuffles total, both combiner-reduced; no Python anywhere.
+
+    Output: (id, n_tokens, avg_logp) with avg_logp =
+    round(avg(ln(count(w)/total)), 4) — every token contributes,
+    including repeats (that is what a language model scores).
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()  # one scalar action; reused as a literal
+    scored = toks.join(F.broadcast(vocab), "w").select(
+        id_col,
+        F.log(F.col("cnt") / F.lit(float(total))).alias("logp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("logp"), 4).alias("avg_logp"),
+    )

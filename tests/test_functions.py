@@ -874,3 +874,25 @@ def test_source_cap_limits_and_determinism(spark):
     assert all(len(v) <= _SOURCE_CAP for v in per_source.values())
     b = q_doc_source_capped(spark, sf).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Toy corpus: 'a a b' + 'c'. total=4 tokens; p(a)=1/2, p(b)=1/4,
+    p(c)=1/4. Doc1 avg = (ln.5+ln.5+ln.25)/3, doc2 avg = ln .25.
+    The vocabulary side must broadcast (Zipf: vocab << corpus)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.plans import assert_broadcast_join
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="c")]
+    )
+    out = text.doc_unigram_logprob(docs)
+    assert_broadcast_join(out)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 1
+    exp1 = round((2 * math.log(0.5) + math.log(0.25)) / 3, 4)
+    assert got[1]["avg_logp"] == pytest.approx(exp1, abs=1e-4)
+    assert got[2]["avg_logp"] == pytest.approx(round(math.log(0.25), 4), abs=1e-4)
