@@ -236,3 +236,82 @@ def test_observe_metrics_ride_the_action(spark, tmp_path):
     assert m["null_k"] == 1 and m["null_v"] == 1
     # the data itself is untouched by observation
     assert spark.read.parquet(out).count() == 3
+
+
+def test_validate_table_checks(spark):
+    """Uniqueness / not-null / referential checks return violation
+    counts with single-pass aggregate shapes."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools.validate import (
+        check_referential,
+        validate_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v="a"),
+            Row(k=1, v="b"),   # duplicate key
+            Row(k=2, v=None),  # null v
+            Row(k=3, v="c"),
+        ]
+    )
+    rep = validate_table(df, unique=["k"], not_null=["k", "v"])
+    assert rep["unique_violations"] == 1
+    assert rep["nulls"] == {"k": 0, "v": 1}
+    assert not rep["ok"]
+
+    clean = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    assert validate_table(clean, unique=["k"], not_null=["k", "v"])["ok"]
+
+    child = spark.createDataFrame(
+        [Row(fk=1), Row(fk=1), Row(fk=9), Row(fk=9), Row(fk=9)]
+    )
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
+    n_keys, n_rows = check_referential(child, parent, ["fk"], ["pk"])
+    assert (n_keys, n_rows) == (1, 3)  # key 9 orphaned, 3 child rows
+
+    # real-table smoke: lineitem -> orders FK holds in the testdata
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    assert check_referential(li, orders, ["l_orderkey"], ["o_orderkey"]) == (0, 0)
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools.diff import diff_summary, snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),
+            Row(k=2, a="y", b=2.0),
+            Row(k=3, a="z", b=3.0),
+            Row(k=4, a=None, b=4.0),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),      # unchanged
+            Row(k=2, a="y2", b=2.0),     # changed
+            Row(k=4, a="NULL", b=4.0),   # changed: NULL vs 'NULL' differ
+            Row(k=5, a="w", b=5.0),      # added
+        ]                                 # k=3 removed
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "changed", 5: "added"}
+    assert diff_summary(old, new, ["k"]) == {
+        "added": 1, "removed": 1, "changed": 2, "unchanged": 1
+    }
+
+    # column-order independence: reordered payload columns == no diff
+    reordered = new.select("k", "b", "a")
+    assert diff_summary(new, reordered, ["k"])["unchanged"] == 4
+
+    # schema drift raises instead of silently diffing
+    import pytest
+
+    with pytest.raises(ValueError, match="columns differ"):
+        snapshot_diff(old, new.withColumnRenamed("a", "c"), ["k"])
