@@ -78,6 +78,8 @@ HEADLINE = [
     "purchase_attribution_asof_pandas",
     # the composed five-stage corpus-preparation pipeline
     "corpus_prep",
+    # unigram LM scoring: explode -> broadcast vocab -> re-aggregate
+    "doc_unigram_logprob",
 ]
 
 RUNS = 3

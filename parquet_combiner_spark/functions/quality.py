@@ -163,10 +163,19 @@ def repetition_counts_arrow(
     including empty-token behavior, and n-grams truncate at the tail
     the same way ``F.slice`` does. Narrow map, no shuffle."""
     import pandas as pd
+    from pyspark.sql import types as T
 
-    schema = (
-        f"{id_col} long, n_words int, n_uniq_words int, n_bi int, "
-        "top_bi_cnt int, n_tri int, n_uniq_tri int"
+    # id carries the INPUT column's type (string ids work the same as
+    # longs — the id-dtype lesson similarity's Arrow paths learned)
+    schema = T.StructType(
+        [T.StructField(id_col, documents.schema[id_col].dataType)]
+        + [
+            T.StructField(c, T.IntegerType())
+            for c in (
+                "n_words", "n_uniq_words", "n_bi",
+                "top_bi_cnt", "n_tri", "n_uniq_tri",
+            )
+        ]
     )
 
     def run(batches):

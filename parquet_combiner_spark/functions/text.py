@@ -220,10 +220,16 @@ def doc_unigram_logprob(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
     )
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.count()  # one scalar action; reused as a literal
-    scored = toks.join(F.broadcast(vocab), "w").select(
+    # total tokens = sum over the vocabulary — derived from the SAME
+    # aggregate and broadcast as a 1-row frame (the quartiles
+    # pattern), keeping the operator fully lazy instead of paying an
+    # eager count() scan of the corpus at construction time
+    total = vocab.agg(F.sum("cnt").cast("double").alias("__total"))
+    scored = toks.join(F.broadcast(vocab), "w").crossJoin(
+        F.broadcast(total)
+    ).select(
         id_col,
-        F.log(F.col("cnt") / F.lit(float(total))).alias("logp"),
+        F.log(F.col("cnt") / F.col("__total")).alias("logp"),
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -361,20 +361,13 @@ def user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of (point-in-time) join — the temporal-join family
-    (operators/asof.py; driver brief's canonical custom-operator
-    example): each 'purchase' event is attributed to the same user's
-    most recent at-or-before 'view' event. No join node at all — one
-    union, one key shuffle, one ordered window (see the operator
-    docstring for why a range join degenerates at scale).
-
-    Dim rows are pre-deduped to one per (user, time) via max_by on
-    event_id so "the" as-of row is well defined on both engines; all
-    times integral epoch millis; view_value passes through untouched
-    (no arithmetic → bit-identical)."""
-    from parquet_combiner_spark.operators.asof import asof_join_backward
-
+def _asof_attribution_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared (fact, dim) preparation for BOTH as-of formulations —
+    one definition of the purchase facts and the per-(user, time)
+    max_by-deduped view dim, so the two variants (and their shared
+    oracle) can never drift."""
     ev = _events(spark, sf_dir).select(
         "event_id",
         "user_id",
@@ -393,6 +386,24 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", "event_id").alias("view_value"),
         )
     )
+    return fact, dim
+
+
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — the temporal-join family
+    (operators/asof.py; driver brief's canonical custom-operator
+    example): each 'purchase' event is attributed to the same user's
+    most recent at-or-before 'view' event. No join node at all — one
+    union, one key shuffle, one ordered window (see the operator
+    docstring for why a range join degenerates at scale).
+
+    Dim rows are pre-deduped to one per (user, time) via max_by on
+    event_id so "the" as-of row is well defined on both engines; all
+    times integral epoch millis; view_value passes through untouched
+    (no arithmetic → bit-identical)."""
+    from parquet_combiner_spark.operators.asof import asof_join_backward
+
+    fact, dim = _asof_attribution_inputs(spark, sf_dir)
     return asof_join_backward(
         fact,
         dim,
@@ -409,27 +420,10 @@ def purchase_attribution_asof_pandas(
     """The as-of attribution on the COGROUPED-MAP path
     (`cogroup().applyInPandas` + `pandas.merge_asof` per user) — the
     Arrow custom-operator formulation racing the JVM union+window
-    operator under the SAME DuckDB ASOF oracle."""
+    operator over IDENTICAL inputs under the SAME DuckDB oracle."""
     from parquet_combiner_spark.operators.asof import asof_join_cogrouped
 
-    ev = _events(spark, sf_dir).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.expr("ts div 1000000").alias("tms"),
-        "value",
-    )
-    fact = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "tms"
-    )
-    dim = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id", "tms")
-        .agg(
-            F.max("event_id").alias("view_event_id"),
-            F.max_by("value", "event_id").alias("view_value"),
-        )
-    )
+    fact, dim = _asof_attribution_inputs(spark, sf_dir)
     return asof_join_cogrouped(
         fact,
         dim,

@@ -137,10 +137,14 @@ def read_jsonl(
 
     The field-presence check is SAMPLE-BOUND (first
     ``_JSONL_INFER_LINES`` lines): a full inference pass would parse
-    the entire dataset a second time just to derive names. An empty
-    path is NO DATA, not "every field missing" — it returns an empty
-    DataFrame with the declared schema, matching the parquet reader's
-    empty-input behavior.
+    the entire dataset a second time just to derive names. Because a
+    sample can legitimately miss a SPARSE optional field (which the
+    schema-enforced read null-fills correctly), the check only fails
+    when the sample shares NO field with the declared schema — the
+    "you pointed at the wrong table" case; a partial overlap reads
+    fine. An empty path is NO DATA, not "every field missing" — it
+    returns an empty DataFrame with the declared schema, matching
+    the parquet reader's empty-input behavior.
     """
     if schema is not None:
         sample = [
@@ -154,14 +158,12 @@ def read_jsonl(
                 spark.sparkContext.parallelize(sample)
             ).schema.names
         }
-        missing = [
-            f.name for f in schema.fields if f.name.lower() not in actual
-        ]
-        if missing:
+        declared = {f.name.lower() for f in schema.fields}
+        if actual and not (declared & actual):
             raise ValueError(
-                f"jsonl at {path} is missing declared field(s) "
-                f"{missing} in the first {_JSONL_INFER_LINES} lines; "
-                f"found {sorted(actual)}"
+                f"jsonl at {path} shares no field with the declared "
+                f"schema {sorted(declared)} in the first "
+                f"{_JSONL_INFER_LINES} lines; found {sorted(actual)}"
             )
         return spark.read.schema(schema).option("mode", mode).json(path)
     return spark.read.option("mode", mode).json(path)

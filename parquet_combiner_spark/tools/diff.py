@@ -21,16 +21,21 @@ from pyspark.sql import functions as F
 
 def _keyed_hash(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     payload = sorted(c for c in df.columns if c not in keys)
-    # null-safe canonical form: NULL and the string 'NULL' must hash
-    # differently, so each value is length-prefixed after casting
-    parts = [
-        F.coalesce(
-            F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("\0")
+    # self-delimiting canonical form: each value serializes as
+    # v<len>:<chars> (nulls as the single token n), so the
+    # concatenation is uniquely parseable — no separator that could
+    # also appear INSIDE a value can shift bytes across column
+    # boundaries and collide two different rows
+    def token(c: str):
+        s = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s),
+            F.lit("n"),
         )
-        for c in payload
-    ]
+
     return df.select(
-        *keys, F.sha2(F.concat_ws("\x01", *parts), 256).alias("__h")
+        *keys,
+        F.sha2(F.concat(*[token(c) for c in payload]), 256).alias("__h"),
     )
 
 

@@ -468,11 +468,20 @@ def test_jsonl_round_trip_schema_enforced(spark, tmp_path):
     assert back.schema == schema
     assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
 
-    missing = T.StructType(
+    # a declared field SPARSE in (or absent from) the sample is fine:
+    # the schema-enforced read null-fills it — only zero overlap with
+    # the declared schema (wrong table entirely) fails fast
+    sparse = T.StructType(
         schema.fields + [T.StructField("absent_col", T.LongType())]
     )
-    with pytest.raises(ValueError, match="missing declared field"):
-        read_jsonl(spark, p, schema=missing)
+    sparse_back = read_jsonl(spark, p, schema=sparse)
+    assert sparse_back.where("absent_col IS NOT NULL").count() == 0
+    assert sparse_back.count() == 3
+    disjoint = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("y", T.StringType())]
+    )
+    with pytest.raises(ValueError, match="shares no field"):
+        read_jsonl(spark, p, schema=disjoint)
 
     # malformed line: FAILFAST surfaces the parse error as a job
     # failure instead of a silent null row
