@@ -852,6 +852,23 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events table's ``props`` column
+    is a JSON string; pull the ``k`` attribute with
+    ``get_json_object`` (JVM JSON path, no Python, no full from_json
+    schema when one field is needed) and aggregate per event type —
+    the log-payload pattern every event pipeline hits."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-month rollup (``date_trunc`` — variable-width periods,
     unlike the fixed-width ``F.window`` hour buckets of
@@ -1118,6 +1135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state_stream": current_user_state_stream,
     "customers_without_high_value_orders": customers_without_high_value_orders,
     "order_price_quartiles": order_price_quartiles,
+    "event_props_stats": event_props_stats,
     "monthly_order_volume": monthly_order_volume,
     "red_parts_by_brand": red_parts_by_brand,
     "shipping_priority": shipping_priority,
@@ -1547,6 +1565,13 @@ ORACLE_SQL: dict[str, str] = {
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+    """,
+    "event_props_stats": """
+        SELECT event_type,
+               count(CAST(props->>'$.k' AS INTEGER)) AS n_with_k,
+               round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k,
+               max(CAST(props->>'$.k' AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type
     """,
     "monthly_order_volume": """
         SELECT epoch_ms(date_trunc('month', o_orderdate))
