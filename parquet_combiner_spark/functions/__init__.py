@@ -69,6 +69,28 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_unigram_logprob(_docs(spark, sf_dir))
 
 
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+_TFIDF_K = 5
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking at a 64-token window / 16-token overlap
+    (see :func:`text.doc_chunks`) — the RAG/pretraining context-window
+    prep step, zero-shuffle row expansion."""
+    return text.doc_chunks(
+        _docs(spark, sf_dir),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap_tokens=_CHUNK_OVERLAP,
+    )
+
+
+def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf keywords per document (see
+    :func:`text.doc_tfidf_keywords`)."""
+    return text.doc_tfidf_keywords(_docs(spark, sf_dir), k=_TFIDF_K)
+
+
 # The registry's production MinHash knobs — shared with the
 # planted-recall regression tests (test_functions.py) so the recall
 # guard always exercises the configuration actually registered here,
@@ -441,6 +463,8 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_chunks": q_doc_chunks,
+    "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
@@ -583,6 +607,66 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                      / CAST(greatest(len(toks), 1) AS DOUBLE),
                      4) AS en_score
         FROM s
+    """,
+    # chunk-count rule max(1, ceil((n - overlap)/stride)) interpolated
+    # from the same knobs as the Spark side; DuckDB list slices are
+    # 1-based inclusive-both-ends and truncate at the list end, so
+    # toks[s+1 : s+chunk] == Spark slice(toks, s+1, chunk)
+    "doc_chunks": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   greatest((len(toks) - {_CHUNK_OVERLAP}
+                             + {_CHUNK_TOKENS - _CHUNK_OVERLAP - 1})
+                            // {_CHUNK_TOKENS - _CHUNK_OVERLAP}, 1)
+                       AS n_chunks
+            FROM t
+        ), e AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, n_chunks)) AS i
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               CAST(i * {_CHUNK_TOKENS - _CHUNK_OVERLAP} AS INTEGER)
+                   AS chunk_start,
+               CAST(len(toks[i * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1
+                             : i * {_CHUNK_TOKENS - _CHUNK_OVERLAP}
+                               + {_CHUNK_TOKENS}]) AS INTEGER)
+                   AS n_chunk_tokens,
+               array_to_string(
+                   toks[i * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1
+                        : i * {_CHUNK_TOKENS - _CHUNK_OVERLAP}
+                          + {_CHUNK_TOKENS}], ' ') AS chunk_text
+        FROM e
+    """,
+    # ranking on the ROUNDED score (then term) keeps the rank column
+    # reproducible despite ln() ulp drift between JVM and DuckDB
+    "doc_tfidf_keywords": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 4)
+                       AS tfidf
+            FROM tf JOIN df USING (term), n
+        )
+        SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term
+            ) AS rn FROM scored
+        ) WHERE rn <= {_TFIDF_K}
     """,
     "doc_unigram_logprob": """
         WITH t AS (

@@ -194,6 +194,119 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_chunks(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    every RAG / long-document-pretraining pipeline runs: split each
+    document into chunks of ``chunk_tokens`` whitespace tokens, with
+    consecutive chunks overlapping by ``overlap_tokens`` (stride =
+    chunk − overlap).
+
+    Chunk-count rule: ``max(1, ceil((n − overlap) / stride))`` — every
+    token is covered, every chunk starts ``stride`` tokens after the
+    previous one, a document shorter than one chunk still yields its
+    single (short) chunk, and no tail chunk is ever fully contained in
+    its predecessor.
+
+    Plan shape at 100 TB: one narrow projection computes the token
+    array and chunk count, one generator (explode of a ``sequence``)
+    expands rows EXECUTOR-SIDE, and the chunk text is a codegen'd
+    ``slice`` + ``array_join`` — zero shuffles, zero Python, and the
+    expansion factor is bounded by document length over stride. The
+    reference has no sub-document operator at all (its row unit is
+    fixed — tools/ReadParquet.scala); this is the driver brief's
+    training-data surface.
+    """
+    if chunk_tokens <= overlap_tokens:
+        raise ValueError(
+            f"chunk_tokens ({chunk_tokens}) must exceed overlap_tokens "
+            f"({overlap_tokens}) or the window never advances"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = tokens(F.col(text_col))
+    # integer ceil((n - overlap)/stride); doubles are exact here
+    # (token counts ≪ 2^53) so floor(x/y) == x // y
+    n_chunks = F.greatest(
+        F.floor(
+            (F.size(toks) - F.lit(overlap_tokens) + F.lit(stride - 1))
+            / F.lit(stride)
+        ).cast("int"),
+        F.lit(1),
+    )
+    expanded = documents.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("int").alias("chunk_start"),
+        F.slice(
+            "__toks", F.col("chunk_idx") * stride + 1, F.lit(chunk_tokens)
+        ).alias("__chunk"),
+    )
+    return expanded.select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        F.size("__chunk").alias("n_chunk_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
+def doc_tfidf_keywords(
+    documents: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` keywords per document by tf-idf — the classic
+    keyword-extraction / topic-signal pass (idf = ln(N/df), raw tf).
+
+    Plan shape at 100 TB: one explode feeds a partial-aggregated
+    (doc, term) count; document frequency is a second combiner-reduced
+    groupBy of that SAME frame (vocabulary-sized output — Zipf), which
+    BROADCASTS back onto it along with the 1-row corpus size; the
+    final per-doc top-k is a WindowGroupLimit-pruned row_number. Two
+    shuffles on the big side, both map-side combined; no Python.
+
+    Ranking ties (and cross-engine float drift in ln) are resolved by
+    ordering on the ROUNDED score then the term, so the emitted ranks
+    are reproducible by the DuckDB oracle bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def doc_unigram_logprob(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -896,3 +896,84 @@ def test_unigram_logprob_hand_computed(spark):
     exp1 = round((2 * math.log(0.5) + math.log(0.25)) / 3, 4)
     assert got[1]["avg_logp"] == pytest.approx(exp1, abs=1e-4)
     assert got[2]["avg_logp"] == pytest.approx(round(math.log(0.25), 4), abs=1e-4)
+
+
+def test_doc_chunks_coverage_and_overlap(spark):
+    """120 tokens at chunk=64/overlap=16 (stride 48): chunks start at
+    0, 48, 96 — ceil((120-16)/48) = 3; consecutive chunks share
+    exactly the 16-token overlap; concatenating each chunk's NEW
+    tokens (dropping the first `overlap` of chunks > 0) reconstructs
+    the document exactly."""
+    from pyspark.sql import Row
+
+    words = [f"w{i}" for i in range(120)]
+    docs = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    rows = sorted(
+        text.doc_chunks(docs, chunk_tokens=64, overlap_tokens=16).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_start"] for r in rows] == [0, 48, 96]
+    assert [r["n_chunk_tokens"] for r in rows] == [64, 64, 24]
+    rebuilt: list[str] = []
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        assert toks == words[r["chunk_start"] : r["chunk_start"] + 64]
+        rebuilt.extend(toks if r["chunk_idx"] == 0 else toks[16:])
+    assert rebuilt == words
+
+
+def test_doc_chunks_short_doc_single_chunk(spark):
+    """A document shorter than one chunk (even shorter than the
+    overlap) still yields exactly one chunk carrying the whole text."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=7, text="just three words")])
+    rows = text.doc_chunks(docs, chunk_tokens=64, overlap_tokens=16).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_idx"] == 0 and rows[0]["chunk_start"] == 0
+    assert rows[0]["n_chunk_tokens"] == 3
+    assert rows[0]["chunk_text"] == "just three words"
+
+
+def test_doc_chunks_rejects_non_advancing_window():
+    import pytest as _pytest
+
+    from pyspark.sql import DataFrame
+
+    with _pytest.raises(ValueError, match="must exceed"):
+        text.doc_chunks(None, chunk_tokens=16, overlap_tokens=16)
+
+
+def test_doc_tfidf_keywords_hand_computed(spark):
+    """Corpus of 3 docs. 'cat' appears in 1/3 docs → idf ln(3);
+    'the' in all 3 → idf 0 (never a keyword unless nothing else
+    exists); doc 1's top term must be 'cat' with tfidf
+    2 * ln(3) (tf=2). Vocabulary joins must broadcast."""
+    import math
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.plans import assert_broadcast_join
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat the cat"),
+            Row(doc_id=2, text="the dog sat"),
+            Row(doc_id=3, text="the bird flew"),
+        ]
+    )
+    out = text.doc_tfidf_keywords(docs, k=2)
+    assert_broadcast_join(out)
+    got = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    top1 = got[(1, 1)]
+    assert top1["term"] == "cat"
+    assert top1["tfidf"] == pytest.approx(round(2 * math.log(3.0), 4))
+    # ties on score fall back to term order: doc 3's 'bird' and 'flew'
+    # both have tf=1, df=1 → rank 1 is 'bird' (alphabetical)
+    assert got[(3, 1)]["term"] == "bird"
+    assert got[(3, 2)]["term"] == "flew"
+    # every doc emits at most k rows
+    per_doc: dict[int, int] = {}
+    for (d, _), _r in got.items():
+        per_doc[d] = per_doc.get(d, 0) + 1
+    assert all(v <= 2 for v in per_doc.values())
