@@ -230,6 +230,30 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_ALPHA = 0.5
+_TEMP_TARGET = 0.5
+_TEMP_SEED = "temp-v1"
+
+
+def q_doc_source_temperature_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based source re-balancing at alpha=0.5 (see
+    :func:`sampling.temperature_sample`). The driver testdata's
+    sources are uniform (rates degenerate to ``target_frac``
+    everywhere — the oracle still checks the full counts→weights→
+    rates→hash mechanics); the head-flattening/tail-boosting behavior
+    on skewed mixes is pinned by pytest."""
+    return sampling.temperature_sample(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        key_col="doc_id",
+        strata_col="source",
+        alpha=_TEMP_ALPHA,
+        target_frac=_TEMP_TARGET,
+        seed=_TEMP_SEED,
+    ).select("doc_id", "source")
+
+
 _SOURCE_CAP = 20
 
 
@@ -473,6 +497,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_stats": q_doc_repetition_stats,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_source_temperature_sample": q_doc_source_temperature_sample,
     "corpus_prep": q_corpus_prep,
     "doc_source_capped": q_doc_source_capped,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
@@ -802,6 +827,17 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         WHERE {sampling.stratified_sample_oracle_where_sql(
             "doc_id", "lang", _STRAT_RATES, 0.0, _STRAT_SEED)}
     """,
+    # generated from the same knobs and arithmetic order as the Spark
+    # side (counts -> pow weights -> capped rates -> hash threshold)
+    "doc_source_temperature_sample": sampling.temperature_sample_oracle_sql(
+        "documents",
+        key_col="doc_id",
+        strata_col="source",
+        select_cols="d.doc_id, d.source",
+        alpha=_TEMP_ALPHA,
+        target_frac=_TEMP_TARGET,
+        seed=_TEMP_SEED,
+    ),
     "embedding_quantization_error": """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

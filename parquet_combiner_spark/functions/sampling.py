@@ -104,6 +104,120 @@ def stratified_sample_oracle_where_sql(
     return f"{bucket} < (CASE {whens} ELSE '{_threshold_hex(default_rate)}' END)"
 
 
+def _hash_u32(key: Column, seed: str = "") -> Column:
+    """The numeric value of :func:`hash_bucket` (0 .. 2^32−1) — used
+    when the keep threshold is DATA-DEPENDENT (a computed column, not
+    a literal), where the hex-string comparison trick doesn't apply.
+    ``conv`` returns a decimal string; the cast makes it a long."""
+    return F.conv(hash_bucket(key, seed), 16, 10).cast("bigint")
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-based corpus re-balancing (the UniMax / multilingual-
+    sampling move, arXiv:1901.07291 §3.1): sample stratum ``s`` with
+    probability ∝ count(s)^alpha, flattening the head and boosting the
+    tail (alpha=1 keeps natural proportions; alpha→0 approaches
+    uniform-over-strata). Unlike :func:`stratified_sample` the rates
+    are DATA-DEPENDENT — computed from the per-stratum counts — so
+    this is the operator you run when you don't know the source mix
+    up front.
+
+    Keep rule: ``rate(s) = min(1, target_frac · N · w(s)/Z / count(s))``
+    with ``w(s) = count(s)^alpha``, ``Z = Σ w``; a row is kept iff its
+    32-bit content hash < rate·2^32 — deterministic per key, engine-
+    portable (md5 mechanics shared with every sampler here). Rates are
+    ROUNDED to 6 dp before the threshold compare so the one
+    transcendental (pow) cannot flip a boundary row across engines.
+    Single-pass variant: rates capped at 1 are not redistributed to
+    other strata (true UniMax iterates; at corpus scale the residue is
+    one more tiny-aggregate round — document, don't hide).
+
+    Plan shape at 100 TB: one partial-aggregated count per stratum
+    (output is strata-sized, tiny), a 1-row total, both BROADCAST back
+    onto the corpus; the keep decision is then a narrow filter fused
+    into the scan-side projection. One combiner-reduced shuffle of
+    stratum keys total.
+    """
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__c"))
+    weighted = counts.select(
+        strata_col, "__c", F.pow(F.col("__c"), F.lit(alpha)).alias("__w")
+    )
+    totals = weighted.agg(
+        F.sum("__w").alias("__z"), F.sum("__c").cast("double").alias("__n")
+    )
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        strata_col,
+        F.least(
+            F.round(
+                F.lit(target_frac)
+                * F.col("__n")
+                * F.col("__w")
+                / F.col("__z")
+                / F.col("__c"),
+                6,
+            ),
+            F.lit(1.0),
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .where(
+            _hash_u32(F.col(key_col), seed)
+            < F.floor(F.col("__rate") * F.lit(float(1 << 32))).cast("bigint")
+        )
+        .drop("__rate")
+    )
+
+
+def temperature_sample_oracle_sql(
+    table: str,
+    key_col: str,
+    strata_col: str,
+    select_cols: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    seed: str = "",
+) -> str:
+    """The DuckDB query computing the identical keep decision —
+    generated from the same knobs and the same arithmetic ORDER
+    (left-to-right ·N·w/Z/c, round 6 dp, floor·2^32) so IEEE doubles
+    agree step-for-step; pow is the one library call that may drift an
+    ulp, absorbed by the rounding. ``key_col``/``strata_col`` are bare
+    column names of ``table``; ``select_cols`` the projected list."""
+    return f"""
+        WITH c AS (
+            SELECT {strata_col} AS s, count(*) AS c
+            FROM {table} GROUP BY 1
+        ), w AS (
+            SELECT s, c, pow(c, {alpha!r}) AS w FROM c
+        ), z AS (
+            SELECT sum(w) AS z, CAST(sum(c) AS DOUBLE) AS n FROM w
+        ), r AS (
+            SELECT s,
+                   least(round({target_frac!r} * z.n * w.w / z.z / w.c, 6),
+                         1.0) AS rate
+            FROM w, z
+        )
+        SELECT {select_cols}
+        FROM {table} d JOIN r ON d.{strata_col} = r.s
+        WHERE CAST('0x' || substr(md5(CAST(d.{key_col} AS VARCHAR)
+                                      || '{seed}'),
+                                  1, {_PREFIX_CHARS}) AS BIGINT)
+              < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+    """
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

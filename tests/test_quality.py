@@ -214,3 +214,66 @@ def test_corpus_prep_empty_corpus(spark):
     out = corpus_prep(empty)
     assert out.columns == ["doc_id", "split", "n_tokens"]
     assert out.count() == 0
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    """900 'head' docs, 90 'mid', 10 'tail' — the skewed source mix
+    temperature sampling exists to flatten."""
+    rows = (
+        [Row(doc_id=i, source="head") for i in range(900)]
+        + [Row(doc_id=900 + i, source="mid") for i in range(90)]
+        + [Row(doc_id=990 + i, source="tail") for i in range(10)]
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_temperature_sample_flattens_head_keeps_tail(spark, skewed_docs):
+    """alpha=0.5, target=0.5 on (900, 90, 10): w = (30, 9.49, 3.16),
+    Z = 42.65 — head rate = 500·30/Z/900 ≈ 0.391, mid and tail rates
+    cap at 1.0. Everything outside the head survives; the head is
+    downsampled near its computed rate."""
+    out = sampling.temperature_sample(
+        skewed_docs, "doc_id", "source", alpha=0.5, target_frac=0.5
+    ).collect()
+    by_src: dict[str, int] = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src["mid"] == 90 and by_src["tail"] == 10
+    # hash sampling is ~binomial(900, 0.391): 5 sigma ≈ 73
+    assert abs(by_src["head"] - 900 * 0.391) < 75
+
+
+def test_temperature_sample_alpha_one_is_natural_proportions(
+    spark, skewed_docs
+):
+    """alpha=1 ⇒ w(s) = count(s) ⇒ every rate = target_frac exactly:
+    temperature sampling degenerates to a plain uniform sample."""
+    out = sampling.temperature_sample(
+        skewed_docs, "doc_id", "source", alpha=1.0, target_frac=0.5
+    )
+    kept = out.count()
+    assert abs(kept - 500) < 80  # binomial(1000, .5), 5 sigma
+    # ...and the kept set is exactly the plain hash_sample at the same
+    # rate (same key hash, same threshold)
+    plain = sampling.hash_sample(skewed_docs, "doc_id", 0.5)
+    plain_u32 = {r["doc_id"] for r in plain.collect()}
+    # hash_sample compares hex-string prefix; temperature compares the
+    # numeric value — identical decisions at the same rate
+    assert {r["doc_id"] for r in out.collect()} == plain_u32
+
+
+def test_temperature_sample_deterministic_and_validates(spark, skewed_docs):
+    a = {r["doc_id"] for r in sampling.temperature_sample(
+        skewed_docs, "doc_id", "source").collect()}
+    b = {r["doc_id"] for r in sampling.temperature_sample(
+        skewed_docs, "doc_id", "source").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="target_frac"):
+        sampling.temperature_sample(
+            skewed_docs, "doc_id", "source", target_frac=0.0
+        )
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_sample(
+            skewed_docs, "doc_id", "source", alpha=-1.0
+        )
