@@ -281,6 +281,51 @@ def write_csv(
     writer.csv(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan with the same fail-fast posture as :func:`read_parquet`.
+
+    ORC is the other self-describing columnar format large deployments
+    standardize on (Hive-era warehouses, some vendor exports); like
+    parquet it carries a footer schema, per-stripe min/max statistics
+    (so predicate pushdown and column pruning work the same way), and
+    splits by stripe across tasks. The engine treats it as a peer
+    source: check the footer's column set against the declared schema
+    up front (metadata only), then let Catalyst push filters and
+    prune columns into the vectorized ORC reader.
+    """
+    reader = spark.read
+    if schema is not None:
+        actual = {f.lower() for f in spark.read.orc(path).schema.names}
+        missing = [
+            f.name for f in schema.fields if f.name.lower() not in actual
+        ]
+        if missing:
+            raise ValueError(
+                f"orc at {path} is missing declared column(s) "
+                f"{missing}; found {sorted(actual)}"
+            )
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink for interchange with Hive-era consumers. Same
+    partitioned-layout option as the parquet sink; zstd by default
+    (ORC's best size/speed codec on modern Spark)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -494,6 +494,56 @@ def test_jsonl_round_trip_schema_enforced(spark, tmp_path):
         read_jsonl(spark, str(bad), schema=schema).collect()
 
 
+def test_orc_round_trip_schema_enforced(spark, tmp_path):
+    """ORC source/sink: round-trip preserves rows and complex types
+    (arrays — a thing CSV can't carry) under a declared schema; a
+    missing declared column fails fast at the footer check instead of
+    silently null-filling; partitioned writes prune on the partition
+    predicate."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from parquet_combiner_spark.sources.io import read_orc, write_orc
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("emb", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        (1, "en", [0.5, 1.0]),
+        (2, "de", [2.0, -1.0]),
+        (3, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "docs_orc")
+    write_orc(df, p)
+
+    back = read_orc(spark, p, schema=schema)
+    assert back.schema == schema
+    assert sorted(
+        (r.doc_id, r.lang, tuple(r.emb) if r.emb is not None else None)
+        for r in back.collect()
+    ) == sorted((i, l, tuple(e) if e is not None else None) for i, l, e in rows)
+
+    missing = T.StructType(
+        schema.fields + [T.StructField("absent_col", T.LongType())]
+    )
+    with pytest.raises(ValueError, match="missing declared column"):
+        read_orc(spark, p, schema=missing)
+
+    # partitioned layout: the lang predicate prunes to one directory
+    pp = str(tmp_path / "docs_orc_parted")
+    write_orc(df.where("lang IS NOT NULL"), pp, partition_by=["lang"])
+    only_en = read_orc(spark, pp).where(F.col("lang") == "en")
+    assert [r.doc_id for r in only_en.collect()] == [1]
+    plan = only_en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+
 def test_asof_join_backward_semantics(spark):
     """Point-in-time join: inclusive at-or-before match, NULL on
     no-match (left semantics), newest-wins among earlier dim rows,
