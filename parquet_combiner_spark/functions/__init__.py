@@ -91,6 +91,41 @@ def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_tfidf_keywords(_docs(spark, sf_dir), k=_TFIDF_K)
 
 
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (see :func:`text.doc_pii_scrub`).
+    The synthetic corpus contains no PII, so the oracle hash pins the
+    byte-identical pass-through (no over-matching); the redaction
+    semantics are pinned by planted-PII pytests."""
+    return text.doc_pii_scrub(_docs(spark, sf_dir))
+
+
+def q_doc_blocklist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist screen (see :func:`text.doc_blocklist_flags`);
+    the registry terms occur in the synthetic corpus, so the flagged
+    set is non-empty under the oracle."""
+    return text.doc_blocklist_flags(_docs(spark, sf_dir))
+
+
+def _pii_scrub_sql(col: str = "text") -> str:
+    """DuckDB expression equivalent to :func:`text.pii_scrub`,
+    generated from the SAME pattern table so engine and oracle can
+    never drift (patterns are Java-regex/RE2-common syntax)."""
+    expr = col
+    for _, (pat, token) in text.PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+def _pii_count_sql(col: str = "text") -> str:
+    return ", ".join(
+        f"len(regexp_extract_all({col}, '{pat}')) AS n_{name}"
+        for name, (pat, _) in text.PII_PATTERNS.items()
+    )
+
+
+_BLOCKLIST_SQL = ", ".join(f"'{t}'" for t in text.BLOCKLIST_TERMS)
+
+
 # The registry's production MinHash knobs — shared with the
 # planted-recall regression tests (test_functions.py) so the recall
 # guard always exercises the configuration actually registered here,
@@ -489,6 +524,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_chunks": q_doc_chunks,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_blocklist_flags": q_doc_blocklist_flags,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
@@ -692,6 +729,25 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                 PARTITION BY doc_id ORDER BY tfidf DESC, term
             ) AS rn FROM scored
         ) WHERE rn <= {_TFIDF_K}
+    """,
+    "doc_pii_scrub": f"""
+        SELECT doc_id, {_pii_count_sql("text")},
+               {_pii_scrub_sql("text")} AS clean_text
+        FROM documents
+    """,
+    "doc_blocklist_flags": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               len(list_filter(toks, w -> w IN ({_BLOCKLIST_SQL})))
+                   AS n_hits,
+               array_to_string(
+                   list_sort(list_filter(list_distinct(toks),
+                       w -> w IN ({_BLOCKLIST_SQL}))), ',') AS hit_terms
+        FROM t
+        WHERE len(list_filter(toks, w -> w IN ({_BLOCKLIST_SQL}))) > 0
     """,
     "doc_unigram_logprob": """
         WITH t AS (

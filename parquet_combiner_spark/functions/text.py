@@ -307,6 +307,104 @@ def doc_tfidf_keywords(
     )
 
 
+# PII patterns restricted to syntax with IDENTICAL semantics in Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+# \b word boundaries — no backreferences, no lookaround. Application
+# order matters where surface forms overlap (an SSN is also a
+# dash-separated digit run), so scrubbing applies them in THIS dict
+# order in both engines: email, ssn, phone, ipv4.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """One count column per PII pattern (n_email, n_ssn, ...), each a
+    codegen'd regexp_extract_all size — no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact all PII patterns from ``text``, applying the patterns in
+    ``PII_PATTERNS`` order (each replacement token contains no digits
+    or '@', so later patterns cannot match inside earlier redactions)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, (pat, token) in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def doc_pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII detection + redaction — the compliance pass every
+    training-data pipeline runs before release: count per-pattern
+    matches (emails, SSNs, phones, IPv4s) and emit the scrubbed text.
+
+    Plan shape at 100 TB: a single narrow projection — every pattern
+    is a codegen'd regexp over the same row, zero shuffles, zero
+    Python. The full scrubbed text rides in the output so the oracle
+    hash pins BOTH directions: redaction where PII exists, and
+    byte-identical pass-through where it does not (an over-matching
+    pattern corrupting clean text is the failure mode that silently
+    destroys a corpus).
+    """
+    return documents.select(
+        "doc_id",
+        *pii_counts("text"),
+        pii_scrub("text").alias("clean_text"),
+    )
+
+
+# Terms chosen to actually OCCUR in the synthetic corpus so the
+# flagged set is non-empty under the oracle; a production blocklist
+# drops in the same way (the operator broadcasts it regardless).
+BLOCKLIST_TERMS = ("spark", "hash", "shuffle")
+
+
+def doc_blocklist_flags(
+    documents: DataFrame,
+    terms: tuple[str, ...] = BLOCKLIST_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist screening — the C4-style "bad word" filter: flag each
+    document containing any blocklist term as a whitespace token,
+    with the distinct matched terms and total hit count.
+
+    Plan shape at 100 TB: the blocklist ships as an array LITERAL in
+    the plan (the broadcast degenerate case — zero bytes shuffled),
+    and the screen is one narrow codegen'd projection:
+    array_intersect for the matched terms, a filter-size for the hit
+    count. For blocklists too large to inline (millions of phrases),
+    switch to the explode + broadcast-join formulation the dedup
+    family uses; token-level screens at web scale rarely need it.
+
+    Output: flagged docs only — (id, n_hits, hit_terms) with
+    hit_terms sorted ascending and comma-joined so the row hashes
+    identically across engines.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    hits = F.array_sort(F.array_intersect(F.array_distinct(toks), lit_terms))
+    n_hits = F.size(F.filter(toks, lambda w: w.isin(*terms)))
+    return (
+        documents.select(
+            F.col(id_col),
+            n_hits.alias("n_hits"),
+            F.array_join(hits, ",").alias("hit_terms"),
+        )
+        .where(F.col("n_hits") > 0)
+    )
+
+
 def doc_unigram_logprob(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -977,3 +977,55 @@ def test_doc_tfidf_keywords_hand_computed(spark):
     for (d, _), _r in got.items():
         per_doc[d] = per_doc.get(d, 0) + 1
     assert all(v <= 2 for v in per_doc.values())
+
+
+def test_pii_scrub_planted_patterns(spark):
+    """Each PII pattern redacts its planted instance; clean word-soup
+    text passes through byte-identical (the over-matching failure
+    mode); counts are per-pattern."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="contact bob.smith+x@example.co.uk today"),
+            Row(doc_id=2, text="ssn 123-45-6789 and phone 555-867-5309"),
+            Row(doc_id=3, text="server at 10.0.255.7 rebooted"),
+            Row(doc_id=4, text="key agg row scan slow fast table value"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in text.doc_pii_scrub(docs).collect()}
+    assert out[1]["n_email"] == 1
+    assert out[1]["clean_text"] == "contact <EMAIL> today"
+    # SSN pattern wins over phone for the 3-2-4 shape; 3-3-4 is phone
+    assert (out[2]["n_ssn"], out[2]["n_phone"]) == (1, 1)
+    assert out[2]["clean_text"] == "ssn <SSN> and phone <PHONE>"
+    assert out[3]["n_ipv4"] == 1
+    assert out[3]["clean_text"] == "server at <IP> rebooted"
+    clean = out[4]
+    assert clean["clean_text"] == "key agg row scan slow fast table value"
+    assert (
+        clean["n_email"] + clean["n_ssn"] + clean["n_phone"] + clean["n_ipv4"]
+        == 0
+    )
+
+
+def test_blocklist_flags_token_semantics(spark):
+    """Blocklist matches whole whitespace tokens only (no substring
+    hits), hit_terms is distinct+sorted, n_hits counts occurrences,
+    and unflagged docs are absent from the output."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark shuffle spark join"),
+            Row(doc_id=2, text="sparkly hashing reshuffle"),  # substrings only
+            Row(doc_id=3, text="plain words here"),
+            Row(doc_id=4, text="Hash map"),  # case-folded token hit
+        ]
+    )
+    out = {r["doc_id"]: r for r in text.doc_blocklist_flags(docs).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["n_hits"] == 3
+    assert out[1]["hit_terms"] == "shuffle,spark"
+    assert out[4]["n_hits"] == 1
+    assert out[4]["hit_terms"] == "hash"
