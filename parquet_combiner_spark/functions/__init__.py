@@ -325,6 +325,12 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs/tokens per (source, lang) with corpus shares (see
+    :func:`corpus.corpus_mixture`) — the mixture-planning table."""
+    return corpus.corpus_mixture(_docs(spark, sf_dir))
+
+
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _SPLIT_SEED = "v1"
 
@@ -536,6 +542,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_source_temperature_sample": q_doc_source_temperature_sample,
     "corpus_prep": q_corpus_prep,
+    "corpus_mixture": q_corpus_mixture,
     "doc_source_capped": q_doc_source_capped,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
@@ -930,6 +937,23 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # logic of its standalone oracle, restricted to the training
     # partition; thresholds/splits interpolate from the shared
     # constants in functions/corpus.py
+    "corpus_mixture": """
+        WITH cells AS (
+            SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source, lang
+        ), tot AS (
+            SELECT CAST(sum(n_docs) AS DOUBLE) AS d,
+                   CAST(sum(n_tokens) AS DOUBLE) AS t
+            FROM cells
+        )
+        SELECT source, lang, n_docs, n_tokens,
+               round(n_docs / tot.d, 6) AS doc_share,
+               round(n_tokens / tot.t, 6) AS token_share
+        FROM cells, tot
+    """,
     "corpus_prep": f"""
         WITH tr AS (
             SELECT doc_id, text FROM documents

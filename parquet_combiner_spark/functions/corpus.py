@@ -34,6 +34,42 @@ CORPUS_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 CORPUS_SPLIT_SEED = "corpus-v1"
 
 
+def corpus_mixture(
+    documents: DataFrame,
+    text_col: str = "text",
+    by: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Mixture report: docs/tokens per ``by`` cell with corpus shares —
+    the planning table every data-mixture decision (and
+    :func:`sampling.temperature_sample`'s rate computation) starts
+    from.
+
+    Plan shape at 100 TB: one partial-aggregated groupBy (the token
+    count rides the map side as a codegen'd size(split), so the
+    exchange carries one long per cell, not text); the corpus totals
+    come from re-aggregating the CELL table (cells ≪ corpus) and
+    broadcast back as a 1-row frame. One full-data shuffle total.
+
+    Output: (*by, n_docs, n_tokens, doc_share, token_share), shares
+    rounded to 6 places.
+    """
+    cells = documents.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+    )
+    totals = cells.agg(
+        F.sum("n_docs").cast("double").alias("__d"),
+        F.sum("n_tokens").cast("double").alias("__t"),
+    )
+    return cells.crossJoin(F.broadcast(totals)).select(
+        *by,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("__d"), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.col("__t"), 6).alias("token_share"),
+    )
+
+
 def corpus_prep(
     documents: DataFrame,
     eval_mod: int = 97,

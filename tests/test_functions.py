@@ -1029,3 +1029,29 @@ def test_blocklist_flags_token_semantics(spark):
     assert out[1]["hit_terms"] == "shuffle,spark"
     assert out[4]["n_hits"] == 1
     assert out[4]["hit_terms"] == "hash"
+
+
+def test_corpus_mixture_shares(spark):
+    """Mixture cells partition the corpus: doc/token shares sum to 1,
+    token counts are whitespace-token sums, totals ride a broadcast."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions import corpus
+    from parquet_combiner_spark.plans import assert_in_plan
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="a", lang="en", text="one two three"),
+            Row(doc_id=2, source="a", lang="de", text="eins zwei"),
+            Row(doc_id=3, source="b", lang="en", text="uno"),
+        ]
+    )
+    out = corpus.corpus_mixture(docs)
+    # 1-row totals side: a broadcast nested-loop (the degenerate
+    # broadcast), never a shuffled join
+    assert_in_plan(out, "BroadcastNestedLoopJoin")
+    rows = {(r["source"], r["lang"]): r for r in out.collect()}
+    assert rows[("a", "en")]["n_tokens"] == 3
+    assert rows[("b", "en")]["token_share"] == pytest.approx(1 / 6, abs=1e-6)
+    assert sum(r["doc_share"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
+    assert sum(r["token_share"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
