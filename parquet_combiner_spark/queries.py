@@ -903,6 +903,18 @@ def red_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy/entity-resolution join: distinct part names within edit
+    distance 2 of each other (typo reconciliation), via the
+    length-banded equi-join in :func:`operators.fuzzy.
+    fuzzy_value_pairs` — never an all-pairs product."""
+    from parquet_combiner_spark.operators.fuzzy import fuzzy_value_pairs
+
+    return fuzzy_value_pairs(
+        _t(spark, sf_dir, "part"), "p_name", max_dist=2
+    )
+
+
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile bucketing (histogram by quartile) — the scale-safe
     formulation of ``NTILE(4)``: exact percentile thresholds in ONE
@@ -1138,6 +1150,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_props_stats": event_props_stats,
     "monthly_order_volume": monthly_order_volume,
     "red_parts_by_brand": red_parts_by_brand,
+    "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "shipping_priority": shipping_priority,
     "hourly_event_type_counts": hourly_event_type_counts,
     "local_supplier_volume": local_supplier_volume,
@@ -1585,6 +1598,18 @@ ORACLE_SQL: dict[str, str] = {
                round(avg(p_retailprice), 4) AS avg_price
         FROM part WHERE p_name LIKE 'red %'
         GROUP BY p_brand
+    """,
+    "part_name_fuzzy_pairs": """
+        WITH v AS (
+            SELECT p_name AS val, count(*) AS n
+            FROM part WHERE p_name IS NOT NULL
+            GROUP BY p_name
+        )
+        SELECT a.val AS val_a, b.val AS val_b,
+               CAST(levenshtein(a.val, b.val) AS INTEGER) AS dist,
+               a.n AS n_a, b.n AS n_b
+        FROM v a JOIN v b ON a.val < b.val
+        WHERE levenshtein(a.val, b.val) <= 2
     """,
     "order_price_quartiles": """
         WITH t AS (

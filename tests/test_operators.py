@@ -900,3 +900,41 @@ def test_asof_cogrouped_matches_jvm_operator(spark):
     # long value column carries NULL (not NaN/0) through Arrow
     by_fid = {r[0]: r for r in pdx}
     assert by_fid[3][-1] is None and by_fid[5][-1] is None
+
+
+def test_fuzzy_value_pairs_semantics(spark):
+    """Edit-distance pairs: substitution/insertion/deletion all found
+    within the bound, over-threshold pairs absent, output is
+    value-ordered with per-value row counts, and the candidate join is
+    a banded equi-join (no cartesian)."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.operators.fuzzy import fuzzy_value_pairs
+    from parquet_combiner_spark.plans import assert_no_cartesian_product
+
+    df = spark.createDataFrame(
+        [
+            Row(name="widget"),
+            Row(name="widget"),       # dup row → n=2
+            Row(name="widgets"),      # insertion, dist 1
+            Row(name="wadget"),       # substitution, dist 1
+            Row(name="idget"),        # deletion, dist 1
+            Row(name="gadget"),       # dist 2 from widget
+            Row(name="sprocket"),     # far from everything (>2)
+            Row(name=None),           # ignored
+        ]
+    )
+    out = fuzzy_value_pairs(df, "name", max_dist=2)
+    assert_no_cartesian_product(out)
+    got = {(r["val_a"], r["val_b"]): r for r in out.collect()}
+    assert got[("widget", "widgets")]["dist"] == 1
+    assert got[("wadget", "widget")]["dist"] == 1
+    assert got[("idget", "widget")]["dist"] == 1
+    assert got[("gadget", "widget")]["dist"] == 2
+    assert not any("sprocket" in p for p in got)
+    # counts ride the pair; orientation is lexicographic
+    r = got[("widget", "widgets")]
+    assert (r["n_a"], r["n_b"]) == (2, 1)
+    assert all(a < b for a, b in got)
+    # max_dist=0 degenerates to nothing (distinct values never pair)
+    assert fuzzy_value_pairs(df, "name", max_dist=0).count() == 0
