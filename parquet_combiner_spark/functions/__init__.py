@@ -218,6 +218,65 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.dedup_keepers(dedup_text.near_dup_clusters(pairs))
 
 
+_PAGERANK_ITERS = 5
+_PAGERANK_DAMPING = 0.85
+
+
+def q_doc_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact n-gram similarity graph
+    (:func:`graph.pagerank` on the shared cached pair frame) — which
+    doc is most REPRESENTATIVE of its near-dup neighborhood, the
+    second iterative algorithm over the same oracle-able edges as
+    ``near_dup_clusters``."""
+    from parquet_combiner_spark.functions import graph
+
+    return graph.pagerank(
+        _ngram_pairs_cached(spark, sf_dir),
+        iters=_PAGERANK_ITERS,
+        damping=_PAGERANK_DAMPING,
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    """Chained-CTE power iteration (aggregation is not allowed in a
+    recursive CTE's step, so the FIXED iteration count is unrolled),
+    generated from the same knobs as the Spark side. Float literals
+    are embedded via repr() so both engines iterate on bit-identical
+    constants; rounding happens only at the boundary."""
+    d = repr(_PAGERANK_DAMPING)
+    base = repr(1.0 - _PAGERANK_DAMPING)
+    steps = []
+    for k in range(1, _PAGERANK_ITERS + 1):
+        steps.append(
+            f"""pr{k} AS (
+            SELECT e.dst AS node,
+                   {base}/n.n + {d}*sum(p.r*e.share) AS r
+            FROM ew e JOIN pr{k - 1} p ON p.node = e.src, n
+            GROUP BY e.dst, n.n
+        )"""
+        )
+    return f"""
+        WITH pairs AS (
+            {_NGRAM_PAIRS_SQL}
+        ), edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ), deg AS (
+            SELECT src, count(*) AS degree FROM edges GROUP BY src
+        ), ew AS (
+            SELECT e.src, e.dst, 1.0/d.degree AS share
+            FROM edges e JOIN deg d ON d.src = e.src
+        ), n AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+        ), pr0 AS (
+            SELECT src AS node, 1.0/n.n AS r FROM deg, n
+        ), {', '.join(steps)}
+        SELECT p.node, d.degree, round(p.r, 8) AS pagerank
+        FROM pr{_PAGERANK_ITERS} p JOIN deg d ON d.src = p.node
+    """
+
+
 def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals + keep/drop verdict per doc —
     a narrow map on the Arrow counting pass (the built-in-HOF
@@ -548,6 +607,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "doc_graph_pagerank": q_doc_graph_pagerank,
     "doc_split": q_doc_split,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_binary_metadata": q_doc_binary_metadata,
@@ -1133,6 +1193,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # xxhash64-based minhash/simhash estimates): DuckDB builds the
     # same 3-token shingle sets and joins on the shingle string.
     "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
+    "doc_graph_pagerank": _pagerank_oracle_sql(),
     # connected components over the same exact pair graph via a
     # recursive CTE (transitive closure then min reachable id) — tiny
     # at oracle scale; the Spark side is the iterative label

@@ -1055,3 +1055,42 @@ def test_corpus_mixture_shares(spark):
     assert rows[("b", "en")]["token_share"] == pytest.approx(1 / 6, abs=1e-6)
     assert sum(r["doc_share"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
     assert sum(r["token_share"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_against_python_reference(spark):
+    """PageRank on a small graph vs an independent numpy power
+    iteration: same values, mass conserved, symmetric leaves tie, hub
+    outranks leaves; iters=0 is the uniform start."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions import graph
+
+    # star (1 hub, 3 spokes) + a disjoint path of 3
+    edge_list = [(1, 2), (1, 3), (1, 4), (10, 11), (11, 12)]
+    pairs = spark.createDataFrame(
+        [Row(doc_id_a=a, doc_id_b=b) for a, b in edge_list]
+    )
+    iters, d = 5, 0.85
+    out = {r["node"]: r for r in graph.pagerank(pairs, iters, d).collect()}
+
+    nodes = sorted({x for e in edge_list for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b in edge_list:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    share = A / A.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (share.T @ r)
+    for v in nodes:
+        assert out[v]["pagerank"] == pytest.approx(r[idx[v]], abs=1e-8)
+
+    assert sum(x["pagerank"] for x in out.values()) == pytest.approx(1.0, abs=1e-6)
+    assert out[2]["pagerank"] == out[3]["pagerank"] == out[4]["pagerank"]
+    assert out[1]["pagerank"] > out[2]["pagerank"]
+    assert out[1]["degree"] == 3
+    # iters=0: the uniform start
+    z = graph.pagerank(pairs, 0, d).collect()
+    assert all(x["pagerank"] == pytest.approx(1.0 / n, abs=1e-8) for x in z)
