@@ -1,0 +1,202 @@
+"""Versioned table layer on plain parquet: an append-only commit log
+with snapshot reads and time travel (the Delta/Iceberg kernel, sized
+for this engine).
+
+A directory becomes a *versioned table*:
+
+    <table>/_txlog/00000000000000000000.json   commit 0
+    <table>/_txlog/00000000000000000001.json   commit 1
+    <table>/data/<commit-uuid>/part-*.parquet  immutable data files
+
+Each commit file records the action (``append`` / ``overwrite``),
+the data files it adds, and the schema (DDL string). A snapshot at
+version V is the union of files added by commits 0..V minus files
+removed by overwrites in that range — readers reconstruct the file
+list from the log (tiny JSON metadata, never a data scan) and hand
+it to one ``spark.read.parquet(*files)`` call, so snapshot isolation
+costs nothing at plan time and old versions stay readable until
+vacuumed.
+
+Concurrency: a commit is PUBLISHED by creating the next version's
+log file with O_CREAT|O_EXCL — the filesystem arbitrates exactly one
+winner per version; the loser raises ``CommitConflict`` (retry =
+re-read the log, re-validate, re-attempt, the standard optimistic
+loop). Data files are written BEFORE the commit attempt into a
+commit-unique directory, so a losing or crashed writer leaves only
+unreferenced files (cleaned by :func:`vacuum`), never a torn table.
+On object stores without atomic create-exclusive (S3), the same
+design needs a conditional-put or a commit service — documented
+limitation, same as Delta's S3 story.
+
+Schema evolution: appends must match the table schema exactly
+(by-name, order-insensitive); ``overwrite`` may change it — the
+schema travels with each commit, so time-travel reads always parse
+old files with their own schema.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txlog"
+_VERSION_DIGITS = 20
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first; re-read and retry."""
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(
+        table, _LOG_DIR, f"{version:0{_VERSION_DIGITS}d}.json"
+    )
+
+
+def _read_log(table: str) -> list[dict]:
+    """All commits in version order; [] for a fresh/non table."""
+    d = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(d, name)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def current_version(table: str) -> int:
+    """Latest committed version, or -1 for an empty table."""
+    log = _read_log(table)
+    return log[-1]["version"] if log else -1
+
+
+def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
+    """(data file paths, schema DDL) as of ``version`` (None=latest)."""
+    log = _read_log(table)
+    if not log:
+        raise FileNotFoundError(f"{table} has no transaction log")
+    if version is None:
+        version = log[-1]["version"]
+    if not 0 <= version <= log[-1]["version"]:
+        raise ValueError(
+            f"version {version} out of range 0..{log[-1]['version']}"
+        )
+    files: list[str] = []
+    schema = ""
+    for commit in log:
+        if commit["version"] > version:
+            break
+        if commit["action"] == "overwrite":
+            files = []
+        files.extend(commit["add"])
+        schema = commit["schema"]
+    return [os.path.join(table, f) for f in files], schema
+
+
+def _normalize_schema(df: DataFrame) -> list[list[str]]:
+    return sorted([f.name.lower(), f.dataType.simpleString()] for f in df.schema.fields)
+
+
+def commit(
+    df: DataFrame,
+    table: str,
+    action: str = "append",
+) -> int:
+    """Write ``df``'s rows as new immutable data files and publish
+    them as the table's next version. Returns the committed version.
+
+    Raises :class:`CommitConflict` if a concurrent writer published
+    the same version first (nothing is visible; the data directory is
+    unreferenced garbage for :func:`vacuum`), and ``TypeError`` if an
+    ``append``'s schema differs from the table's current schema.
+    """
+    if action not in ("append", "overwrite"):
+        raise ValueError(f"action must be append|overwrite, got {action!r}")
+    log = _read_log(table)
+    version = (log[-1]["version"] + 1) if log else 0
+    if action == "append" and log:
+        current = log[-1]["schema"]
+        spark = df.sparkSession
+        want = _normalize_schema(spark.createDataFrame([], current))
+        have = _normalize_schema(df)
+        if want != have:
+            raise TypeError(
+                f"append schema {have} != table schema {want}; "
+                "use action='overwrite' to change the schema"
+            )
+
+    commit_id = uuid.uuid4().hex
+    rel_dir = os.path.join("data", commit_id)
+    out_dir = os.path.join(table, rel_dir)
+    df.write.mode("error").parquet(out_dir)
+    added = sorted(
+        os.path.join(rel_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+
+    os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+    record = {
+        "version": version,
+        "action": action,
+        "add": added,
+        "schema": _ddl(df),
+        "commit_id": commit_id,
+    }
+    path = _log_path(table, version)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as e:
+        raise CommitConflict(
+            f"version {version} of {table} was committed concurrently"
+        ) from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(record, f)
+    return version
+
+
+def _ddl(df: DataFrame) -> str:
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def read_table(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read at ``version`` (None = latest). The file list
+    comes from the log (metadata only); each snapshot is parsed with
+    ITS OWN committed schema, so time travel across an overwrite that
+    changed the schema still reads correctly."""
+    files, schema = _snapshot_files(table, version)
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def vacuum(table: str, dry_run: bool = False) -> list[str]:
+    """Delete (or with ``dry_run`` just list) data files no snapshot
+    references — overwrite leftovers and losers of commit races.
+    Time travel to pre-overwrite versions is intentionally preserved:
+    every file ADDED by any commit stays; only files belonging to NO
+    commit are garbage."""
+    log = _read_log(table)
+    referenced = {f for c in log for f in c["add"]}
+    data_root = os.path.join(table, "data")
+    garbage: list[str] = []
+    if os.path.isdir(data_root):
+        for cdir in os.listdir(data_root):
+            for f in os.listdir(os.path.join(data_root, cdir)):
+                rel = os.path.join("data", cdir, f)
+                if f.endswith(".parquet") and rel not in referenced:
+                    garbage.append(rel)
+    if not dry_run:
+        for rel in garbage:
+            os.remove(os.path.join(table, rel))
+    return sorted(garbage)

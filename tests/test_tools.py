@@ -315,3 +315,69 @@ def test_snapshot_diff_classifies_changes(spark):
 
     with pytest.raises(ValueError, match="columns differ"):
         snapshot_diff(old, new.withColumnRenamed("a", "c"), ["k"])
+
+
+def test_txlog_versioned_table_lifecycle(spark, tmp_path):
+    """Commit log: append/overwrite versioning, snapshot isolation,
+    time travel across a schema-changing overwrite, append schema
+    enforcement, commit-race arbitration, and vacuum of unreferenced
+    files only."""
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    v0 = txlog.commit(
+        spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]), table
+    )
+    v1 = txlog.commit(spark.createDataFrame([Row(k=3, v="c")]), table)
+    assert (v0, v1) == (0, 1)
+    assert txlog.current_version(table) == 1
+
+    assert txlog.read_table(spark, table).count() == 3
+    assert txlog.read_table(spark, table, version=0).count() == 2
+
+    # append with a drifted schema fails; overwrite may change it
+    with pytest.raises(TypeError, match="append schema"):
+        txlog.commit(spark.createDataFrame([Row(k=4, other=1.5)]), table)
+    v2 = txlog.commit(
+        spark.createDataFrame([Row(k=9, score=0.5)]), table, action="overwrite"
+    )
+    assert v2 == 2
+    latest = txlog.read_table(spark, table)
+    assert latest.columns == ["k", "score"] and latest.count() == 1
+    # time travel back across the overwrite reads the OLD schema
+    old = txlog.read_table(spark, table, version=1)
+    assert old.columns == ["k", "v"] and old.count() == 3
+
+    # commit race: a writer whose log read went stale (another commit
+    # landed between its read and its publish attempt) loses cleanly
+    # at the O_EXCL create — simulate the stale read directly
+    orig_read = txlog._read_log
+    txlog._read_log = lambda t: orig_read(t)[:-1]
+    try:
+        with pytest.raises(txlog.CommitConflict):
+            txlog.commit(
+                spark.createDataFrame([Row(k=9, v="z")]), table
+            )
+    finally:
+        txlog._read_log = orig_read
+
+    # the loser's data directory is unreferenced → vacuum removes it,
+    # while every committed file (incl. pre-overwrite history) stays
+    garbage = txlog.vacuum(table, dry_run=True)
+    assert garbage and all(g.startswith("data/") for g in garbage)
+    removed = txlog.vacuum(table)
+    assert removed == garbage
+    assert txlog.vacuum(table, dry_run=True) == []
+    assert txlog.read_table(spark, table, version=1).count() == 3
+    assert txlog.read_table(spark, table).count() == 1
+
+    # a fresh table path raises, empty-version bounds checked
+    with pytest.raises(FileNotFoundError):
+        txlog.read_table(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="out of range"):
+        txlog.read_table(spark, table, version=99)
