@@ -713,6 +713,63 @@ def event_value_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection: events whose value sits more
+    than 3 population-σ from their event_type mean — the anomaly
+    screen monitoring pipelines run per entity class.
+
+    Scale shape: per-type mean/σ is ONE partial-aggregated groupBy
+    whose output is type-cardinality-sized, broadcast back onto the
+    stream — the corpus is scanned once and never shuffled (the same
+    broadcast-threshold pattern as the quartile bucketing). z is
+    rounded at the boundary for cross-engine hashing."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        # population σ (stddev_pop): the screen describes THIS data,
+        # not a sample estimate — and both engines define it identically
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals via ``width_bucket`` —
+    the distribution-profiling primitive (20 bins over the observed
+    min..max). Bounds come from one tiny aggregate broadcast back as
+    a 1-row frame; binning is a narrow codegen'd projection and the
+    histogram itself one partial-aggregated groupBy. ``width_bucket``
+    has identical semantics in Spark and DuckDB (bucket 0 / n+1
+    overflow; max lands in n+1 when bounds are inclusive-exclusive),
+    so the oracle reproduces bin edges bit-for-bit."""
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.width_bucket("o_totalprice", "lo", "hi", F.lit(20)).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.first("lo") + (F.col("bin") - 1) * (F.first("hi") - F.first("lo")) / 20,
+            4,
+        ).alias("bin_lo"),
+    )
+
+
 def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship shape #2 (A2 + F2 modulo): top-3 event types per
     user-id bucket, deterministic tiebreak."""
@@ -1140,6 +1197,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_returned_and_held": parts_returned_and_held,
     "parts_returned_never_held": parts_returned_never_held,
     "event_value_percent_rank": event_value_percent_rank,
+    "event_value_outliers": event_value_outliers,
+    "order_price_histogram": order_price_histogram,
     "user_bucket_top_events": user_bucket_top_events,
     "user_event_matrix": user_event_matrix,
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
@@ -1526,6 +1585,41 @@ ORACLE_SQL: dict[str, str] = {
         EXCEPT
         SELECT l_partkey FROM lineitem
         WHERE l_returnflag = 'A' AND l_suppkey < 10
+    """,
+    "event_value_outliers": """
+        WITH s AS (
+            SELECT event_type, avg(value) AS mu,
+                   stddev_pop(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(e.value, 6) AS value,
+               round((e.value - s.mu) / s.sigma, 4) AS z
+        FROM events e JOIN s USING (event_type)
+        WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+    # width_bucket does not exist in DuckDB: the oracle mirrors
+    # Spark's documented (Postgres) formula with the SAME operation
+    # order — floor((x-lo)/((hi-lo)/n))+1, underflow 0, x>=hi → n+1 —
+    # so the doubles agree bit-for-bit
+    "order_price_histogram": """
+        WITH b AS (
+            SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM orders
+        ), binned AS (
+            SELECT CASE
+                       WHEN o_totalprice < lo THEN 0
+                       WHEN o_totalprice >= hi THEN 21
+                       ELSE CAST(floor((o_totalprice - lo)
+                                       / ((hi - lo) / 20)) AS BIGINT) + 1
+                   END AS bin,
+                   lo, hi
+            FROM orders, b
+        )
+        SELECT bin, count(*) AS n,
+               round(min(lo) + (bin - 1) * (min(hi) - min(lo)) / 20, 4)
+                   AS bin_lo
+        FROM binned GROUP BY bin
     """,
     "event_value_percent_rank": """
         SELECT event_id, event_type,

@@ -938,3 +938,32 @@ def test_fuzzy_value_pairs_semantics(spark):
     assert all(a < b for a, b in got)
     # max_dist=0 degenerates to nothing (distinct values never pair)
     assert fuzzy_value_pairs(df, "name", max_dist=0).count() == 0
+
+
+def test_outlier_and_histogram_edge_semantics(spark):
+    """Outliers: only >3σ rows emitted, z signed; histogram: bucket 0
+    underflow never occurs with observed bounds, max lands in the
+    n+1 overflow bucket (width_bucket upper bound is exclusive)."""
+    from pyspark.sql import Row
+
+    # 10 values at 0, one at 100 → mu≈9.09, σ_pop≈28.7, z(100)≈3.16
+    vals = [0.0] * 10 + [100.0]
+    df = spark.createDataFrame(
+        [Row(event_id=i, event_type="t", value=v) for i, v in enumerate(vals)]
+    )
+    stats = df.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    out = (
+        df.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3.0)
+        .select("event_id", F.round(z, 4).alias("z"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["event_id"] == 10 and out[0]["z"] > 3
+
+    binned = spark.createDataFrame(
+        [Row(x=float(v)) for v in (0, 5, 9.999, 10)]
+    ).select(F.width_bucket("x", F.lit(0.0), F.lit(10.0), F.lit(2)).alias("b"))
+    assert sorted(r["b"] for r in binned.collect()) == [1, 2, 2, 3]
