@@ -356,3 +356,43 @@ def test_like_prefix_pushes_to_scan(spark):
     df = red_parts_by_brand(spark, "/root/testdata/sf0.001")
     plan = assert_pushed_filters(df)
     assert "StringStartsWith(p_name,red )" in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, tmp_path):
+    """Runtime row-level filtering: when the dim side of a non-broadcast
+    join carries a selective predicate, Catalyst injects a
+    bloom_filter_agg on the dim keys and applies might_contain on the
+    fact scan — rows that cannot join die BEFORE the shuffle. At 100 TB
+    the default thresholds (creation side < 10 MB, application side
+    scan > 10 GB) trigger this naturally; testdata is far below the
+    application threshold, so the test lowers it to 0 to pin the
+    rewrite itself."""
+    fact_p = str(tmp_path / "bloom_fact")
+    dim_p = str(tmp_path / "bloom_dim")
+    spark.range(0, 50_000).selectExpr(
+        "id AS k", "id % 97 AS payload"
+    ).write.parquet(fact_p)
+    spark.range(0, 5_000).selectExpr(
+        "id AS k", "CAST(id % 7 AS INT) AS grp"
+    ).write.parquet(dim_p)
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thr_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    old_thr = spark.conf.get(thr_key)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(thr_key, "0")
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).where("grp = 3")
+        j = fact.join(dim, "k").select("k", "payload")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the rewrite preserves the answer
+        assert j.count() == 5_000 // 7 + (1 if 3 < 5_000 % 7 else 0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(thr_key, old_thr)
