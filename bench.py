@@ -56,6 +56,9 @@ HEADLINE = [
     # (near_dup_clusters consumes the same join via the shared cache)
     "ngram_jaccard_pairs",
     "near_dup_clusters",
+    # iterative algorithm #2: 5 synchronous power-iteration rounds
+    # over the same cached pair graph
+    "doc_graph_pagerank",
     "doc_pack_sequences",
     "ann_cosine_topk",
     "embedding_near_dup_pairs",
@@ -108,13 +111,23 @@ def main() -> None:
     # consumer ran first), and after each one's last run so the
     # persisted pair blocks don't compete for memory with later
     # measured queries.
+    from parquet_combiner_spark.functions import _ngram_pairs_cached
+
+    def warm_pairs() -> None:
+        # pagerank's line measures the ITERATIONS, not the pair join
+        # (already attributed to ngram_jaccard_pairs): every run starts
+        # from a warm cache
+        _ngram_pairs_cached(spark, sf_dir)
+
     pre_run = {
         "ngram_jaccard_pairs": clear_ngram_pair_cache,
         "near_dup_clusters": clear_ngram_pair_cache,
+        "doc_graph_pagerank": warm_pairs,
     }
     post_runs = {
         "ngram_jaccard_pairs": clear_ngram_pair_cache,
         "near_dup_clusters": clear_ngram_pair_cache,
+        "doc_graph_pagerank": clear_ngram_pair_cache,
     }
 
     # Warm run: JVM JIT + whole-stage-codegen compilation at the
