@@ -381,3 +381,37 @@ def test_txlog_versioned_table_lifecycle(spark, tmp_path):
         txlog.read_table(spark, str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="out of range"):
         txlog.read_table(spark, table, version=99)
+
+
+def test_txtable_custom_datasource_reads_snapshots(spark, tmp_path):
+    """Spark 4 Python DataSource over the versioned table: format
+    registration, latest + time-travel reads matching the fast path,
+    task parallelism = snapshot file count."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    spark.dataSource.register(TxTableDataSource)
+    table = str(tmp_path / "txsrc")
+    txlog.commit(
+        spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]), table
+    )
+    txlog.commit(
+        spark.createDataFrame([Row(k=9, s=0.5)]), table, action="overwrite"
+    )
+
+    latest = spark.read.format("txtable").load(table)
+    assert latest.columns == ["k", "s"]
+    assert [tuple(r) for r in latest.collect()] == [(9, 0.5)]
+
+    v0 = spark.read.format("txtable").option("version", "0").load(table)
+    fast = txlog.read_table(spark, table, 0)
+    assert sorted(map(tuple, v0.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
+    # one task per snapshot file
+    files, _ = txlog._snapshot_files(table, 0)
+    assert v0.rdd.getNumPartitions() == len(files)
