@@ -806,6 +806,49 @@ def hourly_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed a quantity
+    threshold — the aggregate-then-join (HAVING-driven semi-join)
+    pipeline.
+
+    Plan intent: the quantity rollup is ONE partial-aggregated
+    groupBy over lineitem's two needed columns; its qualifying output
+    is ~1% of orders, so it BROADCASTS into the orders join (the
+    big-table side is filtered by the aggregate's result, never the
+    reverse), the customer dim broadcasts as usual, and the top-100
+    is a TakeOrderedAndProject. Exactly one full-data shuffle in the
+    whole query."""
+    qty = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250.0)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(
+            F.broadcast(qty), orders["o_orderkey"] == qty["l_orderkey"]
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "odate_ms"
+            ),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape — the first MULTI-WAY join pipeline in the
     registry: segment-filtered customer ⋈ date-filtered orders ⋈
@@ -1211,6 +1254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "red_parts_by_brand": red_parts_by_brand,
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "shipping_priority": shipping_priority,
+    "large_volume_customers": large_volume_customers,
     "hourly_event_type_counts": hourly_event_type_counts,
     "local_supplier_volume": local_supplier_volume,
     "customers_with_high_value_orders": customers_with_high_value_orders,
@@ -1647,6 +1691,22 @@ ORACLE_SQL: dict[str, str] = {
                    AS window_start_ms,
                event_type, count(*) AS n
         FROM events GROUP BY 1, 2
+    """,
+    "large_volume_customers": """
+        WITH qty AS (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250.0
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               epoch_ms(o.o_orderdate) AS odate_ms,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               q.total_qty
+        FROM orders o
+        JOIN qty q ON o.o_orderkey = q.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
     """,
     "shipping_priority": """
         SELECT o_orderkey,

@@ -396,3 +396,27 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set(thr_key, old_thr)
+
+
+def test_large_volume_customers_plan_broadcast_agg_topk(spark):
+    """TPC-H Q18 shape: the HAVING-qualified quantity rollup
+    broadcasts into the orders join (the fact side is probed by the
+    aggregate's result, not shuffled against it), the customer dim
+    broadcasts, the top-100 is TakeOrderedAndProject, and the only
+    full-data exchange is the rollup's own partial-aggregated
+    shuffle."""
+    from parquet_combiner_spark.plans import plan_text
+    from parquet_combiner_spark.queries import large_volume_customers
+
+    df = large_volume_customers(spark, "/root/testdata/sf0.001")
+    plan = assert_no_cartesian_product(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    simple = plan_text(df, mode="simple")
+    # exchanges: 1 hash (the rollup) + broadcasts; no other hash shuffles
+    hash_exchanges = [
+        l for l in simple.splitlines()
+        if "Exchange hashpartitioning" in l
+    ]
+    assert len(hash_exchanges) == 1, simple
