@@ -107,6 +107,7 @@ def commit(
     df: DataFrame,
     table: str,
     action: str = "append",
+    meta: dict | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
@@ -115,6 +116,10 @@ def commit(
     the same version first (nothing is visible; the data directory is
     unreferenced garbage for :func:`vacuum`), and ``TypeError`` if an
     ``append``'s schema differs from the table's current schema.
+
+    ``meta`` (small JSON-able dict) travels with the commit record —
+    the hook idempotent writers key on (e.g. the streaming sink
+    stores its epoch id and skips replayed batches).
     """
     if action not in ("append", "overwrite"):
         raise ValueError(f"action must be append|overwrite, got {action!r}")
@@ -148,6 +153,7 @@ def commit(
         "add": added,
         "schema": _ddl(df),
         "commit_id": commit_id,
+        "meta": meta or {},
     }
     path = _log_path(table, version)
     try:

@@ -590,3 +590,49 @@ def test_streaming_cdc_apply_converges_to_batch_compaction(spark, tmp_path):
         schema=schema,
     )
     assert {tuple(r) for r in replay.select(*ev.columns).collect()} == want
+
+
+def test_stream_to_txlog_one_version_per_batch_and_replay_skip(
+    spark, tmp_path
+):
+    """Streaming ingestion into the versioned table: each micro-batch
+    commits exactly one version with its epoch in the commit meta, the
+    final snapshot equals the source, a replayed epoch is absorbed
+    without a new version (the exactly-once contract), and time travel
+    reproduces the partial table mid-ingestion."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.txlog_sink import (
+        stream_to_txlog_available_now,
+        txlog_append_batch,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    src = str(tmp_path / "src")
+    rows = [Row(k=i, v=f"r{i}") for i in range(12)]
+    df = spark.createDataFrame(rows)
+    # 3 source files → 3 micro-batches at maxFilesPerTrigger=1
+    df.repartition(3).write.parquet(src)
+    table = str(tmp_path / "tbl")
+
+    final = stream_to_txlog_available_now(spark, src, table, df.schema)
+    assert sorted(tuple(r) for r in final.collect()) == sorted(
+        tuple(r) for r in rows
+    )
+    log = txlog._read_log(table)
+    assert len(log) == 3
+    assert sorted(c["meta"]["epoch"] for c in log) == [0, 1, 2]
+    # time travel to mid-ingestion: version 0 holds only batch 0
+    v0 = txlog.read_table(spark, table, version=0)
+    assert 0 < v0.count() < 12
+
+    # replayed epoch: no new version, no duplicate rows
+    before = txlog.current_version(table)
+    committed = txlog_append_batch(
+        spark.createDataFrame(rows[:4]), 1, table
+    )
+    assert committed is False
+    assert txlog.current_version(table) == before
+    # a NEW epoch does commit
+    assert txlog_append_batch(spark.createDataFrame(rows[:1]), 7, table)
+    assert txlog.current_version(table) == before + 1
