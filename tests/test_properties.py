@@ -215,3 +215,52 @@ class TestMergeUpsertProperties:
         # idempotence: re-applying the same update batch changes nothing
         twice = merge_upsert(once, upd, ["k"], ["v"])
         assert {(r["k"], r["v"], r["val"]) for r in twice.collect()} == got
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+_WORDS = st.lists(
+    st.text(alphabet="abcx", min_size=0, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestFuzzyJoinProperties:
+    @SETTINGS
+    @given(words=_WORDS, d=st.integers(0, 3))
+    def test_banded_join_equals_brute_force(self, spark, words, d):
+        """The length-banded candidate join must find EXACTLY the
+        brute-force pair set (banding is a pure optimization, never a
+        recall loss), with correct distances and per-value counts."""
+        from collections import Counter
+
+        from parquet_combiner_spark.operators.fuzzy import fuzzy_value_pairs
+
+        df = spark.createDataFrame([(w,) for w in words], "name string")
+        got = {
+            (r["val_a"], r["val_b"]): (r["dist"], r["n_a"], r["n_b"])
+            for r in fuzzy_value_pairs(df, "name", max_dist=d).collect()
+        }
+        counts = Counter(words)
+        vals = sorted(counts)
+        want = {}
+        for i, a in enumerate(vals):
+            for b in vals[i + 1 :]:
+                dist = _py_levenshtein(a, b)
+                if dist <= d:
+                    want[(a, b)] = (dist, counts[a], counts[b])
+        assert got == want
