@@ -849,6 +849,50 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (retargeted to the columns this testdata has):
+    per supplier, the count of orders where THEIR item was returned,
+    another supplier also shipped in the order (correlated EXISTS),
+    and no OTHER supplier's item was returned (correlated NOT
+    EXISTS) — the double-correlation semi+anti pipeline, Q21's
+    defining feature.
+
+    Plan intent: both correlations are joins on the order key — a
+    LEFT SEMI with a suppkey-inequality residual and a LEFT ANTI with
+    the same — never per-row subquery execution; the supplier dim
+    broadcasts; the count is one partial-aggregated groupBy over the
+    (tiny) surviving set."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    returned = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    other_returns = returned.select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+    )
+    base = returned.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_ok"))
+        & (F.col("l_suppkey") != F.col("o_sk")),
+        "left_semi",
+    ).join(
+        other_returns,
+        (F.col("l_orderkey") == F.col("r_ok"))
+        & (F.col("l_suppkey") != F.col("r_sk")),
+        "left_anti",
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        base.join(F.broadcast(supp), base["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape — the first MULTI-WAY join pipeline in the
     registry: segment-filtered customer ⋈ date-filtered orders ⋈
@@ -1255,6 +1299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "shipping_priority": shipping_priority,
     "large_volume_customers": large_volume_customers,
+    "sole_return_suppliers": sole_return_suppliers,
     "hourly_event_type_counts": hourly_event_type_counts,
     "local_supplier_volume": local_supplier_volume,
     "customers_with_high_value_orders": customers_with_high_value_orders,
@@ -1691,6 +1736,27 @@ ORACLE_SQL: dict[str, str] = {
                    AS window_start_ms,
                event_type, count(*) AS n
         FROM events GROUP BY 1, 2
+    """,
+    "sole_return_suppliers": """
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+        ), r AS (
+            SELECT l_orderkey, l_suppkey FROM li WHERE l_returnflag = 'R'
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM li o
+            WHERE o.l_orderkey = r.l_orderkey
+              AND o.l_suppkey <> r.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM r r2
+            WHERE r2.l_orderkey = r.l_orderkey
+              AND r2.l_suppkey <> r.l_suppkey
+        )
+        GROUP BY s.s_name
     """,
     "large_volume_customers": """
         WITH qty AS (

@@ -420,3 +420,20 @@ def test_large_volume_customers_plan_broadcast_agg_topk(spark):
         if "Exchange hashpartitioning" in l
     ]
     assert len(hash_exchanges) == 1, simple
+
+
+def test_sole_return_suppliers_correlations_are_joins(spark):
+    """TPC-H Q21 shape: the EXISTS and NOT EXISTS correlations must
+    compile to LeftSemi / LeftAnti JOINS on the order key (with the
+    supplier inequality as a residual condition), never per-row
+    subquery re-execution, and the supplier dim must broadcast."""
+    from parquet_combiner_spark.plans import plan_text
+    from parquet_combiner_spark.queries import sole_return_suppliers
+
+    df = sole_return_suppliers(spark, "/root/testdata/sf0.001")
+    plan = assert_no_cartesian_product(df)
+    simple = plan_text(df, mode="simple")
+    assert "LeftSemi" in simple, simple
+    assert "LeftAnti" in simple, simple
+    assert "BroadcastHashJoin" in simple, simple
+    assert_partial_aggregate(df)
