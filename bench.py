@@ -72,9 +72,12 @@ HEADLINE = [
     "current_user_state",
     "user_event_matrix",
     "purchases_after_error_interval_stream",
-    # multi-way join pipelines (TPC-H Q3/Q5 shapes)
+    # multi-way join pipelines (TPC-H Q3/Q5/Q18/Q21 shapes)
     "shipping_priority",
     "local_supplier_volume",
+    "large_volume_customers",
+    # the double-correlation semi+anti pipeline (two lineitem self-joins)
+    "sole_return_suppliers",
     # the as-of join both ways: JVM union+window vs cogrouped pandas
     # merge_asof — the custom-operator overhead, measured
     "purchase_attribution_asof",
