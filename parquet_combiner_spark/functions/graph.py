@@ -57,15 +57,21 @@ def pagerank(
             F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
         )
     )
+    # deg (node-cardinality-sized) is checkpointed too: it feeds the
+    # count() action, the uniform start, AND the final join — without
+    # materialization each of those re-derives edges from the raw
+    # pair frame (a full extra pass per consumer).
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("degree")
+    ).localCheckpoint(eager=True)
     # (src, dst, share): share = 1/deg(src), the per-edge rank fraction.
     # Checkpointed once — every round's join re-reads these blocks.
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     edges_w = (
         edges.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("degree")).alias("share"))
         .localCheckpoint(eager=True)
     )
-    n = deg.count()  # bounded action on the aggregated (vocab-sized) frame
+    n = deg.count()  # bounded action on the materialized frame
     if n == 0:
         return deg.select(
             "src", "degree", F.lit(0.0).alias("pagerank")

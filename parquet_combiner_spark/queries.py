@@ -744,22 +744,35 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram of order totals via ``width_bucket`` —
-    the distribution-profiling primitive (20 bins over the observed
-    min..max). Bounds come from one tiny aggregate broadcast back as
-    a 1-row frame; binning is a narrow codegen'd projection and the
-    histogram itself one partial-aggregated groupBy. ``width_bucket``
-    has identical semantics in Spark and DuckDB (bucket 0 / n+1
-    overflow; max lands in n+1 when bounds are inclusive-exclusive),
-    so the oracle reproduces bin edges bit-for-bit."""
+    """Fixed-width histogram of order totals — the
+    distribution-profiling primitive (20 bins over the observed
+    min..max, Postgres ``width_bucket`` semantics: underflow bucket 0,
+    the max value in overflow bucket n+1). Bounds come from one tiny
+    aggregate broadcast back as a 1-row frame; binning is a narrow
+    codegen'd projection and the histogram one partial-aggregated
+    groupBy.
+
+    The bin expression is written out EXPLICITLY (not Spark's
+    ``width_bucket`` built-in) so the oracle can mirror the exact
+    floating-point operation order: the built-in computes
+    ``trunc(n*(x-lo)/(hi-lo))`` while a naive mirror computes
+    ``floor((x-lo)/((hi-lo)/n))`` — empirically ~13% of
+    exactly-on-boundary values land in different bins between the
+    two formulas, a data-dependent oracle flake. One formula, both
+    engines, bit-for-bit."""
     orders = _t(spark, sf_dir, "orders").select("o_totalprice")
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
+    x, lo, hi = F.col("o_totalprice"), F.col("lo"), F.col("hi")
+    bin_expr = (
+        F.when(x < lo, F.lit(0))
+        .when(x >= hi, F.lit(21))
+        .otherwise(F.floor((x - lo) / ((hi - lo) / F.lit(20))) + 1)
+        .cast("long")
+    )
     binned = orders.crossJoin(F.broadcast(bounds)).select(
-        F.width_bucket("o_totalprice", "lo", "hi", F.lit(20)).alias("bin"),
-        "lo",
-        "hi",
+        bin_expr.alias("bin"), "lo", "hi"
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1687,9 +1700,9 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e JOIN s USING (event_type)
         WHERE abs((e.value - s.mu) / s.sigma) > 3.0
     """,
-    # width_bucket does not exist in DuckDB: the oracle mirrors
-    # Spark's documented (Postgres) formula with the SAME operation
-    # order — floor((x-lo)/((hi-lo)/n))+1, underflow 0, x>=hi → n+1 —
+    # the SAME explicit bin formula the Spark side computes (see
+    # order_price_histogram's docstring for why neither engine's
+    # width_bucket built-in is used) — identical FP operation order,
     # so the doubles agree bit-for-bit
     "order_price_histogram": """
         WITH b AS (

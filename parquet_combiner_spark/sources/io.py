@@ -56,32 +56,42 @@ def ensure_ts_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
     return df.withColumn(col, conv.cast("long"))
 
 
-def read_parquet(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+def _read_self_describing(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None,
+    fmt: str,
 ) -> DataFrame:
-    """Parquet scan, optionally schema-enforced (fail-fast).
-
-    Spark's schema-on-read silently NULL-fills columns absent from the
-    files, so passing ``reader.schema(...)`` alone does NOT catch a
-    missing column. This reader therefore checks the file footer's
-    column set against the declared schema up front (metadata only, no
-    data scan) and raises immediately — contrast the reference, where
+    """Shared fail-fast reader for self-describing columnar formats
+    (parquet/ORC — both carry a footer schema). Spark's
+    schema-on-read silently NULL-fills columns absent from the files,
+    so passing ``reader.schema(...)`` alone does NOT catch a missing
+    column: check the footer's column set up front (metadata only, no
+    data scan) and raise immediately — contrast the reference, where
     a missing column surfaces as a getAs failure at task runtime
-    (reference DataReader.scala:16-23).
-    """
+    (reference DataReader.scala:16-23)."""
     reader = spark.read
     if schema is not None:
-        actual = {f.lower() for f in spark.read.parquet(path).schema.names}
+        footer = spark.read.format(fmt).load(path).schema.names
+        actual = {f.lower() for f in footer}
         missing = [
             f.name for f in schema.fields if f.name.lower() not in actual
         ]
         if missing:
             raise ValueError(
-                f"parquet at {path} is missing declared column(s) "
+                f"{fmt} at {path} is missing declared column(s) "
                 f"{missing}; found {sorted(actual)}"
             )
         reader = reader.schema(schema)
-    return reader.parquet(path)
+    return reader.format(fmt).load(path)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan, optionally schema-enforced (fail-fast) — see
+    :func:`_read_self_describing`."""
+    return _read_self_describing(spark, path, schema, "parquet")
 
 
 def read_data_a(spark: SparkSession, path: str) -> DataFrame:
@@ -284,30 +294,16 @@ def write_csv(
 def read_orc(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
-    """ORC scan with the same fail-fast posture as :func:`read_parquet`.
+    """ORC scan with the same fail-fast posture as :func:`read_parquet`
+    (one shared implementation — :func:`_read_self_describing`).
 
     ORC is the other self-describing columnar format large deployments
     standardize on (Hive-era warehouses, some vendor exports); like
-    parquet it carries a footer schema, per-stripe min/max statistics
-    (so predicate pushdown and column pruning work the same way), and
-    splits by stripe across tasks. The engine treats it as a peer
-    source: check the footer's column set against the declared schema
-    up front (metadata only), then let Catalyst push filters and
-    prune columns into the vectorized ORC reader.
+    parquet it carries a footer schema and per-stripe min/max
+    statistics, so predicate pushdown and column pruning work the
+    same way and it splits by stripe across tasks.
     """
-    reader = spark.read
-    if schema is not None:
-        actual = {f.lower() for f in spark.read.orc(path).schema.names}
-        missing = [
-            f.name for f in schema.fields if f.name.lower() not in actual
-        ]
-        if missing:
-            raise ValueError(
-                f"orc at {path} is missing declared column(s) "
-                f"{missing}; found {sorted(actual)}"
-            )
-        reader = reader.schema(schema)
-    return reader.orc(path)
+    return _read_self_describing(spark, path, schema, "orc")
 
 
 def write_orc(

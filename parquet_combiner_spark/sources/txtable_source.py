@@ -70,6 +70,12 @@ class TxTableDataSource(DataSource):
         return "txtable"
 
     def _resolve(self) -> tuple[list[str], str]:
+        # resolved ONCE and cached: schema() and reader() are separate
+        # planner calls, and a commit landing between two log reads
+        # would pair one version's schema with another's file list
+        cached = getattr(self, "_snapshot", None)
+        if cached is not None:
+            return cached
         from parquet_combiner_spark.tools import txlog
 
         path = self.options.get("path")
@@ -79,9 +85,10 @@ class TxTableDataSource(DataSource):
                 ".option('path', ...)"
             )
         version = self.options.get("version")
-        return txlog._snapshot_files(
+        self._snapshot = txlog._snapshot_files(
             path, int(version) if version is not None else None
         )
+        return self._snapshot
 
     def schema(self) -> str:
         _, ddl = self._resolve()

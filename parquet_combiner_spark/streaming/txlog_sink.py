@@ -30,13 +30,33 @@ from pyspark.sql import DataFrame, SparkSession
 from parquet_combiner_spark.tools import txlog
 
 
-def txlog_append_batch(batch: DataFrame, epoch_id: int, table: str) -> bool:
+def txlog_append_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    table: str,
+    _seen: set | None = None,
+) -> bool:
     """Idempotently commit one micro-batch as a table version.
-    Returns True if a commit happened, False for a replayed epoch."""
-    for c in txlog._read_log(table):
-        if c.get("meta", {}).get("epoch") == epoch_id:
-            return False
+    Returns True if a commit happened, False for a replayed epoch.
+
+    ``_seen`` (the sink's per-query epoch cache) makes the replay
+    check O(1) amortized: the full log is parsed ONCE when the cache
+    is cold (query start / restart-after-crash), then each batch
+    consults and updates the in-memory set — without it, a
+    long-running stream re-parses every commit record per batch
+    (quadratic in versions over the stream's lifetime)."""
+    if _seen is None:
+        _seen = set()
+    if not _seen:
+        _seen.update(
+            c["meta"]["epoch"]
+            for c in txlog._read_log(table)
+            if "epoch" in c.get("meta", {})
+        )
+    if epoch_id in _seen:
+        return False
     txlog.commit(batch, table, meta={"epoch": epoch_id})
+    _seen.add(epoch_id)
     return True
 
 
@@ -51,13 +71,14 @@ def stream_to_txlog_available_now(
     ``table`` (one commit per micro-batch) to completion; returns the
     final snapshot."""
     ckpt = tempfile.mkdtemp(prefix="pcs-txsink-ckpt-")
+    seen: set = set()  # per-query epoch cache (see txlog_append_batch)
     try:
         query = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(source_dir)
             .writeStream.foreachBatch(
-                lambda df, eid: txlog_append_batch(df, eid, table)
+                lambda df, eid: txlog_append_batch(df, eid, table, seen)
             )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -66,4 +87,9 @@ def stream_to_txlog_available_now(
         query.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return txlog.read_table(spark, table)
+    try:
+        return txlog.read_table(spark, table)
+    except FileNotFoundError:
+        # zero micro-batches (empty/already-consumed source): an empty
+        # snapshot with the declared schema, not a crash
+        return spark.createDataFrame([], schema)

@@ -70,10 +70,23 @@ def _read_log(table: str) -> list[dict]:
     return out
 
 
+def _last_commit(table: str) -> dict | None:
+    """The latest commit record only — commits and idempotence checks
+    need the tail, not an O(versions) parse of the whole log."""
+    d = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(d):
+        return None
+    names = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+    if not names:
+        return None
+    with open(os.path.join(d, names[-1])) as f:
+        return json.load(f)
+
+
 def current_version(table: str) -> int:
     """Latest committed version, or -1 for an empty table."""
-    log = _read_log(table)
-    return log[-1]["version"] if log else -1
+    last = _last_commit(table)
+    return last["version"] if last else -1
 
 
 def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
@@ -123,10 +136,10 @@ def commit(
     """
     if action not in ("append", "overwrite"):
         raise ValueError(f"action must be append|overwrite, got {action!r}")
-    log = _read_log(table)
-    version = (log[-1]["version"] + 1) if log else 0
-    if action == "append" and log:
-        current = log[-1]["schema"]
+    last = _last_commit(table)
+    version = (last["version"] + 1) if last else 0
+    if action == "append" and last:
+        current = last["schema"]
         spark = df.sparkSession
         want = _normalize_schema(spark.createDataFrame([], current))
         have = _normalize_schema(df)
@@ -186,21 +199,37 @@ def read_table(
     return spark.read.schema(schema).parquet(*files)
 
 
-def vacuum(table: str, dry_run: bool = False) -> list[str]:
+def vacuum(
+    table: str, dry_run: bool = False, min_age_seconds: float = 3600.0
+) -> list[str]:
     """Delete (or with ``dry_run`` just list) data files no snapshot
     references — overwrite leftovers and losers of commit races.
     Time travel to pre-overwrite versions is intentionally preserved:
     every file ADDED by any commit stays; only files belonging to NO
-    commit are garbage."""
+    commit are garbage.
+
+    ``min_age_seconds`` is the retention grace (Delta's deletion
+    threshold, same reason): a commit writes its data files BEFORE
+    publishing its log record, so an unreferenced-but-recent file may
+    belong to an IN-FLIGHT commit — deleting it would tear the table
+    the moment that commit publishes. Only files older than the grace
+    are eligible; pass 0 only when no writer can be active."""
+    import time as _time
+
     log = _read_log(table)
     referenced = {f for c in log for f in c["add"]}
     data_root = os.path.join(table, "data")
+    cutoff = _time.time() - min_age_seconds
     garbage: list[str] = []
     if os.path.isdir(data_root):
         for cdir in os.listdir(data_root):
             for f in os.listdir(os.path.join(data_root, cdir)):
                 rel = os.path.join("data", cdir, f)
-                if f.endswith(".parquet") and rel not in referenced:
+                if (
+                    f.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(os.path.join(table, rel)) <= cutoff
+                ):
                     garbage.append(rel)
     if not dry_run:
         for rel in garbage:

@@ -940,30 +940,61 @@ def test_fuzzy_value_pairs_semantics(spark):
     assert fuzzy_value_pairs(df, "name", max_dist=0).count() == 0
 
 
-def test_outlier_and_histogram_edge_semantics(spark):
-    """Outliers: only >3σ rows emitted, z signed; histogram: bucket 0
-    underflow never occurs with observed bounds, max lands in the
-    n+1 overflow bucket (width_bucket upper bound is exclusive)."""
+def test_outlier_and_histogram_queries_on_planted_data(spark, tmp_path):
+    """Drive the REAL registry queries on a planted sf_dir: the
+    outlier screen emits exactly the planted >3-sigma row (signed z),
+    and the histogram bins boundary-exact values identically to the
+    oracle formula — including values constructed to land ON bin
+    edges, where width_bucket's trunc(n*(x-lo)/(hi-lo)) and the
+    mirrored floor((x-lo)/((hi-lo)/n)) disagree."""
+    import datetime
+
+    import duckdb
     from pyspark.sql import Row
 
-    # 10 values at 0, one at 100 → mu≈9.09, σ_pop≈28.7, z(100)≈3.16
-    vals = [0.0] * 10 + [100.0]
-    df = spark.createDataFrame(
-        [Row(event_id=i, event_type="t", value=v) for i, v in enumerate(vals)]
+    from parquet_combiner_spark.queries import (
+        event_value_outliers,
+        order_price_histogram,
     )
-    stats = df.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
-    )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
-    out = (
-        df.join(F.broadcast(stats), "event_type")
-        .where(F.abs(z) > 3.0)
-        .select("event_id", F.round(z, 4).alias("z"))
-        .collect()
-    )
-    assert len(out) == 1 and out[0]["event_id"] == 10 and out[0]["z"] > 3
 
-    binned = spark.createDataFrame(
-        [Row(x=float(v)) for v in (0, 5, 9.999, 10)]
-    ).select(F.width_bucket("x", F.lit(0.0), F.lit(10.0), F.lit(2)).alias("b"))
-    assert sorted(r["b"] for r in binned.collect()) == [1, 2, 2, 3]
+    sf = str(tmp_path)
+    # events: 10 zeros and one spike -> z(100) ~ 3.16 > 3
+    ts0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            Row(event_id=i, ts=ts0, user_id=1, event_type="t",
+                value=(100.0 if i == 10 else 0.0), props="{}")
+            for i in range(11)
+        ]
+    ).write.parquet(f"{sf}/events.parquet")
+    out = event_value_outliers(spark, sf).collect()
+    assert [r["event_id"] for r in out] == [10]
+    assert out[0]["z"] > 3
+
+    # orders: lo=0, hi=20 plus values planted exactly on bin edges
+    # (k * (hi-lo)/n for k=1..19) — the adversarial FP boundary set
+    edges = [k * (20.0 - 0.0) / 20 for k in range(1, 20)]
+    prices = [0.0, 20.0, 7.3, 13.9] + edges
+    spark.createDataFrame(
+        [Row(o_orderkey=i, o_custkey=1, o_orderstatus="F",
+             o_totalprice=p, o_orderdate=ts0, o_orderpriority="1")
+         for i, p in enumerate(prices)]
+    ).write.parquet(f"{sf}/orders.parquet")
+    got = {
+        r["bin"]: (r["n"], r["bin_lo"])
+        for r in order_price_histogram(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet/*.parquet')"
+    )
+    from parquet_combiner_spark.queries import ORACLE_SQL
+
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(ORACLE_SQL["order_price_histogram"]).fetchall()
+    }
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(prices)
+    assert got[21][0] == 1  # the max value lands in the overflow bucket

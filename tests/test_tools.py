@@ -356,23 +356,27 @@ def test_txlog_versioned_table_lifecycle(spark, tmp_path):
     # commit race: a writer whose log read went stale (another commit
     # landed between its read and its publish attempt) loses cleanly
     # at the O_EXCL create — simulate the stale read directly
-    orig_read = txlog._read_log
-    txlog._read_log = lambda t: orig_read(t)[:-1]
+    orig_last = txlog._last_commit
+    txlog._last_commit = lambda t: orig_last(t) and txlog._read_log(t)[-2]
     try:
         with pytest.raises(txlog.CommitConflict):
             txlog.commit(
                 spark.createDataFrame([Row(k=9, v="z")]), table
             )
     finally:
-        txlog._read_log = orig_read
+        txlog._last_commit = orig_last
 
     # the loser's data directory is unreferenced → vacuum removes it,
-    # while every committed file (incl. pre-overwrite history) stays
-    garbage = txlog.vacuum(table, dry_run=True)
+    # while every committed file (incl. pre-overwrite history) stays.
+    # Default retention grace protects these FRESH files (they could
+    # belong to an in-flight commit); min_age_seconds=0 asserts no
+    # writer is active, which this test is.
+    assert txlog.vacuum(table, dry_run=True) == []  # grace holds them
+    garbage = txlog.vacuum(table, dry_run=True, min_age_seconds=0)
     assert garbage and all(g.startswith("data/") for g in garbage)
-    removed = txlog.vacuum(table)
+    removed = txlog.vacuum(table, min_age_seconds=0)
     assert removed == garbage
-    assert txlog.vacuum(table, dry_run=True) == []
+    assert txlog.vacuum(table, dry_run=True, min_age_seconds=0) == []
     assert txlog.read_table(spark, table, version=1).count() == 3
     assert txlog.read_table(spark, table).count() == 1
 
