@@ -783,6 +783,84 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Each funnel step must land within this deadline of the previous
+# step's completion (shared with the oracle SQL below; 24h gives the
+# testdata a real depth spread instead of universal conversion).
+_FUNNEL_DEADLINE_NS = 24 * 3600 * 1_000_000_000
+
+
+def user_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view → click within 24h → purchase within
+    24h): how far each user progresses through an ORDERED,
+    DEADLINE-BOUNDED step sequence, where each step must occur
+    at-or-after the previous step's first completion and within the
+    step deadline — the product-analytics workload windowed
+    aggregates alone can't express (step k's predicate depends on
+    step k-1's result).
+
+    Formulation: three CHAINED conditional window-mins over the same
+    user partition (s2's filter references s1, s3's references s2).
+    Spark plans all three Window nodes over ONE exchange on user_id
+    (same partitioning reuses the sort), and the final per-user
+    collapse + depth histogram are partial-aggregated. Output:
+    (depth, n_users, avg_convert_ms) — avg view→purchase latency for
+    full conversions, NULL otherwise.
+    """
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "s1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "s2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("s1"))
+                    & (F.col("ts") <= F.col("s1") + F.lit(_FUNNEL_DEADLINE_NS)),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "s3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("s2"))
+                    & (F.col("ts") <= F.col("s2") + F.lit(_FUNNEL_DEADLINE_NS)),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("s1").alias("s1"),
+        F.first("s2").alias("s2"),
+        F.first("s3").alias("s3"),
+    )
+    depth = (
+        F.when(F.col("s3").isNotNull(), 3)
+        .when(F.col("s2").isNotNull(), 2)
+        .when(F.col("s1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(
+            depth.alias("depth"),
+            ((F.col("s3") - F.col("s1")) / F.lit(1_000_000.0)).alias("ms"),
+        )
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("ms"), 4).alias("avg_convert_ms"),
+        )
+    )
+
+
 def user_bucket_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship shape #2 (A2 + F2 modulo): top-3 event types per
     user-id bucket, deterministic tiebreak."""
@@ -1298,6 +1376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_returned_never_held": parts_returned_never_held,
     "event_value_percent_rank": event_value_percent_rank,
     "event_value_outliers": event_value_outliers,
+    "user_funnel_depths": user_funnel_depths,
     "order_price_histogram": order_price_histogram,
     "user_bucket_top_events": user_bucket_top_events,
     "user_event_matrix": user_event_matrix,
@@ -1687,6 +1766,41 @@ ORACLE_SQL: dict[str, str] = {
         EXCEPT
         SELECT l_partkey FROM lineitem
         WHERE l_returnflag = 'A' AND l_suppkey < 10
+    """,
+    "user_funnel_depths": f"""
+        WITH staged AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                            THEN epoch_ns(ts) END)
+                       OVER (PARTITION BY user_id) AS s1,
+                   epoch_ns(ts) AS tns, event_type
+            FROM events
+        ), staged2 AS (
+            SELECT user_id, s1,
+                   min(CASE WHEN event_type = 'click' AND tns >= s1
+                             AND tns <= s1 + {_FUNNEL_DEADLINE_NS}
+                            THEN tns END)
+                       OVER (PARTITION BY user_id) AS s2,
+                   tns, event_type
+            FROM staged
+        ), staged3 AS (
+            SELECT user_id, s1, s2,
+                   min(CASE WHEN event_type = 'purchase' AND tns >= s2
+                             AND tns <= s2 + {_FUNNEL_DEADLINE_NS}
+                            THEN tns END)
+                       OVER (PARTITION BY user_id) AS s3
+            FROM staged2
+        ), per_user AS (
+            SELECT user_id, min(s1) AS s1, min(s2) AS s2, min(s3) AS s3
+            FROM staged3 GROUP BY user_id
+        )
+        SELECT CASE WHEN s3 IS NOT NULL THEN 3
+                    WHEN s2 IS NOT NULL THEN 2
+                    WHEN s1 IS NOT NULL THEN 1
+                    ELSE 0 END AS depth,
+               count(*) AS n_users,
+               round(avg((s3 - s1) / 1000000.0), 4) AS avg_convert_ms
+        FROM per_user GROUP BY 1
     """,
     "event_value_outliers": """
         WITH s AS (

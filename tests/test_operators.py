@@ -998,3 +998,47 @@ def test_outlier_and_histogram_queries_on_planted_data(spark, tmp_path):
     assert got == want
     assert sum(n for n, _ in got.values()) == len(prices)
     assert got[21][0] == 1  # the max value lands in the overflow bucket
+
+
+def test_user_funnel_depth_semantics(spark, tmp_path):
+    """Funnel ordering and deadlines: a click BEFORE the first view
+    doesn't advance the funnel; a step past its 24h deadline doesn't
+    count; depth histogram and conversion latency are exact."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.queries import user_funnel_depths
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(hours):
+        return t0 + datetime.timedelta(hours=hours)
+
+    rows = [
+        # user 1: full funnel inside deadlines (view@0, click@1, buy@2)
+        (1, "view", 0), (1, "click", 1), (1, "purchase", 2),
+        # user 2: click happens BEFORE the first view → depth 1
+        (2, "click", 0), (2, "view", 1), (2, "purchase", 2),
+        # user 3: click 30h after view (deadline 24h) → depth 1
+        (3, "view", 0), (3, "click", 30), (3, "purchase", 31),
+        # user 4: click in time, purchase 25h after click → depth 2
+        (4, "view", 0), (4, "click", 1), (4, "purchase", 27),
+        # user 5: no view at all → depth 0
+        (5, "signup", 0), (5, "purchase", 1),
+    ]
+    spark.createDataFrame(
+        [
+            Row(event_id=i, ts=at(h), user_id=u, event_type=e,
+                value=1.0, props="{}")
+            for i, (u, e, h) in enumerate(rows)
+        ]
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["depth"]: (r["n_users"], r["avg_convert_ms"])
+        for r in user_funnel_depths(spark, str(tmp_path)).collect()
+    }
+    assert {d: n for d, (n, _) in got.items()} == {0: 1, 1: 2, 2: 1, 3: 1}
+    # user 1's view→purchase latency: 2h in ms
+    assert got[3][1] == 2 * 3600 * 1000.0
+    assert got[2][1] is None  # no conversions at depth 2
