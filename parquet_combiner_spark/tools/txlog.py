@@ -121,6 +121,7 @@ def commit(
     table: str,
     action: str = "append",
     meta: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
@@ -133,21 +134,39 @@ def commit(
     ``meta`` (small JSON-able dict) travels with the commit record —
     the hook idempotent writers key on (e.g. the streaming sink
     stores its epoch id and skips replayed batches).
+
+    ``merge_schema=True`` permits an append that ADDS columns (the
+    Delta ``mergeSchema`` evolution): the committed schema becomes
+    the union, and snapshot reads null-fill the new columns in older
+    files (schema-enforced parquet read semantics). Type changes and
+    dropped columns still require ``overwrite`` — widening silently
+    is how tables rot.
     """
     if action not in ("append", "overwrite"):
         raise ValueError(f"action must be append|overwrite, got {action!r}")
     last = _last_commit(table)
     version = (last["version"] + 1) if last else 0
+    schema_ddl = _ddl(df)
     if action == "append" and last:
         current = last["schema"]
         spark = df.sparkSession
         want = _normalize_schema(spark.createDataFrame([], current))
         have = _normalize_schema(df)
         if want != have:
-            raise TypeError(
-                f"append schema {have} != table schema {want}; "
-                "use action='overwrite' to change the schema"
-            )
+            missing = [f for f in want if f not in have]
+            added = [f for f in have if f not in want]
+            if merge_schema and not missing:
+                # pure column addition: evolve to the union schema
+                # (existing fields first, new fields after — stable)
+                schema_ddl = current + ", " + ", ".join(
+                    f"{name} {typ}" for name, typ in added
+                )
+            else:
+                raise TypeError(
+                    f"append schema {have} != table schema {want}; "
+                    "use action='overwrite' to change the schema, or "
+                    "merge_schema=True to add columns"
+                )
 
     commit_id = uuid.uuid4().hex
     rel_dir = os.path.join("data", commit_id)
@@ -164,7 +183,7 @@ def commit(
         "version": version,
         "action": action,
         "add": added,
-        "schema": _ddl(df),
+        "schema": schema_ddl,
         "commit_id": commit_id,
         "meta": meta or {},
     }
@@ -197,6 +216,34 @@ def read_table(
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
+
+
+def optimize(
+    spark: SparkSession, table: str, target_file_mb: int = 128
+) -> int:
+    """Compact the table's CURRENT snapshot into sensibly-sized files
+    as one ``overwrite`` commit (the warehouse OPTIMIZE operation,
+    composed from the namesake compaction sizing).
+
+    Streaming ingestion (one commit per micro-batch) accretes one
+    small file per batch; reads of the latest snapshot then pay
+    per-file open cost. OPTIMIZE rewrites the snapshot with the file
+    count sized from actual data bytes and publishes it atomically —
+    readers switch to the compacted layout at the commit boundary,
+    every pre-OPTIMIZE version stays time-travelable, and the
+    superseded small files become :func:`vacuum` candidates only
+    when their retaining versions are vacuumed (which this layer
+    never does — only unreferenced files are garbage).
+
+    Returns the new version number.
+    """
+    files, schema = _snapshot_files(table, None)
+    if not files:
+        raise FileNotFoundError(f"{table} has no data to optimize")
+    total = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.schema(schema).parquet(*files).coalesce(int(n_files))
+    return commit(df, table, action="overwrite", meta={"optimize": True})
 
 
 def vacuum(

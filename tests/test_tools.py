@@ -419,3 +419,63 @@ def test_txtable_custom_datasource_reads_snapshots(spark, tmp_path):
     # one task per snapshot file
     files, _ = txlog._snapshot_files(table, 0)
     assert v0.rdd.getNumPartitions() == len(files)
+
+
+def test_txlog_schema_evolution_and_optimize(spark, tmp_path):
+    """merge_schema appends add columns (old files null-fill in the
+    evolved snapshot; type changes still rejected); optimize compacts
+    the multi-commit snapshot into one overwrite version with the
+    same rows, and pre-optimize versions stay time-travelable."""
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(spark.createDataFrame([Row(k=1, v="a")]), table)
+    # adding a column without merge_schema fails...
+    with pytest.raises(TypeError, match="merge_schema"):
+        txlog.commit(
+            spark.createDataFrame([Row(k=2, v="b", score=0.5)]), table
+        )
+    # ...and succeeds with it: evolved snapshot null-fills old rows
+    txlog.commit(
+        spark.createDataFrame([Row(k=2, v="b", score=0.5)]),
+        table,
+        merge_schema=True,
+    )
+    snap = txlog.read_table(spark, table)
+    assert set(snap.columns) == {"k", "v", "score"}
+    got = {r["k"]: r["score"] for r in snap.collect()}
+    assert got == {1: None, 2: 0.5}
+    # a type CHANGE is still rejected even with merge_schema
+    with pytest.raises(TypeError, match="append schema"):
+        txlog.commit(
+            spark.createDataFrame([Row(k="x", v="c", score=1.0)]),
+            table,
+            merge_schema=True,
+        )
+
+    # accrete more small commits, then OPTIMIZE
+    for i in range(3, 6):
+        txlog.commit(
+            spark.createDataFrame([Row(k=i, v="z", score=float(i))]),
+            table,
+            merge_schema=True,
+        )
+    pre_version = txlog.current_version(table)
+    pre_rows = sorted(map(tuple, txlog.read_table(spark, table).collect()))
+    v_opt = txlog.optimize(spark, table)
+    assert v_opt == pre_version + 1
+    post = txlog.read_table(spark, table)
+    assert sorted(map(tuple, post.collect())) == pre_rows
+    files, _ = txlog._snapshot_files(table, None)
+    assert len(files) == 1  # tiny table compacts to one file
+    # history preserved: the pre-optimize snapshot still reads
+    old = txlog.read_table(spark, table, version=pre_version)
+    assert sorted(map(tuple, old.collect())) == pre_rows
+    # nothing is garbage: every superseded file is still referenced
+    # by a historical version
+    assert txlog.vacuum(table, dry_run=True, min_age_seconds=0) == []
