@@ -789,6 +789,23 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_DEADLINE_NS = 24 * 3600 * 1_000_000_000
 
 
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set aggregation (collect_set → sorted CSV, the LISTAGG family):
+    per user, the distinct event types seen and total event count.
+    The set is sorted then joined so the string is deterministic and
+    engine-neutral (collect_set order is not). Scale: collect_set
+    partial-aggregates map-side like any agg buffer; the buffer is
+    bounded by the TYPE vocabulary (5 here), not event count — the
+    shape to avoid is collecting unbounded-cardinality values."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def user_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis (view → click within 24h → purchase within
     24h): how far each user progresses through an ORDERED,
@@ -1377,6 +1394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_value_percent_rank": event_value_percent_rank,
     "event_value_outliers": event_value_outliers,
     "user_funnel_depths": user_funnel_depths,
+    "user_event_type_sets": user_event_type_sets,
     "order_price_histogram": order_price_histogram,
     "user_bucket_top_events": user_bucket_top_events,
     "user_event_matrix": user_event_matrix,
@@ -1766,6 +1784,13 @@ ORACLE_SQL: dict[str, str] = {
         EXCEPT
         SELECT l_partkey FROM lineitem
         WHERE l_returnflag = 'A' AND l_suppkey < 10
+    """,
+    "user_event_type_sets": """
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ','
+                          ORDER BY event_type) AS types,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
     """,
     "user_funnel_depths": f"""
         WITH staged AS (
