@@ -246,6 +246,22 @@ def optimize(
     return commit(df, table, action="overwrite", meta={"optimize": True})
 
 
+def history(table: str) -> list[dict]:
+    """Commit history, newest first (the DESCRIBE HISTORY surface):
+    one dict per version with action, file count, and meta. Metadata
+    only — no data scan."""
+    return [
+        {
+            "version": c["version"],
+            "action": c["action"],
+            "n_files": len(c["add"]),
+            "schema": c["schema"],
+            "meta": c.get("meta", {}),
+        }
+        for c in reversed(_read_log(table))
+    ]
+
+
 def vacuum(
     table: str, dry_run: bool = False, min_age_seconds: float = 3600.0
 ) -> list[str]:
@@ -282,3 +298,45 @@ def vacuum(
         for rel in garbage:
             os.remove(os.path.join(table, rel))
     return sorted(garbage)
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: ``python -m parquet_combiner_spark.tools.txlog <table>
+    [--history | --optimize | --vacuum [--min-age S] [--dry-run]]``."""
+    import argparse
+    import json as _json
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("table")
+    ap.add_argument("--history", action="store_true")
+    ap.add_argument("--optimize", action="store_true")
+    ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument("--vacuum", action="store_true")
+    ap.add_argument("--min-age", type=float, default=3600.0)
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args(argv)
+    if args.history:
+        for rec in history(args.table):
+            print(_json.dumps(rec))
+    if args.optimize:
+        from parquet_combiner_spark.session import get_spark
+
+        v = optimize(
+            get_spark(app_name="txlog-optimize"),
+            args.table,
+            target_file_mb=args.target_file_mb,
+        )
+        print(f"optimized -> version {v}")
+    if args.vacuum:
+        removed = vacuum(
+            args.table, dry_run=args.dry_run, min_age_seconds=args.min_age
+        )
+        verb = "would remove" if args.dry_run else "removed"
+        print(f"{verb} {len(removed)} file(s)")
+    if not (args.history or args.optimize or args.vacuum):
+        print(f"version: {current_version(args.table)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -479,3 +479,30 @@ def test_txlog_schema_evolution_and_optimize(spark, tmp_path):
     # nothing is garbage: every superseded file is still referenced
     # by a historical version
     assert txlog.vacuum(table, dry_run=True, min_age_seconds=0) == []
+
+
+def test_txlog_history_and_cli(spark, tmp_path, capsys):
+    """DESCRIBE HISTORY surface: newest-first records with action,
+    file counts and meta; the CLI prints history lines and the
+    current version without a Spark session."""
+    import json
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(spark.createDataFrame([Row(k=1)]), table)
+    txlog.commit(
+        spark.createDataFrame([Row(k=2)]), table, meta={"epoch": 0}
+    )
+    hist = txlog.history(table)
+    assert [h["version"] for h in hist] == [1, 0]
+    assert hist[0]["meta"] == {"epoch": 0}
+    assert all(h["n_files"] >= 1 for h in hist)
+
+    assert txlog.main([table, "--history"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert [json.loads(l)["version"] for l in out] == [1, 0]
+    assert txlog.main([table]) == 0
+    assert "version: 1" in capsys.readouterr().out
