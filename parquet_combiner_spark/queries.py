@@ -789,6 +789,42 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_DEADLINE_NS = 24 * 3600 * 1_000_000_000
 
 
+_WEEK_NS = 7 * 24 * 3600 * 1_000_000_000
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the other half of product analytics
+    next to the funnel: bucket each user into a signup cohort (the
+    week of their first event), then count how many of each cohort
+    are active k weeks later.
+
+    Plan shape: first-event week is one partial-aggregated groupBy
+    over (user, ts→week); activity weeks are a distinct over the same
+    narrow projection; the cohort join keys on user_id and the final
+    matrix is a second combiner-reduced groupBy whose output is
+    O(weeks²) — tiny. The cohort frame is user-cardinality-sized, so
+    at 100 TB the join is the one shuffle that matters and both sides
+    are already user-keyed. Weeks are integer epoch-week indices
+    (exact integer math, engine-neutral)."""
+    # integer `div`, not `/`: ts nanos (~1.7e18) exceed double's exact
+    # range, so float division could mis-bucket boundary timestamps
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts div {_WEEK_NS}").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set aggregation (collect_set → sorted CSV, the LISTAGG family):
     per user, the distinct event types seen and total event count.
@@ -1395,6 +1431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_value_outliers": event_value_outliers,
     "user_funnel_depths": user_funnel_depths,
     "user_event_type_sets": user_event_type_sets,
+    "user_retention_cohorts": user_retention_cohorts,
     "order_price_histogram": order_price_histogram,
     "user_bucket_top_events": user_bucket_top_events,
     "user_event_matrix": user_event_matrix,
@@ -1784,6 +1821,21 @@ ORACLE_SQL: dict[str, str] = {
         EXCEPT
         SELECT l_partkey FROM lineitem
         WHERE l_returnflag = 'A' AND l_suppkey < 10
+    """,
+    "user_retention_cohorts": f"""
+        WITH ev AS (
+            SELECT DISTINCT user_id,
+                   epoch_ns(ts) // {_WEEK_NS} AS week
+            FROM events
+        ), cohort AS (
+            SELECT user_id, min(week) AS cohort_week
+            FROM ev GROUP BY user_id
+        )
+        SELECT c.cohort_week,
+               e.week - c.cohort_week AS weeks_since,
+               count(*) AS n_users
+        FROM ev e JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
     """,
     "user_event_type_sets": """
         SELECT user_id,

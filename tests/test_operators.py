@@ -1042,3 +1042,46 @@ def test_user_funnel_depth_semantics(spark, tmp_path):
     # user 1's view→purchase latency: 2h in ms
     assert got[3][1] == 2 * 3600 * 1000.0
     assert got[2][1] is None  # no conversions at depth 2
+
+
+def test_user_retention_cohort_matrix(spark, tmp_path):
+    """Two cohorts, staggered activity: the matrix counts each
+    cohort's users at each weeks-since offset exactly once regardless
+    of how many events they fired in that week."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.queries import user_retention_cohorts
+
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def wk(w, h=0):
+        return epoch + datetime.timedelta(weeks=w, hours=h)
+
+    rows = [
+        # cohort week 100: users 1,2. user1 returns wk101 (twice) and
+        # wk102; user2 never returns.
+        (1, wk(100)), (1, wk(101)), (1, wk(101, 5)), (1, wk(102)),
+        (2, wk(100, 1)),
+        # cohort week 101: user 3 returns in week 103
+        (3, wk(101)), (3, wk(103)),
+    ]
+    spark.createDataFrame(
+        [
+            Row(event_id=i, ts=t, user_id=u, event_type="view",
+                value=1.0, props="{}")
+            for i, (u, t) in enumerate(rows)
+        ]
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r["cohort_week"], r["weeks_since"]): r["n_users"]
+        for r in user_retention_cohorts(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (100, 0): 2,  # both users active in their cohort week
+        (100, 1): 1,  # only user 1 returned (double events count once)
+        (100, 2): 1,
+        (101, 0): 1,
+        (101, 2): 1,  # user 3 skipped a week
+    }
