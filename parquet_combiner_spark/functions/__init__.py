@@ -348,6 +348,23 @@ def q_doc_source_temperature_sample(
     ).select("doc_id", "source")
 
 
+_WSAMPLE_K = 50
+_WSAMPLE_SEED = "ws-v1"
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic 50-doc sample (Efraimidis–
+    Spirakis, weight = n_chars — token-budget-proportional selection;
+    see :func:`sampling.weighted_sample`)."""
+    return sampling.weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=_WSAMPLE_K,
+        seed=_WSAMPLE_SEED,
+    )
+
+
 _SOURCE_CAP = 20
 
 
@@ -600,6 +617,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_source_temperature_sample": q_doc_source_temperature_sample,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "corpus_prep": q_corpus_prep,
     "corpus_mixture": q_corpus_mixture,
     "doc_source_capped": q_doc_source_capped,
@@ -945,6 +963,22 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         WHERE d.doc_id % {_DECON_EVAL_MOD} <> 0
     """,
     # generated from the same thresholds as the Spark side
+    # same md5→u32 mechanics as every sampler; u=(h+0.5)/2^32,
+    # es=round(-ln(u)/w, 9), k smallest with doc_id tiebreak
+    "doc_weighted_sample": f"""
+        WITH s AS (
+            SELECT doc_id, n_chars,
+                   round(
+                       -ln((CAST('0x' || substr(
+                                md5(CAST(doc_id AS VARCHAR)
+                                    || '{_WSAMPLE_SEED}'), 1, 8)
+                            AS BIGINT) + 0.5) / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE), 9) AS es_key
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars, es_key
+        FROM s ORDER BY es_key, doc_id LIMIT {_WSAMPLE_K}
+    """,
     "doc_stratified_sample": f"""
         SELECT doc_id, lang FROM documents
         WHERE {sampling.stratified_sample_oracle_where_sql(

@@ -112,6 +112,48 @@ def _hash_u32(key: Column, seed: str = "") -> Column:
     return F.conv(hash_bucket(key, seed), 16, 10).cast("bigint")
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted k-sample without replacement —
+    Efraimidis–Spirakis (A-Res, IPL 2006): each row gets the key
+    ``u^(1/w)`` with ``u`` uniform; the k LARGEST keys are a weighted
+    sample where inclusion probability scales with weight. Computed
+    in the numerically-stable equivalent form ``es = −ln(u)/w``
+    (keep the k SMALLEST), with ``u`` derived from the row's content
+    hash — deterministic per key, reproducible across engines and
+    runs, the same md5 mechanics as every sampler here.
+
+    The es key is ROUNDED to 9 dp before ranking (ties broken by
+    ``key_col``) so ``ln``'s possible last-ulp drift between libms
+    cannot flip the selection across engines.
+
+    Scale shape: one narrow projection computes the key; the global
+    smallest-k is ``orderBy().limit(k)`` — Spark plans it as
+    TakeOrderedAndProject (per-partition partial top-k merged on one
+    reducer; k rows, never a global sort). Rows with NULL or
+    non-positive weight are excluded (they have no sampling mass).
+
+    Output: the input columns plus ``es_key``.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        _hash_u32(F.col(key_col), seed).cast("double") + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    es = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("es_key", es)
+        .orderBy(F.asc("es_key"), F.asc(key_col))
+        .limit(k)
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     key_col: str,

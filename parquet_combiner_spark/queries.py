@@ -790,6 +790,33 @@ _FUNNEL_DEADLINE_NS = 24 * 3600 * 1_000_000_000
 
 
 _WEEK_NS = 7 * 24 * 3600 * 1_000_000_000
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def weekly_order_volume_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (dimension densification): weekly order
+    counts with MISSING weeks materialized as zero rows — the
+    resampling step every downstream charting/forecasting consumer
+    needs (a absent row and a zero are different facts).
+
+    Plan shape: the observed counts are one partial-aggregated
+    groupBy; the dense week spine is generated EXECUTOR-side from the
+    1-row bounds aggregate (sequence + explode — no driver loop), and
+    the spine⋈counts left join is broadcast (both sides are
+    week-cardinality-sized). Weeks are exact integer epoch-week
+    indices."""
+    weeks = _t(spark, sf_dir, "orders").select(
+        F.expr(
+            f"unix_micros(cast(o_orderdate as timestamp)) div {_WEEK_US}"
+        ).alias("week")
+    )
+    counts = weeks.groupBy("week").agg(F.count(F.lit(1)).alias("n"))
+    spine = counts.agg(
+        F.min("week").alias("lo"), F.max("week").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("week"))
+    return spine.join(F.broadcast(counts), "week", "left").select(
+        "week", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
 
 
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1432,6 +1459,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_funnel_depths": user_funnel_depths,
     "user_event_type_sets": user_event_type_sets,
     "user_retention_cohorts": user_retention_cohorts,
+    "weekly_order_volume_filled": weekly_order_volume_filled,
     "order_price_histogram": order_price_histogram,
     "user_bucket_top_events": user_bucket_top_events,
     "user_event_matrix": user_event_matrix,
@@ -1821,6 +1849,18 @@ ORACLE_SQL: dict[str, str] = {
         EXCEPT
         SELECT l_partkey FROM lineitem
         WHERE l_returnflag = 'A' AND l_suppkey < 10
+    """,
+    "weekly_order_volume_filled": f"""
+        WITH c AS (
+            SELECT epoch_us(o_orderdate) // {_WEEK_US} AS week,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        ), spine AS (
+            SELECT unnest(generate_series(min(week), max(week))) AS week
+            FROM c
+        )
+        SELECT s.week, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM spine s LEFT JOIN c USING (week)
     """,
     "user_retention_cohorts": f"""
         WITH ev AS (

@@ -1094,3 +1094,39 @@ def test_pagerank_against_python_reference(spark):
     # iters=0: the uniform start
     z = graph.pagerank(pairs, 0, d).collect()
     assert all(x["pagerank"] == pytest.approx(1.0 / n, abs=1e-8) for x in z)
+
+
+def test_weighted_sample_weight_bias_and_determinism(spark):
+    """ES weighted sampling: determinism across partitionings, heavy
+    items strongly over-represented vs their population share,
+    non-positive weights excluded, k respected."""
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, w=(1000 if i < 50 else 1)) for i in range(1000)]
+    rows += [Row(doc_id=9999, w=0), Row(doc_id=9998, w=-5)]
+    df = spark.createDataFrame(rows)
+    out = sampling.weighted_sample(df, "doc_id", "w", k=100, seed="t")
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 100
+    assert 9999 not in got and 9998 not in got
+    # 50 heavy items carry 1000/1950ths of the total mass each — with
+    # k=100 essentially all of them are selected; the naive uniform
+    # expectation would be ~5.
+    heavy = sum(1 for d in got if d < 50)
+    assert heavy >= 45
+    # deterministic under repartitioning
+    again = [
+        r["doc_id"]
+        for r in sampling.weighted_sample(
+            df.repartition(13), "doc_id", "w", k=100, seed="t"
+        ).collect()
+    ]
+    assert got == again
+    # a different seed selects a (mostly) different light tail
+    other = {
+        r["doc_id"]
+        for r in sampling.weighted_sample(
+            df, "doc_id", "w", k=100, seed="u"
+        ).collect()
+    }
+    assert set(got) != other

@@ -1085,3 +1085,33 @@ def test_user_retention_cohort_matrix(spark, tmp_path):
         (101, 0): 1,
         (101, 2): 1,  # user 3 skipped a week
     }
+
+
+def test_weekly_gap_filling_materializes_zero_weeks(spark, tmp_path):
+    """Densification: weeks with no orders appear as explicit zero
+    rows; observed weeks keep their counts; the spine spans exactly
+    min..max."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.queries import weekly_order_volume_filled
+
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def wk(w):
+        return epoch + datetime.timedelta(weeks=w, hours=3)
+
+    # orders in weeks 10, 10, 13 → weeks 11 and 12 must appear as 0
+    spark.createDataFrame(
+        [
+            Row(o_orderkey=i, o_custkey=1, o_orderstatus="F",
+                o_totalprice=1.0, o_orderdate=d, o_orderpriority="1")
+            for i, d in enumerate([wk(10), wk(10), wk(13)])
+        ]
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r["week"]: r["n"]
+        for r in weekly_order_volume_filled(spark, str(tmp_path)).collect()
+    }
+    assert got == {10: 2, 11: 0, 12: 0, 13: 1}
