@@ -12,7 +12,13 @@ for seed selection in web-crawl corpora (the original use).
 Scale design: the classic synchronous power iteration, one
 equi-join + one partial-aggregated groupBy per round — identical
 plan shape to the label-propagation rounds of
-``near_dup_clusters``. The edge list (with per-source degree
+``near_dup_clusters``. Each round re-shuffles both join sides on
+the node key (checkpointed DataFrames do not carry partitioning
+metadata into later plans); for graphs where the edge shuffle
+itself dominates, the dial is a bucketed edge table
+(``sources.io.write_bucketed`` on ``src``) — bucketing survives in
+the catalog, so every round's join reads co-located buckets with
+no edge-side exchange. The edge list (with per-source degree
 shares) is localCheckpoint-materialized ONCE so the per-round plan
 re-reads a compact cached block instead of re-deriving edges from
 text; each round's rank frame is eagerly checkpointed, so lineage
