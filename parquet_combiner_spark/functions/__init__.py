@@ -99,6 +99,14 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_pii_scrub(_docs(spark, sf_dir))
 
 
+def q_doc_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (see :func:`text.doc_clean_text`);
+    the synthetic corpus is already clean, so the oracle pins the
+    byte-identical pass-through and planted-artifact pytests pin the
+    cleaning itself."""
+    return text.doc_clean_text(_docs(spark, sf_dir))
+
+
 def q_doc_blocklist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist screen (see :func:`text.doc_blocklist_flags`);
     the registry terms occur in the synthetic corpus, so the flagged
@@ -607,6 +615,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_clean_text": q_doc_clean_text,
     "doc_blocklist_flags": q_doc_blocklist_flags,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
@@ -818,6 +827,17 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "doc_pii_scrub": f"""
         SELECT doc_id, {_pii_count_sql("text")},
                {_pii_scrub_sql("text")} AS clean_text
+        FROM documents
+    """,
+    "doc_clean_text": f"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text,
+                   '{text.CLEAN_CTRL_REGEX}', '', 'g'),
+                   '{text.CLEAN_WS_REGEX}', ' ', 'g')) AS clean_text,
+               length(text) - length(
+                   trim(regexp_replace(regexp_replace(text,
+                       '{text.CLEAN_CTRL_REGEX}', '', 'g'),
+                       '{text.CLEAN_WS_REGEX}', ' ', 'g'))) AS n_removed
         FROM documents
     """,
     "doc_blocklist_flags": f"""

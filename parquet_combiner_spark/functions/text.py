@@ -363,6 +363,47 @@ def doc_pii_scrub(documents: DataFrame) -> DataFrame:
     )
 
 
+# Cleaning regexes with identical Java-regex/RE2 semantics: control
+# and zero-width characters (the web-scrape artifacts that corrupt
+# tokenizers), then runs of whitespace. Order matters: control chars
+# become nothing FIRST so "a\x00 b" collapses to one space, not two.
+CLEAN_CTRL_REGEX = (
+    # \x{...} escapes, not \uFFFF: Java regex accepts both, RE2 only
+    # the brace form — one spelling that parses identically in both
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    "\\x{200b}\\x{200c}\\x{200d}\\x{feff}]"
+)
+CLEAN_WS_REGEX = "[ \\t\\r\\n]+"
+
+
+def clean_text(text: Column | str) -> Column:
+    """Corpus text normalization: strip control/zero-width characters,
+    collapse whitespace runs to single spaces, trim — the cleaning
+    pass every web-scrape pipeline runs before tokenization. Pure
+    codegen'd regexp_replace chain, no Python. (Unicode NFC/NFKC
+    normalization is deliberately out of scope here: Spark SQL has no
+    built-in for it, and a per-row Python crossing for normalization
+    belongs in an Arrow-batched mapInPandas like the multimodal
+    family — add it there if a corpus actually needs it.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, CLEAN_CTRL_REGEX, "")
+    c = F.regexp_replace(c, CLEAN_WS_REGEX, " ")
+    return F.trim(c)
+
+
+def doc_clean_text(documents: DataFrame) -> DataFrame:
+    """Cleaning pass output: (doc_id, cleaned text, chars removed).
+    Like the PII scrub, the full cleaned text rides in the output so
+    the oracle hash pins BOTH directions — normalization where
+    artifacts exist, byte-identical pass-through where they don't."""
+    cleaned = clean_text("text")
+    return documents.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        (F.length("text") - F.length(cleaned)).alias("n_removed"),
+    )
+
+
 # Terms chosen to actually OCCUR in the synthetic corpus so the
 # flagged set is non-empty under the oracle; a production blocklist
 # drops in the same way (the operator broadcasts it regardless).

@@ -1130,3 +1130,27 @@ def test_weighted_sample_weight_bias_and_determinism(spark):
         ).collect()
     }
     assert set(got) != other
+
+
+def test_clean_text_planted_artifacts(spark):
+    """Planted web-scrape artifacts: control chars and zero-width
+    characters removed, whitespace runs collapsed, edges trimmed;
+    clean text passes through byte-identical; n_removed counts the
+    character delta."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a\x00b​c"),          # ctrl + zwsp
+            Row(doc_id=2, text="  too   many\t\nspaces "),
+            Row(doc_id=3, text="already clean text"),
+            Row(doc_id=4, text="x\x1f\x7f﻿y"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in text.doc_clean_text(docs).collect()}
+    assert out[1]["clean_text"] == "abc"
+    assert out[2]["clean_text"] == "too many spaces"
+    assert out[3]["clean_text"] == "already clean text"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "xy"
+    assert out[4]["n_removed"] == 3
