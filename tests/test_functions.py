@@ -1154,3 +1154,40 @@ def test_clean_text_planted_artifacts(spark):
     assert out[3]["n_removed"] == 0
     assert out[4]["clean_text"] == "xy"
     assert out[4]["n_removed"] == 3
+
+
+def test_incremental_dedup_against_persistent_index(spark, tmp_path):
+    """Multi-batch ingestion dedup: batch 1 establishes the index;
+    batch 2's cross-batch AND within-batch duplicates are dropped;
+    the index advances one atomic version per batch and time travel
+    reproduces the after-batch-1 index."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    index = str(tmp_path / "fp_index")
+    b1 = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="beta")]
+    )
+    s1 = dedup_text.incremental_dedup(spark, b1, index)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    assert txlog.current_version(index) == 0
+
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="alpha"),   # dup of batch 1 → dropped
+            Row(doc_id=11, text="gamma"),   # fresh
+            Row(doc_id=12, text="gamma"),   # within-batch dup → dropped
+            Row(doc_id=13, text="delta"),   # fresh
+        ]
+    )
+    s2 = dedup_text.incremental_dedup(spark, b2, index)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11, 13]
+    assert txlog.current_version(index) == 1
+    # the index now holds all four fingerprints; version 0 held two
+    assert txlog.read_table(spark, index).count() == 4
+    assert txlog.read_table(spark, index, version=0).count() == 2
+
+    # replaying batch 2 contributes nothing new (idempotent ingest)
+    s2b = dedup_text.incremental_dedup(spark, b2, index)
+    assert s2b.count() == 0
