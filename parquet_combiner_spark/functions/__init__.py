@@ -531,6 +531,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(embs, queries, k=5)
 
 
+def q_ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse top-5 via MMR re-ranking of the exact top-25 pool
+    (λ=0.7; see :func:`similarity.mmr_rerank`). The greedy selection
+    is not ANSI-SQL-expressible (per-step dependence on the selected
+    set) — rows-only under the driver; exactness vs a pure-numpy
+    reference and the diversity property are pinned by pytest."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 16)
+    pool = similarity.cosine_topk_bruteforce(embs, queries, k=25)
+    return similarity.mmr_rerank(pool, embs, k=5, lam=0.7)
+
+
 def q_ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 16)
@@ -642,6 +654,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_payload_resize": q_doc_payload_resize,
     "doc_payload_frames": q_doc_payload_frames,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_mmr_topk": q_ann_mmr_topk,
     "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,

@@ -767,3 +767,94 @@ def quantization_error_stats(
             F.round("__err", 9).alias("max_abs_err"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking of an ANN candidate pool
+    (Carbonell & Goldstein, SIGIR'98): greedily pick the candidate
+    maximizing ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)``
+    — relevance traded against redundancy, the standard diverse-top-k
+    for eval-set construction and retrieval.
+
+    ``candidates`` is an ANN result (q_id, n_id, sim); ``vectors``
+    supplies the embeddings. The greedy loop is inherently sequential
+    PER QUERY but independent ACROSS queries, so the operator is an
+    ``applyInPandas`` grouped by q_id: each group is a BOUNDED pool
+    (the ANN top-N, tens of rows), the numpy loop runs executor-side,
+    and queries parallelize across the cluster — no driver
+    coordination, no per-round jobs. Determinism: ties broken by
+    lowest n_id; scores rounded at the boundary.
+
+    Output: (q_id, n_id, mmr_score, mmr_rank), ``k`` rows per query.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    vecs = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_emb")
+    )
+    qvecs = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")
+    )
+    pool = (
+        candidates.select("q_id", "n_id")
+        .join(vecs, "n_id")
+        .join(F.broadcast(qvecs), "q_id")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("mmr_score", T.DoubleType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+        ]
+    )
+
+    def rerank(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["n_id"].to_numpy())
+        pdf = pdf.iloc[order]
+        ids = pdf["n_id"].to_numpy()
+        mat = np.asarray(pdf["n_emb"].tolist(), dtype=np.float64)
+        q = np.asarray(pdf["q_emb"].iloc[0], dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        q = q / max(np.linalg.norm(q), 1e-300)
+        qsim = mat @ q
+        pairwise = mat @ mat.T
+        m = len(ids)
+        selected: list[int] = []
+        remaining = np.ones(m, dtype=bool)
+        rows = []
+        for rank in range(1, min(k, m) + 1):
+            if selected:
+                redundancy = pairwise[:, selected].max(axis=1)
+            else:
+                redundancy = np.zeros(m)
+            score = lam * qsim - (1.0 - lam) * redundancy
+            score[~remaining] = -np.inf
+            # argmax with lowest-n_id tiebreak: ids are sorted, so the
+            # FIRST max index is the lowest id
+            pick = int(np.argmax(score))
+            selected.append(pick)
+            remaining[pick] = False
+            rows.append(
+                (
+                    int(pdf["q_id"].iloc[0]),
+                    int(ids[pick]),
+                    round(float(score[pick]), 6),
+                    rank,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["q_id", "n_id", "mmr_score", "mmr_rank"]
+        )
+
+    return pool.groupBy("q_id").applyInPandas(rerank, out_schema)

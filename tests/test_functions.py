@@ -1191,3 +1191,50 @@ def test_incremental_dedup_against_persistent_index(spark, tmp_path):
     # replaying batch 2 contributes nothing new (idempotent ingest)
     s2b = dedup_text.incremental_dedup(spark, b2, index)
     assert s2b.count() == 0
+
+
+def test_mmr_rerank_diversity_and_reference(spark):
+    """MMR on a planted pool: rank 1 is the most-relevant candidate,
+    a near-duplicate of it is DEMOTED below a less-similar-but-diverse
+    candidate at rank 2 (the property plain top-k lacks), and scores
+    match an independent numpy greedy reference."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    # q=[1,0]; c1 best relevance; c2 a near-dup of c1 (same side);
+    # c3 equally relevant but on the OTHER side of q — after c1 is
+    # taken, c3's low redundancy must beat c2's ~1.0 redundancy
+    vecs = {
+        100: [1.0, 0.0],
+        1: [0.95, 0.312],
+        2: [0.95, 0.3125],
+        3: [0.95, -0.312],
+    }
+    vectors = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in vecs.items()]
+    )
+    cands = spark.createDataFrame(
+        [Row(q_id=100, n_id=i) for i in (1, 2, 3)]
+    )
+    out = similarity.mmr_rerank(cands, vectors, k=3, lam=0.7)
+    got = {r["mmr_rank"]: r for r in out.collect()}
+    assert got[1]["n_id"] == 1          # most relevant first
+    assert got[2]["n_id"] == 3          # diverse candidate beats the near-dup
+    assert got[3]["n_id"] == 2
+
+    # independent greedy reference on the same floats
+    m = np.array([vecs[1], vecs[2], vecs[3]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    q = np.array(vecs[100]); q = q / np.linalg.norm(q)
+    qs = m @ q; pw = m @ m.T
+    sel, rem = [], [0, 1, 2]
+    for rank in (1, 2, 3):
+        best, best_s = None, -np.inf
+        for i in rem:
+            red = max(pw[i][j] for j in sel) if sel else 0.0
+            sc = 0.7 * qs[i] - 0.3 * red
+            if sc > best_s:
+                best, best_s = i, sc
+        sel.append(best); rem.remove(best)
+        assert got[rank]["n_id"] == best + 1
+        assert got[rank]["mmr_score"] == pytest.approx(best_s, abs=1e-6)
