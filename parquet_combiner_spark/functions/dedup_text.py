@@ -646,6 +646,7 @@ def incremental_dedup(
     index_table: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_retries: int = 3,
 ) -> DataFrame:
     """Incremental exact dedup against a PERSISTENT fingerprint index
     — the production ingestion pattern: each arriving batch is deduped
@@ -655,12 +656,24 @@ def incremental_dedup(
     half-updates the index and the index is time-travelable to any
     ingestion batch.
 
-    Returns the surviving rows of ``new_docs``. Plan shape: the batch
-    self-dedup is one partial-aggregated groupBy; the history check
-    is a LEFT ANTI join of batch fingerprints against the index scan
-    (Bloom/DPP-eligible like any anti join); only (fp) ever shuffles
-    — never document text. The index table is fingerprint-only, so
-    at 100 TB of corpus it is ~3% of the data and append-only.
+    Concurrency: the anti-join reads a SNAPSHOT; the commit pins that
+    snapshot's version as its base (``expected_version``), so if a
+    concurrent batch advanced the index between read and publish, the
+    commit loses the O_EXCL race and the whole read-check-write is
+    RETRIED against the new snapshot (up to ``max_retries``) — two
+    racing batches containing the same document can never both admit
+    it. A batch with nothing fresh commits NOTHING (replay-idempotent
+    without log churn).
+
+    Returns the surviving rows of ``new_docs``, derived from the SAME
+    materialized fingerprint frame the commit published — a
+    concurrent mutation of the source between the commit and a later
+    action on the result cannot desynchronize the two. Plan shape:
+    the batch self-dedup is one partial-aggregated groupBy; the
+    history check is a LEFT ANTI join of batch fingerprints against
+    the index scan; only (fp, id) ever shuffles — never document
+    text. The index table is fingerprint-only, so at 100 TB of corpus
+    it is ~3% of the data and append-only.
     """
     from parquet_combiner_spark.tools import txlog
 
@@ -671,18 +684,27 @@ def incremental_dedup(
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col))
     )
-    # against history: anti-join the index (empty on first ingest)
-    try:
-        seen = txlog.read_table(spark, index_table).select("fp")
-        fresh = keepers.join(seen, "fp", "left_anti")
-    except FileNotFoundError:
-        fresh = keepers
-    survivors = new_docs.join(
-        fresh.select(id_col), id_col, "left_semi"
-    )
-    # publish the new fingerprints atomically; localCheckpoint first so
-    # the commit's write and the returned frame agree even if the
-    # source is re-read concurrently
-    fresh_fp = fresh.select("fp").localCheckpoint(eager=True)
-    txlog.commit(fresh_fp, index_table)
-    return survivors
+    for attempt in range(max_retries):
+        base = txlog.current_version(index_table)
+        if base >= 0:
+            seen = txlog.read_table(
+                spark, index_table, version=base
+            ).select("fp")
+            fresh = keepers.join(seen, "fp", "left_anti")
+        else:
+            fresh = keepers
+        # one materialization serves BOTH the commit and the returned
+        # frame — the two can never diverge
+        fresh = fresh.localCheckpoint(eager=True)
+        if not fresh.head(1):
+            break  # nothing new: no commit, no log churn
+        try:
+            txlog.commit(
+                fresh.select("fp"), index_table, expected_version=base
+            )
+            break
+        except txlog.CommitConflict:
+            if attempt == max_retries - 1:
+                raise
+            continue  # re-validate against the advanced index
+    return new_docs.join(fresh.select(id_col), id_col, "left_semi")

@@ -860,7 +860,14 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregates map-side like any agg buffer; the buffer is
     bounded by the TYPE vocabulary (5 here), not event count — the
     shape to avoid is collecting unbounded-cardinality values."""
-    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    # null event_type rows are excluded in BOTH engines: Spark's
+    # array_join over an all-null collect_set yields '' where DuckDB's
+    # string_agg DISTINCT yields NULL — filtering is the shared rule
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .where(F.col("event_type").isNotNull())
+    )
     return ev.groupBy("user_id").agg(
         F.array_join(
             F.array_sort(F.collect_set("event_type")), ","
@@ -1365,7 +1372,14 @@ def user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     top. The conditional form is a single partial-aggregated
     HashAggregate — one exchange, no extra job, missing combinations
     are 0 by construction."""
-    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    # null event_type rows are excluded in BOTH engines: Spark's
+    # array_join over an all-null collect_set yields '' where DuckDB's
+    # string_agg DISTINCT yields NULL — filtering is the shared rule
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .where(F.col("event_type").isNotNull())
+    )
     return ev.groupBy("user_id").agg(
         *[
             F.count(F.when(F.col("event_type") == t, 1)).alias(t)
@@ -1882,7 +1896,8 @@ ORACLE_SQL: dict[str, str] = {
                string_agg(DISTINCT event_type, ','
                           ORDER BY event_type) AS types,
                count(*) AS n_events
-        FROM events GROUP BY user_id
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id
     """,
     "user_funnel_depths": f"""
         WITH staged AS (

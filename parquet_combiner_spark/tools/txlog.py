@@ -122,6 +122,7 @@ def commit(
     action: str = "append",
     meta: dict | None = None,
     merge_schema: bool = False,
+    expected_version: int | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
@@ -141,11 +142,27 @@ def commit(
     files (schema-enforced parquet read semantics). Type changes and
     dropped columns still require ``overwrite`` — widening silently
     is how tables rot.
+
+    ``expected_version`` pins the commit's BASE: pass the version the
+    caller's reads were taken against, and the commit targets exactly
+    ``expected_version + 1`` — if another writer got there first, the
+    O_EXCL create loses and :class:`CommitConflict` surfaces the
+    stale read instead of silently rebasing past it. Read-check-write
+    patterns (e.g. dedup against a snapshot) NEED this; without it,
+    commit() auto-rebases to the next free version and a concurrent
+    writer's rows are never re-validated.
     """
     if action not in ("append", "overwrite"):
         raise ValueError(f"action must be append|overwrite, got {action!r}")
     last = _last_commit(table)
     version = (last["version"] + 1) if last else 0
+    if expected_version is not None:
+        version = expected_version + 1
+        if (last["version"] if last else -1) > expected_version:
+            raise CommitConflict(
+                f"{table} advanced past expected version "
+                f"{expected_version} (now at {last['version']})"
+            )
     schema_ddl = _ddl(df)
     if action == "append" and last:
         current = last["schema"]
@@ -154,12 +171,12 @@ def commit(
         have = _normalize_schema(df)
         if want != have:
             missing = [f for f in want if f not in have]
-            added = [f for f in have if f not in want]
+            added_fields = [f for f in have if f not in want]
             if merge_schema and not missing:
                 # pure column addition: evolve to the union schema
                 # (existing fields first, new fields after — stable)
                 schema_ddl = current + ", " + ", ".join(
-                    f"{name} {typ}" for name, typ in added
+                    f"{name} {typ}" for name, typ in added_fields
                 )
             else:
                 raise TypeError(

@@ -1188,9 +1188,21 @@ def test_incremental_dedup_against_persistent_index(spark, tmp_path):
     assert txlog.read_table(spark, index).count() == 4
     assert txlog.read_table(spark, index, version=0).count() == 2
 
-    # replaying batch 2 contributes nothing new (idempotent ingest)
+    # replaying batch 2 contributes nothing new AND commits nothing —
+    # the index version must not churn on idempotent replays
     s2b = dedup_text.incremental_dedup(spark, b2, index)
     assert s2b.count() == 0
+    assert txlog.current_version(index) == 1
+
+    # stale-base protection: a commit pinned to an old base loses
+    import pytest
+
+    with pytest.raises(txlog.CommitConflict):
+        txlog.commit(
+            spark.createDataFrame([("zz",)], "fp string"),
+            index,
+            expected_version=0,
+        )
 
 
 def test_mmr_rerank_diversity_and_reference(spark):
