@@ -44,6 +44,9 @@ def test_every_oracle_has_a_query():
         "price_percentiles_approx",
         "embedding_semdedup",
         "event_counts_cms",
+        # greedy MMR selection: per-step dependence on the selected
+        # set is not ANSI-SQL-expressible; numpy-reference pytest
+        "ann_mmr_topk",
     }
 
 
