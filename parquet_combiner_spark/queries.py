@@ -1237,6 +1237,33 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_price_quantity_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Statistical-aggregate family (corr / covar / OLS regression):
+    per return flag, how extended price relates to quantity — the
+    exploratory pass a feature pipeline runs before modeling, all as
+    BUILT-IN aggregates (Pearson corr, sample covariance, regr_slope/
+    regr_intercept), one partial-aggregated pass, no Python.
+
+    Precision: these aggregates are single-pass streaming-moment
+    updates whose float summation ORDER differs between engines;
+    corr/slope are rounded to 6, the larger-magnitude covariance and
+    intercept to 2, keeping the comparison inside double agreement at
+    these row counts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(y, x), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(y, x), 2).alias("price_qty_covar"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+    )
+
+
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile bucketing (histogram by quartile) — the scale-safe
     formulation of ``NTILE(4)``: exact percentile thresholds in ONE
@@ -1474,6 +1501,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_event_type_sets": user_event_type_sets,
     "user_retention_cohorts": user_retention_cohorts,
     "weekly_order_volume_filled": weekly_order_volume_filled,
+    "lineitem_price_quantity_regression": lineitem_price_quantity_regression,
     "order_price_histogram": order_price_histogram,
     "user_bucket_top_events": user_bucket_top_events,
     "user_event_matrix": user_event_matrix,
@@ -1863,6 +1891,18 @@ ORACLE_SQL: dict[str, str] = {
         EXCEPT
         SELECT l_partkey FROM lineitem
         WHERE l_returnflag = 'A' AND l_suppkey < 10
+    """,
+    "lineitem_price_quantity_regression": """
+        SELECT l_returnflag,
+               count(*) AS n,
+               round(corr(l_extendedprice, l_quantity), 6)
+                   AS price_qty_corr,
+               round(covar_samp(l_extendedprice, l_quantity), 2)
+                   AS price_qty_covar,
+               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 2)
+                   AS intercept
+        FROM lineitem GROUP BY l_returnflag
     """,
     "weekly_order_volume_filled": f"""
         WITH c AS (

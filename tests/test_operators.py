@@ -1115,3 +1115,38 @@ def test_weekly_gap_filling_materializes_zero_weeks(spark, tmp_path):
         for r in weekly_order_volume_filled(spark, str(tmp_path)).collect()
     }
     assert got == {10: 2, 11: 0, 12: 0, 13: 1}
+
+
+def test_regression_aggregates_hand_computed(spark, tmp_path):
+    """corr/slope/intercept on a hand-computable frame: a perfect
+    y=3x+10 line gives corr 1, slope 3, intercept 10; an uncorrelated
+    constant-y group gives slope 0 and corr NULL-or-0 semantics
+    pinned (Spark corr of zero-variance y is NaN; the query rounds,
+    so pin the line group only)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.queries import (
+        lineitem_price_quantity_regression,
+    )
+
+    rows = [
+        Row(l_orderkey=i, l_partkey=1, l_suppkey=1, l_linenumber=1,
+            l_quantity=float(q), l_extendedprice=3.0 * q + 10.0,
+            l_discount=0.0, l_tax=0.0, l_returnflag="L",
+            l_linestatus="O",
+            l_shipdate=__import__("datetime").datetime(2024, 1, 1))
+        for i, q in enumerate([1, 2, 3, 4, 5])
+    ]
+    spark.createDataFrame(rows).write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = {
+        r["l_returnflag"]: r
+        for r in lineitem_price_quantity_regression(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    line = out["L"]
+    assert line["n"] == 5
+    assert line["price_qty_corr"] == pytest.approx(1.0)
+    assert line["slope"] == pytest.approx(3.0)
+    assert line["intercept"] == pytest.approx(10.0)
