@@ -636,3 +636,33 @@ def test_stream_to_txlog_one_version_per_batch_and_replay_skip(
     # a NEW epoch does commit
     assert txlog_append_batch(spark.createDataFrame(rows[:1]), 7, table)
     assert txlog.current_version(table) == before + 1
+
+
+def test_stream_metrics_collector_captures_state_and_inputs(spark):
+    """The listener captures per-batch vitals for a real stateful run
+    (windowed counts over the events table): input rows observed,
+    state rows tracked, a watermark recorded — all without touching
+    the query plan."""
+    import time
+
+    from parquet_combiner_spark.queries import user_sessions_stream_native
+    from parquet_combiner_spark.streaming.metrics import (
+        StreamMetricsCollector,
+    )
+
+    collector = StreamMetricsCollector().attach(spark)
+    try:
+        out = user_sessions_stream_native(spark, "/root/testdata/sf0.001")
+        n = out.count()
+        assert n > 0
+        # listener events are delivered asynchronously on the bus
+        deadline = time.time() + 30
+        while not collector.batches and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        collector.detach(spark)
+    assert collector.batches, "no progress events captured"
+    assert sum(m.num_input_rows for m in collector.batches) > 0
+    assert any(m.state_rows_total > 0 for m in collector.batches)
+    assert any(m.watermark for m in collector.batches)
+    assert all(m.rows_dropped_by_watermark == 0 for m in collector.batches)
