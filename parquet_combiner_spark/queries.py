@@ -1264,6 +1264,27 @@ def lineitem_price_quantity_regression(
     )
 
 
+def lineitem_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates: per-flag skewness and excess
+    kurtosis of extended price — the distribution-shape diagnostics
+    (is the tail heavy? is the spread symmetric?) that complement
+    mean/σ in any profiling pass.
+
+    Spark's built-ins compute POPULATION moments (g1 = m3/m2^1.5,
+    g2 = m4/m2² − 3); DuckDB's same-named functions apply sample bias
+    corrections — so the oracle reproduces Spark's definition from
+    explicit central moments instead of calling a different
+    statistic with the same name. One partial-aggregated pass."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("price_skew"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("price_kurtosis"),
+    )
+
+
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile bucketing (histogram by quartile) — the scale-safe
     formulation of ``NTILE(4)``: exact percentile thresholds in ONE
@@ -1502,6 +1523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_retention_cohorts": user_retention_cohorts,
     "weekly_order_volume_filled": weekly_order_volume_filled,
     "lineitem_price_quantity_regression": lineitem_price_quantity_regression,
+    "lineitem_price_moments": lineitem_price_moments,
     "order_price_histogram": order_price_histogram,
     "user_bucket_top_events": user_bucket_top_events,
     "user_event_matrix": user_event_matrix,
@@ -1891,6 +1913,25 @@ ORACLE_SQL: dict[str, str] = {
         EXCEPT
         SELECT l_partkey FROM lineitem
         WHERE l_returnflag = 'A' AND l_suppkey < 10
+    """,
+    # Spark's population g1/g2 reproduced from explicit central
+    # moments (DuckDB's skewness/kurtosis builtins are sample-bias-
+    # corrected — a DIFFERENT statistic under the same name)
+    "lineitem_price_moments": """
+        WITH mu AS (
+            SELECT l_returnflag AS f, avg(l_extendedprice) AS m
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l.l_returnflag,
+               count(*) AS n,
+               round(avg(pow(l_extendedprice - mu.m, 3))
+                     / pow(avg(pow(l_extendedprice - mu.m, 2)), 1.5), 6)
+                   AS price_skew,
+               round(avg(pow(l_extendedprice - mu.m, 4))
+                     / pow(avg(pow(l_extendedprice - mu.m, 2)), 2) - 3, 6)
+                   AS price_kurtosis
+        FROM lineitem l JOIN mu ON l.l_returnflag = mu.f
+        GROUP BY 1
     """,
     "lineitem_price_quantity_regression": """
         SELECT l_returnflag,
