@@ -285,6 +285,20 @@ def _pagerank_oracle_sql() -> str:
     """
 
 
+def q_near_dup_clusters_logstar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components over the SAME pair graph via the
+    O(log n)-round large-star/small-star algorithm
+    (:func:`dedup_text.near_dup_clusters_logstar`) — checked by the
+    identical recursive-CTE oracle as the label-propagation variant,
+    pinning the two formulations equal under the hard signal."""
+    pairs = _ngram_pairs_cached(spark, sf_dir)
+    return dedup_text.dedup_keepers(
+        dedup_text.near_dup_clusters_logstar(pairs)
+    )
+
+
 def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals + keep/drop verdict per doc —
     a narrow map on the Arrow counting pass (the built-in-HOF
@@ -646,6 +660,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "near_dup_clusters": q_near_dup_clusters,
+    "near_dup_clusters_logstar": q_near_dup_clusters_logstar,
     "doc_graph_pagerank": q_doc_graph_pagerank,
     "doc_split": q_doc_split,
     "doc_pack_sequences": q_doc_pack_sequences,
@@ -1346,6 +1361,13 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         FROM embeddings GROUP BY label
     """,
 }
+
+# the logstar formulation computes the SAME components as the
+# label-propagation variant — one oracle, two algorithms, both under
+# the hash signal
+PIPELINE_ORACLE_SQL["near_dup_clusters_logstar"] = PIPELINE_ORACLE_SQL[
+    "near_dup_clusters"
+]
 
 __all__ = [
     "PIPELINE_QUERIES",

@@ -708,3 +708,102 @@ def incremental_dedup(
                 raise
             continue  # re-validate against the advanced index
     return new_docs.join(fresh.select(id_col), id_col, "left_semi")
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u=lo, v=hi), self-loops
+    dropped, deduped."""
+    return (
+        e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def near_dup_clusters_logstar(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the published O(log n)-round algorithm, as the scale
+    peer of :func:`near_dup_clusters`'s O(diameter) label
+    propagation. Same contract: (doc_id, cluster_id = component-min)
+    for every id appearing in ``pairs``.
+
+    Per round (both phases are one groupBy + one join each, all
+    partial-aggregated; edges checkpointed so lineage stays O(1)):
+
+    - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+      re-points each LARGER neighbor at m — long chains halve;
+    - small-star: on lo≤hi-oriented edges, every hi re-points its
+      smaller neighbors (and itself) at their minimum — stars
+      flatten.
+
+    A fully-starred graph is a fixpoint of both phases; convergence
+    is detected by an order-insensitive 64-bit edge-set signature
+    (count + bit_xor of per-edge xxhash64 — a missed stop needs a
+    2^-64 collision, and stopping is loop control only: the edge
+    set itself is exact). Use this variant when component DIAMETER
+    is the bottleneck (web-graph-shaped near-dup chains); for the
+    shallow clusters MinHash produces, plain label propagation
+    converges in 2-4 rounds and does less work per round.
+    """
+    edges = _canon_edges(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        pairs.select(F.col(id_a).alias("doc_id"))
+        .unionByName(pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+        ).head()
+        return (row["n"], row["x"])
+
+    prev_sig = signature(edges)
+    for _ in range(max_iter):
+        # large-star: neighborhoods over BOTH orientations
+        nbrs = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        ls = _canon_edges(
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star on lo<=hi orientation: group by the HIGH end
+        mins2 = ls.groupBy("v").agg(F.min("u").alias("m"))
+        ss = _canon_edges(
+            ls.join(mins2, "v")
+            .select(F.col("u"), F.col("m").alias("v"))
+            .unionByName(
+                mins2.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+        )
+        edges = ss.localCheckpoint(eager=True)
+        sig = signature(edges)
+        if sig == prev_sig:
+            star = edges.select(
+                F.col("v").alias("doc_id"), F.col("u").alias("cluster_id")
+            )
+            return nodes.join(star, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+        prev_sig = sig
+    raise RuntimeError(
+        f"near_dup_clusters_logstar did not converge in {max_iter} rounds"
+    )

@@ -1250,3 +1250,40 @@ def test_mmr_rerank_diversity_and_reference(spark):
         sel.append(best); rem.remove(best)
         assert got[rank]["n_id"] == best + 1
         assert got[rank]["mmr_score"] == pytest.approx(best_s, abs=1e-6)
+
+
+def test_logstar_components_equal_label_propagation(spark):
+    """The O(log n) large-star/small-star formulation must produce
+    EXACTLY the label-propagation clusters on: a transitive chain, a
+    long path (diameter 40 — the shape logstar exists for), disjoint
+    components, and a pseudo-random graph."""
+    import random
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        [(i, i + 1) for i in range(100, 140)],  # long path
+    ]
+    rng = random.Random(7)
+    cases.append(
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    )
+    for edge_list in cases:
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        pairs = spark.createDataFrame(
+            edge_list, "doc_id_a long, doc_id_b long"
+        )
+        # the diameter-40 path needs >25 label-prop rounds (the default
+        # cap raises — exactly the O(diameter) weakness the logstar
+        # variant exists to remove; logstar runs the SAME case at its
+        # default cap)
+        lp = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_text.near_dup_clusters(
+                pairs, max_iter=60
+            ).collect()
+        }
+        ls = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_text.near_dup_clusters_logstar(pairs).collect()
+        }
+        assert lp == ls, f"divergence on {edge_list[:6]}..."
