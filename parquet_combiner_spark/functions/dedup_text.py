@@ -611,7 +611,9 @@ def near_dup_clusters(
             )
     raise RuntimeError(
         f"near_dup_clusters did not converge in {max_iter} rounds - "
-        "pathological chain structure in the pair graph"
+        "pathological chain structure in the pair graph; raise "
+        "max_iter, or use near_dup_clusters_logstar (O(log n) "
+        "rounds, diameter-independent)"
     )
 
 
