@@ -39,6 +39,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def canonicalize_values(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """End-to-end entity canonicalization: map every distinct value of
+    ``col`` to its cluster's CANONICAL form — the most frequent
+    variant (ties → lexicographically smallest) among all values
+    within transitive edit distance ``max_dist`` of each other. The
+    full resolution pipeline: :func:`fuzzy_value_pairs` finds the
+    variant pairs, connected components (the dedup family's
+    clusterer, reused verbatim — it is id-type-agnostic) closes them
+    transitively, and a per-cluster frequency vote picks the form to
+    rewrite to.
+
+    Output: (value, canonical, n) — one row per distinct value,
+    singletons mapping to themselves; ``n`` is the value's own row
+    count. Join this map back to the corpus to apply the rewrite.
+
+    Scale: everything downstream of the corpus-touching groupBy is
+    vocabulary-sized (see :func:`fuzzy_value_pairs`); the component
+    step inherits the clusterer's O(diameter) rounds on clusters that
+    are typically 2-3 variants deep.
+    """
+    from parquet_combiner_spark.functions.dedup_text import (
+        near_dup_clusters,
+    )
+    from pyspark.sql import Window
+
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = fuzzy_value_pairs(df, col, max_dist)
+    clusters = near_dup_clusters(
+        pairs.select(
+            F.col("val_a").alias("doc_id_a"),
+            F.col("val_b").alias("doc_id_b"),
+        )
+    ).withColumnsRenamed({"doc_id": "value", "cluster_id": "cluster"})
+    labeled = counts.join(clusters, "value", "left").select(
+        "value", "n", F.coalesce("cluster", "value").alias("cluster")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n"), F.asc("value")
+    )
+    return (
+        labeled.withColumn(
+            "canonical", F.first("value").over(w)
+        )
+        .select("value", "canonical", "n")
+    )
+
+
 def fuzzy_value_pairs(
     df: DataFrame,
     col: str,

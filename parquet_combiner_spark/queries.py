@@ -1285,6 +1285,18 @@ def lineitem_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_name_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity canonicalization end-to-end (see
+    :func:`operators.fuzzy.canonicalize_values`): every part name
+    mapped to its variant-cluster's most-frequent form — fuzzy pairs
+    → transitive components → frequency vote, all under one oracle."""
+    from parquet_combiner_spark.operators.fuzzy import canonicalize_values
+
+    return canonicalize_values(
+        _t(spark, sf_dir, "part"), "p_name", max_dist=2
+    )
+
+
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile bucketing (histogram by quartile) — the scale-safe
     formulation of ``NTILE(4)``: exact percentile thresholds in ONE
@@ -1536,6 +1548,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_order_volume": monthly_order_volume,
     "red_parts_by_brand": red_parts_by_brand,
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
+    "part_name_canonical_map": part_name_canonical_map,
     "shipping_priority": shipping_priority,
     "large_volume_customers": large_volume_customers,
     "sole_return_suppliers": sole_return_suppliers,
@@ -2170,6 +2183,36 @@ ORACLE_SQL: dict[str, str] = {
                a.n AS n_a, b.n AS n_b
         FROM v a JOIN v b ON a.val < b.val
         WHERE levenshtein(a.val, b.val) <= 2
+    """,
+    "part_name_canonical_map": """
+        WITH RECURSIVE v AS (
+            SELECT p_name AS value, count(*) AS n
+            FROM part WHERE p_name IS NOT NULL GROUP BY p_name
+        ), fpairs AS (
+            SELECT a.value AS s, b.value AS d
+            FROM v a JOIN v b
+              ON a.value < b.value
+             AND levenshtein(a.value, b.value) <= 2
+        ), edges AS (
+            SELECT s, d FROM fpairs UNION SELECT d, s FROM fpairs
+        ), reach(src, dst) AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+        ), comp AS (
+            SELECT src AS value, least(src, min(dst)) AS cluster
+            FROM reach GROUP BY src
+        ), labeled AS (
+            SELECT v.value, v.n,
+                   coalesce(c.cluster, v.value) AS cluster
+            FROM v LEFT JOIN comp c USING (value)
+        )
+        SELECT value,
+               first_value(value) OVER (
+                   PARTITION BY cluster ORDER BY n DESC, value
+               ) AS canonical,
+               n
+        FROM labeled
     """,
     "order_price_quartiles": """
         WITH t AS (

@@ -1150,3 +1150,39 @@ def test_regression_aggregates_hand_computed(spark, tmp_path):
     assert line["price_qty_corr"] == pytest.approx(1.0)
     assert line["slope"] == pytest.approx(3.0)
     assert line["intercept"] == pytest.approx(10.0)
+
+
+def test_canonicalize_values_frequency_vote_and_transitivity(spark):
+    """Entity canonicalization: variants within transitive distance
+    collapse to ONE canonical chosen by frequency (tie → lexicographic
+    min); unrelated values map to themselves; row counts ride the
+    map."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.operators.fuzzy import canonicalize_values
+
+    rows = (
+        # cluster {widget, widgets, widgett}: 'widgets' most frequent;
+        # widget~widgets~widgett chain is transitive (widget↔widgett
+        # dist 1 anyway)
+        [Row(name="widget")] * 2
+        + [Row(name="widgets")] * 5
+        + [Row(name="widgett")] * 1
+        # tie cluster {bolt, bolts} 3-3 → lexicographic 'bolt' wins
+        + [Row(name="bolt")] * 3
+        + [Row(name="bolts")] * 3
+        # singleton
+        + [Row(name="sprocket")] * 4
+    )
+    out = {
+        r["value"]: (r["canonical"], r["n"])
+        for r in canonicalize_values(
+            spark.createDataFrame(rows), "name", max_dist=2
+        ).collect()
+    }
+    assert out["widget"] == ("widgets", 2)
+    assert out["widgets"] == ("widgets", 5)
+    assert out["widgett"] == ("widgets", 1)
+    assert out["bolt"] == ("bolt", 3)
+    assert out["bolts"] == ("bolt", 3)
+    assert out["sprocket"] == ("sprocket", 4)
