@@ -1285,6 +1285,45 @@ def lineitem_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total reporting (the RATIO_TO_REPORT shape): each
+    nation's order revenue and its share WITHIN its region — a
+    windowed sum over an aggregate, the two-level rollup every BI
+    layer asks for.
+
+    Plan: one partial-aggregated groupBy of orders keyed by the
+    customer's nation (customer/nation/region dims all broadcast),
+    then the share is a window sum over the nation-cardinality
+    aggregate — the window input is 25 rows, the corpus is touched
+    once."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("region_share"),
+    )
+
+
 def part_name_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity canonicalization end-to-end (see
     :func:`operators.fuzzy.canonicalize_values`): every part name
@@ -1549,6 +1588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "red_parts_by_brand": red_parts_by_brand,
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "part_name_canonical_map": part_name_canonical_map,
+    "nation_revenue_share": nation_revenue_share,
     "shipping_priority": shipping_priority,
     "large_volume_customers": large_volume_customers,
     "sole_return_suppliers": sole_return_suppliers,
@@ -2183,6 +2223,20 @@ ORACLE_SQL: dict[str, str] = {
                a.n AS n_a, b.n AS n_b
         FROM v a JOIN v b ON a.val < b.val
         WHERE levenshtein(a.val, b.val) <= 2
+    """,
+    "nation_revenue_share": """
+        WITH rev AS (
+            SELECT c.c_nationkey, sum(o.o_totalprice) AS rev
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        )
+        SELECT r.r_name, n.n_name,
+               round(rev.rev, 2) AS revenue,
+               round(rev.rev / sum(rev.rev) OVER (PARTITION BY r.r_name),
+                     6) AS region_share
+        FROM rev
+        JOIN nation n ON rev.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
     """,
     "part_name_canonical_map": """
         WITH RECURSIVE v AS (
