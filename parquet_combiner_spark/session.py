@@ -25,6 +25,9 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
+    # NOTE: aggregate pushdown only engages under the V2 parquet
+    # source (spark.sql.sources.useV1SourceList excludes parquet by
+    # default); the working combination is pinned in test_plans.py
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",

@@ -437,3 +437,31 @@ def test_sole_return_suppliers_correlations_are_joins(spark):
     assert "LeftAnti" in simple, simple
     assert "BroadcastHashJoin" in simple, simple
     assert_partial_aggregate(df)
+
+
+def test_parquet_aggregate_pushdown_reads_footers_not_data(spark, tmp_path):
+    """count(*)/min/max-only aggregations push INTO the parquet scan
+    (PushedAggregation in BatchScan) — answered from row-group footer
+    statistics without decoding data pages. Requires the V2 parquet
+    source: `spark.sql.parquet.aggregatePushdown` (an engine default)
+    has no effect under the default V1 path, which is why this test
+    pins the WORKING combination rather than just the conf."""
+    p = str(tmp_path / "agg_push")
+    spark.range(0, 100_000).selectExpr(
+        "id", "id % 97 AS v"
+    ).write.parquet(p)
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        agg = spark.read.parquet(p).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan
+        assert "count(*)" in plan
+        row = agg.head()
+        assert (row["n"], row["lo"], row["hi"]) == (100_000, 0, 96)
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
