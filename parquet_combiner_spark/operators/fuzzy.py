@@ -68,12 +68,13 @@ def canonicalize_values(
     )
     from pyspark.sql import Window
 
-    counts = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(F.col(col).alias("value"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    pairs = fuzzy_value_pairs(df, col, max_dist)
+    # ONE corpus-touching aggregation, materialized (vocab-sized) and
+    # reused by both the pair join and the frequency vote — without
+    # the checkpoint Spark re-executes the identical subtree per
+    # consumer and the corpus is scanned twice
+    vals = _value_counts(df, col).localCheckpoint(eager=True)
+    counts = vals.select(F.col("val").alias("value"), "n")
+    pairs = _pairs_from_vals(vals, max_dist)
     clusters = near_dup_clusters(
         pairs.select(
             F.col("val_a").alias("doc_id_a"),
@@ -106,12 +107,21 @@ def fuzzy_value_pairs(
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    vals = (
+    return _pairs_from_vals(_value_counts(df, col), max_dist)
+
+
+def _value_counts(df: DataFrame, col: str) -> DataFrame:
+    """(val, n, len) for each distinct non-null value — the single
+    corpus-touching aggregation both fuzzy operators derive from."""
+    return (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(col).alias("val"))
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("len", F.length("val"))
     )
+
+
+def _pairs_from_vals(vals: DataFrame, max_dist: int) -> DataFrame:
     bands = vals.select(
         F.col("val").alias("val_a"),
         F.col("n").alias("n_a"),

@@ -1255,9 +1255,17 @@ def lineitem_price_quantity_regression(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    # corr guarded explicitly: under ANSI mode Spark's corr THROWS
+    # DIVIDE_BY_ZERO on a zero-variance group (a degenerate segment
+    # is a certainty at corpus scale); the composed Pearson form with
+    # a variance guard yields NULL instead, mirrored in the oracle
+    sx, sy = F.stddev_samp(x), F.stddev_samp(y)
+    corr_safe = F.when(
+        (sx > 0) & (sy > 0), F.covar_samp(y, x) / (sx * sy)
+    )
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.corr(y, x), 6).alias("price_qty_corr"),
+        F.round(corr_safe, 6).alias("price_qty_corr"),
         F.round(F.covar_samp(y, x), 2).alias("price_qty_covar"),
         F.round(F.regr_slope(y, x), 6).alias("slope"),
         F.round(F.regr_intercept(y, x), 2).alias("intercept"),
@@ -1989,8 +1997,12 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_price_quantity_regression": """
         SELECT l_returnflag,
                count(*) AS n,
-               round(corr(l_extendedprice, l_quantity), 6)
-                   AS price_qty_corr,
+               round(CASE WHEN stddev_samp(l_quantity) > 0
+                           AND stddev_samp(l_extendedprice) > 0
+                          THEN covar_samp(l_extendedprice, l_quantity)
+                               / (stddev_samp(l_quantity)
+                                  * stddev_samp(l_extendedprice))
+                     END, 6) AS price_qty_corr,
                round(covar_samp(l_extendedprice, l_quantity), 2)
                    AS price_qty_covar,
                round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,

@@ -26,8 +26,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.filterPushdown": "true",
     # NOTE: aggregate pushdown only engages under the V2 parquet
-    # source (spark.sql.sources.useV1SourceList excludes parquet by
-    # default); the working combination is pinned in test_plans.py
+    # source — and the default spark.sql.sources.useV1SourceList
+    # INCLUDES parquet, so this conf is inert until parquet is
+    # removed from that list; the working combination is pinned in
+    # test_plans.py
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",

@@ -1119,10 +1119,10 @@ def test_weekly_gap_filling_materializes_zero_weeks(spark, tmp_path):
 
 def test_regression_aggregates_hand_computed(spark, tmp_path):
     """corr/slope/intercept on a hand-computable frame: a perfect
-    y=3x+10 line gives corr 1, slope 3, intercept 10; an uncorrelated
-    constant-y group gives slope 0 and corr NULL-or-0 semantics
-    pinned (Spark corr of zero-variance y is NaN; the query rounds,
-    so pin the line group only)."""
+    y=3x+10 line gives corr 1, slope 3, intercept 10; a constant-y
+    group gives slope exactly 0 and NULL correlation (zero variance —
+    the ANSI-safe guard, pinned so a silent definition change
+    surfaces)."""
     import pytest
     from pyspark.sql import Row
 
@@ -1130,13 +1130,21 @@ def test_regression_aggregates_hand_computed(spark, tmp_path):
         lineitem_price_quantity_regression,
     )
 
+    import datetime
+
+    ship = datetime.datetime(2024, 1, 1)
     rows = [
         Row(l_orderkey=i, l_partkey=1, l_suppkey=1, l_linenumber=1,
             l_quantity=float(q), l_extendedprice=3.0 * q + 10.0,
             l_discount=0.0, l_tax=0.0, l_returnflag="L",
-            l_linestatus="O",
-            l_shipdate=__import__("datetime").datetime(2024, 1, 1))
+            l_linestatus="O", l_shipdate=ship)
         for i, q in enumerate([1, 2, 3, 4, 5])
+    ] + [
+        Row(l_orderkey=100 + i, l_partkey=1, l_suppkey=1, l_linenumber=1,
+            l_quantity=float(q), l_extendedprice=42.0,
+            l_discount=0.0, l_tax=0.0, l_returnflag="C",
+            l_linestatus="O", l_shipdate=ship)
+        for i, q in enumerate([1, 2, 3])
     ]
     spark.createDataFrame(rows).write.parquet(f"{tmp_path}/lineitem.parquet")
     out = {
@@ -1150,6 +1158,13 @@ def test_regression_aggregates_hand_computed(spark, tmp_path):
     assert line["price_qty_corr"] == pytest.approx(1.0)
     assert line["slope"] == pytest.approx(3.0)
     assert line["intercept"] == pytest.approx(10.0)
+    # constant y: zero covariance → slope 0, intercept = the constant,
+    # corr NULL (the variance guard — Spark's raw corr THROWS
+    # DIVIDE_BY_ZERO under ANSI mode on this input)
+    const = out["C"]
+    assert const["slope"] == pytest.approx(0.0)
+    assert const["intercept"] == pytest.approx(42.0)
+    assert const["price_qty_corr"] is None
 
 
 def test_canonicalize_values_frequency_vote_and_transitivity(spark):
