@@ -46,7 +46,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO crash) when
+    either vector is all-zero — a padding/null-embedding row at corpus
+    scale must degrade, never kill the job. DuckDB's double division
+    by zero yields NULL too, so oracle parity is preserved."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
@@ -107,12 +112,14 @@ def cosine_topk_bruteforce(
     pairs = cand.crossJoin(F.broadcast(qry)).where(
         F.col("n_id") != F.col("q_id")
     )
+    denom = F.col("__q_norm") * F.col("__n_norm")
     scored = pairs.select(
         "q_id",
         "n_id",
-        (
-            dot(F.col("q_emb"), F.col("n_emb"))
-            / (F.col("__q_norm") * F.col("__n_norm"))
+        # when-guarded like cosine(): zero vectors degrade to NULL
+        # instead of an ANSI DIVIDE_BY_ZERO job failure
+        F.when(
+            denom > 0, dot(F.col("q_emb"), F.col("n_emb")) / denom
         ).alias("__cos"),
     )
     ranked = top_k_per_group(

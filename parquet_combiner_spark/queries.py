@@ -730,7 +730,14 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not a sample estimate — and both engines define it identically
         F.stddev_pop("value").alias("sigma"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # σ=0 (a constant group) must be guarded, not divided: under ANSI
+    # mode the raw division THROWS DIVIDE_BY_ZERO; when() evaluates
+    # the division only where the guard holds, and a constant group
+    # has no outliers by definition
+    z = F.when(
+        F.col("sigma") > 0,
+        (F.col("value") - F.col("mu")) / F.col("sigma"),
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .where(F.abs(z) > 3.0)
@@ -2088,9 +2095,11 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT e.event_id, e.event_type,
                round(e.value, 6) AS value,
-               round((e.value - s.mu) / s.sigma, 4) AS z
+               round(CASE WHEN s.sigma > 0
+                          THEN (e.value - s.mu) / s.sigma END, 4) AS z
         FROM events e JOIN s USING (event_type)
-        WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+        WHERE abs(CASE WHEN s.sigma > 0
+                       THEN (e.value - s.mu) / s.sigma END) > 3.0
     """,
     # the SAME explicit bin formula the Spark side computes (see
     # order_price_histogram's docstring for why neither engine's

@@ -1287,3 +1287,27 @@ def test_logstar_components_equal_label_propagation(spark):
             for r in dedup_text.near_dup_clusters_logstar(pairs).collect()
         }
         assert lp == ls, f"divergence on {edge_list[:6]}..."
+
+
+def test_cosine_zero_vector_degrades_to_null_not_crash(spark):
+    """A zero vector (padding/null-embedding row) must yield NULL
+    similarity and be excluded from top-k — NOT an ANSI
+    DIVIDE_BY_ZERO job failure."""
+    from pyspark.sql import Row
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.8, 0.6]),
+            Row(vec_id=3, embedding=[0.0, 0.0]),  # the hazard
+        ]
+    )
+    out = similarity.cosine_topk_bruteforce(
+        vecs, vecs.where("vec_id = 1"), k=5
+    ).collect()
+    pairs = {(r["q_id"], r["n_id"]): r["sim"] for r in out}
+    assert pairs[(1, 2)] == 0.8
+    # the zero vector ranks LAST (NULL sim, desc puts nulls last)
+    ranks = {r["n_id"]: r["rank"] for r in out}
+    assert ranks[3] == max(ranks.values())
+    assert pairs[(1, 3)] is None

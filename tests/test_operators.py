@@ -958,13 +958,20 @@ def test_outlier_and_histogram_queries_on_planted_data(spark, tmp_path):
     )
 
     sf = str(tmp_path)
-    # events: 10 zeros and one spike -> z(100) ~ 3.16 > 3
+    # events: 10 zeros and one spike -> z(100) ~ 3.16 > 3; plus a
+    # CONSTANT group (sigma=0) that must be guarded, not divided —
+    # the raw division throws DIVIDE_BY_ZERO under ANSI mode
     ts0 = datetime.datetime(2024, 1, 1)
     spark.createDataFrame(
         [
             Row(event_id=i, ts=ts0, user_id=1, event_type="t",
                 value=(100.0 if i == 10 else 0.0), props="{}")
             for i in range(11)
+        ]
+        + [
+            Row(event_id=90 + i, ts=ts0, user_id=2, event_type="const",
+                value=7.0, props="{}")
+            for i in range(3)
         ]
     ).write.parquet(f"{sf}/events.parquet")
     out = event_value_outliers(spark, sf).collect()
