@@ -524,6 +524,31 @@ def q_doc_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENERGY_WINDOW = 32
+
+
+def q_doc_payload_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped windowed byte-energy over the deterministic fake
+    payload (see :func:`multimodal.payload_energy_windows`). The
+    corpus text is ASCII, so the DuckDB oracle reproduces the byte
+    sums from character codes; mean energy rides as an exact ratio
+    of the emitted integers."""
+    payloads = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    win = multimodal.payload_energy_windows(
+        payloads, window_bytes=_ENERGY_WINDOW
+    )
+    return win.select(
+        "media_id",
+        "window_idx",
+        "n_bytes",
+        "energy",
+        F.round(F.col("energy") / F.col("n_bytes"), 4).alias("mean_energy"),
+    )
+
+
 def q_doc_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling (decode stubbed): each payload
     explodes executor-side into every-4th fake frame with a
@@ -667,6 +692,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_binary_metadata": q_doc_binary_metadata,
     "doc_payload_features": q_doc_payload_features,
     "doc_payload_resize": q_doc_payload_resize,
+    "doc_payload_energy": q_doc_payload_energy,
     "doc_payload_frames": q_doc_payload_frames,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_mmr_topk": q_ann_mmr_topk,
@@ -851,6 +877,34 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                 PARTITION BY doc_id ORDER BY tfidf DESC, term
             ) AS rn FROM scored
         ) WHERE rn <= {_TFIDF_K}
+    """,
+    # ASCII corpus: byte values == character codes, so the Python
+    # byte-window sums are reproducible from ascii() in SQL
+    "doc_payload_energy": f"""
+        WITH t AS (
+            SELECT doc_id AS media_id, text, length(text) AS L
+            FROM documents WHERE length(text) > 0
+        ), w AS (
+            SELECT media_id, text, L,
+                   unnest(range(0, (L + {_ENERGY_WINDOW - 1})
+                                   // {_ENERGY_WINDOW})) AS widx
+            FROM t
+        ), c AS (
+            SELECT media_id, CAST(widx AS INTEGER) AS window_idx,
+                   substr(text, CAST(widx * {_ENERGY_WINDOW} + 1 AS INTEGER),
+                          {_ENERGY_WINDOW}) AS chunk
+            FROM w
+        )
+        SELECT media_id, window_idx,
+               CAST(length(chunk) AS INTEGER) AS n_bytes,
+               CAST(list_sum(list_transform(
+                   range(1, length(chunk) + 1),
+                   i -> ascii(chunk[i]))) AS BIGINT) AS energy,
+               round(CAST(list_sum(list_transform(
+                   range(1, length(chunk) + 1),
+                   i -> ascii(chunk[i]))) AS DOUBLE) / length(chunk), 4)
+                   AS mean_energy
+        FROM c
     """,
     "doc_pii_scrub": f"""
         SELECT doc_id, {_pii_count_sql("text")},

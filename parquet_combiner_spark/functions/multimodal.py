@@ -237,3 +237,57 @@ def binary_metadata(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
         F.octet_length(F.col(payload_col)).alias("n_bytes"),
         F.sha2(F.col(payload_col), 256).alias("sha256"),
     )
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def payload_energy_windows(
+    media: DataFrame, window_bytes: int = 32
+) -> DataFrame:
+    """Audio-shaped windowed analysis over opaque payloads: split each
+    payload into fixed ``window_bytes`` windows and compute per-window
+    byte energy (the sum an RMS/loudness pass reduces once a real PCM
+    decode replaces the stub) — the row-expanding numeric-aggregation
+    pattern audio pipelines run (VAD, silence trimming, loudness
+    normalization all start exactly here).
+
+    Arrow-batched ``mapInPandas``; per payload the window sums are ONE
+    vectorized ``np.add.reduceat`` over the byte buffer — no Python
+    per-byte loop. Executor-side explosion, no shuffle; expansion
+    factor is payload length over window size.
+    """
+    if window_bytes <= 0:
+        raise ValueError(f"window_bytes must be positive, got {window_bytes}")
+
+    def split(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if buf.size == 0:
+                    continue
+                starts = np.arange(0, buf.size, window_bytes)
+                sums = np.add.reduceat(buf.astype(np.int64), starts)
+                for wi, s in enumerate(sums):
+                    n = int(
+                        min(window_bytes, buf.size - wi * window_bytes)
+                    )
+                    out.append((int(mid), wi, n, int(s)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "window_idx", "n_bytes", "energy"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        split, AUDIO_ENERGY_SCHEMA
+    )

@@ -1311,3 +1311,34 @@ def test_cosine_zero_vector_degrades_to_null_not_crash(spark):
     ranks = {r["n_id"]: r["rank"] for r in out}
     assert ranks[3] == max(ranks.values())
     assert pairs[(1, 3)] is None
+
+
+def test_payload_energy_windows_hand_computed(spark):
+    """Window splitting and byte sums on a hand-computable payload:
+    full windows, a short tail window, empty payloads skipped, and
+    window count = ceil(len/W)."""
+    from pyspark.sql import Row
+
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytes([1, 2, 3, 4, 5])),  # W=2: 3 windows
+            Row(media_id=2, payload=b""),                      # skipped
+        ],
+        "media_id long, payload binary",
+    )
+    out = {
+        (r["media_id"], r["window_idx"]): (r["n_bytes"], r["energy"])
+        for r in multimodal.payload_energy_windows(
+            media, window_bytes=2
+        ).collect()
+    }
+    assert out == {
+        (1, 0): (2, 3),   # 1+2
+        (1, 1): (2, 7),   # 3+4
+        (1, 2): (1, 5),   # tail
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="window_bytes"):
+        multimodal.payload_energy_windows(media, window_bytes=0)
