@@ -1300,6 +1300,70 @@ def lineitem_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer scoring: per customer,
+    Recency (days since last order, measured from the corpus max
+    date), Frequency (order count) and Monetary (total spend), each
+    scored 1-3 against the exact tercile thresholds of its own
+    distribution, concatenated into a segment code ('333' = best).
+
+    Plan shape: ONE partial-aggregated groupBy builds the per-customer
+    R/F/M frame (customer-cardinality-sized); the six tercile
+    thresholds and the corpus max date come from tiny aggregates
+    broadcast back (the quartile-bucketing pattern — never an NTILE
+    global sort); scoring is a narrow CASE projection. Thresholds are
+    closed on the left (score k means value ≥ that tercile), recency
+    scores INVERTED (recent = high)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("__maxd"))
+    rfm = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("__maxd"), F.col("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    # thresholds ROUNDED to 6 dp in both engines: integer-valued
+    # R/F land exactly ON interpolated terciles, where a 1-ulp
+    # interpolation difference would flip a score
+    thr = rfm.agg(
+        *[
+            F.round(F.percentile(c, F.lit(q)), 6).alias(
+                f"{c}_{int(q * 3)}"
+            )
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (1 / 3, 2 / 3)
+        ]
+    )
+
+    def score(c: str, invert: bool) -> F.Column:
+        lo, hi = F.col(f"{c}_1"), F.col(f"{c}_2")
+        s = (
+            F.when(F.col(c) >= hi, 3)
+            .when(F.col(c) >= lo, 2)
+            .otherwise(1)
+        )
+        return (4 - s) if invert else s
+
+    return rfm.crossJoin(F.broadcast(thr)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.concat(
+            score("recency_days", invert=True).cast("string"),
+            score("frequency", invert=False).cast("string"),
+            score("monetary", invert=False).cast("string"),
+        ).alias("rfm_segment"),
+    )
+
+
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total reporting (the RATIO_TO_REPORT shape): each
     nation's order revenue and its share WITHIN its region — a
@@ -1604,6 +1668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "part_name_canonical_map": part_name_canonical_map,
     "nation_revenue_share": nation_revenue_share,
+    "customer_rfm_segments": customer_rfm_segments,
     "shipping_priority": shipping_priority,
     "large_volume_customers": large_volume_customers,
     "sole_return_suppliers": sole_return_suppliers,
@@ -2244,6 +2309,38 @@ ORACLE_SQL: dict[str, str] = {
                a.n AS n_a, b.n AS n_b
         FROM v a JOIN v b ON a.val < b.val
         WHERE levenshtein(a.val, b.val) <= 2
+    """,
+    "customer_rfm_segments": f"""
+        WITH maxd AS (
+            SELECT max(o_orderdate) AS m FROM orders
+        ), rfm AS (
+            SELECT o_custkey,
+                   min(date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(maxd.m AS DATE))) AS recency_days,
+                   count(*) AS frequency,
+                   round(sum(o_totalprice), 2) AS monetary
+            FROM orders, maxd GROUP BY o_custkey
+        ), thr AS (
+            SELECT
+                round(quantile_cont(recency_days, {repr(1/3)}), 6) AS r1,
+                round(quantile_cont(recency_days, {repr(2/3)}), 6) AS r2,
+                round(quantile_cont(frequency, {repr(1/3)}), 6) AS f1,
+                round(quantile_cont(frequency, {repr(2/3)}), 6) AS f2,
+                round(quantile_cont(monetary, {repr(1/3)}), 6) AS m1,
+                round(quantile_cont(monetary, {repr(2/3)}), 6) AS m2
+            FROM rfm
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               CAST(4 - (CASE WHEN recency_days >= r2 THEN 3
+                              WHEN recency_days >= r1 THEN 2
+                              ELSE 1 END) AS VARCHAR)
+               || CAST(CASE WHEN frequency >= f2 THEN 3
+                            WHEN frequency >= f1 THEN 2
+                            ELSE 1 END AS VARCHAR)
+               || CAST(CASE WHEN monetary >= m2 THEN 3
+                            WHEN monetary >= m1 THEN 2
+                            ELSE 1 END AS VARCHAR) AS rfm_segment
+        FROM rfm, thr
     """,
     "nation_revenue_share": """
         WITH rev AS (
