@@ -679,6 +679,8 @@ def incremental_dedup(
     """
     from parquet_combiner_spark.tools import txlog
 
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
     fp = F.md5(F.col(text_col)).alias("fp")
     # within-batch: keep the lowest id per fingerprint
     keepers = (

@@ -53,11 +53,28 @@ class TxTableReader(DataSourceReader):
 
     def read(self, partition: _FilePartition):  # noqa: D102
         # executor-side import: workers must not need the driver's state
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-        names = [f.name for f in self._schema.fields]
-        table = pq.read_table(partition.path, columns=names)
-        yield from table.select(names).to_batches()
+        # Schema evolution: a merge_schema append evolves the TABLE
+        # schema, but files written earlier lack the added columns —
+        # read each file with the columns it HAS and null-fill the
+        # rest (the same semantics txlog.read_table gets for free from
+        # Spark's schema-enforced parquet scan).
+        target = to_arrow_schema(self._schema)
+        have = set(pq.ParquetFile(partition.path).schema_arrow.names)
+        present = [f.name for f in target if f.name in have]
+        table = pq.read_table(partition.path, columns=present)
+        cols = {
+            f.name: (
+                table.column(f.name)
+                if f.name in have
+                else pa.nulls(table.num_rows, type=f.type)
+            )
+            for f in target
+        }
+        yield from pa.table(cols).cast(target).to_batches()
 
 
 class TxTableDataSource(DataSource):

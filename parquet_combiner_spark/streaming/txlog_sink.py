@@ -5,12 +5,24 @@ commit log itself.
 ``foreachBatch`` delivers batches AT-LEAST-ONCE (a crash after the
 sink ran but before the checkpoint advanced replays the same epoch).
 The standard exactly-once recipe is an idempotent sink keyed on the
-epoch id — here the key rides the commit record's ``meta``: before
-committing, the sink scans the log for the epoch; a replayed batch
-finds its own earlier commit and returns without writing. Because
-the log publish is atomic (O_EXCL create, `tools/txlog.py`), there is
-no window where a batch is half-visible — a crashed commit attempt
-leaves only unreferenced data files for ``vacuum``.
+transaction identity — Delta's ``txnAppId`` + ``txnVersion`` pair.
+Here the key is ``(query_id, epoch)`` riding the commit record's
+``meta``: before committing, the sink checks the log for the pair; a
+replayed batch finds its own earlier commit and returns without
+writing. Because the log publish is atomic (O_EXCL create,
+`tools/txlog.py`), there is no window where a batch is half-visible —
+a crashed commit attempt leaves only unreferenced data files for
+``vacuum``.
+
+The epoch id is only a valid idempotence key while it stays MONOTONIC
+per (table, query_id) — Structured Streaming numbers epochs from the
+CHECKPOINT, so the checkpoint must outlive the invocation. The sink
+therefore defaults the checkpoint to ``<table>/_checkpoints/<query_id>``
+(persistent, one per logical ingestion query): a later run against a
+source that gained files resumes at epoch N+1 and its batches commit.
+A bare-epoch key with a throwaway checkpoint would restart epochs at
+0 and silently drop the new batches as "replays" — data loss wearing
+idempotence's clothes.
 
 This is the integration story the CDC sink (`apply_cdc.py`) notes it
 wants from a real table format ("atomic commits and time travel"):
@@ -22,12 +34,13 @@ batch.
 
 from __future__ import annotations
 
-import tempfile
-import shutil
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 from parquet_combiner_spark.tools import txlog
+
+DEFAULT_QUERY_ID = "ingest"
 
 
 def txlog_append_batch(
@@ -35,13 +48,15 @@ def txlog_append_batch(
     epoch_id: int,
     table: str,
     _seen: set | None = None,
+    query_id: str = DEFAULT_QUERY_ID,
 ) -> bool:
-    """Idempotently commit one micro-batch as a table version.
+    """Idempotently commit one micro-batch as a table version, keyed
+    on ``(query_id, epoch_id)`` (Delta's txnAppId+txnVersion shape).
     Returns True if a commit happened, False for a replayed epoch.
 
-    ``_seen`` (the sink's per-query epoch cache) makes the replay
-    check O(1) amortized: the full log is parsed ONCE when the cache
-    is cold (query start / restart-after-crash), then each batch
+    ``_seen`` (the sink's per-query (query_id, epoch) cache) makes the
+    replay check O(1) amortized: the full log is parsed ONCE when the
+    cache is cold (query start / restart-after-crash), then each batch
     consults and updates the in-memory set — without it, a
     long-running stream re-parses every commit record per batch
     (quadratic in versions over the stream's lifetime)."""
@@ -49,14 +64,16 @@ def txlog_append_batch(
         _seen = set()
     if not _seen:
         _seen.update(
-            c["meta"]["epoch"]
+            (c["meta"].get("query_id", DEFAULT_QUERY_ID), c["meta"]["epoch"])
             for c in txlog._read_log(table)
             if "epoch" in c.get("meta", {})
         )
-    if epoch_id in _seen:
+    if (query_id, epoch_id) in _seen:
         return False
-    txlog.commit(batch, table, meta={"epoch": epoch_id})
-    _seen.add(epoch_id)
+    txlog.commit(
+        batch, table, meta={"query_id": query_id, "epoch": epoch_id}
+    )
+    _seen.add((query_id, epoch_id))
     return True
 
 
@@ -66,27 +83,35 @@ def stream_to_txlog_available_now(
     table: str,
     schema,
     max_files_per_trigger: int = 1,
+    query_id: str = DEFAULT_QUERY_ID,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Stream parquet files from ``source_dir`` into versioned table
     ``table`` (one commit per micro-batch) to completion; returns the
-    final snapshot."""
-    ckpt = tempfile.mkdtemp(prefix="pcs-txsink-ckpt-")
+    final snapshot.
+
+    The checkpoint PERSISTS (default ``<table>/_checkpoints/<query_id>``)
+    so epoch ids stay monotonic per (table, query_id) across
+    invocations — re-running after the source gained files commits
+    exactly the new batches; re-running on an unchanged source commits
+    nothing. Pass ``checkpoint_dir`` to relocate it (it must still be
+    durable for the exactly-once contract to hold)."""
+    ckpt = checkpoint_dir or os.path.join(table, "_checkpoints", query_id)
     seen: set = set()  # per-query epoch cache (see txlog_append_batch)
-    try:
-        query = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(source_dir)
-            .writeStream.foreachBatch(
-                lambda df, eid: txlog_append_batch(df, eid, table, seen)
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(
+            lambda df, eid: txlog_append_batch(
+                df, eid, table, seen, query_id=query_id
             )
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
         )
-        query.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
     try:
         return txlog.read_table(spark, table)
     except FileNotFoundError:

@@ -236,7 +236,10 @@ def read_table(
 
 
 def optimize(
-    spark: SparkSession, table: str, target_file_mb: int = 128
+    spark: SparkSession,
+    table: str,
+    target_file_mb: int = 128,
+    max_retries: int = 3,
 ) -> int:
     """Compact the table's CURRENT snapshot into sensibly-sized files
     as one ``overwrite`` commit (the warehouse OPTIMIZE operation,
@@ -253,14 +256,37 @@ def optimize(
     never does — only unreferenced files are garbage).
 
     Returns the new version number.
+
+    Read-check-write discipline: the compaction rewrites the snapshot
+    it READ, so the commit pins that snapshot's version as its base
+    (``expected_version``) — an append landing between the snapshot
+    read and the publish (e.g. the streaming sink, which the docs
+    advertise as concurrent-safe) makes this commit lose the O_EXCL
+    race instead of silently excluding the new rows from the latest
+    snapshot. On conflict the whole read-compact-commit is retried
+    against the advanced table (up to ``max_retries``).
     """
-    files, schema = _snapshot_files(table, None)
-    if not files:
-        raise FileNotFoundError(f"{table} has no data to optimize")
-    total = sum(os.path.getsize(f) for f in files)
-    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
-    df = spark.read.schema(schema).parquet(*files).coalesce(int(n_files))
-    return commit(df, table, action="overwrite", meta={"optimize": True})
+    for attempt in range(max(1, max_retries)):
+        base = current_version(table)
+        files, schema = _snapshot_files(table, base if base >= 0 else None)
+        if not files:
+            raise FileNotFoundError(f"{table} has no data to optimize")
+        total = sum(os.path.getsize(f) for f in files)
+        n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        df = spark.read.schema(schema).parquet(*files).coalesce(int(n_files))
+        try:
+            return commit(
+                df,
+                table,
+                action="overwrite",
+                meta={"optimize": True},
+                expected_version=base,
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue  # re-read the advanced snapshot and re-compact
+    raise AssertionError("unreachable")
 
 
 def history(table: str) -> list[dict]:

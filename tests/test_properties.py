@@ -264,3 +264,26 @@ class TestFuzzyJoinProperties:
                 if dist <= d:
                     want[(a, b)] = (dist, counts[a], counts[b])
         assert got == want
+
+
+def test_floor_div_sql_matches_python_floor_division(spark):
+    """The week-bucketing helper must implement FLOOR division (DuckDB
+    `//`), not Spark `div`'s truncation toward zero — the two differ
+    by one bucket on negative epochs (pre-1970 timestamps). Checked in
+    exact int64 territory beyond double's 2^53 mantissa too."""
+    from parquet_combiner_spark.queries import _floor_div_sql
+
+    divisor = 7 * 24 * 3600 * 1_000_000_000
+    vals = [
+        0, 1, -1, divisor, -divisor, divisor - 1, -divisor + 1,
+        divisor + 1, -divisor - 1, 1_700_000_000_123_456_789,
+        -1_700_000_000_123_456_789, 2**62, -(2**62),
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r["x"]: r["fd"]
+        for r in df.selectExpr(
+            "x", f"{_floor_div_sql('x', divisor)} as fd"
+        ).collect()
+    }
+    assert got == {v: v // divisor for v in vals}

@@ -666,3 +666,45 @@ def test_stream_metrics_collector_captures_state_and_inputs(spark):
     assert any(m.state_rows_total > 0 for m in collector.batches)
     assert any(m.watermark for m in collector.batches)
     assert all(m.rows_dropped_by_watermark == 0 for m in collector.batches)
+
+
+def test_stream_to_txlog_second_run_ingests_new_files(spark, tmp_path):
+    """The epoch idempotence key must survive re-invocation: the
+    checkpoint persists per (table, query_id), so a second run against
+    a source that GAINED files resumes at the next epoch and commits
+    exactly the new batches — a throwaway checkpoint would restart
+    epochs at 0 and silently drop them as 'replays' (data loss)."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.txlog_sink import (
+        stream_to_txlog_available_now,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    first = [Row(k=i, v=f"r{i}") for i in range(4)]
+    df1 = spark.createDataFrame(first)
+    df1.coalesce(1).write.mode("append").parquet(src)
+
+    out1 = stream_to_txlog_available_now(spark, src, table, df1.schema)
+    assert out1.count() == 4
+    v1 = txlog.current_version(table)
+
+    # source gains files; same table, same (persisted) checkpoint
+    second = [Row(k=i, v=f"r{i}") for i in range(4, 10)]
+    spark.createDataFrame(second).coalesce(1).write.mode("append").parquet(src)
+    out2 = stream_to_txlog_available_now(spark, src, table, df1.schema)
+    assert sorted(tuple(r) for r in out2.collect()) == sorted(
+        tuple(r) for r in first + second
+    )
+    assert txlog.current_version(table) > v1
+    # and a third run with NOTHING new commits nothing
+    v2 = txlog.current_version(table)
+    out3 = stream_to_txlog_available_now(spark, src, table, df1.schema)
+    assert out3.count() == 10
+    assert txlog.current_version(table) == v2
+    # commit identity is (query_id, epoch) — Delta's txnAppId shape
+    metas = [c["meta"] for c in txlog._read_log(table)]
+    assert all(m["query_id"] == "ingest" for m in metas)
+    assert len({m["epoch"] for m in metas}) == len(metas)

@@ -506,3 +506,87 @@ def test_txlog_history_and_cli(spark, tmp_path, capsys):
     assert [json.loads(l)["version"] for l in out] == [1, 0]
     assert txlog.main([table]) == 0
     assert "version: 1" in capsys.readouterr().out
+
+
+def test_optimize_retries_past_concurrent_append(spark, tmp_path, monkeypatch):
+    """optimize() pins its snapshot version (expected_version) so an
+    append landing between the snapshot read and the publish can never
+    be silently excluded from the new latest snapshot — the commit
+    loses the race, the compaction re-reads and retries, and the
+    concurrent rows survive into the optimized table."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    for i in range(3):
+        txlog.commit(spark.createDataFrame([Row(k=i)]), table)
+
+    real_snapshot = txlog._snapshot_files
+    raced = {"done": False}
+
+    def racing_snapshot(t, version):
+        out = real_snapshot(t, version)
+        if not raced["done"]:
+            raced["done"] = True  # before re-entering via commit paths
+            txlog.commit(spark.createDataFrame([Row(k=99)]), table)
+        return out
+
+    monkeypatch.setattr(txlog, "_snapshot_files", racing_snapshot)
+    v = txlog.optimize(spark, table)
+    monkeypatch.undo()
+    got = sorted(r["k"] for r in txlog.read_table(spark, table).collect())
+    assert got == [0, 1, 2, 99]  # the racing append was NOT lost
+    assert v == txlog.current_version(table)
+
+    # with retries exhausted the conflict SURFACES instead of rebasing
+    raced["done"] = False
+    monkeypatch.setattr(txlog, "_snapshot_files", racing_snapshot)
+    import pytest as _pytest
+
+    with _pytest.raises(txlog.CommitConflict):
+        txlog.optimize(spark, table, max_retries=1)
+
+
+def test_txtable_source_null_fills_schema_evolved_files(spark, tmp_path):
+    """The custom DataSource must read tables whose schema evolved via
+    merge_schema appends: files written BEFORE the evolution lack the
+    added columns, and the reader null-fills them (same semantics as
+    txlog.read_table's schema-enforced scan) instead of crashing."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    spark.dataSource.register(TxTableDataSource)
+    table = str(tmp_path / "evolved")
+    txlog.commit(spark.createDataFrame([Row(k=1, v="a")]), table)
+    txlog.commit(
+        spark.createDataFrame([Row(k=2, v="b", score=0.5)]),
+        table,
+        merge_schema=True,
+    )
+    got = spark.read.format("txtable").load(table)
+    assert set(got.columns) == {"k", "v", "score"}
+    by_k = {r["k"]: r["score"] for r in got.collect()}
+    assert by_k == {1: None, 2: 0.5}
+    # parity with the fast path
+    fast = txlog.read_table(spark, table)
+    assert sorted(map(tuple, got.select(*fast.columns).collect())) == sorted(
+        map(tuple, fast.collect())
+    )
+
+
+def test_incremental_dedup_validates_max_retries(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions import dedup_text
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with _pytest.raises(ValueError, match="max_retries"):
+        dedup_text.incremental_dedup(
+            spark, docs, str(tmp_path / "idx"), max_retries=0
+        )
