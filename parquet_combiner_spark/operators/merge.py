@@ -1,24 +1,31 @@
-"""Merge/upsert (CDC apply) — latest-version-wins key compaction.
+"""Merge/upsert (CDC apply) — latest-version-wins key compaction,
+with optional delete/tombstone handling.
 
 The reference engine has no mutation surface at all (its pipeline is
 read → aggregate → write, reference services/Aggregations.scala), but
 any table the engine maintains incrementally needs the MERGE step a
 lakehouse runs on every CDC batch: base snapshot + update batch →
 one surviving row per key, highest version wins, updates beating the
-snapshot on version ties. This is the kernel of Delta/Iceberg MERGE
-INTO restricted to whole-row upserts — expressed here as a pure
-DataFrame computation so it works on plain parquet.
+snapshot on version ties. With ``op_col`` the kernel covers the other
+half of a real CDC feed — deletes: the latest row per key is chosen
+across upserts AND tombstones, and a tombstone winner removes the key
+(Delta/Iceberg ``WHEN MATCHED AND op='D' THEN DELETE``). This is the
+kernel of Delta/Iceberg MERGE INTO restricted to whole-row changes —
+expressed here as a pure DataFrame computation so it works on plain
+parquet.
 
 Plan shape: union (no shuffle) → groupBy(keys).max_by(payload,
 version) — ONE exchange carrying one pre-combined row per key per
-map partition. ``max_by`` over a struct ordering runs as
-SortAggregate (struct buffers cannot hash-aggregate), but both
-halves still partial-aggregate, so the shuffle volume is bounded by
-the key cardinality, not the input size — the property that matters
-at 100 TB, where the update batch is small but the base is not. The
-window (``row_number() = 1``) formulation would shuffle and sort
-EVERY row of base+updates; see operators/dedup.py for the same
-tradeoff measured on the dedup family.
+map partition; the tombstone filter is a post-aggregate predicate on
+that combined row, so deletes add zero extra shuffles. ``max_by``
+over a struct ordering runs as SortAggregate (struct buffers cannot
+hash-aggregate), but both halves still partial-aggregate, so the
+shuffle volume is bounded by the key cardinality, not the input size
+— the property that matters at 100 TB, where the update batch is
+small but the base is not. The window (``row_number() = 1``)
+formulation would shuffle and sort EVERY row of base+updates; see
+operators/dedup.py for the same tradeoff measured on the dedup
+family.
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _PRIORITY = "__src_priority"
+_IS_DELETE = "__is_delete"
 
 
 def merge_upsert(
@@ -36,36 +44,92 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     version_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+    retain_col: str | None = None,
 ) -> DataFrame:
     """One surviving row per ``keys``: the row with the greatest
     ``version_cols`` tuple across ``base`` ∪ ``updates``; on an exact
     version tie the update wins (CDC convention — the incoming batch
-    is newer knowledge). Column order matches ``base``. Keys deleted
-    upstream are NOT handled (no tombstone column in the contract);
+    is newer knowledge). Column order matches ``base``.
+
+    ``op_col`` (a column of ``updates``, value ``delete_op`` marking a
+    tombstone) enables delete semantics: the winner per key is chosen
+    across upserts and tombstones by the SAME version ordering, and a
+    tombstone winner deletes the key from the output. A later-VERSIONED
+    upsert re-creates the key (ordering, not arrival, decides —
+    replaying any batch is idempotent). ``base`` rows are live state
+    and carry no op column. ``op_col`` is excluded from the output.
+
+    ``retain_col`` (requires ``op_col``) keeps tombstone winners IN
+    the output as a boolean column instead of filtering them — the
+    incremental-apply form: when changes arrive split across batches,
+    a delete must stay in the state (with its version) so an
+    out-of-order lower-versioned upsert in a LATER batch still loses
+    to it; discarding tombstones per batch would resurrect the key.
+    ``base`` must then carry ``retain_col`` too (its own retained
+    tombstones re-enter the race). Readers filter ``retain_col`` =
+    false; retained tombstones are compacted away once no older
+    version can arrive (the CDC low-watermark — deployment policy,
+    not this kernel's job). This is why Delta keeps deletes reachable
+    until VACUUM rather than dropping them at MERGE time.
+
+    Without ``op_col``, keys are never deleted (the pre-r8 contract):
     rows present only in ``base`` pass through unchanged.
 
     Deterministic iff no two rows of the same source share both key
     and version tuple — make ``version_cols`` end in a unique id when
-    the version itself can tie.
+    the version itself can tie. With unique versions the merge is
+    associative: any batch split applied incrementally (tombstones
+    retained) converges to the one-shot compaction — pinned by
+    pytest.
     """
-    if set(base.columns) != set(updates.columns):
+    if retain_col is not None and op_col is None:
+        raise ValueError("retain_col requires op_col")
+    data_cols = [
+        c for c in base.columns if retain_col is None or c != retain_col
+    ]
+    want_update_cols = set(data_cols) | ({op_col} if op_col else set())
+    if want_update_cols != set(updates.columns):
         raise ValueError(
-            "merge_upsert needs identical columns; got "
-            f"base={base.columns} updates={updates.columns}"
+            "merge_upsert needs identical columns (plus op_col on the "
+            f"update side, retain_col on the base side); got "
+            f"base={base.columns} updates={updates.columns} "
+            f"op_col={op_col} retain_col={retain_col}"
         )
-    missing = [c for c in (*keys, *version_cols) if c not in base.columns]
+    missing = [c for c in (*keys, *version_cols) if c not in data_cols]
     if missing:
         raise ValueError(f"key/version columns absent from inputs: {missing}")
-    tagged = base.withColumn(_PRIORITY, F.lit(0)).unionByName(
-        updates.withColumn(_PRIORITY, F.lit(1))
+    if op_col is not None:
+        if retain_col is not None:
+            tagged_base = base.withColumnRenamed(retain_col, _IS_DELETE)
+        else:
+            tagged_base = base.withColumn(_IS_DELETE, F.lit(False))
+        tagged_updates = updates.withColumn(
+            _IS_DELETE, F.col(op_col) == F.lit(delete_op)
+        ).drop(op_col)
+    else:
+        tagged_base, tagged_updates = base, updates
+    tagged = tagged_base.withColumn(_PRIORITY, F.lit(0)).unionByName(
+        tagged_updates.withColumn(_PRIORITY, F.lit(1))
     )
-    payload = [c for c in base.columns if c not in keys]
+    payload = [c for c in data_cols if c not in keys]
+    if op_col is not None:
+        payload = [*payload, _IS_DELETE]
     order = F.struct(
         *[F.col(c) for c in version_cols], F.col(_PRIORITY)
     )
     picked = tagged.groupBy(*[F.col(k) for k in keys]).agg(
         F.max_by(F.struct(*payload), order).alias("__p")
     )
-    return picked.select(
-        *[c if c in keys else F.col(f"__p.{c}").alias(c) for c in base.columns]
-    )
+    out_cols = [
+        c if c in keys else F.col(f"__p.{c}").alias(c) for c in data_cols
+    ]
+    if op_col is not None:
+        if retain_col is not None:
+            out_cols.append(F.col(f"__p.{_IS_DELETE}").alias(retain_col))
+        else:
+            # tombstone winner ⇒ the key is deleted: a post-aggregate
+            # filter on the one combined row per key — no extra shuffle
+            picked = picked.where(~F.col(f"__p.{_IS_DELETE}"))
+    return picked.select(*out_cols)

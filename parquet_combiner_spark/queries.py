@@ -800,6 +800,17 @@ _WEEK_NS = 7 * 24 * 3600 * 1_000_000_000
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 
+def _floor_div_sql(expr: str, divisor: int) -> str:
+    """Exact int64 FLOOR division (DuckDB ``//`` semantics). Spark's
+    ``div`` truncates toward zero, so the two engines disagree by one
+    bucket on negative values (pre-1970 timestamps) — latent until
+    such data appears. ``pmod`` (always >= 0) keeps the subtraction on
+    a multiple of the divisor, so the whole computation stays in exact
+    integer math — ``floor(x / d)`` on doubles would lose precision
+    above 2^53 (event ts nanos are ~1.7e18)."""
+    return f"((({expr}) - pmod({expr}, {divisor})) div {divisor})"
+
+
 def weekly_order_volume_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling (dimension densification): weekly order
     counts with MISSING weeks materialized as zero rows — the
@@ -814,7 +825,9 @@ def weekly_order_volume_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     indices."""
     weeks = _t(spark, sf_dir, "orders").select(
         F.expr(
-            f"unix_micros(cast(o_orderdate as timestamp)) div {_WEEK_US}"
+            _floor_div_sql(
+                "unix_micros(cast(o_orderdate as timestamp))", _WEEK_US
+            )
         ).alias("week")
     )
     counts = weeks.groupBy("week").agg(F.count(F.lit(1)).alias("n"))
@@ -840,10 +853,11 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the join is the one shuffle that matters and both sides
     are already user-keyed. Weeks are integer epoch-week indices
     (exact integer math, engine-neutral)."""
-    # integer `div`, not `/`: ts nanos (~1.7e18) exceed double's exact
-    # range, so float division could mis-bucket boundary timestamps
+    # exact integer FLOOR division (see _floor_div_sql): ts nanos
+    # (~1.7e18) exceed double's exact range, and `div` alone would
+    # disagree with the oracle's `//` on pre-1970 timestamps
     ev = _events(spark, sf_dir).select(
-        "user_id", F.expr(f"ts div {_WEEK_NS}").alias("week")
+        "user_id", F.expr(_floor_div_sql("ts", _WEEK_NS)).alias("week")
     )
     cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     active = ev.distinct()
@@ -1610,6 +1624,96 @@ def current_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def current_user_state_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE with tombstones (operators/merge.py ``op_col``): the CDC
+    update batch carries a change op — every 7th update is a DELETE —
+    and a tombstone that wins its key's version race removes the key
+    from the compacted state (Delta's ``WHEN MATCHED AND op='D' THEN
+    DELETE``). The op derivation is synthetic but deterministic in
+    both engines; the oracle is the window formulation with the
+    winner filtered on op."""
+    from parquet_combiner_spark.operators.merge import merge_upsert
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    base = ev.where(F.col("event_id") % 2 == 0)
+    updates = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "op",
+        F.when(F.col("event_id") % 7 == 0, F.lit("D")).otherwise(F.lit("U")),
+    )
+    return merge_upsert(
+        base,
+        updates,
+        keys=["user_id", "event_type"],
+        version_cols=["ts", "event_id"],
+        op_col="op",
+    )
+
+
+def current_user_state_with_deletes_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC apply WITH tombstones: the op-carrying change
+    stream is staged as multiple files and merged one micro-batch at
+    a time (streaming/apply_cdc.py, ``op_col`` threaded through), so
+    deletes and upserts interleave across batches in arbitrary order —
+    yet the final state must equal the one-shot batch compaction,
+    checked by the batch query's oracle verbatim (version ordering,
+    not arrival order, decides)."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.streaming.apply_cdc import (
+        apply_cdc_available_now,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    # the CHANGE stream: odd event_ids, with every 7th a tombstone;
+    # the base snapshot (even event_ids, pre-compacted) seeds state
+    changes = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "op",
+        F.when(F.col("event_id") % 7 == 0, F.lit("D")).otherwise(F.lit("U")),
+    )
+    stage = tempfile.mkdtemp(prefix="pcs-cdcd-src-")
+    root = tempfile.mkdtemp(prefix="pcs-cdcd-state-")
+    state_dir = f"{root}/state"
+    try:
+        from parquet_combiner_spark.operators.merge import merge_upsert
+
+        base = ev.where(F.col("event_id") % 2 == 0)
+        # seed the persisted state with the compacted base snapshot;
+        # the state schema carries the retained-tombstone flag the
+        # incremental apply maintains (all-false for live seed rows)
+        merge_upsert(
+            base.limit(0), base,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+        ).withColumn("__tombstone", F.lit(False)).write.parquet(state_dir)
+        # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
+        changes.repartition(3).write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        final = apply_cdc_available_now(
+            spark,
+            stage,
+            state_dir,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+            schema=schema,
+            op_col="op",
+        )
+        return final.select(
+            "user_id", "event_type", "ts", "event_id", "value"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -1660,6 +1764,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
     "current_user_state": current_user_state,
     "current_user_state_stream": current_user_state_stream,
+    "current_user_state_with_deletes": current_user_state_with_deletes,
+    "current_user_state_with_deletes_stream": (
+        current_user_state_with_deletes_stream
+    ),
     "customers_without_high_value_orders": customers_without_high_value_orders,
     "order_price_quartiles": order_price_quartiles,
     "event_props_stats": event_props_stats,
@@ -2454,6 +2562,22 @@ ORACLE_SQL: dict[str, str] = {
             FROM events
         ) WHERE rn = 1
     """,
+    # deletes: the version-race winner per key, with the key dropped
+    # when the winner is a tombstone (odd event_id divisible by 7 —
+    # the synthetic op derivation shared with the Spark side)
+    "current_user_state_with_deletes": """
+        SELECT user_id, event_type, ts, event_id, value FROM (
+            SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+                   value,
+                   CASE WHEN event_id % 2 = 1 AND event_id % 7 = 0
+                        THEN 'D' ELSE 'U' END AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_ns(ts) DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1 AND op = 'U'
+    """,
 }
 
 # the stream-stream join must produce the batch interval join's exact
@@ -2465,6 +2589,13 @@ ORACLE_SQL["purchases_after_error_interval_stream"] = ORACLE_SQL[
 # the streaming CDC apply must converge to the batch compaction's
 # exact state — one oracle checks both formulations
 ORACLE_SQL["current_user_state_stream"] = ORACLE_SQL["current_user_state"]
+
+# with tombstones retained in state, the multi-batch apply converges
+# to the one-shot compaction however the change stream is split —
+# the same oracle checks batch and stream
+ORACLE_SQL["current_user_state_with_deletes_stream"] = ORACLE_SQL[
+    "current_user_state_with_deletes"
+]
 
 # both as-of formulations (JVM union+window, cogrouped pandas
 # merge_asof) compute the same temporal join — one oracle checks both

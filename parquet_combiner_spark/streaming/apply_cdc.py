@@ -33,6 +33,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from parquet_combiner_spark.operators.merge import merge_upsert
 
@@ -45,19 +46,46 @@ def apply_cdc_available_now(
     version_cols: list[str],
     schema,
     max_files_per_trigger: int = 1,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> DataFrame:
     """Stream parquet files from ``source_dir`` (one micro-batch per
     ``max_files_per_trigger`` files) and merge each batch into the
     ``state_dir`` snapshot; returns the final state as a DataFrame.
-    """
+
+    ``op_col`` (see :func:`merge_upsert`): the stream's rows carry a
+    change op, ``delete_op`` rows are tombstones — a delete arriving
+    in any micro-batch removes the key from the returned state unless
+    a later-VERSIONED upsert reinstates it. The persisted snapshot
+    RETAINS tombstones (``__tombstone`` boolean, merge_upsert's
+    ``retain_col``): micro-batch boundaries are arbitrary, so a
+    delete must keep its version in state or an out-of-order
+    lower-versioned upsert in a later batch would resurrect the key —
+    the returned DataFrame filters tombstones out, and compacting
+    them away once no older change can arrive is the deployment's
+    CDC low-watermark policy. With tombstones retained, the merge is
+    associative and the multi-batch stream converges to the
+    single-batch compaction however the changes are split (pinned by
+    the batch oracle and pytest)."""
     tmp_dir = state_dir.rstrip("/") + "__tmp"
+    retain = "__tombstone" if op_col is not None else None
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        cols = [c for c in batch.columns if op_col is None or c != op_col]
+        state_cols = [*cols, retain] if retain else cols
         if os.path.isdir(state_dir):
-            base = spark.read.parquet(state_dir).select(*batch.columns)
+            base = spark.read.parquet(state_dir).select(*state_cols)
+        elif retain:
+            base = (
+                spark.createDataFrame([], batch.select(*cols).schema)
+                .withColumn(retain, F.lit(False))
+            )
         else:
-            base = spark.createDataFrame([], batch.schema)
-        merged = merge_upsert(base, batch, keys, version_cols)
+            base = spark.createDataFrame([], batch.select(*cols).schema)
+        merged = merge_upsert(
+            base, batch, keys, version_cols, op_col=op_col,
+            delete_op=delete_op, retain_col=retain,
+        )
         merged.write.mode("overwrite").parquet(tmp_dir)
         # swap: the tmp write is complete before the old snapshot goes
         shutil.rmtree(state_dir, ignore_errors=True)
@@ -77,4 +105,8 @@ def apply_cdc_available_now(
         query.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(state_dir)
+    state = spark.read.parquet(state_dir)
+    if retain and retain in state.columns:
+        # retained tombstones are state bookkeeping, not live rows
+        state = state.where(~F.col(retain)).drop(retain)
+    return state

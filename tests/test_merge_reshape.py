@@ -122,3 +122,116 @@ def test_semi_anti_partition_customers(spark):
     assert with_hv.isdisjoint(without_hv)
     n_cust = spark.read.parquet(f"{sf}/customer.parquet").count()
     assert len(with_hv) + len(without_hv) == n_cust
+
+
+@pytest.fixture(scope="module")
+def cdc_ops(spark):
+    """Base state + an op-carrying change batch covering the delete
+    matrix: delete-wins, stale-delete-loses, delete-then-reinsert,
+    delete-of-absent-key, plain upsert."""
+    base = spark.createDataFrame(
+        [
+            Row(k="a", v=10, val="base-a"),   # deleted by newer D
+            Row(k="b", v=10, val="base-b"),   # stale D ignored
+            Row(k="c", v=10, val="base-c"),   # untouched
+            Row(k="d", v=10, val="base-d"),   # deleted then re-upserted
+        ]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k="a", v=20, val=None, op="D"),      # newer: deletes a
+            Row(k="b", v=5, val=None, op="D"),       # older: b survives
+            Row(k="d", v=20, val=None, op="D"),      # deletes base-d...
+            Row(k="d", v=30, val="upd-d", op="U"),   # ...but newer U wins
+            Row(k="e", v=1, val=None, op="D"),       # delete absent key
+            Row(k="f", v=1, val="upd-f", op="U"),    # plain insert
+        ]
+    )
+    return base, changes
+
+
+def test_merge_upsert_deletes_latest_wins(spark, cdc_ops):
+    base, changes = cdc_ops
+    out = {
+        r["k"]: r
+        for r in merge_upsert(
+            base, changes, ["k"], ["v"], op_col="op"
+        ).collect()
+    }
+    assert set(out) == {"b", "c", "d", "f"}
+    assert out["b"]["val"] == "base-b"   # stale tombstone lost the race
+    assert out["c"]["val"] == "base-c"
+    assert out["d"]["val"] == "upd-d"    # reinsert after delete
+    assert out["f"]["val"] == "upd-f"
+    # op column never leaks into the output
+    assert "op" not in merge_upsert(
+        base, changes, ["k"], ["v"], op_col="op"
+    ).columns
+
+
+def test_merge_upsert_delete_replay_idempotent(spark, cdc_ops):
+    """Applying the same op-carrying batch twice (foreachBatch's
+    at-least-once delivery) must be a no-op the second time —
+    including for deletes."""
+    base, changes = cdc_ops
+    once = merge_upsert(base, changes, ["k"], ["v"], op_col="op")
+    twice = merge_upsert(
+        once, changes, ["k"], ["v"], op_col="op"
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_merge_upsert_retained_tombstones_block_stale_resurrect(
+    spark, cdc_ops
+):
+    """The incremental-apply form (retain_col): a delete applied in
+    batch 1 must keep its version in state so a LOWER-versioned upsert
+    arriving in batch 2 cannot resurrect the key — and the final
+    retained state, filtered, equals the one-shot compaction of all
+    changes (associativity)."""
+    base, _ = cdc_ops
+    b1 = spark.createDataFrame(
+        [("a", 20, None, "D")], "k string, v bigint, val string, op string"
+    )
+    b2 = spark.createDataFrame(
+        [Row(k="a", v=15, val="stale-upd-a", op="U")]  # older than the D
+    )
+    seeded = base.withColumn("__dead", F.lit(False))
+    s1 = merge_upsert(
+        seeded, b1, ["k"], ["v"], op_col="op", retain_col="__dead"
+    )
+    s2 = merge_upsert(
+        s1, b2, ["k"], ["v"], op_col="op", retain_col="__dead"
+    )
+    live = {r["k"]: r for r in s2.where(~F.col("__dead")).collect()}
+    assert "a" not in live  # the stale upsert did NOT resurrect the key
+    # one-shot compaction over the union of both batches agrees
+    oneshot = merge_upsert(
+        base, b1.unionByName(b2), ["k"], ["v"], op_col="op"
+    )
+    assert sorted(
+        map(tuple, s2.where(~F.col("__dead")).drop("__dead").collect())
+    ) == sorted(map(tuple, oneshot.collect()))
+    # WITHOUT retention the stale upsert would wrongly resurrect: the
+    # hazard the retained state exists to prevent
+    naive1 = merge_upsert(base, b1, ["k"], ["v"], op_col="op")
+    naive2 = merge_upsert(naive1, b2, ["k"], ["v"], op_col="op")
+    assert "a" in {r["k"] for r in naive2.collect()}
+
+
+def test_merge_upsert_retain_requires_op(spark, cdc_ops):
+    base, changes = cdc_ops
+    with pytest.raises(ValueError, match="retain_col requires op_col"):
+        merge_upsert(base, changes.drop("op"), ["k"], ["v"], retain_col="__d")
+
+
+def test_merge_upsert_deletes_still_partial_aggregate(spark, cdc_ops):
+    """Tombstone handling must not change the plan shape: still one
+    partial-aggregated exchange, no window sort, filter after the
+    aggregate."""
+    base, changes = cdc_ops
+    out = merge_upsert(base, changes, ["k"], ["v"], op_col="op")
+    assert_partial_aggregate(out)
+    assert "Window" not in plan_text(out)
