@@ -619,17 +619,28 @@ def q_ann_cosine_topk_ivf_fullprobe(
     )
 
 
+# Shared by the Spark query AND its SQL oracle (the hyperplanes are
+# seeded plan literals, so the oracle tracks these knobs
+# automatically). threshold 0.4: the synthetic embeddings are
+# near-orthogonal (max pairwise cosine ~0.5-0.6), so a "near-dup" bar
+# of 0.9 would be vacuously empty; 0.4 exercises the LSH recall path
+# on real pairs. num_planes=8: random (cos≈0) pairs collide per table
+# at ~0.5^8, so the 12-table union keeps candidate density ~0.05 —
+# comfortably inside the library's 0.25 pruning guard. The registry
+# plan is therefore the same SPARSE shape the 100×-scale deployment
+# runs (the r7 knobs, num_planes=5, scored ~1/3 of all pairs and made
+# every sweep warn about itself).
+_NEAR_DUP_PLANES = 8
+_NEAR_DUP_TABLES = 12
+_NEAR_DUP_MIN_COS = 0.4
+
+
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # threshold 0.4: the synthetic embeddings are near-orthogonal (max
-    # pairwise cosine ~0.5-0.6), so a "near-dup" bar of 0.9 would be
-    # vacuously empty; 0.4 exercises the LSH recall path on real pairs.
-    # These knobs make buckets DENSE on this testdata (~1/3 of all
-    # pairs are candidates), so the library's density guard fires a
-    # RuntimeWarning here BY DESIGN — the no-silent-caps posture; the
-    # sparse production shape is pinned by
-    # test_embedding_lsh_planted_recall_at_production_knobs.
     return similarity.embedding_near_dup_pairs(
-        _embs(spark, sf_dir), min_cosine=0.4, num_planes=5, num_tables=12
+        _embs(spark, sf_dir),
+        min_cosine=_NEAR_DUP_MIN_COS,
+        num_planes=_NEAR_DUP_PLANES,
+        num_tables=_NEAR_DUP_TABLES,
     )
 
 
@@ -1390,9 +1401,9 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
             SELECT vec_id, emb,
 {",".join(
     f'''
-                   {_lsh_code_sql(similarity.hyperplanes(_EMB_DIM, 5, seed=42 + t), "emb")}
+                   {_lsh_code_sql(similarity.hyperplanes(_EMB_DIM, _NEAR_DUP_PLANES, seed=42 + t), "emb")}
                    AS c{t}'''
-    for t in range(12)
+    for t in range(_NEAR_DUP_TABLES)
 )}
             FROM e
         ), pairs AS (
@@ -1402,10 +1413,10 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                       * sqrt(list_dot_product(b.emb, b.emb))) AS cos
             FROM coded a JOIN coded b
               ON a.vec_id < b.vec_id
-             AND ({" OR ".join(f"a.c{t} = b.c{t}" for t in range(12))})
+             AND ({" OR ".join(f"a.c{t} = b.c{t}" for t in range(_NEAR_DUP_TABLES))})
         )
         SELECT id_a, id_b, round(cos, 6) AS sim
-        FROM pairs WHERE cos >= 0.4
+        FROM pairs WHERE cos >= {_NEAR_DUP_MIN_COS}
     """,
     "embedding_label_stats": """
         SELECT label, count(*) AS n,
