@@ -1465,6 +1465,106 @@ def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_price_quartiles_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100-TB form of :func:`order_price_quartiles`: thresholds
+    from ``approx_percentile`` (Greenwald-Khanna sketch, accuracy
+    10000 ≈ 0.01% rank error) instead of exact ``percentile``, whose
+    single aggregation buffer holds EVERY distinct value — the very
+    hazard the engine's GK path (price_percentiles_approx) exists to
+    avoid. Same broadcast-back bucketing; thresholds are actual data
+    values (GK returns members, not interpolations), so bucket
+    boundaries shift by at most the sketch's rank error — pinned by
+    the error-bound pytest. Rows-only under the driver (DuckDB's
+    approx_quantile is a t-digest, not reproducible)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    thr = orders.agg(
+        F.approx_percentile(
+            "o_totalprice", F.lit(0.25), F.lit(10000)
+        ).alias("q1"),
+        F.approx_percentile(
+            "o_totalprice", F.lit(0.5), F.lit(10000)
+        ).alias("q2"),
+        F.approx_percentile(
+            "o_totalprice", F.lit(0.75), F.lit(10000)
+        ).alias("q3"),
+    )
+    quart = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+        .when(F.col("o_totalprice") <= F.col("q2"), 2)
+        .when(F.col("o_totalprice") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return (
+        orders.crossJoin(F.broadcast(thr))
+        .withColumn("quartile", quart)
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def customer_rfm_segments_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100-TB form of :func:`customer_rfm_segments`: the six
+    tercile thresholds come from ``approx_percentile`` (GK sketch)
+    instead of exact ``percentile`` — same broadcast-back scoring, no
+    single-buffer-holds-every-distinct-value hazard. Scores flip only
+    for customers within the sketch's rank error of a tercile
+    boundary (error-bound pytest); rows-only under the driver."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("__maxd"))
+    rfm = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff(F.col("__maxd"), F.col("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    thr = rfm.agg(
+        *[
+            F.approx_percentile(c, F.lit(q), F.lit(10000))
+            .cast("double")
+            .alias(f"{c}_{int(q * 3)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (1 / 3, 2 / 3)
+        ]
+    )
+
+    def score(c: str, invert: bool) -> F.Column:
+        lo, hi = F.col(f"{c}_1"), F.col(f"{c}_2")
+        s = (
+            F.when(F.col(c) >= hi, 3)
+            .when(F.col(c) >= lo, 2)
+            .otherwise(1)
+        )
+        return (4 - s) if invert else s
+
+    return rfm.crossJoin(F.broadcast(thr)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.concat(
+            score("recency_days", invert=True).cast("string"),
+            score("frequency", invert=False).cast("string"),
+            score("monetary", invert=False).cast("string"),
+        ).alias("rfm_segment"),
+    )
+
+
 _HIGH_VALUE_ORDER = 400_000.0
 
 
@@ -1770,6 +1870,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "customers_without_high_value_orders": customers_without_high_value_orders,
     "order_price_quartiles": order_price_quartiles,
+    "order_price_quartiles_approx": order_price_quartiles_approx,
+    "customer_rfm_segments_approx": customer_rfm_segments_approx,
     "event_props_stats": event_props_stats,
     "monthly_order_volume": monthly_order_volume,
     "red_parts_by_brand": red_parts_by_brand,

@@ -1208,3 +1208,50 @@ def test_canonicalize_values_frequency_vote_and_transitivity(spark):
     assert out["bolt"] == ("bolt", 3)
     assert out["bolts"] == ("bolt", 3)
     assert out["sprocket"] == ("sprocket", 4)
+
+
+def test_threshold_family_approx_twins_within_bound(spark):
+    """The percentile-threshold family's 100 TB twins: quartile
+    bucketing and RFM scoring driven by approx_percentile (GK sketch,
+    accuracy 10000 => rank error <= n/10000) must agree with the
+    exact-threshold formulations except for rows within the sketch's
+    rank error of a boundary."""
+    from parquet_combiner_spark.queries import (
+        customer_rfm_segments,
+        customer_rfm_segments_approx,
+        order_price_quartiles,
+        order_price_quartiles_approx,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact_q = {
+        r["quartile"]: r for r in order_price_quartiles(spark, sf).collect()
+    }
+    approx_q = {
+        r["quartile"]: r
+        for r in order_price_quartiles_approx(spark, sf).collect()
+    }
+    assert set(exact_q) == set(approx_q) == {1, 2, 3, 4}
+    n = sum(r["n_orders"] for r in exact_q.values())
+    assert n == sum(r["n_orders"] for r in approx_q.values())
+    for q in exact_q:
+        # each bucket's population shifts by at most the rank error
+        # (+1 for the value-vs-interpolation boundary convention)
+        assert (
+            abs(approx_q[q]["n_orders"] - exact_q[q]["n_orders"])
+            <= n / 10000 + 1
+        )
+
+    exact_seg = {
+        r["o_custkey"]: r["rfm_segment"]
+        for r in customer_rfm_segments(spark, sf).collect()
+    }
+    approx_seg = {
+        r["o_custkey"]: r["rfm_segment"]
+        for r in customer_rfm_segments_approx(spark, sf).collect()
+    }
+    assert set(exact_seg) == set(approx_seg)
+    diff = sum(1 for k in exact_seg if exact_seg[k] != approx_seg[k])
+    # only customers AT a tercile boundary can flip; frequency/recency
+    # are small integers with heavy ties, so allow the tied band
+    assert diff / len(exact_seg) <= 0.05, f"{diff}/{len(exact_seg)} flipped"
