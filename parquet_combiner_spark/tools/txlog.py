@@ -17,16 +17,18 @@ it to one ``spark.read.parquet(*files)`` call, so snapshot isolation
 costs nothing at plan time and old versions stay readable until
 vacuumed.
 
-Concurrency: a commit is PUBLISHED by creating the next version's
-log file with O_CREAT|O_EXCL — the filesystem arbitrates exactly one
-winner per version; the loser raises ``CommitConflict`` (retry =
-re-read the log, re-validate, re-attempt, the standard optimistic
-loop). Data files are written BEFORE the commit attempt into a
-commit-unique directory, so a losing or crashed writer leaves only
-unreferenced files (cleaned by :func:`vacuum`), never a torn table.
-On object stores without atomic create-exclusive (S3), the same
-design needs a conditional-put or a commit service — documented
-limitation, same as Delta's S3 story.
+Concurrency: a commit is PUBLISHED through a pluggable
+:class:`CommitArbiter` whose one obligation is "exactly one winner
+per version" — the default :class:`FilesystemArbiter` uses
+O_CREAT|O_EXCL (the filesystem arbitrates); the loser raises
+``CommitConflict`` (retry = re-read the log, re-validate, re-attempt,
+the standard optimistic loop). Data files are written BEFORE the
+commit attempt into a commit-unique directory, so a losing or crashed
+writer leaves only unreferenced files (cleaned by :func:`vacuum`),
+never a torn table. Object stores without atomic create-exclusive
+plug in a conditional-put or commit-service arbiter (see
+:class:`CommitArbiter`) — same story as Delta on S3, but now an
+injection point instead of a documented limitation.
 
 Schema evolution: appends must match the table schema exactly
 (by-name, order-insensitive); ``overwrite`` may change it — the
@@ -48,6 +50,61 @@ _VERSION_DIGITS = 20
 
 class CommitConflict(RuntimeError):
     """Another writer published this version first; re-read and retry."""
+
+
+class CommitArbiter:
+    """The atomicity primitive behind :func:`commit`: publish exactly
+    one winner per (table, version). ``publish`` must either create
+    the commit record at ``path`` atomically-exclusively or raise
+    :class:`CommitConflict` — the ONLY contract the optimistic loop
+    needs from the storage layer.
+
+    Implementations:
+
+    * :class:`FilesystemArbiter` (default) — POSIX ``O_CREAT|O_EXCL``;
+      correct on any filesystem with atomic exclusive create (local,
+      NFSv4, HDFS-mounted).
+    * Object stores (S3-class) lack atomic create-exclusive: implement
+      this interface with a conditional put (`If-None-Match: *` on S3
+      since 2024, generation-match preconditions on GCS/Azure) or an
+      external commit service (DynamoDB lock table — Delta's S3
+      recipe). The rest of the layer is unchanged: data files are
+      already written before ``publish`` and losers leave only
+      unreferenced garbage for :func:`vacuum`.
+
+    Inject per-call (``commit(..., arbiter=...)``) or process-wide
+    (:func:`set_arbiter`).
+    """
+
+    def publish(self, path: str, payload: str) -> None:
+        raise NotImplementedError
+
+
+class FilesystemArbiter(CommitArbiter):
+    """O_CREAT|O_EXCL exclusive create — the filesystem arbitrates
+    exactly one winner per version."""
+
+    def publish(self, path: str, payload: str) -> None:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"commit record {path} was published concurrently"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+
+
+_DEFAULT_ARBITER: CommitArbiter = FilesystemArbiter()
+
+
+def set_arbiter(arbiter: CommitArbiter) -> CommitArbiter:
+    """Swap the process-wide commit arbiter (e.g. for an object-store
+    conditional-put implementation); returns the previous one."""
+    global _DEFAULT_ARBITER
+    prev = _DEFAULT_ARBITER
+    _DEFAULT_ARBITER = arbiter
+    return prev
 
 
 def _log_path(table: str, version: int) -> str:
@@ -123,6 +180,7 @@ def commit(
     meta: dict | None = None,
     merge_schema: bool = False,
     expected_version: int | None = None,
+    arbiter: CommitArbiter | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
@@ -206,13 +264,11 @@ def commit(
     }
     path = _log_path(table, version)
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError as e:
+        (arbiter or _DEFAULT_ARBITER).publish(path, json.dumps(record))
+    except CommitConflict as e:
         raise CommitConflict(
             f"version {version} of {table} was committed concurrently"
         ) from e
-    with os.fdopen(fd, "w") as f:
-        json.dump(record, f)
     return version
 
 

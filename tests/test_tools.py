@@ -590,3 +590,63 @@ def test_incremental_dedup_validates_max_retries(spark, tmp_path):
         dedup_text.incremental_dedup(
             spark, docs, str(tmp_path / "idx"), max_retries=0
         )
+
+
+def test_commit_arbiter_is_pluggable_and_races_surface(spark, tmp_path):
+    """The commit-publish atomicity primitive is an injectable
+    interface (object-store conditional-put slot). A racing arbiter —
+    one that lets a concurrent writer publish first — must surface
+    CommitConflict through commit(), and the loser's data files must
+    be vacuum-eligible garbage, exactly as with the filesystem
+    arbiter."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(spark.createDataFrame([Row(k=0)]), table)
+
+    class RacingArbiter(txlog.CommitArbiter):
+        """Simulates losing the object-store conditional put: a
+        concurrent writer lands the version first, then we publish."""
+
+        def __init__(self):
+            self.fs = txlog.FilesystemArbiter()
+            self.raced = False
+
+        def publish(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                txlog.commit(  # the concurrent winner (default arbiter)
+                    spark.createDataFrame([Row(k=77)]), table
+                )
+            self.fs.publish(path, payload)
+
+    import pytest as _pytest
+
+    racing = RacingArbiter()
+    with _pytest.raises(txlog.CommitConflict):
+        txlog.commit(
+            spark.createDataFrame([Row(k=1)]), table, arbiter=racing
+        )
+    # the loser left only unreferenced data files — vacuum garbage,
+    # never a torn table
+    assert txlog.read_table(spark, table).count() == 2  # k=0 and k=77
+    assert len(txlog.vacuum(table, dry_run=True, min_age_seconds=0)) >= 1
+
+    # process-wide injection: set_arbiter returns the previous one
+    class CountingArbiter(txlog.CommitArbiter):
+        def __init__(self):
+            self.fs, self.n = txlog.FilesystemArbiter(), 0
+
+        def publish(self, path, payload):
+            self.n += 1
+            self.fs.publish(path, payload)
+
+    counting = CountingArbiter()
+    prev = txlog.set_arbiter(counting)
+    try:
+        txlog.commit(spark.createDataFrame([Row(k=2)]), table)
+        assert counting.n == 1
+    finally:
+        txlog.set_arbiter(prev)
