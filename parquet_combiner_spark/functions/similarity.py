@@ -565,6 +565,63 @@ def _ivf_assign(
     )
 
 
+def persist_ivf_centroids(
+    embeddings: DataFrame,
+    table: str,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Train the IVF coarse quantizer ONCE and commit it to a txlog
+    versioned table — the production posture: retraining k-means per
+    query invocation (what :func:`cosine_topk_ivf` does by default
+    for self-containedness) re-pays the training sample collect and,
+    worse, lets two invocations disagree about cell geometry. A
+    committed quantizer is shared, versioned (re-trains append a new
+    version; readers pin one), and time-travelable alongside the data
+    it indexes. Returns the committed version.
+
+    One row per centroid (centroid_id, centroid) — metadata-sized, so
+    loading is a bounded collect."""
+    from parquet_combiner_spark.tools import txlog
+
+    cents = train_ivf_centroids(
+        embeddings, n_centroids, sample=sample, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    df = embeddings.sparkSession.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+    return txlog.commit(
+        df,
+        table,
+        action="overwrite",
+        meta={"n_centroids": len(cents), "sample": sample, "seed": seed},
+    )
+
+
+def load_ivf_centroids(
+    spark, table: str, version: int | None = None
+) -> list[list[float]]:
+    """Load a committed quantizer (latest or a pinned version) in
+    centroid_id order — the ``centroids=`` input to
+    :func:`cosine_topk_ivf`."""
+    from parquet_combiner_spark.tools import txlog
+
+    rows = (
+        txlog.read_table(spark, table, version)
+        .orderBy("centroid_id")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"{table} holds no centroids")
+    return [list(r["centroid"]) for r in rows]
+
+
 def cosine_topk_ivf(
     candidates: DataFrame,
     queries: DataFrame,
@@ -573,6 +630,7 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: candidates are partitioned into
     ``n_centroids`` Voronoi cells (one cell each); each query probes
@@ -580,8 +638,12 @@ def cosine_topk_ivf(
     centroid_id — the big side shuffles once on a small int key and
     only ~nprobe/n_centroids of the corpus is scored per query.
     Output: (q_id, n_id, sim, rank), a subset of the brute-force
-    result with recall controlled by ``nprobe``."""
-    cents = train_ivf_centroids(
+    result with recall controlled by ``nprobe``.
+
+    ``centroids`` (e.g. from :func:`load_ivf_centroids`) skips the
+    in-query k-means — the train-once scale path; ``n_centroids`` is
+    then ignored in favor of the given quantizer."""
+    cents = centroids if centroids is not None else train_ivf_centroids(
         candidates, n_centroids, id_col=id_col, vec_col=vec_col
     )
     cand = _ivf_assign(candidates, cents, 1, "n_id", "n_emb", id_col, vec_col)

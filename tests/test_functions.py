@@ -1342,3 +1342,41 @@ def test_payload_energy_windows_hand_computed(spark):
 
     with pytest.raises(ValueError, match="window_bytes"):
         multimodal.payload_energy_windows(media, window_bytes=0)
+
+
+def test_ivf_persisted_centroids_parity(spark, tmp_path):
+    """Train-once path: a quantizer committed to a txlog table and
+    loaded back must give cosine_topk_ivf results identical to
+    training in-query (same seed/sample), and the committed table is
+    versioned (a re-train appends a new version; the old one stays
+    pinnable)."""
+    from parquet_combiner_spark.functions import similarity
+    from parquet_combiner_spark.tools import txlog
+
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = embs.where("vec_id < 8")
+    table = str(tmp_path / "quantizer")
+
+    v0 = similarity.persist_ivf_centroids(embs, table, n_centroids=8)
+    cents = similarity.load_ivf_centroids(spark, table)
+    assert len(cents) == 8
+
+    trained_now = similarity.cosine_topk_ivf(
+        embs, queries, k=3, n_centroids=8, nprobe=3
+    )
+    from_table = similarity.cosine_topk_ivf(
+        embs, queries, k=3, nprobe=3, centroids=cents
+    )
+    assert sorted(map(tuple, trained_now.collect())) == sorted(
+        map(tuple, from_table.collect())
+    )
+
+    # re-train commits a NEW version; the old quantizer stays readable
+    v1 = similarity.persist_ivf_centroids(embs, table, n_centroids=4)
+    assert v1 == v0 + 1
+    assert len(similarity.load_ivf_centroids(spark, table)) == 4
+    assert len(similarity.load_ivf_centroids(spark, table, version=v0)) == 8
+    # history carries the training provenance
+    meta = txlog.history(table)[0]["meta"]
+    assert meta["n_centroids"] == 4 and meta["seed"] == 42
