@@ -45,6 +45,13 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_token_stats(_docs(spark, sf_dir))
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization under the :data:`text.BPE_MERGES` table
+    (a codegen'd replace chain — merges are plan literals, so the
+    DuckDB oracle runs the same table and the result hash-checks)."""
+    return text.doc_bpe_token_stats(_docs(spark, sf_dir))
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_quality(_docs(spark, sf_dir))
 
@@ -674,6 +681,7 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_chunks": q_doc_chunks,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_pii_scrub": q_doc_pii_scrub,
@@ -744,6 +752,18 @@ def _lsh_code_sql(planes: list[list[float]], emb: str) -> str:
 
 _STOPWORD_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
+
+def _bpe_merged_sql(expr: str) -> str:
+    """The same two-pass merge chain as text.bpe_encode_spaced,
+    rendered as nested DuckDB replace() calls from the SAME
+    BPE_MERGES table — replace() composes identically in both
+    engines, so the encoder is hash-checkable."""
+    for a, b in text.BPE_MERGES:
+        pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+        expr = f"replace({expr}, {pat}, {rep})"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
 # shared by ngram_jaccard_pairs and (as the pair source) the
 # near_dup_clusters recursive-CTE oracle
 _NGRAM_PAIRS_SQL = """
@@ -811,6 +831,32 @@ _EN_MARKERS = ", ".join(f"'{m}'" for m in text.LANG_MARKERS["en"])
 PIPELINE_ORACLE_SQL: dict[str, str] = {
     # minhash/simhash/LSH queries intentionally absent: xxhash64-based,
     # not reproducible in DuckDB → rows-only check.
+    "doc_bpe_tokens": f"""
+        WITH s AS (
+            SELECT doc_id, lower(text) AS lt,
+                   ' ' || regexp_replace(lower(text), '(.)', '\\1 ', 'g')
+                   AS sp
+            FROM documents
+        ), m AS (
+            SELECT doc_id, lt, {_bpe_merged_sql("sp")} AS merged FROM s
+        ), c AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       string_split_regex(trim(lt), '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_words,
+                   CAST(length(regexp_replace(lt, '\\s', '', 'g'))
+                        AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(
+                       string_split_regex(trim(merged), '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_bpe_tokens
+            FROM m
+        )
+        SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+               CASE WHEN n_bpe_tokens > 0
+                    THEN round(n_chars / CAST(n_bpe_tokens AS DOUBLE), 4)
+               END AS chars_per_token
+        FROM c
+    """,
     "doc_lang_id": f"""
         WITH t AS (
             SELECT doc_id, lang, string_split(lower(text), ' ') AS toks

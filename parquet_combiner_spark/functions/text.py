@@ -487,3 +487,83 @@ def doc_unigram_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("logp"), 4).alias("avg_logp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenization (merges table as plan literals)
+# ---------------------------------------------------------------------------
+
+# An ordered BPE merge table (the learned artifact a real tokenizer
+# ships — here a hand-built English-ish table exercising multi-level
+# merges: "ing" needs "in" first, "the" needs "th"). In production
+# the table is the tokenizer's merges.txt loaded at plan-build time;
+# either way it enters the plan as LITERALS, so the whole encoder is
+# a codegen'd expression chain — no UDF, no shuffle, no driver loop.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"), ("e", "s"),
+    ("s", "t"), ("a", "l"), ("a", "r"), ("l", "e"), ("th", "e"),
+    ("an", "d"), ("in", "g"), ("t", "o"), ("o", "f"), ("i", "s"),
+    ("i", "t"), ("o", "u"), ("s", "e"), ("v", "e"), ("c", "k"),
+    ("q", "u"), ("qu", "er"), ("b", "le"), ("ta", "ble"),
+    ("t", "a"), ("w", "in"), ("win", "d"), ("r", "o"), ("ro", "w"),
+)
+
+
+def bpe_encode_spaced(text: Column | str) -> Column:
+    """The classic space-delimited BPE encoder as ONE expression
+    chain: every character becomes a space-separated symbol (word
+    boundaries become multi-space runs no single-space merge pattern
+    can cross), then each merge ``(a, b)`` rewrites ``' a b '`` →
+    ``' ab '`` in table order. Each merge is applied as TWO replace
+    passes: a left-to-right replace consumes the trailing space of a
+    match, so immediately repeated pairs (" x y x y ") leave an
+    unmerged straggler the second pass catches — the deterministic
+    two-pass rule is part of the operator's spec and is reproduced
+    verbatim by the SQL oracle (replace() composes identically).
+
+    Returns the merged spaced-symbol string; count symbols with
+    :func:`bpe_token_count`. Sentinel spaces pad both ends so every
+    symbol, including the first and last, has the delimiters the
+    merge patterns require."""
+    spaced = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(text), "(.)", "$1 "),
+    )
+    for a, b in BPE_MERGES:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        spaced = F.replace(F.replace(spaced, pat, rep), pat, rep)
+    return spaced
+
+
+def bpe_token_count(merged: Column) -> Column:
+    """Symbols remaining after the merges = BPE token count (split on
+    whitespace runs, empties discarded)."""
+    toks = F.filter(
+        F.split(F.trim(merged), "\\s+"), lambda x: x != F.lit("")
+    )
+    return F.size(toks).cast("long")
+
+
+def doc_bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document BPE tokenization stats: word count, non-space
+    character count, BPE token count under :data:`BPE_MERGES`, and
+    chars-per-token (the compression ratio tokenizer quality is
+    judged by). The whole computation is a narrow codegen'd
+    projection — the merges are plan literals, so the same table
+    drives the DuckDB oracle and the result is hash-checkable."""
+    lt = F.lower(F.col("text"))
+    words = F.filter(
+        F.split(F.trim(lt), "\\s+"), lambda x: x != F.lit("")
+    )
+    n_tokens = bpe_token_count(bpe_encode_spaced(F.col("text")))
+    n_chars = F.length(F.regexp_replace(lt, "\\s", "")).cast("long")
+    return documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_bpe_tokens"),
+        F.when(
+            n_tokens > 0, F.round(n_chars / n_tokens, 4)
+        ).alias("chars_per_token"),
+    )

@@ -1380,3 +1380,47 @@ def test_ivf_persisted_centroids_parity(spark, tmp_path):
     # history carries the training provenance
     meta = txlog.history(table)[0]["meta"]
     assert meta["n_centroids"] == 4 and meta["seed"] == 42
+
+
+def test_bpe_encoder_matches_python_reference(spark):
+    """The codegen'd BPE replace chain must reproduce a pure-Python
+    implementation of the same spec (space every char, two
+    left-to-right replace passes per merge, in table order) — and
+    basic tokenizer invariants: merged count <= char count, merging
+    never yields zero tokens on non-empty text, multi-level merges
+    ('the', 'ing') actually fire."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions import text as T
+
+    samples = [
+        "the cat in the hat",
+        "query the table for a window row",
+        "thththe       thhh",   # repeated-pair stragglers
+        "and and and",          # immediate repetition (two-pass rule)
+        "x",                    # single char
+        "ingesting interesting things",
+    ]
+
+    def py_encode(s: str) -> list[str]:
+        sp = " " + "".join(c + " " for c in s.lower())
+        for a, b in T.BPE_MERGES:
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            sp = sp.replace(pat, rep).replace(pat, rep)
+        return sp.split()
+
+    df = spark.createDataFrame([Row(doc_id=i, text=s) for i, s in enumerate(samples)])
+    got = {
+        r["doc_id"]: r
+        for r in T.doc_bpe_token_stats(df).collect()
+    }
+    for i, s in enumerate(samples):
+        ref = py_encode(s)
+        assert got[i]["n_bpe_tokens"] == len(ref), (s, ref)
+        n_chars = len(s.replace(" ", ""))
+        assert got[i]["n_chars"] == n_chars
+        assert got[i]["n_bpe_tokens"] <= n_chars
+        assert got[i]["n_bpe_tokens"] >= 1
+    # multi-level merges fire: 'the' collapses to ONE token
+    assert py_encode("the")== ["the"]
+    assert got[0]["n_bpe_tokens"] < got[0]["n_chars"]  # real compression
