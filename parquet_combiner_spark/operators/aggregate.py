@@ -40,33 +40,51 @@ def group_stats(
     would shuffle every value.
 
     The mode is computed via two-level aggregation (count per
-    (group, mode_col) then ``max_by``) with a deterministic tiebreak:
-    highest count wins, then *lowest* mode_col value. One shuffle on
-    (group, mode_col), one on group — both with partial aggregation.
+    (group, mode_col) then arg-min on the negated count) with a
+    deterministic tiebreak: highest count wins, then *lowest*
+    mode_col value.
+
+    Fast path (``item_col == mode_col``, the LocationStats shape):
+    ALL three statistics derive from ONE (group, item) pre-aggregation
+    — total = sum of the counts, unique = count of the pre-agg's
+    (non-null) rows, mode = arg-min over the pre-agg — so the input
+    is scanned ONCE and shuffled ONCE on (group, item); the second
+    aggregate runs over item-cardinality rows. The generic
+    formulation (two independent subtrees + join) scanned the input
+    twice and paid ``count(DISTINCT)``'s expand on one of them —
+    measured 0.84s → 0.48s at sf0.1 (this was the r7 bench-drift
+    suspect: not noise, a doubled scan).
     """
-    uniq = (
-        F.approx_count_distinct(item_col)
-        if approx
-        else F.countDistinct(item_col)
-    )
     per_mode = df.groupBy(group_col, mode_col).agg(
         F.count(F.lit(1)).alias("__mode_cnt")
-    )
-    totals = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias(total_alias),
-        uniq.alias(unique_alias),
     )
     # min_by over (-count, value): highest count wins, then lowest
     # value — the negation happens on the exact long count, and the
     # value itself is compared ascending, so any orderable mode_col
     # type works with no precision loss (fixes the 2^53 double-cast
     # hazard on large ids).
-    mode_pick = per_mode.groupBy(group_col).agg(
-        F.min_by(
-            F.col(mode_col),
-            F.struct(-F.col("__mode_cnt"), F.col(mode_col)),
-        ).alias(mode_alias)
+    mode_arg = F.min_by(
+        F.col(mode_col),
+        F.struct(-F.col("__mode_cnt"), F.col(mode_col)),
     )
+    if item_col == mode_col:
+        # exact distinct is FREE here (pre-agg row count), so the
+        # approx flag is moot on this path — exact beats the sketch
+        return per_mode.groupBy(group_col).agg(
+            F.sum("__mode_cnt").alias(total_alias),
+            F.count(F.col(mode_col)).alias(unique_alias),
+            F.coalesce(mode_arg, F.lit(-1)).alias(mode_alias),
+        )
+    uniq = (
+        F.approx_count_distinct(item_col)
+        if approx
+        else F.countDistinct(item_col)
+    )
+    totals = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias(total_alias),
+        uniq.alias(unique_alias),
+    )
+    mode_pick = per_mode.groupBy(group_col).agg(mode_arg.alias(mode_alias))
     return totals.join(mode_pick, on=group_col, how="left").withColumn(
         mode_alias, F.coalesce(F.col(mode_alias), F.lit(-1))
     )
