@@ -1646,6 +1646,24 @@ def current_user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def windowed_top_events_update_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Update-mode windowed top-N (streaming/pipeline.py): the
+    live-dashboard twin of ``windowed_top_events_stream`` — every
+    trigger re-emits changed window counts, a foreachBatch MERGE
+    upserts them into a store, and the converged store ranks ALL
+    windows (no watermark cut), which is exactly the batch SQL the
+    oracle runs."""
+    from parquet_combiner_spark.streaming.pipeline import (
+        windowed_top_events_update_available_now,
+    )
+
+    return windowed_top_events_update_available_now(
+        spark, f"{sf_dir}/events.parquet", "1 hour", 3, "10 minutes"
+    )
+
+
 # Known event types, pinned so the pivot never needs the extra
 # distinct-values job Spark runs when the list is omitted — at 100 TB
 # that implicit first pass is a full scan of the fact table.
@@ -1842,6 +1860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions_stream": user_sessions_stream,
     "user_sessions_stream_native": user_sessions_stream_native,
     "windowed_top_events_stream": windowed_top_events_stream,
+    "windowed_top_events_update_stream": windowed_top_events_update_stream,
     "price_percentiles": price_percentiles,
     "price_percentiles_approx": price_percentiles_approx,
     "user_rolling_value": user_rolling_value,
@@ -2214,6 +2233,27 @@ ORACLE_SQL: dict[str, str] = {
         WHERE item_rank <= 3
           AND window_start_ms + 3600000 <=
               (SELECT max(tms) - 600000 FROM g)
+    """,
+    # update mode converges to EVERY window's full count (no
+    # finalization gate), so the oracle is the append-mode SQL minus
+    # the watermark cut
+    "windowed_top_events_update_stream": """
+        WITH g AS (
+            SELECT epoch_ns(ts) // 1000000 AS tms, event_type FROM events
+        ), c AS (
+            SELECT (tms // 3600000) * 3600000 AS window_start_ms,
+                   event_type, count(*) AS n
+            FROM g GROUP BY 1, 2
+        ), r AS (
+            SELECT window_start_ms, event_type, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY window_start_ms
+                       ORDER BY n DESC, event_type
+                   ) AS INT) AS item_rank
+            FROM c
+        )
+        SELECT window_start_ms, event_type, n, item_rank FROM r
+        WHERE item_rank <= 3
     """,
     "price_percentiles": """
         SELECT l_returnflag,

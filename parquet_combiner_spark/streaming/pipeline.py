@@ -230,6 +230,7 @@ def top_items_per_window(
     top_x: int = 5,
     group_cols: tuple[str, ...] = ("window", "geographical_location_oid"),
     item_col: str = "item_name",
+    count_col: str = "count",
 ) -> DataFrame:
     """Rank finalized window counts into per-group top-X — the
     ``foreachBatch`` companion to :func:`windowed_item_counts`
@@ -247,7 +248,7 @@ def top_items_per_window(
     return top_k_per_group(
         counts_batch,
         list(group_cols),
-        [F.desc("count"), F.asc_nulls_first(item_col)],
+        [F.desc(count_col), F.asc_nulls_first(item_col)],
         top_x,
         rank_col="item_rank",
     )
@@ -334,3 +335,157 @@ def purchases_after_errors_stream_available_now(
         # BETWEEN exactly
         event_time=F.timestamp_micros(F.expr("(ts div 1000000) * 1000")),
     )
+
+
+def windowed_top_events_update_available_now(
+    spark: SparkSession,
+    events_path: str,
+    window_duration: str = "1 hour",
+    top_x: int = 3,
+    watermark_delay: str = "10 minutes",
+    n_batches: int = 3,
+    on_batch=None,
+) -> DataFrame:
+    """Update-mode twin of :func:`windowed_top_events_available_now` —
+    the live-dashboard pattern. Append mode emits each window ONCE,
+    at finalization; update mode emits a window's LATEST total every
+    trigger it changes, and a ``foreachBatch`` consumer upserts the
+    changed rows into a result store keyed (window, event_type) with
+    the batch id as the version (``operators/merge.merge_upsert`` —
+    the same MERGE kernel the CDC sink uses), so the current top-N is
+    re-rankable mid-stream, before any watermark passes.
+
+    Replay discipline: the source is staged as ``n_batches``
+    TIME-RANGE files with monotone mtimes, so the file source replays
+    in event-time order and no batch carries rows older than the
+    watermark established by the previous one (update mode DROPS
+    sub-watermark late rows — with an unordered replay the converged
+    counts would silently undercount; a production feed gets the same
+    guarantee from log-ordered ingestion, e.g. Kafka per-partition
+    order). Under that discipline the store CONVERGES to every
+    window's full count — including windows the watermark never
+    finalized — so the oracle is the append-mode query's SQL minus
+    the watermark cut (batch-SQL-expressible, hash-checked).
+
+    ``on_batch(batch_id, n_changed_rows)`` (optional) observes each
+    micro-batch's changed-row count — the update-mode signature the
+    pytest pins (same window updated across multiple batches).
+
+    Output: (window_start_ms, event_type, n, item_rank), integral
+    epoch millis.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    from parquet_combiner_spark.operators.merge import merge_upsert
+    from parquet_combiner_spark.sources.io import ensure_ts_nanos
+    from parquet_combiner_spark.streaming.run import (
+        STREAM_STATE_PARTITIONS,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = ensure_ts_nanos(spark.read.parquet(events_path))
+    schema = ev.schema
+
+    stage = _tempfile.mkdtemp(prefix="pcs-wintopu-src-")
+    root = _tempfile.mkdtemp(prefix="pcs-wintopu-store-")
+    store = _os.path.join(root, "store")
+    ckpt = _os.path.join(root, "ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # time-range staging: batch k holds the k-th event-time band,
+        # written with increasing mtimes (FileStreamSource replays
+        # oldest-mtime first)
+        bounds = ev.agg(
+            *[
+                F.approx_percentile(
+                    "ts", F.lit((i + 1) / n_batches), F.lit(10000)
+                ).alias(f"b{i}")
+                for i in range(n_batches - 1)
+            ]
+        ).collect()[0]
+        cuts = [None, *[bounds[f"b{i}"] for i in range(n_batches - 1)], None]
+        now = _time.time()
+        for k in range(n_batches):
+            part = ev
+            if cuts[k] is not None:
+                part = part.where(F.col("ts") > cuts[k])
+            if cuts[k + 1] is not None and k + 1 < n_batches:
+                part = part.where(F.col("ts") <= cuts[k + 1])
+            fdir = _os.path.join(stage, f"b{k}")
+            part.coalesce(1).write.parquet(fdir)
+            for fn in _os.listdir(fdir):
+                if fn.endswith(".parquet"):
+                    _os.utime(
+                        _os.path.join(fdir, fn), (now + k, now + k)
+                    )
+
+        def apply_batch(batch: DataFrame, batch_id: int) -> None:
+            changed = batch.select(
+                F.expr("unix_micros(window.start) div 1000").alias(
+                    "window_start_ms"
+                ),
+                "event_type",
+                F.col("count").alias("n"),
+                F.lit(batch_id).alias("__v"),
+            )
+            if _os.path.isdir(store):
+                base = spark.read.parquet(store)
+            else:
+                base = spark.createDataFrame([], changed.schema)
+            merged = merge_upsert(
+                base,
+                changed,
+                keys=["window_start_ms", "event_type"],
+                version_cols=["__v"],
+            )
+            tmp = store + "__tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            _shutil.rmtree(store, ignore_errors=True)
+            _os.rename(tmp, store)
+            if on_batch is not None:
+                on_batch(batch_id, changed.count())
+
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        stream = ensure_ts_nanos(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage + "/*")
+        ).withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        counts = (
+            stream.withWatermark("event_time", watermark_delay)
+            .groupBy(
+                F.window("event_time", window_duration), "event_type"
+            )
+            .count()
+        )
+        query = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+        final = spark.read.parquet(store)
+        ranked = top_items_per_window(
+            final,
+            top_x,
+            group_cols=("window_start_ms",),
+            item_col="event_type",
+            count_col="n",
+        )
+        return ranked.select(
+            "window_start_ms", "event_type", "n", "item_rank"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _shutil.rmtree(stage, ignore_errors=True)
+        _shutil.rmtree(root, ignore_errors=True)

@@ -708,3 +708,71 @@ def test_stream_to_txlog_second_run_ingests_new_files(spark, tmp_path):
     metas = [c["meta"] for c in txlog._read_log(table)]
     assert all(m["query_id"] == "ingest" for m in metas)
     assert len({m["epoch"] for m in metas}) == len(metas)
+
+
+def test_windowed_topn_update_mode_reemits_and_converges(spark):
+    """The update-mode windowed top-N must actually be update-mode:
+    every micro-batch emits changed window counts (not one final
+    emission), at least one (window, event_type) key is re-emitted in
+    a later batch with a newer total (the dashboard-refresh
+    signature), and the converged store ranks to exactly the batch
+    top-N over ALL events — including the unfinalized last window
+    append mode withholds."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.streaming.pipeline import (
+        windowed_top_events_update_available_now,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    seen: list[tuple[int, int]] = []
+    got = windowed_top_events_update_available_now(
+        spark,
+        f"{sf}/events.parquet",
+        "1 hour",
+        3,
+        "10 minutes",
+        on_batch=lambda bid, n: seen.append((bid, n)),
+    )
+    rows = got.collect()
+    # three time-band micro-batches emitted changes (availableNow may
+    # append a final empty flush batch)
+    emitting = [n for _, n in seen if n > 0]
+    assert len(emitting) == 3, seen
+    total_emitted = sum(n for _, n in seen)
+
+    # convergence: equals the batch ranking over ALL events (no
+    # watermark cut) — computed directly here
+    from pyspark.sql import Window
+
+    from parquet_combiner_spark.sources.io import ensure_ts_nanos
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = ensure_ts_nanos(spark.read.parquet(f"{sf}/events.parquet"))
+    c = (
+        ev.select(
+            (
+                F.expr("(ts div 1000000) div 3600000") * 3600000
+            ).alias("window_start_ms"),
+            "event_type",
+        )
+        .groupBy("window_start_ms", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("window_start_ms").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    want = (
+        c.withColumn("item_rank", F.row_number().over(w))
+        .where(F.col("item_rank") <= 3)
+        .collect()
+    )
+    assert sorted(
+        (r["window_start_ms"], r["event_type"], r["n"], r["item_rank"])
+        for r in rows
+    ) == sorted(
+        (r["window_start_ms"], r["event_type"], r["n"], r["item_rank"])
+        for r in want
+    )
+    # update-mode signature: more emissions than final keys
+    assert total_emitted > len(rows)
