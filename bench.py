@@ -88,6 +88,13 @@ HEADLINE = [
     "corpus_prep",
     # unigram LM scoring: explode -> broadcast vocab -> re-aggregate
     "doc_unigram_logprob",
+    # round-8 additions: CDC apply with tombstones (multi-batch
+    # streaming MERGE incl. deletes), the BPE encoder (pure codegen
+    # replace-chain projection), and the update-mode windowed top-N
+    # (per-trigger foreachBatch MERGE)
+    "current_user_state_with_deletes_stream",
+    "doc_bpe_tokens",
+    "windowed_top_events_update_stream",
 ]
 
 RUNS = 3
