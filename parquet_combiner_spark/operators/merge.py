@@ -39,6 +39,39 @@ _PRIORITY = "__src_priority"
 _IS_DELETE = "__is_delete"
 
 
+def compact_tombstones(
+    state: DataFrame,
+    version_cols: Sequence[str],
+    watermark: Sequence,
+    retain_col: str,
+) -> DataFrame:
+    """The CDC low-watermark: drop retained tombstones whose version
+    tuple is <= ``watermark`` (exclusive above), keeping the rest.
+
+    A retained tombstone (see :func:`merge_upsert` ``retain_col``)
+    exists to outrank out-of-order older upserts; once the feed
+    guarantees no change older than ``watermark`` can still arrive
+    (Kafka retention horizon, snapshot fence, batch window close),
+    tombstones at or below it are dead weight and compact away. LIVE
+    rows are never touched — only the flagged bookkeeping rows leave.
+    Run it inside the same snapshot-overwrite the state store already
+    does (a narrow filter — no shuffle).
+
+    ``watermark`` is a tuple of literals matching ``version_cols``
+    positionally, compared lexicographically (same ordering the merge
+    uses)."""
+    if len(watermark) != len(version_cols):
+        raise ValueError(
+            f"watermark arity {len(watermark)} != version_cols "
+            f"{len(version_cols)}"
+        )
+    vstruct = F.struct(*[F.col(c) for c in version_cols])
+    wstruct = F.struct(
+        *[F.lit(w).alias(c) for c, w in zip(version_cols, watermark)]
+    )
+    return state.where(~F.col(retain_col) | (vstruct > wstruct))
+
+
 def merge_upsert(
     base: DataFrame,
     updates: DataFrame,

@@ -235,3 +235,47 @@ def test_merge_upsert_deletes_still_partial_aggregate(spark, cdc_ops):
     out = merge_upsert(base, changes, ["k"], ["v"], op_col="op")
     assert_partial_aggregate(out)
     assert "Window" not in plan_text(out)
+
+
+def test_compact_tombstones_low_watermark(spark):
+    """Tombstones at or below the CDC low-watermark compact away;
+    newer tombstones and ALL live rows survive — and compaction never
+    changes what a post-compaction merge computes for changes newer
+    than the watermark."""
+    from parquet_combiner_spark.operators.merge import (
+        compact_tombstones,
+        merge_upsert,
+    )
+
+    state = spark.createDataFrame(
+        [
+            ("a", 5, "live-a", False),
+            ("b", 5, None, True),    # old tombstone: compacted
+            ("c", 20, None, True),   # new tombstone: kept
+            ("d", 3, "live-d", False),
+        ],
+        "k string, v bigint, val string, __dead boolean",
+    )
+    compacted = compact_tombstones(state, ["v"], (10,), "__dead")
+    got = {(r["k"], r["__dead"]) for r in compacted.collect()}
+    assert got == {("a", False), ("c", True), ("d", False)}
+
+    # a change NEWER than the watermark merges identically against
+    # the compacted and the uncompacted state
+    batch = spark.createDataFrame(
+        [("c", 15, "resurrect-too-old", "U"), ("d", 25, None, "D")],
+        "k string, v bigint, val string, op string",
+    )
+    full = merge_upsert(state, batch, ["k"], ["v"], op_col="op",
+                        retain_col="__dead")
+    comp = merge_upsert(compacted, batch, ["k"], ["v"], op_col="op",
+                        retain_col="__dead")
+    live = lambda df: sorted(  # noqa: E731
+        map(tuple, df.where("NOT __dead").drop("__dead").collect())
+    )
+    assert live(full) == live(comp)
+    # the v=20 tombstone still blocks the stale v=15 resurrect
+    assert ("c",) not in {(r["k"],) for r in comp.where("NOT __dead").collect()}
+
+    with pytest.raises(ValueError, match="arity"):
+        compact_tombstones(state, ["v"], (1, 2), "__dead")
