@@ -233,6 +233,17 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.dedup_keepers(dedup_text.near_dup_clusters(pairs))
 
 
+def q_doc_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over the exact n-gram
+    similarity graph (:func:`graph.triangle_counts`, degree-ordered
+    orientation on the shared cached pair frame) — the local
+    clustering signal; third algorithm over the same oracle-able
+    edges."""
+    from parquet_combiner_spark.functions import graph
+
+    return graph.triangle_counts(_ngram_pairs_cached(spark, sf_dir))
+
+
 _PAGERANK_ITERS = 5
 _PAGERANK_DAMPING = 0.85
 
@@ -706,6 +717,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_logstar": q_near_dup_clusters_logstar,
     "doc_graph_pagerank": q_doc_graph_pagerank,
+    "doc_graph_triangles": q_doc_graph_triangles,
     "doc_split": q_doc_split,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_binary_metadata": q_doc_binary_metadata,
@@ -1387,6 +1399,29 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # same 3-token shingle sets and joins on the shingle string.
     "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
     "doc_graph_pagerank": _pagerank_oracle_sql(),
+    # orientation-invariant, so the oracle is the simple id-ordered
+    # triple join a<b<c over the same pair CTE
+    "doc_graph_triangles": f"""
+        WITH pairs AS ({_NGRAM_PAIRS_SQL}
+        ), e AS (
+            SELECT least(doc_id_a, doc_id_b) AS u,
+                   greatest(doc_id_a, doc_id_b) AS v
+            FROM pairs WHERE doc_id_a <> doc_id_b
+            GROUP BY 1, 2
+        ), t AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT doc_id, count(*) AS n_triangles
+        FROM (
+            SELECT a AS doc_id FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t
+        )
+        GROUP BY doc_id
+    """,
     # connected components over the same exact pair graph via a
     # recursive CTE (transitive closure then min reachable id) — tiny
     # at oracle scale; the Spark side is the iterative label

@@ -1424,3 +1424,34 @@ def test_bpe_encoder_matches_python_reference(spark):
     # multi-level merges fire: 'the' collapses to ONE token
     assert py_encode("the")== ["the"]
     assert got[0]["n_bpe_tokens"] < got[0]["n_chars"]  # real compression
+
+
+def test_triangle_counts_planted_graph(spark):
+    """Degree-ordered triangle counting on a planted graph where the
+    naive and oriented answers must agree: a K4 clique (4 triangles,
+    every vertex in 3), a star (0 triangles — the shape the
+    orientation exists to keep cheap), a separate triangle hanging
+    off the star's hub, and duplicate/reversed input pairs (the edge
+    canonicalization must absorb them)."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions.graph import triangle_counts
+
+    edges = [
+        # K4 on 1..4
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # star: hub 10 with leaves 11..15 (no triangles among leaves)
+        (10, 11), (10, 12), (10, 13), (10, 14), (10, 15),
+        # triangle through the hub: 10-11-16
+        (11, 16), (16, 10),
+        # noise: duplicates + reversed orientation + self-loop
+        (2, 1), (3, 1), (4, 4),
+    ]
+    pairs = spark.createDataFrame(
+        [Row(doc_id_a=a, doc_id_b=b) for a, b in edges]
+    )
+    got = {r["doc_id"]: r["n_triangles"] for r in triangle_counts(pairs).collect()}
+    want = {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 16: 1}
+    assert got == want
+    # total participation = 3 * triangle count (K4 has 4, +1 at hub)
+    assert sum(got.values()) == 3 * 5
