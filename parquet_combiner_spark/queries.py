@@ -628,6 +628,80 @@ def user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_value_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W: TIME-range frame window (RANGE BETWEEN 1 HOUR PRECEDING) —
+    per event, the mean value of the SAME user's events in the
+    trailing hour, peers-at-equal-timestamp included (RANGE
+    semantics). The ROWS twin (:func:`user_rolling_value`) counts
+    rows; this one measures a physical time horizon — the form every
+    rate/velocity feature uses. Ordering key is exact integer millis
+    (range frames need a single numeric key; ns→ms keeps it in
+    engine-neutral int64)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts div 1000000").alias("tms"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tms")
+        .rangeBetween(-3_600_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg_1h"),
+    )
+
+
+def daily_user_accretion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per epoch-day, how many users appeared for
+    the FIRST time and the cumulative unique-user count — the classic
+    "running distinct" that a naive count(DISTINCT) over an expanding
+    frame cannot do scalably. The scalable form: distinct collapses
+    to min(day) per user (one partial-aggregated shuffle on user_id),
+    then the cumulative sum runs over the DAY-cardinality frame — the
+    unbounded-window single partition touches only ~thousands of day
+    rows, never the corpus."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr(_floor_div_sql("ts", 24 * 3600 * 1_000_000_000)).alias("day"),
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    per_day = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    )
+
+
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: counts of consecutive event-type transitions
+    (prev → curr) per user timeline — the first-order Markov matrix
+    behind funnel diagnosis ("what do users do right after an
+    error?"). One user-keyed window (lag over (ts, event_id)) feeding
+    one partial-aggregated groupBy whose output is |types|² rows; a
+    user's first event has no predecessor and is excluded."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    ).where(F.col("prev_type").isNotNull())
+    return steps.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-extension: ROLLUP over (returnflag, linestatus) — subtotal and
     grand-total rows the reference's flat groupBy surface lacks;
@@ -2078,6 +2152,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_percentiles": price_percentiles,
     "price_percentiles_approx": price_percentiles_approx,
     "user_rolling_value": user_rolling_value,
+    "user_value_rolling_time": user_value_rolling_time,
+    "daily_user_accretion": daily_user_accretion,
+    "event_transition_counts": event_transition_counts,
     "pricing_rollup": pricing_rollup,
     "pricing_cube": pricing_cube,
     "event_counts_cms": event_counts_cms,
@@ -2488,6 +2565,44 @@ ORACLE_SQL: dict[str, str] = {
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
                ), 4) AS rolling_avg_4
         FROM events
+    """,
+    "user_value_rolling_time": """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY tms
+                   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+               ), 4) AS rolling_avg_1h
+        FROM (
+            SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS tms,
+                   value
+            FROM events
+        )
+    """,
+    "daily_user_accretion": """
+        WITH fd AS (
+            SELECT user_id, min(epoch_ns(ts) // 86400000000000) AS day
+            FROM events GROUP BY user_id
+        ), pd AS (
+            SELECT day, count(*) AS n_new_users FROM fd GROUP BY day
+        )
+        SELECT day, n_new_users,
+               CAST(sum(n_new_users) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM pd
+    """,
+    "event_transition_counts": """
+        SELECT prev_type, event_type, count(*) AS n
+        FROM (
+            SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type
+            FROM events
+        )
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
     """,
     "pricing_rollup": """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
