@@ -166,3 +166,39 @@ def merge_upsert(
             # filter on the one combined row per key — no extra shuffle
             picked = picked.where(~F.col(f"__p.{_IS_DELETE}"))
     return picked.select(*out_cols)
+
+
+def merge_additive(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Additive MERGE — the metric-store maintenance kernel: per
+    ``keys``, the ``sum_cols`` of ``base`` and ``updates`` ADD (keys
+    present in only one side pass through). This is how mergeable
+    partial aggregates (counts, sums — anything commutative-
+    associative) are maintained incrementally: each arriving batch is
+    pre-aggregated to one row per key, then folded into the store
+    with one key-cardinality-bounded shuffle — the stored table never
+    re-scans history.
+
+    Contract: columns must be exactly ``keys`` + ``sum_cols`` on both
+    sides (an additive merge has no latest-wins payload; route
+    non-additive columns through :func:`merge_upsert`). Unlike
+    latest-wins, additive merge is NOT replay-idempotent — a replayed
+    batch double-counts — so at-least-once sinks must pair it with an
+    idempotence key (see ``streaming/txlog_sink.py``'s
+    (query_id, epoch) recipe).
+    """
+    want = [*keys, *sum_cols]
+    for side, df in (("base", base), ("updates", updates)):
+        if sorted(df.columns) != sorted(want):
+            raise ValueError(
+                f"merge_additive needs exactly keys+sum_cols on {side}; "
+                f"got {df.columns}, want {want}"
+            )
+    unioned = base.select(*want).unionByName(updates.select(*want))
+    return unioned.groupBy(*[F.col(k) for k in keys]).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

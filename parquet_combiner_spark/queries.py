@@ -2120,6 +2120,58 @@ def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_priority_salted_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J3 for JOINS (operators/skew.py salted_join): lineitem ⋈
+    orders via replicate-and-salt — the escape hatch when the hot
+    join key can't be fixed by broadcast or AQE's skew split — then
+    revenue per order priority. The salt is a pure function of
+    l_linenumber (row-varying within an order, deterministic across
+    task retries); the result must equal the plain equi-join, which
+    is exactly what the oracle computes."""
+    from parquet_combiner_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, key="okey", salt_source_col="l_linenumber", num_salts=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+            2,
+        ).alias("revenue"),
+    )
+
+
+def event_counts_additive_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive MERGE (operators/merge.py merge_additive): the metric
+    store maintained incrementally — events split into two synthetic
+    batches (event_id parity), each pre-aggregated to per-type
+    counts, then folded together; the merged store must equal the
+    one-shot aggregation over everything, which is the oracle."""
+    from parquet_combiner_spark.operators.merge import merge_additive
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    half = lambda p: (  # noqa: E731
+        ev.where(F.col("event_id") % 2 == p)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return merge_additive(half(0), half(1), keys=["event_type"], sum_cols=["n"])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2130,6 +2182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_stats": supplier_stats,
     "orders_with_customer": orders_with_customer,
     "returnflag_counts_salted": returnflag_counts_salted,
+    "lineitem_priority_salted_join": lineitem_priority_salted_join,
+    "event_counts_additive_merge": event_counts_additive_merge,
     "distinct_parts": distinct_parts,
     "distinct_parts_approx": distinct_parts_approx,
     "lineitem_summary_stats": lineitem_summary_stats,
@@ -2271,6 +2325,19 @@ ORACLE_SQL: dict[str, str] = {
     "returnflag_counts_salted": """
         SELECT l_returnflag, l_linestatus, count(*) AS cnt
         FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    # the salted join must equal the plain equi-join — the oracle IS
+    # the unsalted formulation
+    "lineitem_priority_salted_join": """
+        SELECT o_orderpriority, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    # the additive merge of per-batch partial counts must equal the
+    # one-shot aggregation
+    "event_counts_additive_merge": """
+        SELECT event_type, count(*) AS n FROM events GROUP BY 1
     """,
     "distinct_parts": """
         SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem

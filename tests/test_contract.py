@@ -47,6 +47,10 @@ def test_every_oracle_has_a_query():
         # greedy MMR selection: per-step dependence on the selected
         # set is not ANSI-SQL-expressible; numpy-reference pytest
         "ann_mmr_topk",
+        # GK-sketch threshold twins: DuckDB's approx_quantile is a
+        # t-digest (different estimator); error-bound pytest instead
+        "order_price_quartiles_approx",
+        "customer_rfm_segments_approx",
     }
 
 

@@ -1255,3 +1255,75 @@ def test_threshold_family_approx_twins_within_bound(spark):
     # only customers AT a tercile boundary can flip; frequency/recency
     # are small integers with heavy ties, so allow the tied band
     assert diff / len(exact_seg) <= 0.05, f"{diff}/{len(exact_seg)} flipped"
+
+
+def test_salted_join_parity_and_validation(spark):
+    """Replicate-and-salt join must produce EXACTLY the plain
+    equi-join (inner and left), spread a hot key over multiple salt
+    buckets, and reject self-salting / ambiguous columns."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.operators.skew import salted_join
+
+    # hot key: k=1 carries 200 of 220 rows
+    big = spark.createDataFrame(
+        [Row(k=1, rid=i, x=i * 1.0) for i in range(200)]
+        + [Row(k=j, rid=1000 + j, x=-1.0) for j in range(2, 22)]
+    )
+    small = spark.createDataFrame(
+        [Row(k=i, label=f"k{i}") for i in range(0, 15)]
+    )
+    for how in ("inner", "left"):
+        got = salted_join(big, small, "k", "rid", num_salts=4, how=how)
+        want = big.join(small, "k", how)
+        assert sorted(map(tuple, got.select(*want.columns).collect())) == (
+            sorted(map(tuple, want.collect()))
+        )
+    # the hot key's rows really landed in >1 salt bucket
+    salts = (
+        big.withColumn("s", F.pmod(F.xxhash64("rid"), F.lit(4)))
+        .where("k = 1")
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert salts > 1
+    with _pytest.raises(ValueError, match="vary within"):
+        salted_join(big, small, "k", "k")
+    with _pytest.raises(ValueError, match="ambiguous"):
+        salted_join(big, big.withColumnRenamed("k", "k2"), "rid", "x")
+
+
+def test_merge_additive_contract_and_sums(spark):
+    """Per-key sums add, one-sided keys pass through, schema drift is
+    rejected, and (documented) replay double-counts — additive merge
+    needs an idempotence key upstream."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.operators.merge import merge_additive
+
+    base = spark.createDataFrame(
+        [Row(k="a", n=3, s=1.5), Row(k="b", n=1, s=0.5)]
+    )
+    upd = spark.createDataFrame(
+        [Row(k="a", n=2, s=2.5), Row(k="c", n=7, s=7.0)]
+    )
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in merge_additive(base, upd, ["k"], ["n", "s"]).collect()
+    }
+    assert got == {"a": (5, 4.0), "b": (1, 0.5), "c": (7, 7.0)}
+    replay = merge_additive(
+        spark.createDataFrame(
+            [Row(k=k, n=n, s=s) for k, (n, s) in got.items()]
+        ),
+        upd,
+        ["k"],
+        ["n", "s"],
+    )
+    assert {r["k"]: r["n"] for r in replay.collect()}["a"] == 7  # 5+2
+    with _pytest.raises(ValueError, match="exactly keys"):
+        merge_additive(base, upd.withColumnRenamed("s", "t"), ["k"], ["n", "s"])
