@@ -2120,6 +2120,73 @@ def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_counts_stream_metric_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The exactly-once streaming METRICS STORE, composed from three
+    engine pieces: each micro-batch is pre-aggregated to per-type
+    partial counts (mergeable partial aggregates), committed as ONE
+    atomic version of a txlog table keyed on (query_id, epoch) — the
+    idempotence key additive state NEEDS, since replaying an additive
+    batch double-counts (operators/merge.merge_additive's documented
+    hazard; the commit log absorbs the replay instead) — and the
+    final metric is the sum over all committed partials. Must equal
+    the one-shot aggregation over everything: the oracle.
+
+    At scale this is how a counting service runs on a stream: the
+    shuffle per batch is bounded by |types|, the store grows one
+    tiny version per batch (compactable with txlog.optimize), and a
+    crashed/replayed batch can never double-count."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.streaming.txlog_sink import (
+        txlog_append_batch,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    stage = tempfile.mkdtemp(prefix="pcs-metrics-src-")
+    root = tempfile.mkdtemp(prefix="pcs-metrics-store-")
+    table = f"{root}/metrics"
+    try:
+        ev.repartition(3).write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        seen: set = set()
+
+        def commit_partials(batch: DataFrame, epoch_id: int) -> None:
+            partial = batch.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            txlog_append_batch(
+                partial, epoch_id, table, seen, query_id="metrics"
+            )
+
+        ckpt = tempfile.mkdtemp(prefix="pcs-metrics-ckpt-")
+        try:
+            query = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .writeStream.foreachBatch(commit_partials)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return (
+            txlog.read_table(spark, table)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def lineitem_priority_salted_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2184,6 +2251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returnflag_counts_salted": returnflag_counts_salted,
     "lineitem_priority_salted_join": lineitem_priority_salted_join,
     "event_counts_additive_merge": event_counts_additive_merge,
+    "event_counts_stream_metric_store": event_counts_stream_metric_store,
     "distinct_parts": distinct_parts,
     "distinct_parts_approx": distinct_parts_approx,
     "lineitem_summary_stats": lineitem_summary_stats,
@@ -2337,6 +2405,11 @@ ORACLE_SQL: dict[str, str] = {
     # the additive merge of per-batch partial counts must equal the
     # one-shot aggregation
     "event_counts_additive_merge": """
+        SELECT event_type, count(*) AS n FROM events GROUP BY 1
+    """,
+    # the streaming metric store (per-batch partials, exactly-once
+    # epoch-keyed commits, final fold) converges to the same answer
+    "event_counts_stream_metric_store": """
         SELECT event_type, count(*) AS n FROM events GROUP BY 1
     """,
     "distinct_parts": """
