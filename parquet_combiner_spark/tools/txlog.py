@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -181,6 +182,7 @@ def commit(
     merge_schema: bool = False,
     expected_version: int | None = None,
     arbiter: CommitArbiter | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
@@ -200,6 +202,12 @@ def commit(
     files (schema-enforced parquet read semantics). Type changes and
     dropped columns still require ``overwrite`` — widening silently
     is how tables rot.
+
+    ``stats_cols`` records a per-file min/max ZONE MAP for those
+    columns in the commit record (read from parquet footers — no
+    data scan), enabling metadata file skipping via
+    :func:`read_table_pruned`. Stats are optional per commit; files
+    without them are conservatively kept by pruned reads.
 
     ``expected_version`` pins the commit's BASE: pass the version the
     caller's reads were taken against, and the commit targets exactly
@@ -252,6 +260,10 @@ def commit(
         for f in os.listdir(out_dir)
         if f.endswith(".parquet")
     )
+    stats = {
+        rel: _file_stats(os.path.join(table, rel), stats_cols)
+        for rel in added
+    } if stats_cols else {}
 
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     record = {
@@ -262,6 +274,8 @@ def commit(
         "commit_id": commit_id,
         "meta": meta or {},
     }
+    if stats:
+        record["stats"] = stats
     path = _log_path(table, version)
     try:
         (arbiter or _DEFAULT_ARBITER).publish(path, json.dumps(record))
@@ -275,6 +289,110 @@ def commit(
 def _ddl(df: DataFrame) -> str:
     return ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def _json_safe(v):
+    """Parquet footer statistics → JSON-able scalar (commit records
+    are JSON; timestamps/dates/bytes stringify, numerics pass)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def _file_stats(path: str, cols: Sequence[str]) -> dict:
+    """Per-file min/max zone map for ``cols``, read from the parquet
+    FOOTER (row-group statistics — no data decode). Columns missing
+    from the file, or with any stats-less row group, record null
+    bounds (= never prunable), keeping skipping safe under schema
+    evolution and unstatted writers."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    # leaf-column paths; zone maps are for top-level scalars, whose
+    # leaf path equals the column name
+    name_to_idx = {n: i for i, n in enumerate(md.schema.names)}
+    out = {}
+    for c in cols:
+        i = name_to_idx.get(c)
+        lo = hi = None
+        ok = i is not None and md.num_row_groups > 0
+        if ok:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+        out[c] = (
+            {"min": _json_safe(lo), "max": _json_safe(hi)}
+            if ok
+            else {"min": None, "max": None}
+        )
+    return out
+
+
+def _snapshot_stats(table: str, version: int | None) -> dict:
+    """rel_path -> stats dict for the files of the snapshot (empty
+    entries for files whose commit recorded no stats)."""
+    log = _read_log(table)
+    stats: dict = {}
+    if not log:
+        return stats
+    if version is None:
+        version = log[-1]["version"]
+    for commit in log:
+        if commit["version"] > version:
+            break
+        if commit["action"] == "overwrite":
+            stats = {}
+        stats.update(
+            {f: commit.get("stats", {}).get(f, {}) for f in commit["add"]}
+        )
+    return stats
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with METADATA file skipping: only data files
+    whose committed [min, max] zone map for ``col`` intersects
+    [lo, hi] enter the scan (then the predicate is ALSO applied
+    row-level, so the result is exactly the filtered snapshot). This
+    is the Delta/Iceberg data-skipping layer on the commit log: on a
+    time- or key-clustered table (see ``sources/io.write_sorted`` /
+    ``write_zordered``) a narrow range touches O(matching files) of a
+    100 TB table without opening the rest — parquet row-group
+    pushdown can only skip WITHIN files the planner already listed;
+    this skips the listing. Files without recorded stats (older
+    commits, evolved columns) are conservatively kept."""
+    files, schema = _snapshot_files(table, version)
+    stats = _snapshot_stats(table, version)
+    kept = []
+    for f in files:
+        rel = os.path.relpath(f, table)
+        s = stats.get(rel, {}).get(col)
+        if s is None or s["min"] is None or s["max"] is None:
+            kept.append(f)  # no zone map: cannot prune safely
+        elif not (hi < s["min"] or lo > s["max"]):
+            kept.append(f)
+    from pyspark.sql import functions as F
+
+    if not kept:
+        return (
+            spark.createDataFrame([], schema)
+            .where(F.col(col).between(lo, hi))
+        )
+    return (
+        spark.read.schema(schema)
+        .parquet(*kept)
+        .where(F.col(col).between(lo, hi))
     )
 
 

@@ -650,3 +650,45 @@ def test_commit_arbiter_is_pluggable_and_races_surface(spark, tmp_path):
         assert counting.n == 1
     finally:
         txlog.set_arbiter(prev)
+
+
+def test_txlog_zone_map_file_skipping(spark, tmp_path):
+    """Commit-level min/max zone maps: a range read must scan ONLY
+    the files whose committed bounds intersect (observed via
+    inputFiles()), return exactly the filtered snapshot, keep
+    stats-less files conservatively, and prune to an empty (but
+    correctly-typed) frame when no file can match."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "zoned")
+    # three key-disjoint commits WITH stats + one legacy commit WITHOUT
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [Row(k=lo + i, v=f"r{lo + i}") for i in range(10)]
+        ).coalesce(1)
+        txlog.commit(df, table, stats_cols=["k"])
+    txlog.commit(
+        spark.createDataFrame([Row(k=500, v="legacy")]).coalesce(1), table
+    )
+
+    pruned = txlog.read_table_pruned(spark, table, "k", 100, 109)
+    got = sorted(r["k"] for r in pruned.collect())
+    assert got == list(range(100, 110))
+    scanned = pruned.inputFiles()
+    # the 100-range file + the stats-less legacy file; never the
+    # 0- and 200-range files
+    assert len(scanned) == 2, scanned
+    # full parity with the unpruned filtered read
+    full = txlog.read_table(spark, table).where("k BETWEEN 100 AND 109")
+    assert sorted(r["k"] for r in full.collect()) == got
+
+    # disjoint range: only the conservative legacy file is scanned
+    none = txlog.read_table_pruned(spark, table, "k", 1000, 2000)
+    assert none.count() == 0
+    assert len(none.inputFiles()) == 1
+
+    # zone maps survive OPTIMIZE-free time travel (stats ride commits)
+    v0 = txlog.read_table_pruned(spark, table, "k", 0, 5, version=0)
+    assert v0.count() == 6 and len(v0.inputFiles()) == 1
