@@ -224,6 +224,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pairs_cached(spark, sf_dir)
 
 
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-containment (quote/subset) pairs — the asymmetric metric
+    over the same inverted-index machinery as the Jaccard join; finds
+    excerpt duplication a Jaccard threshold structurally cannot."""
+    return dedup_text.ngram_containment_pairs(
+        _docs(spark, sf_dir), threshold=0.5
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the EXACT n-gram Jaccard pair graph
     (the oracle-able pair source), so the full pair→cluster→keeper
@@ -714,6 +723,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_logstar": q_near_dup_clusters_logstar,
     "doc_graph_pagerank": q_doc_graph_pagerank,
@@ -831,6 +841,17 @@ _BRUTEFORCE_TOPK_SQL = """
             ) AS rn FROM pairs
         ) WHERE rn <= 5
 """
+
+# containment oracle derived from the SAME pair-CTE text as the
+# Jaccard oracle — only the denominator, column name, and threshold
+# change (mirrors dedup_text.ngram_containment_pairs reusing the
+# Jaccard join's candidate machinery)
+_NGRAM_CONTAINMENT_SQL = _NGRAM_PAIRS_SQL.replace(
+    "na.n_sh + nb.n_sh - n_inter", "least(na.n_sh, nb.n_sh)"
+).replace("AS jaccard", "AS containment").replace(">= 0.3", ">= 0.5")
+assert "least" in _NGRAM_CONTAINMENT_SQL
+assert "containment" in _NGRAM_CONTAINMENT_SQL
+
 
 _MARKER_LISTS = ",\n".join(
     "      {'score': len(list_filter(toks, w -> w IN (%s)))"
@@ -1398,6 +1419,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # xxhash64-based minhash/simhash estimates): DuckDB builds the
     # same 3-token shingle sets and joins on the shingle string.
     "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
+    "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
     "doc_graph_pagerank": _pagerank_oracle_sql(),
     # orientation-invariant, so the oracle is the simple id-ordered
     # triple join a<b<c over the same pair CTE

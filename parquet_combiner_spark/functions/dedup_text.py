@@ -453,6 +453,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     max_doc_freq: int = 100_000,
+    _metric: str = "jaccard",
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via inverted-index
     self-join — no signatures, no probabilistic recall loss, still no
@@ -530,12 +531,47 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    jac = F.col("n_inter") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    ).cast("double")
-    return inter.where(jac >= threshold).select(
-        "doc_id_a", "doc_id_b", F.round(jac, 4).alias("jaccard")
+    if _metric == "containment":
+        score = F.col("n_inter") / F.least("n_a", "n_b").cast("double")
+    else:
+        score = F.col("n_inter") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_inter")
+        ).cast("double")
+    return inter.where(score >= threshold).select(
+        "doc_id_a", "doc_id_b", F.round(score, 4).alias(_metric)
     )
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    max_doc_freq: int = 100_000,
+) -> DataFrame:
+    """Asymmetric set-similarity: MAX-CONTAINMENT pairs —
+    ``|A ∩ B| / min(|A|, |B|)`` — the quote/subset detector Jaccard
+    structurally misses: a 100-shingle doc fully embedded in a
+    10,000-shingle doc has containment 1.0 but Jaccard < 0.01, so a
+    Jaccard threshold can never find excerpt duplication, boilerplate
+    inclusion, or prompt-in-completion leakage. Same inverted-index
+    single-shuffle plan and df-cap posture as
+    :func:`ngram_jaccard_pairs` (see its scale notes — the candidate
+    machinery is shared; only the denominator differs), same
+    never-inflated guarantee under the cap. Output:
+    (doc_id_a, doc_id_b, containment), containment >= threshold,
+    doc_id_a < doc_id_b."""
+    pairs = ngram_jaccard_pairs(
+        documents,
+        threshold=0.0,
+        text_col=text_col,
+        id_col=id_col,
+        k_shingle=k_shingle,
+        max_doc_freq=max_doc_freq,
+        _metric="containment",
+    )
+    return pairs.where(F.col("containment") >= threshold)
 
 
 def near_dup_clusters(

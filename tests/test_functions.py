@@ -1455,3 +1455,32 @@ def test_triangle_counts_planted_graph(spark):
     assert got == want
     # total participation = 3 * triangle count (K4 has 4, +1 at hub)
     assert sum(got.values()) == 3 * 5
+
+
+def test_containment_finds_subset_jaccard_misses(spark):
+    """The discriminating case for max-containment: a short excerpt
+    fully embedded in a long doc has containment 1.0 but Jaccard far
+    below any usable threshold — the asymmetric metric finds it, the
+    symmetric one structurally cannot."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions import dedup_text
+
+    long_words = [f"w{i}" for i in range(300)]
+    excerpt = " ".join(long_words[100:110])  # 10 words inside the doc
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(long_words)),
+            Row(doc_id=2, text=excerpt),
+            Row(doc_id=3, text=" ".join(f"z{i}" for i in range(50))),
+        ]
+    )
+    cont = {
+        (r["doc_id_a"], r["doc_id_b"]): r["containment"]
+        for r in dedup_text.ngram_containment_pairs(
+            docs, threshold=0.9
+        ).collect()
+    }
+    assert cont == {(1, 2): 1.0}  # excerpt fully contained
+    jac = dedup_text.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert jac == []  # Jaccard ~8/298 — invisible at any real threshold
