@@ -2187,6 +2187,16 @@ def event_counts_stream_metric_store(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (tools/inspect.py profile_table): per-column
+    completeness and cardinality over orders in one aggregation pass
+    — the data-contract first look. Exact distincts here (oracle
+    surface); ``approx=True`` is the 100 TB path."""
+    from parquet_combiner_spark.tools.inspect import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
 def lineitem_priority_salted_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2252,6 +2262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_priority_salted_join": lineitem_priority_salted_join,
     "event_counts_additive_merge": event_counts_additive_merge,
     "event_counts_stream_metric_store": event_counts_stream_metric_store,
+    "orders_profile": orders_profile,
     "distinct_parts": distinct_parts,
     "distinct_parts_approx": distinct_parts_approx,
     "lineitem_summary_stats": lineitem_summary_stats,
@@ -3262,6 +3273,23 @@ ORACLE_SQL: dict[str, str] = {
         ) WHERE rn = 1 AND op = 'U'
     """,
 }
+
+# per-column profile rows generated from the same column list the
+# Spark side reads off the table; count(*)-count(col) keeps null
+# counts BIGINT (a CASE-sum would be HUGEINT in DuckDB)
+_ORDERS_COLS = (
+    "o_orderkey o_custkey o_orderstatus o_totalprice o_orderdate "
+    "o_orderpriority"
+).split()
+ORACLE_SQL["orders_profile"] = "\nUNION ALL\n".join(
+    f"""
+        SELECT '{c}' AS "column", count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct
+        FROM orders
+    """
+    for c in _ORDERS_COLS
+)
 
 # the stream-stream join must produce the batch interval join's exact
 # rows — one oracle checks both formulations

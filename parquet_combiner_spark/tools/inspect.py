@@ -117,6 +117,44 @@ def inspect(
     return report
 
 
+def profile_table(df, approx: bool = False):
+    """Column completeness/cardinality profile — one row per column:
+    (column, n_rows, n_nulls, n_distinct). The first look every data
+    contract check starts with (null explosions and cardinality
+    collapses are the two commonest upstream breakages), type-
+    agnostic so it runs on any table; numeric distribution detail is
+    :func:`operators.aggregate.summary_stats`'s job.
+
+    One aggregation pass over the table: null counts come free as
+    ``count(*) - count(col)`` (both plain counts — no CASE, no
+    HUGEINT drift in oracles); exact per-column ``count(DISTINCT)``
+    makes Spark plan ONE Expand (k× row replication before the
+    partial aggregate) — the deliberate full-diagnostic cost.
+    ``approx=True`` swaps in HLL ``approx_count_distinct`` (no
+    Expand, single flat pass) — the 100 TB profiling path. The wide
+    1-row aggregate melts to long form via an executor-side
+    struct-array explode (no second scan, no unpivot shuffle)."""
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    nd = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(nd(F.col(c)).alias(f"__nd_{c}"))
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="Inspect a Parquet file/directory")
     p.add_argument(

@@ -692,3 +692,36 @@ def test_txlog_zone_map_file_skipping(spark, tmp_path):
     # zone maps survive OPTIMIZE-free time travel (stats ride commits)
     v0 = txlog.read_table_pruned(spark, table, "k", 0, 5, version=0)
     assert v0.count() == 6 and len(v0.inputFiles()) == 1
+
+
+def test_profile_table_counts_nulls_and_cardinality(spark):
+    """Profile over a frame with planted nulls/duplicates; the approx
+    variant agrees within HLL error and plans no Expand."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools.inspect import profile_table
+
+    df = spark.createDataFrame(
+        [
+            Row(a=1, b="x", c=None),
+            Row(a=1, b="y", c=1.5),
+            Row(a=2, b=None, c=1.5),
+            Row(a=None, b="x", c=2.5),
+        ],
+        "a int, b string, c double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert (got["a"]["n_nulls"], got["a"]["n_distinct"]) == (1, 2)
+    assert (got["b"]["n_nulls"], got["b"]["n_distinct"]) == (1, 2)
+    assert (got["c"]["n_nulls"], got["c"]["n_distinct"]) == (1, 2)
+    approx = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    for c in got:
+        assert abs(approx[c]["n_distinct"] - got[c]["n_distinct"]) <= 1
+        assert approx[c]["n_nulls"] == got[c]["n_nulls"]
+    # the scale path plans no Expand (no exact multi-distinct)
+    plan = profile_table(
+        df, approx=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
