@@ -253,6 +253,26 @@ def q_doc_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_counts(_ngram_pairs_cached(spark, sf_dir))
 
 
+def q_near_dup_keepers_longest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-policy keeper selection: same clusters as
+    ``near_dup_clusters``, but the keeper is the LONGEST member
+    (token count, min-id tiebreak) — the production near-dup policy
+    (:func:`dedup_text.dedup_keepers_by`)."""
+    pairs = _ngram_pairs_cached(spark, sf_dir)
+    clusters = dedup_text.near_dup_clusters(pairs)
+    scores = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "), lambda x: x != F.lit("")
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    return dedup_text.dedup_keepers_by(clusters, scores, "n_tokens")
+
+
 _PAGERANK_ITERS = 5
 _PAGERANK_DAMPING = 0.85
 
@@ -726,6 +746,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_logstar": q_near_dup_clusters_logstar,
+    "near_dup_keepers_longest": q_near_dup_keepers_longest,
     "doc_graph_pagerank": q_doc_graph_pagerank,
     "doc_graph_triangles": q_doc_graph_triangles,
     "doc_split": q_doc_split,
@@ -1536,6 +1557,36 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
 PIPELINE_ORACLE_SQL["near_dup_clusters_logstar"] = PIPELINE_ORACLE_SQL[
     "near_dup_clusters"
 ]
+
+# same recursive-CTE clusters, keeper re-decided by the longest-member
+# policy (token count, min-id tiebreak)
+PIPELINE_ORACLE_SQL["near_dup_keepers_longest"] = f"""
+        WITH RECURSIVE pairs AS (
+            {_NGRAM_PAIRS_SQL}
+        ), edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), clus AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        ), toks AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, cluster_id,
+               row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_tokens DESC, doc_id
+               ) = 1 AS keep
+        FROM clus JOIN toks USING (doc_id)
+"""
 
 __all__ = [
     "PIPELINE_QUERIES",

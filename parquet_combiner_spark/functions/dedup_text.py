@@ -667,6 +667,37 @@ def dedup_keepers(
     )
 
 
+def dedup_keepers_by(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Policy-driven keeper decision: per cluster, keep the member
+    with the HIGHEST ``score_col`` (min id on ties) instead of
+    :func:`dedup_keepers`' min-id convention — the production
+    near-dup policy is usually "keep the longest / highest-quality
+    member", not the lowest id. ``scores`` carries (id_col,
+    score_col) for at least every clustered doc (inner join —
+    scoreless docs would make the argmax undefined).
+
+    Plan: one cluster-keyed argmin aggregate (cluster-cardinality
+    output) joined back — the winner column broadcasts at any
+    realistic cluster count; the corpus-sized frame is touched once.
+    Output: (id_col, cluster_id, keep)."""
+    joined = clusters.join(scores.select(id_col, score_col), id_col)
+    winner = joined.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col(id_col), F.struct(-F.col(score_col), F.col(id_col))
+        ).alias("__keeper")
+    )
+    return joined.join(F.broadcast(winner), "cluster_id").select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("__keeper")).alias("keep"),
+    )
+
+
 def exact_dedup_docs(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

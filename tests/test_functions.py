@@ -1484,3 +1484,42 @@ def test_containment_finds_subset_jaccard_misses(spark):
     assert cont == {(1, 2): 1.0}  # excerpt fully contained
     jac = dedup_text.ngram_jaccard_pairs(docs, threshold=0.3).collect()
     assert jac == []  # Jaccard ~8/298 — invisible at any real threshold
+
+
+def test_dedup_keepers_by_policy(spark):
+    """Keeper-by-score: highest score wins, min-id breaks ties,
+    exactly one keeper per cluster, and the policy actually differs
+    from the min-id convention when the longest member isn't the
+    lowest id."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions.dedup_text import (
+        dedup_keepers,
+        dedup_keepers_by,
+    )
+
+    clusters = spark.createDataFrame(
+        [
+            Row(doc_id=1, cluster_id=1),
+            Row(doc_id=5, cluster_id=1),
+            Row(doc_id=9, cluster_id=1),
+            Row(doc_id=2, cluster_id=2),
+            Row(doc_id=7, cluster_id=2),
+        ]
+    )
+    scores = spark.createDataFrame(
+        [
+            Row(doc_id=1, s=10), Row(doc_id=5, s=99), Row(doc_id=9, s=99),
+            Row(doc_id=2, s=4), Row(doc_id=7, s=4),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in dedup_keepers_by(clusters, scores, "s").collect()
+    }
+    # cluster 1: 5 and 9 tie at 99 -> min id 5; cluster 2: tie -> 2
+    assert got == {1: False, 5: True, 9: False, 2: True, 7: False}
+    minid = {
+        r["doc_id"]: r["keep"] for r in dedup_keepers(clusters).collect()
+    }
+    assert minid[1] is True and got[1] is False  # policies really differ
