@@ -725,3 +725,41 @@ def test_profile_table_counts_nulls_and_cardinality(spark):
         df, approx=True
     )._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_txlog_fast_count_and_table_changes(spark, tmp_path):
+    """fast_count answers count(*) from footers (matches the scan at
+    every version); table_changes classifies the key-level delta
+    between two versions — the replayable change data feed."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "cdf")
+    v0 = txlog.commit(
+        spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+        ),
+        table,
+    )
+    # v1: k=2 changed, k=3 removed, k=4 added (overwrite snapshot)
+    v1 = txlog.commit(
+        spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="B!"), Row(k=4, v="d")]
+        ),
+        table,
+        action="overwrite",
+    )
+    assert txlog.fast_count(table, v0) == 3
+    assert txlog.fast_count(table) == 3
+    assert txlog.fast_count(table, v1) == spark.read.parquet(
+        *txlog._snapshot_files(table, v1)[0]
+    ).count()
+
+    changes = {
+        r["k"]: r["change"]
+        for r in txlog.table_changes(spark, table, v0, v1, keys=["k"]).collect()
+    }
+    assert changes == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added"
+    }
