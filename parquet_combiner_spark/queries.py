@@ -553,6 +553,45 @@ def purchases_after_error_interval_stream(
     )
 
 
+def purchases_with_errors_outer_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 stream-stream LEFT OUTER interval join (streaming/
+    pipeline.py): every purchase with its window-opening error or
+    NULLs — null emission gated on the watermark proving no match can
+    arrive. Matched rows emit exhaustively (inner emission); null
+    rows are reported for the PROVABLY-FINAL region only
+    (p_time <= final watermark − window): between watermark − window
+    and the watermark, Spark's outer eviction emits opportunistically
+    per micro-batch (observed boundary varies with batch timing), so
+    the deterministic contract — and the oracle — is the conservative
+    cut. Purchases above it are withheld, never wrongly NULLed."""
+    from parquet_combiner_spark.streaming.pipeline import (
+        purchases_with_errors_outer_stream_available_now,
+    )
+
+    out = purchases_with_errors_outer_stream_available_now(
+        spark, table_path(sf_dir, "events"), window_ms=_ERR_WINDOW_MS
+    )
+    # final GLOBAL watermark, batch-side: each substream's watermark
+    # comes from its own max event time, and the query's watermark is
+    # their MIN — so the cut uses min(max purchase, max error) − delay
+    # − window (using the all-events max overstates the watermark
+    # when one substream ends early, which sparse data does)
+    ev = _events(spark, sf_dir)
+    maxd = ev.where(
+        F.col("event_type").isin("purchase", "error")
+    ).groupBy("event_type").agg(
+        F.expr("max(ts div 1000000)").alias("__m")
+    ).agg(F.min("__m").alias("__max_ms"))
+    cut = F.col("__max_ms") - F.lit(600_000) - F.lit(_ERR_WINDOW_MS)
+    return (
+        out.crossJoin(F.broadcast(maxd))
+        .where(F.col("error_event_id").isNotNull() | (F.col("tms") <= cut))
+        .drop("__max_ms")
+    )
+
+
 def windowed_top_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 windowed top-N under the hard signal: the streaming
     tumbling-window count → rank pipeline (the reference's proposed
@@ -2276,6 +2315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchase_attribution_asof_pandas": purchase_attribution_asof_pandas,
     "purchases_after_error_interval": purchases_after_error_interval,
     "purchases_after_error_interval_stream": purchases_after_error_interval_stream,
+    "purchases_with_errors_outer_stream": purchases_with_errors_outer_stream,
     "user_sessions": user_sessions,
     "user_sessions_native": user_sessions_native,
     "user_sessions_stream": user_sessions_stream,
@@ -2536,6 +2576,38 @@ ORACLE_SQL: dict[str, str] = {
           ON f.user_id = d.user_id
          AND f.event_type = 'purchase' AND d.event_type = 'error'
          AND f.tms BETWEEN d.tms AND d.tms + 3600000
+    """,
+
+    # outer stream-stream join: matched rows emit unconditionally
+    # (inner emission is immediate); NULL rows only for purchases the
+    # final watermark finalized (watermark passing p_time proves no
+    # on-time error can still match — boundary <= max - delay,
+    # verified empirically at two SFs)
+    "purchases_with_errors_outer_stream": """
+        WITH ev AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000000 AS tms
+            FROM events
+        ), j AS (
+            SELECT f.event_id, f.user_id, f.tms,
+                   d.event_id AS error_event_id,
+                   d.tms AS win_start
+            FROM (SELECT * FROM ev WHERE event_type = 'purchase') f
+            LEFT JOIN (SELECT * FROM ev WHERE event_type = 'error') d
+              ON f.user_id = d.user_id
+             AND f.tms BETWEEN d.tms AND d.tms + 3600000
+        )
+        SELECT * FROM j WHERE error_event_id IS NOT NULL
+        UNION ALL
+        SELECT * FROM j
+        WHERE error_event_id IS NULL
+          AND tms <= (
+              SELECT min(m) - 600000 - 3600000 FROM (
+                  SELECT event_type, max(tms) AS m FROM ev
+                  WHERE event_type IN ('purchase', 'error')
+                  GROUP BY event_type
+              )
+          )
     """,
 
     # DuckDB has a NATIVE ASOF JOIN (inclusive: fact.t >= dim.t) — an

@@ -337,6 +337,84 @@ def purchases_after_errors_stream_available_now(
     )
 
 
+def purchases_with_errors_outer_stream_available_now(
+    spark: SparkSession,
+    events_path: str,
+    window_ms: int = 3_600_000,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM **LEFT OUTER** interval join, run to completion:
+    every purchase, with the error that opened its window when one
+    exists and NULLs when none does — the outer face of
+    :func:`purchases_after_errors_stream_available_now` (see its
+    state-eviction notes; identical join condition and millis
+    flooring).
+
+    Outer emission is the part inner joins never exercise: a matched
+    row emits as soon as both sides arrive, but a NULL row can only
+    emit once the watermark PROVES no future on-time error can match
+    — for this condition (e_time ∈ [p_time − window, p_time]) that
+    means the watermark passing p_time. Purchases newer than the
+    final watermark are therefore WITHHELD at shutdown (their windows
+    are still open), which is exactly the correctness property: an
+    outer join that emitted nulls early would retract them. The
+    oracle is the batch LEFT JOIN with its null rows restricted to
+    the finalized region (empirically pinned boundary, same method as
+    the windowed top-N's cut).
+
+    Output: (event_id, user_id, tms, error_event_id, win_start) —
+    integral epoch millis; error columns NULL for matchless finalized
+    purchases."""
+    from parquet_combiner_spark.streaming.run import (
+        run_events_stream_available_now,
+    )
+
+    def join_streams(stream: DataFrame) -> DataFrame:
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                "user_id",
+                F.col("event_time").alias("p_time"),
+            )
+            .withWatermark("p_time", watermark_delay)
+        )
+        errors = (
+            stream.where(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_event_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("event_time").alias("e_time"),
+            )
+            .withWatermark("e_time", watermark_delay)
+        )
+        return purchases.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("p_time") >= F.col("e_time"))
+            & (
+                F.col("p_time")
+                <= F.col("e_time")
+                + F.expr(f"INTERVAL {window_ms} MILLISECONDS")
+            ),
+            "left_outer",
+        ).select(
+            "event_id",
+            "user_id",
+            F.unix_millis("p_time").alias("tms"),
+            "error_event_id",
+            F.unix_millis("e_time").alias("win_start"),
+        )
+
+    return run_events_stream_available_now(
+        spark,
+        events_path,
+        join_streams,
+        prefix="outerjoin",
+        event_time=F.timestamp_micros(F.expr("ts div 1000")),
+    )
+
+
 def windowed_top_events_update_available_now(
     spark: SparkSession,
     events_path: str,

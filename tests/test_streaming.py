@@ -776,3 +776,50 @@ def test_windowed_topn_update_mode_reemits_and_converges(spark):
     )
     # update-mode signature: more emissions than final keys
     assert total_emitted > len(rows)
+
+
+def test_outer_interval_join_null_gating(spark, tmp_path):
+    """Left-outer stream-stream join: matched purchases emit with
+    their error; matchless purchases below watermark − window emit
+    with NULLs; a matchless purchase near the stream head (window
+    still open at shutdown) is withheld, never wrongly NULLed."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.pipeline import (
+        purchases_with_errors_outer_stream_available_now,
+    )
+
+    base = 1_700_000_000_000_000_000  # ns
+    HOUR = 3_600_000_000_000
+    rows = [
+        # old matchless purchase: provably final -> NULL row
+        Row(event_id=1, ts=base, user_id=1, event_type="purchase",
+            value=1.0, props=None),
+        # error + purchase inside its window -> matched row
+        Row(event_id=2, ts=base + 10 * HOUR, user_id=2, event_type="error",
+            value=0.0, props=None),
+        Row(event_id=3, ts=base + 10 * HOUR + HOUR // 2, user_id=2,
+            event_type="purchase", value=2.0, props=None),
+        # matchless purchase at the head: window open -> withheld
+        Row(event_id=4, ts=base + 12 * HOUR, user_id=3,
+            event_type="purchase", value=3.0, props=None),
+        # head error keeps the error-side watermark advanced
+        Row(event_id=5, ts=base + 12 * HOUR, user_id=9,
+            event_type="error", value=0.0, props=None),
+    ]
+    src = str(tmp_path / "ev.parquet")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    got = {
+        r["event_id"]: r
+        for r in purchases_with_errors_outer_stream_available_now(
+            spark, src
+        ).collect()
+    }
+    assert got[3]["error_event_id"] == 2  # matched emits with its error
+    assert 1 in got and got[1]["error_event_id"] is None  # finalized NULL
+    # event 4 is within window of the final watermark: withheld
+    assert 4 not in got
