@@ -463,6 +463,44 @@ def optimize(
     raise AssertionError("unreachable")
 
 
+def read_appends(
+    spark: SparkSession,
+    table: str,
+    after_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows ADDED by commits in (after_version, to_version] — resolved
+    from the log to exactly the new data files (O(delta) read, the
+    whole point of incremental consumers). Raises ``ValueError`` if
+    the range contains an ``overwrite`` commit: an overwrite rewrites
+    history, so "the appended rows" is not a well-defined delta and
+    the consumer must fall back to a full recompute (the same rule
+    Delta's CDF applies to non-append commits without CDF files)."""
+    log = _read_log(table)
+    if not log:
+        raise FileNotFoundError(f"{table} has no transaction log")
+    if to_version is None:
+        to_version = log[-1]["version"]
+    files: list[str] = []
+    schema = ""
+    for commit in log:
+        if commit["version"] > to_version:
+            break
+        schema = commit["schema"]
+        if commit["version"] <= after_version:
+            continue
+        if commit["action"] == "overwrite":
+            raise ValueError(
+                f"version {commit['version']} of {table} is an overwrite: "
+                "append-delta is undefined across it; recompute from the "
+                "full snapshot"
+            )
+        files.extend(os.path.join(table, f) for f in commit["add"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
+
+
 def fast_count(table: str, version: int | None = None) -> int:
     """Row count of a snapshot from parquet FOOTER metadata — no data
     scan, no Spark job, O(files) footer reads (each a few KB). The

@@ -763,3 +763,47 @@ def test_txlog_fast_count_and_table_changes(spark, tmp_path):
     assert changes == {
         1: "unchanged", 2: "changed", 3: "removed", 4: "added"
     }
+
+
+def test_incremental_count_mv_refresh(spark, tmp_path):
+    """The count MV refreshes incrementally from appended files only,
+    equals the full recompute at every step, skips commits when the
+    base hasn't moved, and falls back to full recompute across an
+    overwrite."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+    from parquet_combiner_spark.tools.mv import refresh_count_mv
+
+    base = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+
+    def rows(tags):
+        return spark.createDataFrame([Row(k=t) for t in tags])
+
+    txlog.commit(rows(["a", "a", "b"]), base)
+    refresh_count_mv(spark, base, mv, ["k"])
+    got = {r["k"]: r["n"] for r in txlog.read_table(spark, mv).collect()}
+    assert got == {"a": 2, "b": 1}
+
+    # append-only advance: delta-read only the NEW files
+    txlog.commit(rows(["b", "c"]), base)
+    v = refresh_count_mv(spark, base, mv, ["k"])
+    got = {r["k"]: r["n"] for r in txlog.read_table(spark, mv).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+    # no base movement -> no new MV version (idempotent re-run)
+    assert refresh_count_mv(spark, base, mv, ["k"]) == v
+    assert txlog.current_version(mv) == v
+
+    # the delta really is O(new files): read_appends sees 2 rows
+    assert txlog.read_appends(spark, base, 0).count() == 2
+
+    # overwrite on the base: append-delta undefined -> full recompute
+    txlog.commit(rows(["z", "z"]), base, action="overwrite")
+    refresh_count_mv(spark, base, mv, ["k"])
+    got = {r["k"]: r["n"] for r in txlog.read_table(spark, mv).collect()}
+    assert got == {"z": 2}
+    # provenance: each MV version records the base version it matches
+    assert txlog.history(mv)[0]["meta"]["base_version"] == (
+        txlog.current_version(base)
+    )
