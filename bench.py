@@ -95,6 +95,10 @@ HEADLINE = [
     "current_user_state_with_deletes_stream",
     "doc_bpe_tokens",
     "windowed_top_events_update_stream",
+    # stream-stream outer join (watermark-gated null emission) and
+    # the degree-ordered triangle count over the cached pair graph
+    "purchases_with_errors_outer_stream",
+    "doc_graph_triangles",
 ]
 
 RUNS = 3
@@ -136,12 +140,14 @@ def main() -> None:
         "near_dup_clusters": clear_ngram_pair_cache,
         "near_dup_clusters_logstar": warm_pairs,
         "doc_graph_pagerank": warm_pairs,
+        "doc_graph_triangles": warm_pairs,
     }
     post_runs = {
         "ngram_jaccard_pairs": clear_ngram_pair_cache,
         "near_dup_clusters": clear_ngram_pair_cache,
         "near_dup_clusters_logstar": clear_ngram_pair_cache,
         "doc_graph_pagerank": clear_ngram_pair_cache,
+        "doc_graph_triangles": clear_ngram_pair_cache,
     }
 
     # Warm run: JVM JIT + whole-stage-codegen compilation at the
