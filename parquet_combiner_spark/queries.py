@@ -2226,6 +2226,98 @@ def event_counts_stream_metric_store(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def important_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — share-of-total HAVING: parts whose revenue
+    exceeds 0.075% of TOTAL revenue (≈1.5× the mean share on the
+    uniform testdata — non-vacuous at every SF). The scalar total comes from a
+    1-row aggregate broadcast into the per-part aggregate's filter —
+    one corpus scan feeding both aggregations (the per-part frame is
+    re-aggregated for the total, part-cardinality input), never two
+    fact scans or a window over everything."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("rev").alias("part_rev"))
+    total = per_part.agg(F.sum("part_rev").alias("total_rev"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_rev") > F.lit(0.00075) * F.col("total_rev"))
+        .select("l_partkey", F.round("part_rev", 2).alias("part_revenue"))
+    )
+
+
+def small_quantity_order_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 shape — per-key correlated threshold: average yearly
+    revenue lost if small orders stop — lineitems with quantity below
+    20% of THEIR PART's average quantity, for one brand. The
+    correlated subquery becomes a per-part aggregate joined back (the
+    keyed version of the broadcast-threshold pattern); the brand
+    filter prunes through the part dim BEFORE either aggregate."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_bar")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar-subquery filter + NOT EXISTS: per
+    nation, the count and balance-sum of customers whose account
+    balance beats the GLOBAL positive-balance average AND who have no
+    HIGH-VALUE order (every testdata customer has some order, so the
+    idleness predicate is the filtered probe — same Q22 shape, the
+    anti join's build side just carries a pushed-down filter). Global
+    average broadcasts from a 1-row aggregate; the order check is a
+    LEFT ANTI join probing the slim filtered custkey projection."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("bal_bar")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _HIGH_VALUE_ORDER)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("bal_bar")
+    )
+    idle = rich.join(orders, "c_custkey", "left_anti")
+    return (
+        idle.join(
+            F.broadcast(nation),
+            idle["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (tools/inspect.py profile_table): per-column
     completeness and cardinality over orders in one aggregation pass
@@ -2368,6 +2460,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_item_revenue": returned_item_revenue,
     "promo_revenue_share": promo_revenue_share,
     "brand_quantity_revenue": brand_quantity_revenue,
+    "important_part_revenue": important_part_revenue,
+    "small_quantity_order_revenue": small_quantity_order_revenue,
+    "idle_rich_customers": idle_rich_customers,
     "large_volume_customers": large_volume_customers,
     "sole_return_suppliers": sole_return_suppliers,
     "hourly_event_type_counts": hourly_event_type_counts,
@@ -3139,6 +3234,41 @@ ORACLE_SQL: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 30
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "important_part_revenue": """
+        SELECT l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS part_revenue
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice * (1 - l_discount)) > 0.00075 * (
+            SELECT sum(l_extendedprice * (1 - l_discount)) FROM lineitem
+        )
+    """,
+    "small_quantity_order_revenue": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2 JOIN part p2 ON l2.l_partkey = p2.p_partkey
+              WHERE p2.p_brand = 'Brand#23'
+                AND l2.l_partkey = lineitem.l_partkey
+          )
+    """,
+    "idle_rich_customers": """
+        SELECT n_name, count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (
+                  SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+              )
+          AND NOT EXISTS (
+                  SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000
+              )
+        GROUP BY n_name
     """,
     "local_supplier_volume": """
         SELECT n_name,
