@@ -1777,6 +1777,65 @@ def windowed_top_events_update_stream(
     )
 
 
+def current_user_state_txlog_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC apply with the state in a VERSIONED TABLE
+    (streaming/apply_cdc.py apply_cdc_txlog_available_now): same
+    op-carrying change stream and tombstone semantics as
+    ``current_user_state_with_deletes_stream``, but every micro-batch
+    commits atomically to a txlog table keyed (query_id, epoch) — no
+    rename-swap crash window, replay-proof by the commit log, state
+    time-travelable per batch. Must converge to the same compaction:
+    the with-deletes oracle checks it verbatim."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.operators.merge import merge_upsert
+    from parquet_combiner_spark.streaming.apply_cdc import (
+        apply_cdc_txlog_available_now,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    changes = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "op",
+        F.when(F.col("event_id") % 7 == 0, F.lit("D")).otherwise(F.lit("U")),
+    )
+    stage = tempfile.mkdtemp(prefix="pcs-cdctx-src-")
+    root = tempfile.mkdtemp(prefix="pcs-cdctx-state-")
+    state_table = f"{root}/state"
+    try:
+        base = ev.where(F.col("event_id") % 2 == 0)
+        txlog.commit(
+            merge_upsert(
+                base.limit(0), base,
+                keys=["user_id", "event_type"],
+                version_cols=["ts", "event_id"],
+            ).withColumn("__tombstone", F.lit(False)),
+            state_table,
+        )
+        changes.repartition(3).write.mode("overwrite").parquet(stage)
+        schema = spark.read.parquet(stage).schema
+        final = apply_cdc_txlog_available_now(
+            spark,
+            stage,
+            state_table,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+            schema=schema,
+            op_col="op",
+        )
+        return final.select(
+            "user_id", "event_type", "ts", "event_id", "value"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Known event types, pinned so the pivot never needs the extra
 # distinct-values job Spark runs when the list is omitted — at 100 TB
 # that implicit first pass is a full scan of the fact table.
@@ -2443,6 +2502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state_with_deletes_stream": (
         current_user_state_with_deletes_stream
     ),
+    "current_user_state_txlog_stream": current_user_state_txlog_stream,
     "customers_without_high_value_orders": customers_without_high_value_orders,
     "order_price_quartiles": order_price_quartiles,
     "order_price_quartiles_approx": order_price_quartiles_approx,
@@ -3507,6 +3567,11 @@ ORACLE_SQL["current_user_state_stream"] = ORACLE_SQL["current_user_state"]
 # to the one-shot compaction however the change stream is split —
 # the same oracle checks batch and stream
 ORACLE_SQL["current_user_state_with_deletes_stream"] = ORACLE_SQL[
+    "current_user_state_with_deletes"
+]
+
+# the txlog-state variant converges to the identical compaction
+ORACLE_SQL["current_user_state_txlog_stream"] = ORACLE_SQL[
     "current_user_state_with_deletes"
 ]
 

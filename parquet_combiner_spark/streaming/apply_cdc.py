@@ -110,3 +110,91 @@ def apply_cdc_available_now(
         # retained tombstones are state bookkeeping, not live rows
         state = state.where(~F.col(retain)).drop(retain)
     return state
+
+
+def apply_cdc_txlog_available_now(
+    spark: SparkSession,
+    source_dir: str,
+    state_table: str,
+    keys: list[str],
+    version_cols: list[str],
+    schema,
+    max_files_per_trigger: int = 1,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    query_id: str = "cdc",
+) -> DataFrame:
+    """:func:`apply_cdc_available_now` with the state in a VERSIONED
+    TABLE instead of a parquet rename-swap: each micro-batch's merge
+    commits as one atomic txlog version carrying ``(query_id, epoch)``
+    in its meta, which closes the two gaps of the swap variant —
+    (1) no crash window (the O_EXCL publish is atomic; a torn run
+    leaves only vacuum-garbage), and (2) exactly-once without relying
+    on merge idempotence alone: a REPLAYED epoch finds its own commit
+    and skips, so even non-idempotent extensions (additive columns)
+    would be safe. Bonus: the state is time-travelable — version k is
+    the state after micro-batch k, the debugging surface a plain
+    directory can never give you. Tombstones are retained in state
+    (see the base function) and filtered from the returned frame."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    retain = "__tombstone" if op_col is not None else None
+    seen: set = set()
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if not seen:
+            seen.update(
+                (c["meta"].get("query_id"), c["meta"]["epoch"])
+                for c in txlog._read_log(state_table)
+                if "epoch" in c.get("meta", {})
+            )
+            seen.add("__warm")  # non-empty ⇒ cold load happened
+        if (query_id, epoch_id) in seen:
+            return
+        cols = [c for c in batch.columns if op_col is None or c != op_col]
+        state_cols = [*cols, retain] if retain else cols
+        version = txlog.current_version(state_table)
+        if version >= 0:
+            base = txlog.read_table(spark, state_table, version).select(
+                *state_cols
+            )
+        elif retain:
+            base = spark.createDataFrame(
+                [], batch.select(*cols).schema
+            ).withColumn(retain, F.lit(False))
+        else:
+            base = spark.createDataFrame([], batch.select(*cols).schema)
+        merged = merge_upsert(
+            base, batch, keys, version_cols, op_col=op_col,
+            delete_op=delete_op, retain_col=retain,
+        )
+        txlog.commit(
+            merged,
+            state_table,
+            action="overwrite" if version >= 0 else "append",
+            meta={"query_id": query_id, "epoch": epoch_id},
+            expected_version=version if version >= 0 else None,
+        )
+        seen.add((query_id, epoch_id))
+
+    ckpt = tempfile.mkdtemp(prefix="pcs-cdctx-ckpt-")
+    try:
+        query = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    state = txlog.read_table(spark, state_table)
+    if retain and retain in state.columns:
+        state = state.where(~F.col(retain)).drop(retain)
+    return state

@@ -823,3 +823,51 @@ def test_outer_interval_join_null_gating(spark, tmp_path):
     assert 1 in got and got[1]["error_event_id"] is None  # finalized NULL
     # event 4 is within window of the final watermark: withheld
     assert 4 not in got
+
+
+def test_cdc_txlog_state_time_travel_and_replay(spark, tmp_path):
+    """The txlog-backed CDC apply: state versions accrete one per
+    micro-batch (time travel reproduces the state mid-stream), a full
+    replay of an already-applied source commits NOTHING (epoch keys
+    in the commit log), and deletes behave as in the swap variant."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.apply_cdc import (
+        apply_cdc_txlog_available_now,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "state")
+    rows = [
+        Row(k=1, v=10, val="a", op="U"),
+        Row(k=2, v=10, val="b", op="U"),
+        Row(k=1, v=20, val=None, op="D"),   # delete k=1 later
+        Row(k=3, v=5, val="c", op="U"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, v bigint, val string, op string"
+    )
+    df.repartition(2).write.parquet(src)
+
+    final = apply_cdc_txlog_available_now(
+        spark, src, table, keys=["k"], version_cols=["v"],
+        schema=df.schema, op_col="op",
+    )
+    got = {r["k"]: r["val"] for r in final.collect()}
+    assert got == {2: "b", 3: "c"}  # k=1 deleted by the newer D
+
+    n_versions = txlog.current_version(table) + 1
+    assert n_versions == 2  # one commit per micro-batch
+    # time travel: version 0 is the state after batch 0 only
+    v0 = txlog.read_table(spark, table, version=0)
+    assert 0 < v0.count() <= 4
+
+    # full replay (fresh checkpoint, same epochs 0..N): no new commits
+    before = txlog.current_version(table)
+    replay = apply_cdc_txlog_available_now(
+        spark, src, table, keys=["k"], version_cols=["v"],
+        schema=df.schema, op_col="op",
+    )
+    assert txlog.current_version(table) == before
+    assert {r["k"]: r["val"] for r in replay.collect()} == got
