@@ -608,6 +608,21 @@ def q_doc_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(payloads, every_n=_FRAME_EVERY)
 
 
+def q_doc_payload_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the binary payloads
+    (multimodal.phash_near_dup_pairs): 64-bit average-hash +
+    pigeonhole banding, exact Hamming filter JVM-side. max_hamming 10
+    puts the synthetic near-dup documents' payloads in range.
+    Locality-preserving fake decode (byte-slice grid) — rows-only
+    under the driver (the grid/banding pipeline is pinned by the
+    planted-edit pytest instead)."""
+    payloads = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return multimodal.phash_near_dup_pairs(payloads, max_hamming=10)
+
+
 # --- embeddings -----------------------------------------------------------
 
 
@@ -756,6 +771,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_payload_resize": q_doc_payload_resize,
     "doc_payload_energy": q_doc_payload_energy,
     "doc_payload_frames": q_doc_payload_frames,
+    "doc_payload_phash_pairs": q_doc_payload_phash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_mmr_topk": q_ann_mmr_topk,
     "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,

@@ -291,3 +291,136 @@ def payload_energy_windows(
     return media.select("media_id", "payload").mapInPandas(
         split, AUDIO_ENERGY_SCHEMA
     )
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def fake_image_grid(payload: bytes, cells: int = 64) -> list[float]:
+    """Deterministic fake decode to a ``cells``-cell grayscale grid:
+    byte means over equal payload slices — the structure a real
+    decode + downsample yields. Unlike the sha-seeded feature fake,
+    this is LOCALITY-PRESERVING: a small payload edit perturbs few
+    cells, so hash distance tracks payload similarity — the property
+    perceptual hashing needs and a cryptographic fake destroys. Swap
+    for a real decode+resize on a cluster with codecs."""
+    n = len(payload)
+    if n == 0:
+        return [0.0] * cells
+    out = []
+    for i in range(cells):
+        lo, hi = i * n // cells, (i + 1) * n // cells
+        chunk = payload[lo:hi] or payload[lo : lo + 1]
+        out.append(sum(chunk) / max(len(chunk), 1))
+    return out
+
+
+def payload_phash(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    grid_fn=fake_image_grid,
+) -> DataFrame:
+    """64-bit average-hash (aHash) per payload: decode to an 8×8
+    grid, bit i set iff cell i exceeds the grid mean — the classic
+    perceptual fingerprint whose Hamming distance approximates visual
+    difference. Arrow-batched ``mapInPandas`` (the decode is the
+    unavoidable Python step); output (media_id, phash int64)."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes) -> int:
+            cells = grid_fn(b, 64)
+            mean = sum(cells) / 64.0
+            h = 0
+            for i, c in enumerate(cells):
+                if c > mean:
+                    h |= 1 << i
+            # wrap to signed int64 (bit 63 is just a hash bit)
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "phash": np.array(
+                        [one(b) for b in pdf[payload_col]], dtype=np.int64
+                    ),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+def phash_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    grid_fn=fake_image_grid,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: (id_a, id_b, hamming) with
+    Hamming(phash) <= ``max_hamming`` — image-level dedup the byte
+    hash cannot do (re-encodes/minor edits change every byte but few
+    grid cells).
+
+    Scale shape — the pigeonhole banding the SimHash text family
+    uses: split the 64 bits into ``max_hamming + 1`` bands; any pair
+    within distance ``max_hamming`` agrees EXACTLY on >= 1 band
+    (pigeonhole), so candidates come from an equi-join on
+    (band_idx, band_value) — never an all-pairs comparison — and the
+    exact Hamming check (JVM ``bit_count(xor)``) filters false
+    bucket-mates. Recall is exactly 1 within the threshold."""
+    bands = max_hamming + 1
+    ph = payload_phash(media, payload_col, id_col, grid_fn).localCheckpoint(
+        eager=True
+    )  # one Python pass feeds both join sides
+    bounds = [
+        (i * 64 // bands, (i + 1) * 64 // bands) for i in range(bands)
+    ]
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(
+                f"(shiftrightunsigned(phash, {lo}) & "
+                f"{(1 << (hi - lo)) - 1}) "
+            ).alias("val"),
+        )
+        for i, (lo, hi) in enumerate(bounds)
+    ]
+    coded = ph.select(
+        F.col("media_id").alias("vid"),
+        "phash",
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select("vid", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = coded.alias("a"), coded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.val") == F.col("b.val"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("ph_a ^ ph_b"))
+    return cand.where(ham <= max_hamming).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )

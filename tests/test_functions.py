@@ -1523,3 +1523,46 @@ def test_dedup_keepers_by_policy(spark):
         r["doc_id"]: r["keep"] for r in dedup_keepers(clusters).collect()
     }
     assert minid[1] is True and got[1] is False  # policies really differ
+
+
+def test_phash_near_dup_planted_edits(spark):
+    """Perceptual-hash dedup on planted payloads: a tiny byte edit of
+    a large payload stays within the Hamming threshold (found), an
+    unrelated payload does not (absent), and the pigeonhole banding's
+    recall within the threshold is exact — verified against a direct
+    numpy all-pairs Hamming computation."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions import multimodal
+
+    base = bytes(range(256)) * 64  # 16 KiB structured payload
+    edited = bytearray(base)
+    for i in range(0, 64, 16):
+        edited[i] = 255  # touch a few bytes -> few grid cells move
+    rows = [
+        Row(media_id=1, payload=base),
+        Row(media_id=2, payload=bytes(edited)),
+        Row(media_id=3, payload=bytes(reversed(base))),  # different
+        Row(media_id=4, payload=b"\x00" * 1000),          # flat/unrelated
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_near_dup_pairs(df, max_hamming=10).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 10
+
+    # exact-recall check: banding finds EVERY pair the brute-force
+    # Hamming threshold admits
+    hashes = {
+        r["media_id"]: r["phash"]
+        for r in multimodal.payload_phash(df).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 10
+    }
+    assert set(got) == want
