@@ -51,6 +51,10 @@ def test_every_oracle_has_a_query():
         # t-digest (different estimator); error-bound pytest instead
         "order_price_quartiles_approx",
         "customer_rfm_segments_approx",
+        # perceptual-hash banding over binary payloads: the grid/
+        # band pipeline is pinned by the planted-edit + exact-recall
+        # pytest (blob slicing is not usefully SQL-expressible)
+        "doc_payload_phash_pairs",
     }
 
 
