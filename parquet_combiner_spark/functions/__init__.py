@@ -608,6 +608,40 @@ def q_doc_payload_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(payloads, every_n=_FRAME_EVERY)
 
 
+_TOKEN_BUDGET = 20_000  # shared with the oracle SQL (absolute, so the
+# selection is meaningful at every SF: ~half the sf0.01 corpus)
+
+
+def q_doc_token_budget_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Budget-constrained best-first selection
+    (:func:`sampling.select_by_token_budget`): the top documents by
+    English-marker score until 20k tokens are gathered — "give me the
+    best N tokens" WITHOUT the global sort the window formulation
+    needs (bucketed score histogram + boundary-slice resolution). The
+    oracle IS the window formulation; the two must agree row-for-row.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    markers = ", ".join(f"'{m}'" for m in text.LANG_MARKERS["en"])
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        toks.alias("__toks"),
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (
+            F.expr(f"size(filter(__toks, w -> w IN ({markers})))")
+            / F.greatest(F.size("__toks"), F.lit(1))
+        ).alias("en_score"),
+    )
+    return sampling.select_by_token_budget(
+        scored, _TOKEN_BUDGET, "en_score", "n_tokens"
+    )
+
+
 def q_doc_payload_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over the binary payloads
     (multimodal.phash_near_dup_pairs): 64-bit average-hash +
@@ -752,6 +786,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_source_temperature_sample": q_doc_source_temperature_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
+    "doc_token_budget_selection": q_doc_token_budget_selection,
     "corpus_prep": q_corpus_prep,
     "corpus_mixture": q_corpus_mixture,
     "doc_source_capped": q_doc_source_capped,
@@ -926,6 +961,30 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                     THEN round(n_chars / CAST(n_bpe_tokens AS DOUBLE), 4)
                END AS chars_per_token
         FROM c
+    """,
+    # the window formulation the Spark side implements WITHOUT a
+    # global sort; same budget constant, unrounded double score
+    "doc_token_budget_selection": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   len(list_filter(toks, w -> w IN ({_EN_MARKERS})))
+                       / CAST(greatest(len(toks), 1) AS DOUBLE) AS en_score
+            FROM t
+        )
+        SELECT doc_id, n_tokens, en_score FROM (
+            SELECT doc_id, n_tokens, en_score,
+                   sum(n_tokens) OVER (
+                       ORDER BY en_score DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS c
+            FROM s
+        ) WHERE c - n_tokens < {_TOKEN_BUDGET}
     """,
     "doc_lang_id": f"""
         WITH t AS (

@@ -310,3 +310,75 @@ def split_oracle_case_sql(
         lines.append(f"WHEN {bucket} < '{_threshold_hex(cum)}' THEN '{name}'")
     whens = " ".join(lines)
     return f"CASE {whens} ELSE '{names[-1]}' END"
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    bucket_decimals: int = 4,
+) -> DataFrame:
+    """Budget-constrained best-first selection: the documents a
+    training run keeps when asked for "the best N tokens" — rows in
+    (``score_col`` DESC, ``id_col`` ASC) order until their cumulative
+    ``token_col`` first reaches ``budget_tokens`` (the crossing row
+    included). Exactly the window formulation
+
+        SELECT ... QUALIFY sum(tokens) OVER (ORDER BY score DESC, id)
+                   - tokens < budget
+
+    but WITHOUT the global sort that window needs — the one plan
+    shape this engine refuses at 100 TB.
+
+    How: scores bucket to ``bucket_decimals`` decimals and ONE
+    partial-aggregated pass produces per-bucket token sums (<= 10^d
+    rows — bounded metadata, collected). The driver walks the bucket
+    cumsum to find the BOUNDARY bucket; every doc in a higher bucket
+    has strictly higher score than any boundary doc (flooring), so
+    they are all selected order-free; only the boundary bucket — a
+    1/10^d slice of the corpus — is resolved exactly, with a window
+    over that slice alone. Ties at equal score break by ``id_col``,
+    matching the window formulation row-for-row (hash-checked by the
+    oracle). Budgets beyond the corpus select everything.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    from pyspark.sql import Window
+
+    scale = 10**bucket_decimals
+    bucketed = df.withColumn(
+        "__b", F.floor(F.col(score_col) * scale).cast("long")
+    )
+    per_bucket = (
+        bucketed.groupBy("__b")
+        .agg(F.sum(token_col).alias("__t"))
+        .orderBy(F.desc("__b"))
+        .collect()
+    )  # <= 10^bucket_decimals rows: bounded metadata
+    cum = 0
+    boundary = None
+    for r in per_bucket:
+        if cum + r["__t"] >= budget_tokens:
+            boundary = r["__b"]
+            break
+        cum += r["__t"]
+    if boundary is None:
+        return df  # budget exceeds the corpus: keep everything
+    above = bucketed.where(F.col("__b") > boundary).drop("__b")
+    # exact resolution INSIDE the boundary bucket only (a ~1/10^d
+    # slice): window cumsum ordered (score desc, id) with the
+    # remaining budget
+    w = (
+        Window.orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    remaining = budget_tokens - cum
+    in_boundary = (
+        bucketed.where(F.col("__b") == boundary)
+        .withColumn("__cum", F.sum(token_col).over(w))
+        .where(F.col("__cum") - F.col(token_col) < remaining)
+        .drop("__b", "__cum")
+    )
+    return above.unionByName(in_boundary)

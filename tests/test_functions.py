@@ -1566,3 +1566,46 @@ def test_phash_near_dup_planted_edits(spark):
         if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 10
     }
     assert set(got) == want
+
+
+def test_select_by_token_budget_matches_window_reference(spark):
+    """The sort-free budget selector must equal the global-window
+    formulation row-for-row, including ties at the boundary score
+    (id-ordered) and the crossing row (included); budget beyond the
+    corpus keeps everything; non-positive budget raises."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions.sampling import (
+        select_by_token_budget,
+    )
+
+    rows = [
+        Row(doc_id=1, n_tokens=100, s=0.9),
+        Row(doc_id=2, n_tokens=100, s=0.8),
+        Row(doc_id=4, n_tokens=100, s=0.7),   # tie: id order decides
+        Row(doc_id=3, n_tokens=100, s=0.7),
+        Row(doc_id=5, n_tokens=100, s=0.7),
+        Row(doc_id=6, n_tokens=100, s=0.1),
+    ]
+    df = spark.createDataFrame(rows)
+
+    def reference(budget):
+        ordered = sorted(rows, key=lambda r: (-r["s"], r["doc_id"]))
+        keep, c = [], 0
+        for r in ordered:
+            if c < budget:
+                keep.append(r["doc_id"])
+            c += r["n_tokens"]
+        return sorted(keep)
+
+    for budget in (1, 100, 150, 250, 301, 399, 400, 401, 599, 600, 10_000):
+        got = sorted(
+            r["doc_id"]
+            for r in select_by_token_budget(
+                df, budget, "s", "n_tokens"
+            ).collect()
+        )
+        assert got == reference(budget), budget
+    with _pytest.raises(ValueError, match="positive"):
+        select_by_token_budget(df, 0, "s", "n_tokens")
