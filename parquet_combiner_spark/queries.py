@@ -2285,6 +2285,33 @@ def event_counts_stream_metric_store(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS-qualified priority counts: orders from
+    H1-1997 having at least one lineitem shipped after the order date
+    (late-shipment check adapted to this schema's columns), counted
+    per priority. The EXISTS is a LEFT SEMI join whose probe carries
+    only (orderkey, shipdate-qualified) — the date filter pushes to
+    the orders scan, the semi join never multiplies rows, and the
+    final aggregate is priority-cardinality."""
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-07-01").cast("timestamp_ntz")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
 def important_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape — share-of-total HAVING: parts whose revenue
     exceeds 0.075% of TOTAL revenue (≈1.5× the mean share on the
@@ -2520,6 +2547,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_item_revenue": returned_item_revenue,
     "promo_revenue_share": promo_revenue_share,
     "brand_quantity_revenue": brand_quantity_revenue,
+    "order_priority_checking": order_priority_checking,
     "important_part_revenue": important_part_revenue,
     "small_quantity_order_revenue": small_quantity_order_revenue,
     "idle_rich_customers": idle_rich_customers,
@@ -3294,6 +3322,17 @@ ORACLE_SQL: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 30
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "order_priority_checking": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY 1
     """,
     "important_part_revenue": """
         SELECT l_partkey,

@@ -602,6 +602,11 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("table")
     ap.add_argument("--history", action="store_true")
+    ap.add_argument(
+        "--fast-count",
+        action="store_true",
+        help="row count from parquet footers (no Spark, no data scan)",
+    )
     ap.add_argument("--optimize", action="store_true")
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("--vacuum", action="store_true")
@@ -611,6 +616,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.history:
         for rec in history(args.table):
             print(_json.dumps(rec))
+    if args.fast_count:
+        print(f"rows: {fast_count(args.table)}")
     if args.optimize:
         from parquet_combiner_spark.session import get_spark
 
@@ -626,7 +633,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         verb = "would remove" if args.dry_run else "removed"
         print(f"{verb} {len(removed)} file(s)")
-    if not (args.history or args.optimize or args.vacuum):
+    if not (args.history or args.optimize or args.vacuum or args.fast_count):
         print(f"version: {current_version(args.table)}")
     return 0
 
