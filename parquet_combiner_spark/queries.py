@@ -741,6 +741,58 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) windows — the windowing family's third
+    member next to tumbling and session: per-type counts over 1-hour
+    windows sliding every 15 minutes, so each event lands in exactly
+    4 windows. Spark's ``window(..., slide)`` replicates each row to
+    its covering windows EXECUTOR-side (a narrow 4× expansion before
+    the partial aggregate — no self-join, no spine table); the oracle
+    reproduces the replication with a 4-element unnest. Output keyed
+    by integral window-start millis."""
+    slide_ms, win_ms = 900_000, 3_600_000
+    ev = _events(spark, sf_dir).select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        "event_type",
+    )
+    return (
+        ev.groupBy(
+            F.window("event_time", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.expr("unix_micros(w.start) div 1000").alias("window_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def pricing_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization rollup/cube are
+    sugar for: per-flag totals, per-status totals, and the grand
+    total, WITHOUT the (flag, status) detail level a cube would also
+    emit. One Expand-backed aggregation pass (same physical shape as
+    rollup/cube: the expand replicates each row once per set before
+    the partial aggregate); grouping flags exported so NULL group
+    keys stay distinguishable from subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
 def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-extension: ROLLUP over (returnflag, linestatus) — subtotal and
     grand-total rows the reference's flat groupBy surface lacks;
@@ -2506,6 +2558,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_value_rolling_time": user_value_rolling_time,
     "daily_user_accretion": daily_user_accretion,
     "event_transition_counts": event_transition_counts,
+    "sliding_event_type_counts": sliding_event_type_counts,
+    "pricing_grouping_sets": pricing_grouping_sets,
     "pricing_rollup": pricing_rollup,
     "pricing_cube": pricing_cube,
     "event_counts_cms": event_counts_cms,
@@ -3009,6 +3063,28 @@ ORACLE_SQL: dict[str, str] = {
         )
         WHERE prev_type IS NOT NULL
         GROUP BY 1, 2
+    """,
+    "sliding_event_type_counts": """
+        WITH g AS (
+            SELECT epoch_ns(ts) // 1000000 AS tms, event_type FROM events
+        ), r AS (
+            SELECT ((tms // 900000) - k) * 900000 AS window_start_ms,
+                   event_type, tms
+            FROM g, unnest([0, 1, 2, 3]) AS u(k)
+        )
+        SELECT window_start_ms, event_type, count(*) AS n
+        FROM r
+        WHERE tms >= window_start_ms
+          AND tms < window_start_ms + 3600000
+        GROUP BY 1, 2
+    """,
+    "pricing_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
     "pricing_rollup": """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
