@@ -202,3 +202,81 @@ def merge_additive(
     return unioned.groupBy(*[F.col(k) for k in keys]).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def scd2_intervals(
+    points: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attrs: Sequence[str],
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 derivation: attribute change
+    POINTS (key, ts, attrs...) → validity INTERVALS — each row valid
+    from its own timestamp until the key's next change (open-ended
+    for the latest, flagged ``is_current``). The historical-join
+    surface every dimension with history needs (as-of enrichment
+    reads it back with ``operators/asof``).
+
+    One window pass keyed on ``keys`` ordered by ``ts_col`` (``lead``
+    — the partition is a key's change history, never the corpus).
+    Consecutive points with identical attrs are NOT collapsed: a
+    re-stated value is still a change point (collapse upstream with a
+    lag-filter when the feed re-sends unchanged rows).
+
+    Because the interval rebuild is a pure function of the change-
+    point SET, SCD2 maintenance is ASSOCIATIVE: applying change
+    batches incrementally (:func:`scd2_apply`) equals the one-shot
+    derivation over all points — pinned by pytest.
+
+    Output: (*keys, *attrs, valid_from, valid_to, is_current);
+    ``valid_to`` NULL on the current row, else the next change's ts
+    (half-open [valid_from, valid_to) — the join-friendly convention).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(ts_col)
+    nxt = F.lead(ts_col).over(w)
+    return points.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "valid_from",
+    attrs: Sequence[str] | None = None,
+) -> DataFrame:
+    """Apply a change batch to an existing SCD2 dimension: rows whose
+    key changed get their ``valid_to`` closed at the change's
+    timestamp, the new versions open (NULL ``valid_to``), untouched
+    keys pass through — Kimball's Type-2 MERGE.
+
+    Implementation leans on associativity instead of a
+    case-by-case MERGE: the dimension collapses back to its change
+    POINTS (every row is one), the batch's points union in (a change
+    batch carries (*keys, *attrs, ts) — its ``ts`` column must be
+    named ``valid_from`` or passed via ``ts_col``), and the intervals
+    rebuild in one key-partitioned window. Out-of-order and
+    intra-batch multi-changes are handled by construction — ordering
+    decides, not arrival. The window partition is ONE KEY'S history
+    (bounded), and only keys present in the batch actually change
+    rows — at scale, partition-prune the rebuild to touched keys and
+    union the untouched remainder through.
+    """
+    if attrs is None:
+        attrs = [
+            c
+            for c in dim.columns
+            if c not in (*keys, "valid_from", "valid_to", "is_current")
+        ]
+    dim_points = dim.select(*keys, *attrs, F.col("valid_from").alias(ts_col))
+    change_points = changes.select(*keys, *attrs, F.col(ts_col))
+    return scd2_intervals(
+        dim_points.unionByName(change_points), keys, ts_col, attrs
+    )

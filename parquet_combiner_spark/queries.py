@@ -1829,6 +1829,34 @@ def windowed_top_events_update_stream(
     )
 
 
+def user_value_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/merge.py scd2_intervals):
+    each user's purchase-value history as validity intervals — valid
+    from the event until the user's next purchase, open-ended (and
+    flagged current) on the latest. The oracle is the lead-window
+    formulation. Built INCREMENTALLY here: the history is derived by
+    applying the odd-event_id changes to the dimension built from the
+    even ones (scd2_apply) — associativity makes that equal the
+    one-shot derivation, which is exactly what the oracle computes."""
+    from parquet_combiner_spark.operators.merge import (
+        scd2_apply,
+        scd2_intervals,
+    )
+
+    pts = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "value", "ts")
+    )
+    base_dim = scd2_intervals(
+        pts.where(F.col("ts") % 2 == 0), ["user_id"], "ts", ["value"]
+    )
+    changes = pts.where(F.col("ts") % 2 == 1).withColumnRenamed(
+        "ts", "valid_from"
+    )
+    return scd2_apply(base_dim, changes, ["user_id"])
+
+
 def current_user_state_txlog_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2583,6 +2611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state_with_deletes_stream": (
         current_user_state_with_deletes_stream
     ),
+    "user_value_history_scd2": user_value_history_scd2,
     "current_user_state_txlog_stream": current_user_state_txlog_stream,
     "customers_without_high_value_orders": customers_without_high_value_orders,
     "order_price_quartiles": order_price_quartiles,
@@ -3632,6 +3661,18 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS rn
             FROM events
         ) WHERE rn = 1
+    """,
+    # SCD2: the lead-window formulation over the same change points
+    "user_value_history_scd2": """
+        SELECT user_id, value,
+               valid_from, valid_to, valid_to IS NULL AS is_current
+        FROM (
+            SELECT user_id, value, epoch_ns(ts) AS valid_from,
+                   lead(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts)
+                   ) AS valid_to
+            FROM events WHERE event_type = 'purchase'
+        )
     """,
     # deletes: the version-race winner per key, with the key dropped
     # when the winner is a tombstone (odd event_id divisible by 7 —

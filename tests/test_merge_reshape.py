@@ -279,3 +279,47 @@ def test_compact_tombstones_low_watermark(spark):
 
     with pytest.raises(ValueError, match="arity"):
         compact_tombstones(state, ["v"], (1, 2), "__dead")
+
+
+def test_scd2_intervals_and_incremental_apply(spark):
+    """SCD2: intervals are half-open [from, next_from), the latest row
+    per key is open-ended + current, out-of-order and multi-change
+    batches resolve by TIMESTAMP (not arrival), and incremental
+    scd2_apply over any batch split equals the one-shot derivation
+    (associativity)."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.operators.merge import (
+        scd2_apply,
+        scd2_intervals,
+    )
+
+    pts = [
+        Row(k="a", attr="v1", ts=10),
+        Row(k="a", attr="v2", ts=20),
+        Row(k="a", attr="v3", ts=30),
+        Row(k="b", attr="x", ts=15),
+    ]
+    df = spark.createDataFrame(pts)
+    full = scd2_intervals(df, ["k"], "ts", ["attr"])
+    got = {
+        (r["k"], r["attr"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in full.collect()
+    }
+    assert got == {
+        ("a", "v1"): (10, 20, False),
+        ("a", "v2"): (20, 30, False),
+        ("a", "v3"): (30, None, True),
+        ("b", "x"): (15, None, True),
+    }
+    # incremental: first batch {v1, v3} (v3 arrives EARLY), second
+    # batch {v2, b} arrives later but is timestamped BETWEEN them
+    b1 = spark.createDataFrame([pts[0], pts[2]])
+    b2 = spark.createDataFrame([pts[1], pts[3]])
+    dim1 = scd2_intervals(b1, ["k"], "ts", ["attr"])
+    dim2 = scd2_apply(
+        dim1, b2.withColumnRenamed("ts", "valid_from"), ["k"]
+    )
+    assert sorted(map(tuple, dim2.collect())) == sorted(
+        map(tuple, full.collect())
+    )
