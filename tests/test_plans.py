@@ -465,3 +465,40 @@ def test_parquet_aggregate_pushdown_reads_footers_not_data(spark, tmp_path):
         assert (row["n"], row["lo"], row["hi"]) == (100_000, 0, 96)
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
+def test_round8_operators_plan_shapes(spark):
+    """Plan pins for the round-8 operators: the triangle wedge/closure
+    joins and the salted join are equi-joins (never cartesian), the
+    small side of the salted join replicates via a narrow Generate
+    (explode) not a join node, and sliding windows expand rows
+    executor-side with NO join anywhere."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions.graph import triangle_counts
+    from parquet_combiner_spark.operators.skew import salted_join
+    from parquet_combiner_spark.plans import plan_text
+    from parquet_combiner_spark.queries import sliding_event_type_counts
+
+    pairs = spark.createDataFrame(
+        [Row(doc_id_a=1, doc_id_b=2), Row(doc_id_a=2, doc_id_b=3)]
+    )
+    tri_plan = plan_text(triangle_counts(pairs))
+    assert "CartesianProduct" not in tri_plan
+    assert "BroadcastNestedLoopJoin" not in tri_plan
+
+    big = spark.createDataFrame([Row(k=1, rid=1, x=1.0)])
+    small = spark.createDataFrame([Row(k=1, label="a")])
+    sj_plan = plan_text(salted_join(big, small, "k", "rid", num_salts=4))
+    assert "CartesianProduct" not in sj_plan
+    assert "BroadcastNestedLoopJoin" not in sj_plan
+    # replication is a narrow Generate (explode), not a join node
+    assert "Generate" in sj_plan and "explode" in sj_plan
+
+    slide_plan = plan_text(
+        sliding_event_type_counts(spark, "/root/testdata/sf0.001")
+    )
+    assert "Join" not in slide_plan  # per-row window expansion only
+    assert_partial_aggregate(
+        sliding_event_type_counts(spark, "/root/testdata/sf0.001")
+    )

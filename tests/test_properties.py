@@ -287,3 +287,117 @@ def test_floor_div_sql_matches_python_floor_division(spark):
         ).collect()
     }
     assert got == {v: v // divisor for v in vals}
+
+
+# (key, version, payload, op) — versions UNIQUE per draw by index
+# pairing, ops weighted toward upserts like a real CDC feed
+_CDC_OPS = st.lists(
+    st.tuples(
+        st.integers(0, 4),
+        st.sampled_from(["a", "b", "c", None]),
+        st.sampled_from(["U", "U", "U", "D"]),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestMergeDeleteProperties:
+    @given(ops=_CDC_OPS, split=st.integers(0, 24))
+    @SETTINGS
+    def test_incremental_tombstone_merge_equals_reference(
+        self, spark, ops, split
+    ):
+        """For ANY op sequence and ANY batch split: the retained-
+        tombstone incremental merge, filtered, equals both a pure-
+        Python latest-wins fold AND the one-shot merge — and replaying
+        the last batch changes nothing."""
+        from pyspark.sql import functions as F
+
+        from parquet_combiner_spark.operators.merge import merge_upsert
+
+        rows = [
+            (k, i, p, op) for i, (k, p, op) in enumerate(ops)
+        ]  # version = index: unique, total order
+        schema = "k long, v long, p string, op string"
+
+        def reference():
+            state = {}
+            for k, v, p, op in sorted(rows, key=lambda r: r[1]):
+                if op == "D":
+                    state.pop(k, None)
+                    state["__dead_%d" % k] = (k, v)  # latest delete ver
+                else:
+                    dead = state.get("__dead_%d" % k)
+                    if dead is None or v > dead[1]:
+                        state[k] = (k, v, p)
+            return sorted(t for key, t in state.items()
+                          if not isinstance(key, str))
+
+        split = min(split, len(rows))
+        b1 = spark.createDataFrame(rows[:split] or [], schema)
+        b2 = spark.createDataFrame(rows[split:] or [], schema)
+        empty = spark.createDataFrame([], "k long, v long, p string")
+        seeded = empty.withColumn("__dead", F.lit(False))
+        s1 = merge_upsert(
+            seeded, b1, ["k"], ["v"], op_col="op", retain_col="__dead"
+        )
+        s2 = merge_upsert(
+            s1, b2, ["k"], ["v"], op_col="op", retain_col="__dead"
+        )
+        live = sorted(
+            map(tuple, s2.where("NOT __dead").drop("__dead").collect())
+        )
+        assert live == reference()
+        # one-shot agrees
+        oneshot = merge_upsert(
+            empty, spark.createDataFrame(rows, schema), ["k"], ["v"],
+            op_col="op",
+        )
+        assert sorted(map(tuple, oneshot.collect())) == live
+        # replaying the second batch is a no-op
+        s3 = merge_upsert(
+            s2, b2, ["k"], ["v"], op_col="op", retain_col="__dead"
+        )
+        assert sorted(
+            map(tuple, s3.where("NOT __dead").drop("__dead").collect())
+        ) == live
+
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 3), st.sampled_from(["x", "y", "z"])),
+            min_size=1,
+            max_size=16,
+        ),
+        split=st.integers(0, 16),
+    )
+    @SETTINGS
+    def test_scd2_incremental_equals_oneshot(self, spark, pts, split):
+        """SCD2 associativity under ANY split: applying the second
+        half of the change points to the dimension built from the
+        first equals the one-shot derivation."""
+        from parquet_combiner_spark.operators.merge import (
+            scd2_apply,
+            scd2_intervals,
+        )
+
+        rows = [(k, a, i) for i, (k, a) in enumerate(pts)]  # unique ts
+        schema = "k long, attr string, ts long"
+        full = scd2_intervals(
+            spark.createDataFrame(rows, schema), ["k"], "ts", ["attr"]
+        )
+        split = min(split, len(rows))
+        d1 = scd2_intervals(
+            spark.createDataFrame(rows[:split] or [], schema),
+            ["k"], "ts", ["attr"],
+        )
+        d2 = scd2_apply(
+            d1,
+            spark.createDataFrame(rows[split:] or [], schema)
+            .withColumnRenamed("ts", "valid_from"),
+            ["k"],
+        )
+        assert sorted(map(tuple, d2.collect())) == sorted(
+            map(tuple, full.collect())
+        )
