@@ -1327,3 +1327,50 @@ def test_merge_additive_contract_and_sums(spark):
     assert {r["k"]: r["n"] for r in replay.collect()}["a"] == 7  # 5+2
     with _pytest.raises(ValueError, match="exactly keys"):
         merge_additive(base, upd.withColumnRenamed("s", "t"), ["k"], ["n", "s"])
+
+
+def test_round8_kernels_handle_empty_inputs(spark):
+    """Empty-frame behavior of the round-8 kernels: no crashes, sane
+    empty/identity results — the edge every composed pipeline
+    eventually feeds them."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions.graph import triangle_counts
+    from parquet_combiner_spark.functions.sampling import (
+        select_by_token_budget,
+    )
+    from parquet_combiner_spark.operators.merge import (
+        merge_additive,
+        merge_upsert,
+        scd2_intervals,
+    )
+
+    empty_pairs = spark.createDataFrame(
+        [], "doc_id_a long, doc_id_b long"
+    )
+    assert triangle_counts(empty_pairs).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, n long, s double")
+    assert select_by_token_budget(empty_docs, 100, "s", "n").count() == 0
+
+    empty_cdc = spark.createDataFrame([], "k long, v long, p string")
+    ops = spark.createDataFrame(
+        [("a",)], "x string"
+    ).selectExpr("1 as k", "1 as v", "'p' as p", "'U' as op")
+    # empty base + ops, and base + empty ops
+    assert merge_upsert(empty_cdc, ops, ["k"], ["v"], op_col="op").count() == 1
+    assert (
+        merge_upsert(
+            ops.drop("op"), ops.limit(0), ["k"], ["v"], op_col="op"
+        ).count()
+        == 1
+    )
+
+    assert merge_additive(
+        empty_cdc.select("k", "v"), empty_cdc.select("k", "v"), ["k"], ["v"]
+    ).count() == 0
+
+    assert scd2_intervals(
+        spark.createDataFrame([], "k long, a string, ts long"),
+        ["k"], "ts", ["a"],
+    ).count() == 0
