@@ -264,10 +264,15 @@ def scd2_apply(
     named ``valid_from`` or passed via ``ts_col``), and the intervals
     rebuild in one key-partitioned window. Out-of-order and
     intra-batch multi-changes are handled by construction — ordering
-    decides, not arrival. The window partition is ONE KEY'S history
-    (bounded), and only keys present in the batch actually change
-    rows — at scale, partition-prune the rebuild to touched keys and
-    union the untouched remainder through.
+    decides, not arrival.
+
+    Scale: only keys PRESENT in the batch can change rows, so the
+    rebuild is pruned to the touched keys — the batch's (usually
+    tiny) key set broadcasts into a semi join selecting the histories
+    to rewrite and an anti join passing the untouched remainder
+    through untouched. The window therefore sorts O(|batch keys| ×
+    history) rows, never the dimension — at 100 TB the dominant cost
+    is the two broadcast-probed scans of the dimension.
     """
     if attrs is None:
         attrs = [
@@ -275,8 +280,17 @@ def scd2_apply(
             for c in dim.columns
             if c not in (*keys, "valid_from", "valid_to", "is_current")
         ]
-    dim_points = dim.select(*keys, *attrs, F.col("valid_from").alias(ts_col))
-    change_points = changes.select(*keys, *attrs, F.col(ts_col))
-    return scd2_intervals(
-        dim_points.unionByName(change_points), keys, ts_col, attrs
+    out_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
+    touched = changes.select(*keys).distinct()
+    dim_points = (
+        dim.join(F.broadcast(touched), list(keys), "left_semi")
+        .select(*keys, *attrs, F.col("valid_from").alias(ts_col))
     )
+    untouched = dim.join(
+        F.broadcast(touched), list(keys), "left_anti"
+    ).select(*out_cols)
+    change_points = changes.select(*keys, *attrs, F.col(ts_col))
+    rebuilt = scd2_intervals(
+        dim_points.unionByName(change_points), keys, ts_col, attrs
+    ).select(*out_cols)
+    return untouched.unionByName(rebuilt)
