@@ -878,3 +878,130 @@ def near_dup_clusters_logstar(
     raise RuntimeError(
         f"near_dup_clusters_logstar did not converge in {max_iter} rounds"
     )
+
+
+def incremental_near_dup(
+    spark,
+    new_docs: DataFrame,
+    index_table: str,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    max_retries: int = 3,
+) -> DataFrame:
+    """:func:`incremental_dedup`'s NEAR-duplicate sibling: each
+    arriving batch is deduplicated at MinHash-Jaccard >=
+    ``threshold`` (a) within itself and (b) against every previously
+    ADMITTED document, via a persistent signature index in a txlog
+    versioned table — the production ingestion pattern when
+    paraphrase-level duplication matters, not just byte equality.
+
+    The index stores ONE compact row per admitted doc:
+    (doc_id, sig array<long>[num_hashes], bands array<long>) — ~1 KB,
+    a few percent of document bytes; band buckets explode at READ
+    time (posexplode — narrow), so candidates against history are an
+    equi-join on (band position, band hash), never a scan-by-scan
+    comparison, and only candidate pairs pay the signature-agreement
+    estimate. Within-batch survivors come from the engine's own
+    pipeline (bands → capped candidate pairs → signature estimate →
+    connected components → min-id keepers).
+
+    Concurrency/idempotence contract is inherited verbatim from
+    :func:`incremental_dedup`: the admission decision reads a pinned
+    snapshot, the commit targets ``expected_version`` (a racing batch
+    forces a re-validated retry — two racing batches can never both
+    admit near-copies of the same doc), and a batch with nothing
+    fresh commits nothing.
+
+    Probabilistic honesty: recall follows the banding s-curve (same
+    knobs as :func:`minhash_near_dup_pairs`), so a true near-dup pair
+    can slip the index with the usual LSH miss probability — this is
+    the accepted contract of every MinHash ingestion system, and the
+    planted-dup pytest pins the recall these knobs must deliver.
+    Returns the admitted rows of ``new_docs``.
+    """
+    from parquet_combiner_spark.tools import txlog
+
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
+    sigs = minhash_signatures(
+        new_docs, text_col, id_col, k_shingle, num_hashes
+    )
+    bands = lsh_band_buckets(sigs, num_bands, num_hashes)
+    # within-batch near-dup keepers (min id per cluster survives)
+    batch_pairs = estimate_jaccard(candidate_pairs(bands), sigs).where(
+        F.col("est_jaccard") >= threshold
+    )
+    keepers = dedup_keepers(near_dup_clusters(batch_pairs))
+    dropped_in_batch = keepers.where(~F.col("keep")).select(
+        F.col("doc_id")
+    )
+    survivors = sigs.join(
+        dropped_in_batch, sigs["doc_id"] == dropped_in_batch["doc_id"],
+        "left_anti",
+    )
+    # compact index row: bands as a positional array
+    surv_rows = survivors.join(
+        bands.groupBy("doc_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("band_id", "band_hash"))
+            ).alias("__b")
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "sig",
+        F.transform(F.col("__b"), lambda s: s["band_hash"]).alias("bands"),
+    )
+    surv_rows = surv_rows.localCheckpoint(eager=True)
+
+    for attempt in range(max_retries):
+        base = txlog.current_version(index_table)
+        if base >= 0:
+            idx = txlog.read_table(spark, index_table, version=base)
+            idx_bands = idx.select(
+                F.col("doc_id").alias("hist_id"),
+                F.posexplode("bands").alias("band_id", "band_hash"),
+            )
+            new_bands = surv_rows.select(
+                "doc_id",
+                F.posexplode("bands").alias("band_id", "band_hash"),
+            )
+            cand = (
+                new_bands.join(idx_bands, ["band_id", "band_hash"])
+                .select("doc_id", "hist_id")
+                .distinct()
+            )
+            both_sigs = surv_rows.select("doc_id", "sig").unionByName(
+                idx.select("doc_id", "sig")
+            )
+            hits = estimate_jaccard(
+                cand.select(
+                    F.col("doc_id").alias("doc_id_a"),
+                    F.col("hist_id").alias("doc_id_b"),
+                ),
+                both_sigs,
+            ).where(F.col("est_jaccard") >= threshold)
+            fresh = surv_rows.join(
+                hits.select(F.col("doc_id_a").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+        else:
+            fresh = surv_rows
+        fresh = fresh.localCheckpoint(eager=True)
+        if not fresh.head(1):
+            break
+        try:
+            txlog.commit(fresh, index_table, expected_version=base)
+            break
+        except txlog.CommitConflict:
+            if attempt == max_retries - 1:
+                raise
+            continue  # re-validate against the advanced index
+    return new_docs.join(
+        fresh.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    )

@@ -1609,3 +1609,47 @@ def test_select_by_token_budget_matches_window_reference(spark):
         assert got == reference(budget), budget
     with _pytest.raises(ValueError, match="positive"):
         select_by_token_budget(df, 0, "s", "n_tokens")
+
+
+def test_incremental_near_dup_across_batches(spark, tmp_path):
+    """Near-dup ingestion against the persistent MinHash index:
+    batch-1 admits originals and rejects a within-batch paraphrase;
+    batch-2's near-copy of an ADMITTED doc is rejected while its
+    genuinely-new doc is admitted; replaying batch-2 admits nothing
+    new and commits nothing (index version unchanged)."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions import dedup_text
+    from parquet_combiner_spark.tools import txlog
+
+    base_text = " ".join(f"tok{i}" for i in range(120))
+    near = base_text.replace("tok5 ", "tok5x ").replace("tok50 ", "")
+    other = " ".join(f"zzz{i}" for i in range(80))
+    idx = str(tmp_path / "ndidx")
+
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base_text),
+            Row(doc_id=2, text=near),      # within-batch near-dup of 1
+            Row(doc_id=3, text=other),
+        ]
+    )
+    s1 = dedup_text.incremental_near_dup(spark, b1, idx, threshold=0.6)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 3]
+    v1 = txlog.current_version(idx)
+
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=near),     # near-copy of ADMITTED doc 1
+            Row(doc_id=11, text=" ".join(f"qq{i}" for i in range(90))),
+        ]
+    )
+    s2 = dedup_text.incremental_near_dup(spark, b2, idx, threshold=0.6)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [11]
+    v2 = txlog.current_version(idx)
+    assert v2 == v1 + 1
+
+    # replay: nothing fresh, no commit
+    s2b = dedup_text.incremental_near_dup(spark, b2, idx, threshold=0.6)
+    assert sorted(r["doc_id"] for r in s2b.collect()) == []
+    assert txlog.current_version(idx) == v2
