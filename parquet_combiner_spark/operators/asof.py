@@ -41,10 +41,20 @@ def asof_join_backward(
     fact_time: str,
     dim_time: str,
     value_cols: list[str],
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of join: every fact row, plus ``value_cols`` from the
     dim row with the greatest ``dim_time`` <= ``fact_time`` for the
     same ``on`` key (NULLs when no such row — left-join semantics).
+
+    ``tolerance`` (same integer time unit as the columns, like
+    ``pandas.merge_asof``'s): a match STALER than it — the picked dim
+    row more than ``tolerance`` behind the fact — attributes NULLs
+    instead, the freshness bound every attribution/pricing as-of
+    eventually needs (a view from last year should not claim this
+    morning's purchase). Implemented as a mask on the carried payload
+    (which records its own dim time), so the plan is unchanged: one
+    union, one key shuffle, one ordered window, no join node.
 
     ``dim`` must be unique per (``on``, ``dim_time``) — pre-dedup it
     (e.g. ``max_by``) if it is not; with duplicate timestamps "the"
@@ -64,7 +74,9 @@ def asof_join_backward(
         *on,
         F.col(dim_time).alias(_T),
         F.lit(0).alias(_SRC),
-        F.struct(*value_cols).alias(_PAYLOAD),
+        F.struct(
+            *value_cols, F.col(dim_time).alias("__asof_t")
+        ).alias(_PAYLOAD),
     )
     # the fact side carries a typed-NULL payload so unionByName lines
     # up; allowMissingColumns null-fills fact-only columns on dim rows
@@ -87,8 +99,16 @@ def asof_join_backward(
         _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
     )
     out = carried.where(F.col(_SRC) == 1)
+    fresh_enough = (
+        F.col(_PAYLOAD)["__asof_t"]
+        >= F.col(fact_time) - F.lit(tolerance)
+        if tolerance is not None
+        else F.lit(True)
+    )
     for c in value_cols:
-        out = out.withColumn(c, F.col(_PAYLOAD)[c])
+        out = out.withColumn(
+            c, F.when(fresh_enough, F.col(_PAYLOAD)[c])
+        )
     return out.drop(_SRC, _T, _PAYLOAD)
 
 

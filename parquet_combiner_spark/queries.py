@@ -414,6 +414,32 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOLERANCE_MS = 3_600_000  # attribution freshness bound: 1 hour
+
+
+def purchase_attribution_asof_tolerant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The as-of attribution with a FRESHNESS bound (operators/
+    asof.py ``tolerance``, pandas.merge_asof's knob): a view more
+    than an hour older than the purchase attributes NULLs — stale
+    matches are the silent bug of unbounded as-of joins. Same plan
+    (no join node); the oracle wraps the native ASOF result in the
+    staleness mask."""
+    from parquet_combiner_spark.operators.asof import asof_join_backward
+
+    fact, dim = _asof_attribution_inputs(spark, sf_dir)
+    return asof_join_backward(
+        fact,
+        dim,
+        on=["user_id"],
+        fact_time="tms",
+        dim_time="tms",
+        value_cols=["view_event_id", "view_value"],
+        tolerance=_ASOF_TOLERANCE_MS,
+    )
+
+
 def purchase_attribution_asof_pandas(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2570,6 +2596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_global": top_orders_global,
     "events_by_type": events_by_type,
     "purchase_attribution_asof": purchase_attribution_asof,
+    "purchase_attribution_asof_tolerant": purchase_attribution_asof_tolerant,
     "purchase_attribution_asof_pandas": purchase_attribution_asof_pandas,
     "purchases_after_error_interval": purchases_after_error_interval,
     "purchases_after_error_interval_stream": purchases_after_error_interval_stream,
@@ -2880,6 +2907,32 @@ ORACLE_SQL: dict[str, str] = {
     # independent implementation of the same temporal-join semantics
     # the union+window operator computes, which is exactly what an
     # oracle should be. Dim deduped per (user, time) identically.
+    # the tolerant variant: the SAME native ASOF join, with the picked
+    # row's staleness masked to NULLs past the bound (d.tms survives
+    # the join, so the mask is a projection)
+    "purchase_attribution_asof_tolerant": f"""
+        WITH ev AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000000 AS tms, value
+            FROM events
+        ), f AS (
+            SELECT event_id, user_id, tms FROM ev
+            WHERE event_type = 'purchase'
+        ), d AS (
+            SELECT user_id, tms,
+                   max(event_id) AS view_event_id,
+                   max_by(value, event_id) AS view_value
+            FROM ev WHERE event_type = 'view'
+            GROUP BY user_id, tms
+        )
+        SELECT f.event_id, f.user_id, f.tms,
+               CASE WHEN f.tms - d.tms <= {_ASOF_TOLERANCE_MS}
+                    THEN d.view_event_id END AS view_event_id,
+               CASE WHEN f.tms - d.tms <= {_ASOF_TOLERANCE_MS}
+                    THEN d.view_value END AS view_value
+        FROM f ASOF LEFT JOIN d
+          ON f.user_id = d.user_id AND f.tms >= d.tms
+    """,
     "purchase_attribution_asof": """
         WITH ev AS (
             SELECT event_id, user_id, event_type,

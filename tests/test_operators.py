@@ -1374,3 +1374,44 @@ def test_round8_kernels_handle_empty_inputs(spark):
         spark.createDataFrame([], "k long, a string, ts long"),
         ["k"], "ts", ["a"],
     ).count() == 0
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    """tolerance: a match at exactly the bound attributes (inclusive,
+    pandas.merge_asof convention); one past it attributes NULLs; no
+    tolerance keeps the unbounded behavior."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.operators.asof import asof_join_backward
+
+    fact = spark.createDataFrame(
+        [Row(fid=1, k=1, t=100), Row(fid=2, k=1, t=500), Row(fid=3, k=2, t=50)]
+    )
+    dim = spark.createDataFrame(
+        [Row(k=1, dt=90, v="recent"), Row(k=1, dt=300, v="older-then")]
+    )
+    # fid=1: match at gap 10; fid=2: best match dt=300 gap 200;
+    # fid=3: no dim at all
+    out = {
+        r["fid"]: r["v"]
+        for r in asof_join_backward(
+            fact, dim, ["k"], "t", "dt", ["v"], tolerance=100
+        ).collect()
+    }
+    assert out == {1: "recent", 2: None, 3: None}
+    # exactly-at-bound is inclusive
+    out2 = {
+        r["fid"]: r["v"]
+        for r in asof_join_backward(
+            fact, dim, ["k"], "t", "dt", ["v"], tolerance=200
+        ).collect()
+    }
+    assert out2[2] == "older-then"
+    # unbounded behavior unchanged
+    out3 = {
+        r["fid"]: r["v"]
+        for r in asof_join_backward(
+            fact, dim, ["k"], "t", "dt", ["v"]
+        ).collect()
+    }
+    assert out3 == {1: "recent", 2: "older-then", 3: None}
