@@ -170,12 +170,15 @@ def asof_join_cogrouped(
     dim_time: str,
     value_cols: list[str],
     num_buckets: int = 64,
+    tolerance=None,
 ) -> DataFrame:
     """:func:`asof_join_backward` on the COGROUPED-MAP path — the
     Arrow custom-operator formulation of the same semantics
-    (inclusive at-or-before, NULL on no-match), and the extensibility
-    template for per-key temporal logic window functions cannot
-    express (interpolation, nearest, tolerance bands).
+    (inclusive at-or-before, NULL on no-match; ``tolerance`` maps
+    straight onto ``pandas.merge_asof``'s native knob, same inclusive
+    bound as the JVM operator — parity pinned by pytest), and the
+    extensibility template for per-key temporal logic window
+    functions cannot express (interpolation, nearest).
 
     Scale shape: cogrouping on the raw key would invoke Python once
     per key — measured 7.3s vs the JVM operator's 0.65s at sf0.1,
@@ -257,6 +260,7 @@ def asof_join_cogrouped(
                 by=list(on),
                 direction="backward",
                 allow_exact_matches=True,
+                tolerance=tolerance,
             )
         for c, dtype in nullable_casts.items():
             out[c] = out[c].astype(dtype)

@@ -1415,3 +1415,15 @@ def test_asof_tolerance_masks_stale_matches(spark):
         ).collect()
     }
     assert out3 == {1: "recent", 2: "older-then", 3: None}
+    # cogrouped-map formulation parity (pandas.merge_asof's native
+    # tolerance, same inclusive bound)
+    from parquet_combiner_spark.operators.asof import asof_join_cogrouped
+
+    for tol, want in ((100, out), (200, out2), (None, out3)):
+        got = {
+            r["fid"]: r["v"]
+            for r in asof_join_cogrouped(
+                fact, dim, ["k"], "t", "dt", ["v"], tolerance=tol
+            ).collect()
+        }
+        assert got == want, tol
