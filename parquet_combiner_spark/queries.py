@@ -1855,6 +1855,27 @@ def windowed_top_events_update_stream(
     )
 
 
+def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark-bounded dedup
+    (streaming/pipeline.py ``dedup_events_stream_available_now``):
+    the events table replayed as time-banded micro-batches with every
+    band delivered TWICE (at-least-once redelivery), deduped on
+    ``event_id`` by ``dropDuplicatesWithinWatermark`` — the
+    design.pdf DynamoDB-conditional-write + TTL operator (SURVEY.md
+    §2.10) under its actual failure mode. Every redelivered row is
+    suppressed (as a duplicate while its state lives, as late input
+    once below the watermark), so the output is exactly the distinct
+    event set and the oracle is the PLAIN batch projection — the
+    check is that 2× delivery emits each row once."""
+    from parquet_combiner_spark.streaming.pipeline import (
+        dedup_events_stream_available_now,
+    )
+
+    return dedup_events_stream_available_now(
+        spark, f"{sf_dir}/events.parquet"
+    )
+
+
 def user_value_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build (operators/merge.py scd2_intervals):
     each user's purchase-value history as validity intervals — valid
@@ -2607,6 +2628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions_stream_native": user_sessions_stream_native,
     "windowed_top_events_stream": windowed_top_events_stream,
     "windowed_top_events_update_stream": windowed_top_events_update_stream,
+    "events_dedup_stream": events_dedup_stream,
     "price_percentiles": price_percentiles,
     "price_percentiles_approx": price_percentiles_approx,
     "user_rolling_value": user_rolling_value,
@@ -3092,6 +3114,14 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT window_start_ms, event_type, n, item_rank FROM r
         WHERE item_rank <= 3
+    """,
+    # 2x-delivered replay deduped back to the distinct set: the
+    # oracle is the PLAIN projection (no dedup in the SQL) — the
+    # check is that redelivery emits each row exactly once
+    "events_dedup_stream": """
+        SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms,
+               user_id, event_type, value
+        FROM events
     """,
     "price_percentiles": """
         SELECT l_returnflag,

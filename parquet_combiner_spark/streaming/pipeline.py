@@ -455,7 +455,6 @@ def windowed_top_events_update_available_now(
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
-    import time as _time
 
     from parquet_combiner_spark.operators.merge import merge_upsert
     from parquet_combiner_spark.sources.io import ensure_ts_nanos
@@ -473,32 +472,7 @@ def windowed_top_events_update_available_now(
     ckpt = _os.path.join(root, "ckpt")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        # time-range staging: batch k holds the k-th event-time band,
-        # written with increasing mtimes (FileStreamSource replays
-        # oldest-mtime first)
-        bounds = ev.agg(
-            *[
-                F.approx_percentile(
-                    "ts", F.lit((i + 1) / n_batches), F.lit(10000)
-                ).alias(f"b{i}")
-                for i in range(n_batches - 1)
-            ]
-        ).collect()[0]
-        cuts = [None, *[bounds[f"b{i}"] for i in range(n_batches - 1)], None]
-        now = _time.time()
-        for k in range(n_batches):
-            part = ev
-            if cuts[k] is not None:
-                part = part.where(F.col("ts") > cuts[k])
-            if cuts[k + 1] is not None and k + 1 < n_batches:
-                part = part.where(F.col("ts") <= cuts[k + 1])
-            fdir = _os.path.join(stage, f"b{k}")
-            part.coalesce(1).write.parquet(fdir)
-            for fn in _os.listdir(fdir):
-                if fn.endswith(".parquet"):
-                    _os.utime(
-                        _os.path.join(fdir, fn), (now + k, now + k)
-                    )
+        stage_time_bands(ev, stage, n_batches)
 
         def apply_batch(batch: DataFrame, batch_id: int) -> None:
             changed = batch.select(
@@ -567,3 +541,163 @@ def windowed_top_events_update_available_now(
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         _shutil.rmtree(stage, ignore_errors=True)
         _shutil.rmtree(root, ignore_errors=True)
+
+
+def stage_time_bands(
+    ev: DataFrame,
+    stage: str,
+    n_batches: int,
+    copies: int = 1,
+) -> None:
+    """Stage a batch events frame as ``n_batches`` event-TIME-RANGE
+    parquet files with monotone mtimes, so FileStreamSource (which
+    replays oldest-mtime first) delivers micro-batches in event-time
+    order — the replay discipline a log-ordered production feed
+    (e.g. Kafka per-partition order) provides for free, and without
+    which update-mode aggregation and stateful dedup silently drop
+    replayed-out-of-order rows as late.
+
+    ``copies > 1`` writes each band ``copies`` times (byte-identical
+    files, consecutive mtimes: band k's originals land before band
+    k's duplicates, both before band k+1). That is the deterministic
+    duplicate-delivery harness for at-least-once sources: every
+    duplicate arrives either within its original's dedup-state
+    lifetime (dropped as a duplicate) or below the watermark (dropped
+    as late) — never as a fresh row.
+
+    Band boundaries are ``approx_percentile`` cuts on ``ts`` (integer
+    nanos), computed in ONE aggregation pass; each band is one
+    coalesced file. Driver-side work is O(n_batches) metadata — the
+    rows never visit the driver.
+    """
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    bounds = ev.agg(
+        *[
+            F.approx_percentile(
+                "ts", F.lit((i + 1) / n_batches), F.lit(10000)
+            ).alias(f"b{i}")
+            for i in range(n_batches - 1)
+        ]
+    ).collect()[0]
+    cuts = [None, *[bounds[f"b{i}"] for i in range(n_batches - 1)], None]
+    now = _time.time()
+    for k in range(n_batches):
+        part = ev
+        if cuts[k] is not None:
+            part = part.where(F.col("ts") > cuts[k])
+        if cuts[k + 1] is not None and k + 1 < n_batches:
+            part = part.where(F.col("ts") <= cuts[k + 1])
+        fdir = _os.path.join(stage, f"b{k}")
+        part.coalesce(1).write.parquet(fdir)
+        files = [
+            fn for fn in _os.listdir(fdir) if fn.endswith(".parquet")
+        ]
+        for fn in files:
+            _os.utime(
+                _os.path.join(fdir, fn),
+                (now + k * copies, now + k * copies),
+            )
+        for c in range(1, copies):
+            ddir = _os.path.join(stage, f"b{k}_dup{c}")
+            _os.makedirs(ddir)
+            for fn in files:
+                dst = _os.path.join(ddir, fn)
+                _shutil.copy(_os.path.join(fdir, fn), dst)
+                _os.utime(
+                    dst, (now + k * copies + c, now + k * copies + c)
+                )
+
+
+def dedup_events_stream_available_now(
+    spark: SparkSession,
+    events_path: str,
+    key: str = "event_id",
+    watermark_delay: str = DEFAULT_WATERMARK_DELAY,
+    n_batches: int = 3,
+    copies: int = 2,
+) -> DataFrame:
+    """Streaming watermark-bounded dedup (``dedup_stream``) run to
+    completion against a deliberately duplicated replay of the events
+    table — the module's headline claim (DynamoDB conditional write +
+    TTL as ``dropDuplicatesWithinWatermark``) exercised end-to-end,
+    driver-checkably.
+
+    The source is staged as ``n_batches`` event-time bands, each
+    delivered ``copies`` times (``stage_time_bands``) — the
+    at-least-once redelivery pattern of a real ingestion feed. Every
+    redelivered row is provably suppressed: a duplicate above the
+    watermark still finds its original's state (state for a key
+    expires at event_time + delay, which is >= the watermark while
+    the row itself is not late), and a duplicate below the watermark
+    is dropped by the stateful operator's late-input filter. So the
+    append-mode output is EXACTLY the distinct event set, regardless
+    of batch boundaries — which makes the oracle the plain batch
+    projection of the table (no dedup in the SQL at all: the check is
+    that ``copies``× delivery emits each row once, not twice).
+
+    State scale: keyed by ``event_id`` (max cardinality, even
+    spread); the watermark is the TTL, so state is O(events per delay
+    window), not O(all events ever seen).
+
+    Output: (event_id, ts_ms, user_id, event_type, value).
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from parquet_combiner_spark.sources.io import ensure_ts_nanos
+    from parquet_combiner_spark.streaming.run import (
+        STREAM_STATE_PARTITIONS,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = ensure_ts_nanos(spark.read.parquet(events_path))
+    schema = ev.schema
+
+    stage = _tempfile.mkdtemp(prefix="pcs-dedupstream-src-")
+    ckpt = _tempfile.mkdtemp(prefix="pcs-dedupstream-ckpt-")
+    name = f"dedup_events_{_uuid.uuid4().hex}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        stage_time_bands(ev, stage, n_batches, copies=copies)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        stream = ensure_ts_nanos(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage + "/*")
+        ).withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        deduped = dedup_stream(
+            stream, keys=[key], delay=watermark_delay
+        ).select(
+            "event_id",
+            F.expr("ts div 1000000").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _shutil.rmtree(stage, ignore_errors=True)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — sink never registered
+            pass

@@ -871,3 +871,53 @@ def test_cdc_txlog_state_time_travel_and_replay(spark, tmp_path):
     )
     assert txlog.current_version(table) == before
     assert {r["k"]: r["val"] for r in replay.collect()} == got
+
+
+def test_dedup_events_stream_suppresses_double_delivery(spark, tmp_path):
+    """The banded-replay dedup harness: each event-time band is staged
+    TWICE (stage_time_bands copies=2, byte-identical files with
+    consecutive mtimes), yet the watermark-bounded dedup emits the
+    distinct set exactly once — every redelivered row is suppressed
+    either as a within-state duplicate or as sub-watermark late
+    input. Pins both halves: the staged source really carries 2x
+    rows, and the output is exactly 1x."""
+    from parquet_combiner_spark.sources.io import ensure_ts_nanos
+    from parquet_combiner_spark.streaming.pipeline import (
+        dedup_events_stream_available_now,
+        stage_time_bands,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = f"{sf}/events.parquet"
+    n = spark.read.parquet(events).count()
+
+    # the staging half: copies=2 doubles the delivered rows
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = ensure_ts_nanos(spark.read.parquet(events))
+    stage = str(tmp_path / "bands")
+    stage_time_bands(ev, stage, n_batches=3, copies=2)
+    staged = spark.read.schema(ev.schema).parquet(stage + "/*")
+    assert staged.count() == 2 * n
+    # mtime discipline: band k's files (original + dup) all precede
+    # band k+1's, so the file source replays in event-time order
+    import os
+
+    def band_mtimes(prefix):
+        out = []
+        for d in sorted(os.listdir(stage)):
+            if d == prefix or d.startswith(prefix + "_dup"):
+                fdir = os.path.join(stage, d)
+                out += [
+                    os.path.getmtime(os.path.join(fdir, f))
+                    for f in os.listdir(fdir)
+                    if f.endswith(".parquet")
+                ]
+        return out
+
+    assert max(band_mtimes("b0")) < min(band_mtimes("b1"))
+    assert max(band_mtimes("b1")) < min(band_mtimes("b2"))
+
+    # the dedup half: the end-to-end run emits each row exactly once
+    out = dedup_events_stream_available_now(spark, events)
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
