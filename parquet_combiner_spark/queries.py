@@ -1088,6 +1088,80 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type
+    baskets: for every ordered type pair (antecedent → consequent),
+    the co-occurrence support, confidence n_ab/n_a, and lift
+    n_ab·N/(n_a·n_b) — the A-priori 2-itemset kernel behind
+    "users who X also Y".
+
+    Scale shape: baskets are the DISTINCT (user, type) pairs (one
+    partial-aggregated shuffle, buffer bounded by the type
+    vocabulary); the pair counts come from a SELF-JOIN on user_id —
+    co-partitioned by the join key, with per-user fan-out bounded by
+    C(|types|, 2), so the expansion is a constant factor, never
+    quadratic in users. Item supports and the user total are
+    vocabulary-sized aggregates BROADCAST back onto the pair counts
+    — the only non-broadcast shuffles are the distinct and the
+    self-join. Never a cross join.
+    """
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .where(F.col("event_type").isNotNull())
+        .distinct()
+    )
+    n_users = ev.select("user_id").distinct().count()
+    item = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    # both rule directions from each unordered pair
+    directed = pairs.select(
+        F.col("t1").alias("antecedent"),
+        F.col("t2").alias("consequent"),
+        "n_pair",
+    ).unionByName(
+        pairs.select(
+            F.col("t2").alias("antecedent"),
+            F.col("t1").alias("consequent"),
+            "n_pair",
+        )
+    )
+    sup_a = item.select(
+        F.col("event_type").alias("antecedent"),
+        F.col("n_item").alias("n_a"),
+    )
+    sup_b = item.select(
+        F.col("event_type").alias("consequent"),
+        F.col("n_item").alias("n_b"),
+    )
+    return (
+        directed.join(F.broadcast(sup_a), "antecedent")
+        .join(F.broadcast(sup_b), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_a"), 4).alias("confidence"),
+            F.round(
+                F.col("n_pair") * F.lit(float(n_users))
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
 def user_funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis (view → click within 24h → purchase within
     24h): how far each user progresses through an ORDERED,
@@ -2629,6 +2703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_top_events_stream": windowed_top_events_stream,
     "windowed_top_events_update_stream": windowed_top_events_update_stream,
     "events_dedup_stream": events_dedup_stream,
+    "event_association_rules": event_association_rules,
     "price_percentiles": price_percentiles,
     "price_percentiles_approx": price_percentiles_approx,
     "user_rolling_value": user_rolling_value,
@@ -3114,6 +3189,33 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT window_start_ms, event_type, n, item_rank FROM r
         WHERE item_rank <= 3
+    """,
+    "event_association_rules": """
+        WITH b AS (
+            SELECT DISTINCT user_id, event_type FROM events
+            WHERE event_type IS NOT NULL
+        ), item AS (
+            SELECT event_type, count(*) AS n_item FROM b GROUP BY 1
+        ), nu AS (
+            SELECT count(DISTINCT user_id) AS n_users FROM b
+        ), p AS (
+            SELECT a.event_type AS t1, c.event_type AS t2,
+                   count(*) AS n_pair
+            FROM b a JOIN b c USING (user_id)
+            WHERE a.event_type < c.event_type
+            GROUP BY 1, 2
+        ), d AS (
+            SELECT t1 AS antecedent, t2 AS consequent, n_pair FROM p
+            UNION ALL
+            SELECT t2, t1, n_pair FROM p
+        )
+        SELECT antecedent, consequent, n_pair,
+               round(n_pair / sa.n_item, 4) AS confidence,
+               round(n_pair * (SELECT n_users FROM nu)
+                     / (sa.n_item * sc.n_item), 4) AS lift
+        FROM d
+        JOIN item sa ON sa.event_type = d.antecedent
+        JOIN item sc ON sc.event_type = d.consequent
     """,
     # 2x-delivered replay deduped back to the distinct set: the
     # oracle is the PLAIN projection (no dedup in the SQL) — the

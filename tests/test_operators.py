@@ -1427,3 +1427,26 @@ def test_asof_tolerance_masks_stale_matches(spark):
             ).collect()
         }
         assert got == want, tol
+
+
+def test_event_association_rules_invariants(spark):
+    """Association-rule identities that hold for ANY data, checked on
+    sf0.001 (the values themselves are oracle-hash-checked against
+    DuckDB): both rule directions exist with equal n_pair and equal
+    lift (lift is symmetric), confidence stays in (0, 1], and a
+    pair's support can't exceed either item's."""
+    from parquet_combiner_spark.queries import event_association_rules
+
+    rows = event_association_rules(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_dir = {(r["antecedent"], r["consequent"]): r for r in rows}
+    for (a, b), r in by_dir.items():
+        rev = by_dir[(b, a)]  # the mirrored rule must exist
+        assert rev["n_pair"] == r["n_pair"]
+        assert abs(rev["lift"] - r["lift"]) < 1e-9
+        assert 0 < r["confidence"] <= 1
+        # confidence = n_pair/n_a, so n_pair <= n_a; and by the
+        # mirror, n_pair <= n_b
+        assert r["n_pair"] * 1.0 / r["confidence"] >= r["n_pair"]
