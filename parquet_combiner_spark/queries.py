@@ -2605,6 +2605,85 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — the canonical scan-only aggregate: one year of
+    shipments, a discount band, a quantity cap, one SUM. No join, no
+    shuffle beyond the final 1-row fold; its whole point at 100 TB is
+    that every predicate reaches the parquet scan (min/max row-group
+    skipping on l_shipdate does the pruning), which test_plans pins
+    as PushedFilters on this very query family."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue")
+    )
+
+
+def customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape — customer distribution: how many customers
+    placed exactly k high-priority orders, INCLUDING k = 0. The zero
+    bucket is the shape's point: it needs a LEFT OUTER join from the
+    full customer spine (an inner join silently drops order-less
+    customers), then a per-customer count and a histogram over the
+    counts. Both aggregations partial-combine; the second one's input
+    is |customers| rows of two ints — the histogram is
+    vocabulary-sized."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, "c_custkey", "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier(s): quarterly revenue per
+    supplier, then the supplier(s) achieving the GLOBAL maximum (ties
+    all surface — the argmax-with-ties contract NTILE/LIMIT 1 both
+    get wrong). The revenue aggregate is computed ONCE and reused for
+    both the max (a 1-row broadcast) and the equality probe — the
+    materialized-view formulation of Q15's CREATE VIEW."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ),
+            4,
+        ).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("total_revenue"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    winners = rev.join(F.broadcast(top), "total_revenue")
+    return winners.join(
+        F.broadcast(supp), winners["l_suppkey"] == supp["s_suppkey"]
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
 def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (tools/inspect.py profile_table): per-column
     completeness and cardinality over orders in one aggregation pass
@@ -2704,6 +2783,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_top_events_update_stream": windowed_top_events_update_stream,
     "events_dedup_stream": events_dedup_stream,
     "event_association_rules": event_association_rules,
+    "forecast_revenue_change": forecast_revenue_change,
+    "customer_order_distribution": customer_order_distribution,
+    "top_revenue_suppliers": top_revenue_suppliers,
     "price_percentiles": price_percentiles,
     "price_percentiles_approx": price_percentiles_approx,
     "user_rolling_value": user_rolling_value,
@@ -3189,6 +3271,41 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT window_start_ms, event_type, n, item_rank FROM r
         WHERE item_rank <= 3
+    """,
+    "forecast_revenue_change": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "customer_order_distribution": """
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN (
+                SELECT o_custkey, o_orderkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            ) o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count
+    """,
+    "top_revenue_suppliers": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
     """,
     "event_association_rules": """
         WITH b AS (
