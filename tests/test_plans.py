@@ -502,3 +502,35 @@ def test_round8_operators_plan_shapes(spark):
     assert_partial_aggregate(
         sliding_event_type_counts(spark, "/root/testdata/sf0.001")
     )
+
+
+def test_q6_q13_q15_plan_shapes(spark):
+    """Plan pins for the Q6/Q13/Q15 shapes: Q6's predicates all reach
+    the parquet scan (scan-only query — no join node at all); Q13
+    keeps the LEFT OUTER spine (the zero bucket depends on it) with
+    partial aggregation; Q15's max-and-probe reuse broadcasts the
+    1-row max (never a cartesian)."""
+    from parquet_combiner_spark.plans import plan_text
+    from parquet_combiner_spark.queries import (
+        customer_order_distribution,
+        forecast_revenue_change,
+        top_revenue_suppliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    q6 = plan_text(forecast_revenue_change(spark, sf))
+    assert "Join" not in q6
+    assert "GreaterThanOrEqual(l_shipdate" in q6
+    assert "GreaterThanOrEqual(l_discount" in q6
+    assert "LessThan(l_quantity" in q6
+
+    q13 = plan_text(customer_order_distribution(spark, sf))
+    assert "LeftOuter" in q13
+    assert "EqualTo(o_orderpriority,1-URGENT)" in q13
+    assert_partial_aggregate(customer_order_distribution(spark, sf))
+
+    q15 = plan_text(top_revenue_suppliers(spark, sf))
+    assert "CartesianProduct" not in q15
+    assert "BroadcastNestedLoopJoin" not in q15
+    assert "BroadcastHashJoin" in q15
