@@ -99,6 +99,11 @@ HEADLINE = [
     # the degree-ordered triangle count over the cached pair graph
     "purchases_with_errors_outer_stream",
     "doc_graph_triangles",
+    # streaming dedup under 2x redelivery (per-band duplicate files
+    # through dropDuplicatesWithinWatermark) and the basket self-join
+    # behind association rules
+    "events_dedup_stream",
+    "event_association_rules",
 ]
 
 RUNS = 3
