@@ -744,6 +744,13 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_label_stats(_embs(spark, sf_dir))
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std over the embedding corpus — the fit
+    pass of feature standardization (similarity.py). Narrow explode
+    into a dims-sized partial aggregate."""
+    return similarity.embedding_dim_stats(_embs(spark, sf_dir))
+
+
 def q_embedding_quantization_error(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -815,6 +822,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_ivf_fullprobe": q_ann_cosine_topk_ivf_fullprobe,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_label_stats": q_embedding_label_stats,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_quantization_error": q_embedding_quantization_error,
 }
@@ -1623,6 +1631,19 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                    CAST(embedding AS DOUBLE[]),
                    CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
         FROM embeddings GROUP BY label
+    """,
+    # posexplode is 0-based; generate_subscripts is 1-based — the
+    # dim alias carries the Spark convention
+    "embedding_dim_stats": """
+        WITH x AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        )
+        SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+               round(avg(v), 4) AS mean,
+               round(stddev(v), 4) AS std
+        FROM x GROUP BY dim
     """,
 }
 

@@ -662,6 +662,33 @@ def cosine_topk_ivf(
     )
 
 
+def embedding_dim_stats(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension (coordinate) statistics over a vector column:
+    (dim, n, mean, std) — the fit half of feature standardization
+    (z-scoring), and the first diagnostic for dead or exploding
+    embedding dimensions.
+
+    Scale shape: ``posexplode`` is a NARROW per-row expansion (one
+    row per coordinate, no shuffle) feeding a partial-aggregated
+    groupBy with exactly ``dim`` groups — map-side combine collapses
+    each partition to ``dim`` rows before the one exchange, so the
+    shuffle is O(partitions × dims) regardless of corpus size. The
+    returned frame is dimension-sized: broadcast it back to apply the
+    standardization."""
+    e = _as_double(embeddings, vec_col)
+    return (
+        e.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 4).alias("mean"),
+            F.round(F.stddev("v"), 4).alias("std"),
+        )
+    )
+
+
 def embedding_label_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label embedding statistics: (label, n, avg_norm) — a sanity
     aggregation over the vector column, JVM-side."""

@@ -1496,6 +1496,38 @@ def monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period analytics: monthly revenue with its
+    month-over-month percent change — the LAG-on-an-AGGREGATE shape
+    every reporting stack runs. The lag window operates on the
+    ALREADY-AGGREGATED series (one row per month), so the global sort
+    it needs touches a vocabulary-sized frame, never the fact table;
+    the fact-table pass is the same single partial-combined rollup as
+    ``monthly_order_volume``. First month's growth is NULL by
+    definition (no prior period), not zero."""
+    from pyspark.sql import Window
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+            "o_totalprice",
+        )
+        .groupBy("m")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("m")
+    return monthly.select(
+        F.unix_millis(F.col("m").cast("timestamp")).alias("month_start_ms"),
+        F.round("rev", 2).alias("revenue"),
+        F.round(
+            F.lit(100.0) * (F.col("rev") - F.lag("rev").over(w))
+            / F.lag("rev").over(w),
+            4,
+        ).alias("mom_growth_pct"),
+    )
+
+
 def red_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-predicate family: LIKE prefix filter (pushed to the
     parquet scan as StringStartsWith — plan-pinned) + per-brand
@@ -2786,6 +2818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_revenue_change": forecast_revenue_change,
     "customer_order_distribution": customer_order_distribution,
     "top_revenue_suppliers": top_revenue_suppliers,
+    "monthly_revenue_growth": monthly_revenue_growth,
     "price_percentiles": price_percentiles,
     "price_percentiles_approx": price_percentiles_approx,
     "user_rolling_value": user_rolling_value,
@@ -3801,6 +3834,18 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS revenue
         FROM orders GROUP BY 1
+    """,
+    "monthly_revenue_growth": """
+        WITH m AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   sum(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT epoch_ms(m) AS month_start_ms,
+               round(rev, 2) AS revenue,
+               round(100.0 * (rev - lag(rev) OVER (ORDER BY m))
+                     / lag(rev) OVER (ORDER BY m), 4) AS mom_growth_pct
+        FROM m
     """,
     "red_parts_by_brand": """
         SELECT p_brand, count(*) AS n_parts,

@@ -534,3 +534,16 @@ def test_q6_q13_q15_plan_shapes(spark):
     assert "CartesianProduct" not in q15
     assert "BroadcastNestedLoopJoin" not in q15
     assert "BroadcastHashJoin" in q15
+
+
+def test_embedding_dim_stats_partial_aggregate_no_join(spark):
+    """The per-dimension stats pass must stay a narrow explode into a
+    dims-sized partial aggregate: no join, partial HashAggregate
+    before the single exchange."""
+    from parquet_combiner_spark.functions import q_embedding_dim_stats
+    from parquet_combiner_spark.plans import plan_text
+
+    df = q_embedding_dim_stats(spark, "/root/testdata/sf0.001")
+    plan = plan_text(df)
+    assert "Join" not in plan
+    assert_partial_aggregate(df)
