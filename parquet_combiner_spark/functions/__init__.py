@@ -233,6 +233,39 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs whose endpoints fall
+    in DIFFERENT train/val/test splits — the eval-integrity check a
+    training pipeline runs after splitting, because a val doc with a
+    near-dup in train inflates eval scores without any exact-match
+    contamination. Composes two already-oracled stages: the exact
+    n-gram Jaccard pairs and the content-addressed hash split. The
+    split assignment is a PURE PROJECTION (hash of doc_id) applied to
+    both pair endpoints — no join with an assignment table, so the
+    only shuffles are the pair join's own. Output: one row per
+    unordered split pair with the leaky-pair count and mean
+    similarity."""
+    pairs = _ngram_pairs_cached(spark, sf_dir)
+    both = sampling.hash_split(
+        sampling.hash_split(
+            pairs, "doc_id_a", _SPLITS, seed=_SPLIT_SEED,
+            split_col="split_a",
+        ),
+        "doc_id_b",
+        _SPLITS,
+        seed=_SPLIT_SEED,
+        split_col="split_b",
+    )
+    cross = both.where(F.col("split_a") != F.col("split_b"))
+    return cross.groupBy(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_leaky_pairs"),
+        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the EXACT n-gram Jaccard pair graph
     (the oracle-able pair source), so the full pair→cluster→keeper
@@ -823,6 +856,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_label_stats": q_embedding_label_stats,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "split_leakage_report": q_split_leakage_report,
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_quantization_error": q_embedding_quantization_error,
 }
@@ -1653,6 +1687,26 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
 PIPELINE_ORACLE_SQL["near_dup_clusters_logstar"] = PIPELINE_ORACLE_SQL[
     "near_dup_clusters"
 ]
+
+# leakage = near-dup pairs whose endpoints hash into different splits;
+# both the pair SQL and the split CASE come from the single shared
+# definitions, so engine and oracle cannot drift
+PIPELINE_ORACLE_SQL["split_leakage_report"] = f"""
+        WITH pairs AS (
+            {_NGRAM_PAIRS_SQL}
+        ), lab AS (
+            SELECT jaccard,
+                   {sampling.split_oracle_case_sql('doc_id_a', _SPLITS, _SPLIT_SEED)} AS split_a,
+                   {sampling.split_oracle_case_sql('doc_id_b', _SPLITS, _SPLIT_SEED)} AS split_b
+            FROM pairs
+        )
+        SELECT least(split_a, split_b) AS split_lo,
+               greatest(split_a, split_b) AS split_hi,
+               count(*) AS n_leaky_pairs,
+               round(avg(jaccard), 4) AS avg_jaccard
+        FROM lab WHERE split_a <> split_b
+        GROUP BY 1, 2
+"""
 
 # same recursive-CTE clusters, keeper re-decided by the longest-member
 # policy (token count, min-id tiebreak)
