@@ -266,6 +266,29 @@ def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split: hash on the near-dup
+    CLUSTER representative instead of the doc id, so every near-dup
+    cluster lands in exactly one split and the leakage
+    `split_leakage_report` audits is zero BY CONSTRUCTION (pinned by
+    pytest) — the standard fix once the audit fires. Docs outside any
+    pair keep their own id as the split key (singleton clusters), so
+    the assignment stays content-addressed and deterministic. The
+    cluster map is pair-graph-sized (near-dup members only), joined
+    on doc_id; everything else is the same pure hash projection as
+    ``doc_split``."""
+    pairs = _ngram_pairs_cached(spark, sf_dir)
+    clusters = dedup_text.near_dup_clusters(pairs)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    keyed = docs.join(clusters, "doc_id", "left_outer").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("split_key"),
+    )
+    return sampling.hash_split(
+        keyed, "split_key", _SPLITS, seed=_SPLIT_SEED
+    ).select("doc_id", "split")
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the EXACT n-gram Jaccard pair graph
     (the oracle-able pair source), so the full pair→cluster→keeper
@@ -857,6 +880,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_stats,
     "embedding_dim_stats": q_embedding_dim_stats,
     "split_leakage_report": q_split_leakage_report,
+    "doc_split_cluster_safe": q_doc_split_cluster_safe,
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_quantization_error": q_embedding_quantization_error,
 }
@@ -1706,6 +1730,34 @@ PIPELINE_ORACLE_SQL["split_leakage_report"] = f"""
                round(avg(jaccard), 4) AS avg_jaccard
         FROM lab WHERE split_a <> split_b
         GROUP BY 1, 2
+"""
+
+# the repair: split key = connected-component representative (min
+# reachable id, the same recursive-CTE contract as the cluster
+# queries), singletons fall back to their own id
+PIPELINE_ORACLE_SQL["doc_split_cluster_safe"] = f"""
+        WITH RECURSIVE pairs AS (
+            {_NGRAM_PAIRS_SQL}
+        ), edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ), reach(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ), clus AS (
+            SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        ), keyed AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN clus c USING (doc_id)
+        )
+        SELECT doc_id,
+               {sampling.split_oracle_case_sql('split_key', _SPLITS, _SPLIT_SEED)}
+               AS split
+        FROM keyed
 """
 
 # same recursive-CTE clusters, keeper re-decided by the longest-member

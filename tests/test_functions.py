@@ -1653,3 +1653,55 @@ def test_incremental_near_dup_across_batches(spark, tmp_path):
     s2b = dedup_text.incremental_near_dup(spark, b2, idx, threshold=0.6)
     assert sorted(r["doc_id"] for r in s2b.collect()) == []
     assert txlog.current_version(idx) == v2
+
+
+def test_cluster_safe_split_has_zero_leakage(spark):
+    """The repair contract: hashing on the near-dup cluster
+    representative puts every cluster in ONE split, so re-running the
+    leakage audit's predicate over the cluster-safe assignment finds
+    nothing — zero by construction, not by luck. Checked against the
+    very pair set the audit uses. Also pins totality (every document
+    assigned exactly one split)."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.functions import (
+        _ngram_pairs_cached,
+        q_doc_split_cluster_safe,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    assign = q_doc_split_cluster_safe(spark, sf)
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert assign.count() == n_docs
+    assert assign.where(F.col("split").isNull()).count() == 0
+
+    pairs = _ngram_pairs_cached(spark, sf)
+    sa = assign.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("split").alias("split_a")
+    )
+    sb = assign.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b")
+    )
+    leaky = (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    assert leaky.count() == 0
+    # ... while the per-doc hash split (the audited baseline) does
+    # leak on the same pairs — the repair is doing real work
+    from parquet_combiner_spark.functions import q_doc_split
+
+    base = q_doc_split(spark, sf)
+    ba = base.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("split").alias("split_a")
+    )
+    bb = base.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b")
+    )
+    base_leaky = (
+        pairs.join(ba, "doc_id_a")
+        .join(bb, "doc_id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    assert base_leaky.count() > 0
