@@ -165,6 +165,9 @@ def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
             break
         if commit["action"] == "overwrite":
             files = []
+        elif commit["action"] == "replace":
+            drop = set(commit.get("remove", []))
+            files = [f for f in files if f not in drop]
         files.extend(commit["add"])
         schema = commit["schema"]
     return [os.path.join(table, f) for f in files], schema
@@ -183,6 +186,7 @@ def commit(
     expected_version: int | None = None,
     arbiter: CommitArbiter | None = None,
     stats_cols: Sequence[str] | None = None,
+    remove: Sequence[str] | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
@@ -218,9 +222,42 @@ def commit(
     commit() auto-rebases to the next free version and a concurrent
     writer's rows are never re-validated.
     """
-    if action not in ("append", "overwrite"):
-        raise ValueError(f"action must be append|overwrite, got {action!r}")
+    if action not in ("append", "overwrite", "replace"):
+        raise ValueError(
+            f"action must be append|overwrite|replace, got {action!r}"
+        )
+    if (remove is not None) != (action == "replace"):
+        raise ValueError(
+            "remove is required for (and only for) action='replace'"
+        )
     last = _last_commit(table)
+    if action == "replace":
+        # file-granular rewrite: df holds the SURVIVORS of the
+        # removed files; the rest of the snapshot is untouched. The
+        # schema must stay exactly the table's (a replace is a
+        # row-level mutation, not an evolution), and every removed
+        # path must be part of the current snapshot — removing an
+        # unknown file is a stale or corrupt caller.
+        if last is None:
+            raise FileNotFoundError(f"{table} has no table to replace into")
+        want = _normalize_schema(
+            df.sparkSession.createDataFrame([], last["schema"])
+        )
+        if want != _normalize_schema(df):
+            raise TypeError(
+                "replace must keep the table schema; use overwrite to "
+                "change it"
+            )
+        snap_rels = {
+            os.path.relpath(p, table)
+            for p in _snapshot_files(table, last["version"])[0]
+        }
+        unknown = sorted(set(remove) - snap_rels)
+        if unknown:
+            raise ValueError(
+                f"replace removes files not in the current snapshot: "
+                f"{unknown}"
+            )
     version = (last["version"] + 1) if last else 0
     if expected_version is not None:
         version = expected_version + 1
@@ -274,6 +311,8 @@ def commit(
         "commit_id": commit_id,
         "meta": meta or {},
     }
+    if action == "replace":
+        record["remove"] = sorted(remove)
     if stats:
         record["stats"] = stats
     path = _log_path(table, version)
@@ -347,6 +386,9 @@ def _snapshot_stats(table: str, version: int | None) -> dict:
             break
         if commit["action"] == "overwrite":
             stats = {}
+        elif commit["action"] == "replace":
+            for f in commit.get("remove", []):
+                stats.pop(f, None)
         stats.update(
             {f: commit.get("stats", {}).get(f, {}) for f in commit["add"]}
         )
@@ -463,6 +505,89 @@ def optimize(
     raise AssertionError("unreachable")
 
 
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    max_retries: int = 3,
+    stats_cols: Sequence[str] | None = None,
+) -> int:
+    """Row-level DELETE of rows with ``col`` in [lo, hi] — the
+    right-to-be-forgotten / retention-expiry mutation — as ONE atomic
+    ``replace`` commit that rewrites only the files that can contain
+    matches.
+
+    This is Delta/Iceberg copy-on-write DELETE on the commit log:
+    the zone maps recorded at write time (``commit(stats_cols=...)``)
+    prune the rewrite set the same way :func:`read_table_pruned`
+    prunes reads, so on a key- or time-clustered table (see
+    ``sources/io.write_sorted``) deleting one key's rows rewrites
+    O(matching files) of a 100 TB table, not the table. Files
+    without zone maps are conservatively rewritten (they MIGHT hold
+    matches — correctness beats write amplification). Untouched
+    files stay byte-identical and keep their zone maps; rewritten
+    survivors get fresh stats iff ``stats_cols`` is passed (pass the
+    same columns the table was built with).
+
+    Returns the new version — or the CURRENT version unchanged when
+    no file can contain a match (a no-op delete publishes nothing).
+    Time travel to pre-delete versions still shows the deleted rows
+    (the replaced files are retained for their older snapshots; only
+    :func:`vacuum` of those versions would drop them) — if the
+    deletion must be physical for compliance, vacuum after the
+    retention window like Delta's VACUUM-after-DELETE discipline.
+    Concurrency: the commit pins its snapshot (``expected_version``)
+    and the whole prune-rewrite-commit retries on conflict, exactly
+    like :func:`optimize`.
+    """
+    from pyspark.sql import functions as F
+
+    for attempt in range(max(1, max_retries)):
+        base = current_version(table)
+        if base < 0:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        files, schema = _snapshot_files(table, base)
+        stats = _snapshot_stats(table, base)
+        touched = []
+        for f in files:
+            rel = os.path.relpath(f, table)
+            s = stats.get(rel, {}).get(col)
+            if s is None or s["min"] is None or s["max"] is None:
+                touched.append(f)  # no zone map: must rewrite
+            elif not (hi < s["min"] or lo > s["max"]):
+                touched.append(f)
+        if not touched:
+            return base
+        survivors = (
+            spark.read.schema(schema)
+            .parquet(*touched)
+            .where(~F.col(col).between(lo, hi))
+        )
+        try:
+            return commit(
+                survivors,
+                table,
+                action="replace",
+                remove=[os.path.relpath(f, table) for f in touched],
+                meta={
+                    "delete": {
+                        "col": col,
+                        "lo": _json_safe(lo),
+                        "hi": _json_safe(hi),
+                    }
+                },
+                expected_version=base,
+                stats_cols=stats_cols,
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue  # table advanced: re-prune against the new snapshot
+    raise AssertionError("unreachable")
+
+
 def read_appends(
     spark: SparkSession,
     table: str,
@@ -489,11 +614,11 @@ def read_appends(
         schema = commit["schema"]
         if commit["version"] <= after_version:
             continue
-        if commit["action"] == "overwrite":
+        if commit["action"] in ("overwrite", "replace"):
             raise ValueError(
-                f"version {commit['version']} of {table} is an overwrite: "
-                "append-delta is undefined across it; recompute from the "
-                "full snapshot"
+                f"version {commit['version']} of {table} is an "
+                f"{commit['action']}: append-delta is undefined across "
+                "it; recompute from the full snapshot"
             )
         files.extend(os.path.join(table, f) for f in commit["add"])
     if not files:

@@ -807,3 +807,80 @@ def test_incremental_count_mv_refresh(spark, tmp_path):
     assert txlog.history(mv)[0]["meta"]["base_version"] == (
         txlog.current_version(base)
     )
+
+
+def test_txlog_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """Row-level DELETE as a replace commit: the zone maps must prune
+    the rewrite to exactly the files that can contain matches (the
+    others stay byte-identical in the snapshot), deleted rows must be
+    gone from the new version but visible via time travel, a no-op
+    delete must publish nothing, append-delta must refuse to cross
+    the replace, and vacuum must NOT collect the replaced file (an
+    older snapshot still references it)."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "gdpr")
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [Row(k=lo + i, v=f"r{lo + i}") for i in range(10)]
+        ).coalesce(1)
+        txlog.commit(df, table, stats_cols=["k"])
+    before_files = {
+        __import__("os").path.relpath(f, table)
+        for f in txlog._snapshot_files(table, None)[0]
+    }
+
+    v = txlog.delete_where(spark, table, "k", 103, 105, stats_cols=["k"])
+    assert v == 3  # one new version
+
+    # deleted rows gone; every other row intact
+    got = sorted(r["k"] for r in txlog.read_table(spark, table).collect())
+    assert got == [k for k in list(range(10)) + list(range(100, 110))
+                   + list(range(200, 210)) if not 103 <= k <= 105]
+
+    # file-granular: exactly ONE file was replaced (the 100-range
+    # one); the 0- and 200-range files are still the original paths
+    log = txlog._read_log(table)
+    assert log[-1]["action"] == "replace"
+    assert len(log[-1]["remove"]) == 1
+    after_files = {
+        __import__("os").path.relpath(f, table)
+        for f in txlog._snapshot_files(table, None)[0]
+    }
+    assert len(before_files & after_files) == 2
+
+    # survivors carry fresh zone maps: a pruned read still skips
+    pruned = txlog.read_table_pruned(spark, table, "k", 100, 109)
+    assert sorted(r["k"] for r in pruned.collect()) == [
+        100, 101, 102, 106, 107, 108, 109,
+    ]
+    assert len(pruned.inputFiles()) == 1
+
+    # time travel: the pre-delete snapshot still has the rows
+    old = txlog.read_table(spark, table, version=2)
+    assert sorted(r["k"] for r in old.collect())[:6] == [0, 1, 2, 3, 4, 5]
+    assert old.where("k BETWEEN 103 AND 105").count() == 3
+
+    # no-op delete: no file can match -> current version, no commit
+    assert txlog.delete_where(spark, table, "k", 5000, 6000) == 3
+    assert txlog.current_version(table) == 3
+
+    # append-delta refuses to cross the replace
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="replace"):
+        txlog.read_appends(spark, table, after_version=1)
+
+    # vacuum keeps the replaced file: version 2 still references it
+    assert txlog.vacuum(table, dry_run=True, min_age_seconds=0) == []
+
+    # replace validation: unknown path and schema drift both refuse
+    with _pytest.raises(ValueError, match="not in the current snapshot"):
+        txlog.commit(
+            txlog.read_table(spark, table),
+            table,
+            action="replace",
+            remove=["data/nope/part-0.parquet"],
+        )
