@@ -588,6 +588,91 @@ def delete_where(
     raise AssertionError("unreachable")
 
 
+def update_where(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo,
+    hi,
+    set_exprs: dict,
+    max_retries: int = 3,
+    stats_cols: Sequence[str] | None = None,
+) -> int:
+    """Row-level UPDATE: rows with ``col`` in [lo, hi] get each
+    ``set_exprs`` column replaced (name → Column or SQL string, e.g.
+    ``{"v": "upper(v)"}``), published as ONE atomic ``replace``
+    commit — the third leg of the DML triad next to
+    :func:`delete_where` and the MERGE kernel (`operators/merge.py`).
+
+    Same copy-on-write discipline as :func:`delete_where`: zone maps
+    bound the rewrite to files that can contain matches; NON-matching
+    rows in a touched file are rewritten byte-equal (the predicate is
+    re-applied row-level inside the file, so a zone-map false
+    positive costs a copy, never a wrong update); untouched files
+    stay put. Updating the pruning column itself is allowed — the
+    survivors' fresh stats (iff ``stats_cols``) keep later pruned
+    reads correct. Existing columns only: SET cannot add or retype a
+    column (that is schema evolution — ``merge_schema`` append or
+    overwrite). Returns the new version, or the current one when no
+    file can match."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    for attempt in range(max(1, max_retries)):
+        base = current_version(table)
+        if base < 0:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        files, schema = _snapshot_files(table, base)
+        cols = {f.name for f in spark.createDataFrame([], schema).schema}
+        unknown = sorted(set(set_exprs) - cols)
+        if unknown:
+            raise ValueError(
+                f"SET targets columns not in the table: {unknown}"
+            )
+        stats = _snapshot_stats(table, base)
+        touched = []
+        for f in files:
+            rel = os.path.relpath(f, table)
+            s = stats.get(rel, {}).get(col)
+            if s is None or s["min"] is None or s["max"] is None:
+                touched.append(f)
+            elif not (hi < s["min"] or lo > s["max"]):
+                touched.append(f)
+        if not touched:
+            return base
+        hit = F.col(col).between(lo, hi)
+        df = spark.read.schema(schema).parquet(*touched)
+        for name, expr in set_exprs.items():
+            new = expr if isinstance(expr, Column) else F.expr(expr)
+            # cast back so an expression cannot silently retype the
+            # column (replace enforces schema identity anyway — this
+            # makes the common int-literal-into-double case just work)
+            new = new.cast(df.schema[name].dataType)
+            df = df.withColumn(name, F.when(hit, new).otherwise(F.col(name)))
+        try:
+            return commit(
+                df,
+                table,
+                action="replace",
+                remove=[os.path.relpath(f, table) for f in touched],
+                meta={
+                    "update": {
+                        "col": col,
+                        "lo": _json_safe(lo),
+                        "hi": _json_safe(hi),
+                        "set": sorted(set_exprs),
+                    }
+                },
+                expected_version=base,
+                stats_cols=stats_cols,
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue
+    raise AssertionError("unreachable")
+
+
 def read_appends(
     spark: SparkSession,
     table: str,

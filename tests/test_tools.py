@@ -884,3 +884,60 @@ def test_txlog_delete_where_rewrites_only_matching_files(spark, tmp_path):
             action="replace",
             remove=["data/nope/part-0.parquet"],
         )
+
+
+def test_txlog_update_where_copy_on_write(spark, tmp_path):
+    """Row-level UPDATE: matching rows transformed, non-matching rows
+    in touched files byte-preserved, untouched files never rewritten,
+    SET on an unknown column refused, row count invariant, and the
+    pre-update snapshot intact via time travel."""
+    import os
+
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "upd")
+    for lo in (0, 100):
+        txlog.commit(
+            spark.createDataFrame(
+                [Row(k=lo + i, v=float(lo + i)) for i in range(10)]
+            ).coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+    before = {
+        os.path.relpath(f, table)
+        for f in txlog._snapshot_files(table, None)[0]
+    }
+
+    v = txlog.update_where(
+        spark, table, "k", 100, 104, {"v": "v * 10"}, stats_cols=["k"]
+    )
+    assert v == 2
+    got = {r["k"]: r["v"] for r in txlog.read_table(spark, table).collect()}
+    assert len(got) == 20  # UPDATE never changes cardinality
+    for k in range(10):
+        assert got[k] == float(k)  # untouched file intact
+    for k in range(100, 105):
+        assert got[k] == float(k) * 10
+    for k in range(105, 110):
+        assert got[k] == float(k)  # same file, non-matching: unchanged
+
+    # only the 100-range file was replaced
+    after = {
+        os.path.relpath(f, table)
+        for f in txlog._snapshot_files(table, None)[0]
+    }
+    assert len(before & after) == 1
+    # time travel: pre-update values
+    old = {r["k"]: r["v"] for r in
+           txlog.read_table(spark, table, version=1).collect()}
+    assert old[100] == 100.0
+
+    with _pytest.raises(ValueError, match="not in the table"):
+        txlog.update_where(spark, table, "k", 0, 1, {"nope": "1"})
+    # no-op range publishes nothing
+    assert txlog.update_where(spark, table, "k", 9000, 9999, {"v": "0"}) == 2
