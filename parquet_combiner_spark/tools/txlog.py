@@ -154,9 +154,15 @@ def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
         raise FileNotFoundError(f"{table} has no transaction log")
     if version is None:
         version = log[-1]["version"]
-    if not 0 <= version <= log[-1]["version"]:
+    if not log[0]["version"] <= version <= log[-1]["version"]:
         raise ValueError(
-            f"version {version} out of range 0..{log[-1]['version']}"
+            f"version {version} out of range "
+            f"{log[0]['version']}..{log[-1]['version']}"
+            + (
+                " (earlier versions expired)"
+                if log[0]["version"] > 0
+                else ""
+            )
         )
     files: list[str] = []
     schema = ""
@@ -803,9 +809,68 @@ def vacuum(
     return sorted(garbage)
 
 
+def expire_versions(table: str, keep_from: int) -> list[int]:
+    """Expire history: drop every version below ``keep_from`` from
+    the log, rebasing ``keep_from``'s record into a self-contained
+    base (its full snapshot file list + zone maps, action
+    ``overwrite``) — Iceberg's ``expire_snapshots`` / Delta's log
+    cleanup. Returns the expired version numbers.
+
+    This is the step that makes :func:`delete_where` PHYSICAL:
+    vacuum alone must keep a replaced file while any retained
+    snapshot references it, so compliance erasure is expire (drop
+    the referencing versions) THEN vacuum (collect the now-
+    unreferenced files). After expiry, time travel below
+    ``keep_from`` raises (the range error names the expiry);
+    ``keep_from`` and later behave exactly as before — the rebased
+    record reproduces the same file list, schema, and stats, so
+    snapshot reads, pruned reads, and fast_count are unchanged.
+
+    Requires no concurrent writers (same exclusivity as
+    ``vacuum(min_age_seconds=0)``): the rebase rewrites one log
+    record in place (atomic rename) and then unlinks the expired
+    ones; a writer racing those unlinks could read a half-expired
+    log."""
+    log = _read_log(table)
+    if not log:
+        raise FileNotFoundError(f"{table} has no transaction log")
+    first, last = log[0]["version"], log[-1]["version"]
+    if not first <= keep_from <= last:
+        raise ValueError(
+            f"keep_from {keep_from} out of range {first}..{last}"
+        )
+    if keep_from == first:
+        return []
+    files, schema = _snapshot_files(table, keep_from)
+    stats = _snapshot_stats(table, keep_from)
+    base_rec = next(c for c in log if c["version"] == keep_from)
+    rels = [os.path.relpath(f, table) for f in files]
+    record = {
+        "version": keep_from,
+        "action": "overwrite",
+        "add": rels,
+        "schema": schema,
+        "commit_id": base_rec["commit_id"],
+        "meta": {**base_rec.get("meta", {}), "expired_through": keep_from - 1},
+    }
+    kept_stats = {r: stats[r] for r in rels if stats.get(r)}
+    if kept_stats:
+        record["stats"] = kept_stats
+    path = _log_path(table, keep_from)
+    tmp = path + ".rebase"
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, path)  # atomic on POSIX: readers see old or new
+    expired = [c["version"] for c in log if c["version"] < keep_from]
+    for v in expired:
+        os.unlink(_log_path(table, v))
+    return expired
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI: ``python -m parquet_combiner_spark.tools.txlog <table>
-    [--history | --optimize | --vacuum [--min-age S] [--dry-run]]``."""
+    [--history | --optimize | --expire KEEP_FROM |
+    --vacuum [--min-age S] [--dry-run]]``."""
     import argparse
     import json as _json
 
@@ -822,6 +887,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--min-age", type=float, default=3600.0)
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--expire",
+        type=int,
+        metavar="KEEP_FROM",
+        help="drop history below this version (then --vacuum erases "
+        "the newly-unreferenced files); requires no concurrent writers",
+    )
     args = ap.parse_args(argv)
     if args.history:
         for rec in history(args.table):
@@ -837,13 +909,22 @@ def main(argv: list[str] | None = None) -> int:
             target_file_mb=args.target_file_mb,
         )
         print(f"optimized -> version {v}")
+    if args.expire is not None:
+        expired = expire_versions(args.table, args.expire)
+        print(f"expired {len(expired)} version(s)")
     if args.vacuum:
         removed = vacuum(
             args.table, dry_run=args.dry_run, min_age_seconds=args.min_age
         )
         verb = "would remove" if args.dry_run else "removed"
         print(f"{verb} {len(removed)} file(s)")
-    if not (args.history or args.optimize or args.vacuum or args.fast_count):
+    if not (
+        args.history
+        or args.optimize
+        or args.vacuum
+        or args.fast_count
+        or args.expire is not None
+    ):
         print(f"version: {current_version(args.table)}")
     return 0
 

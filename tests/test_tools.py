@@ -941,3 +941,65 @@ def test_txlog_update_where_copy_on_write(spark, tmp_path):
         txlog.update_where(spark, table, "k", 0, 1, {"nope": "1"})
     # no-op range publishes nothing
     assert txlog.update_where(spark, table, "k", 9000, 9999, {"v": "0"}) == 2
+
+
+def test_txlog_expire_then_vacuum_makes_delete_physical(spark, tmp_path):
+    """The compliance loop: delete_where leaves the old rows readable
+    via time travel (replaced file retained), expire_versions drops
+    the referencing history (rebasing the keep-point into a
+    self-contained base), and only THEN can vacuum physically erase
+    the replaced file. Post-expiry: latest snapshot, pruned reads,
+    and fast_count unchanged; time travel below the keep-point raises
+    naming the expiry."""
+    import os
+
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "erase")
+    for lo in (0, 100, 200):
+        txlog.commit(
+            spark.createDataFrame(
+                [Row(k=lo + i, v=f"r{lo + i}") for i in range(10)]
+            ).coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+    txlog.delete_where(spark, table, "k", 103, 105, stats_cols=["k"])
+    replaced_rel = txlog._read_log(table)[-1]["remove"][0]
+
+    # still physically present and time-travel readable
+    assert os.path.exists(os.path.join(table, replaced_rel))
+    assert txlog.vacuum(table, dry_run=True, min_age_seconds=0) == []
+    n_before = txlog.fast_count(table)
+
+    expired = txlog.expire_versions(table, keep_from=3)
+    assert expired == [0, 1, 2]
+    # latest snapshot identical; metadata count identical
+    assert txlog.fast_count(table) == n_before
+    got = sorted(
+        r["k"] for r in
+        txlog.read_table_pruned(spark, table, "k", 100, 109).collect()
+    )
+    assert got == [100, 101, 102, 106, 107, 108, 109]
+    # zone maps survived the rebase: only one file scanned
+    assert len(
+        txlog.read_table_pruned(spark, table, "k", 100, 109).inputFiles()
+    ) == 1
+    with _pytest.raises(ValueError, match="expired"):
+        txlog.read_table(spark, table, version=2)
+
+    # NOW the replaced file is unreferenced garbage
+    garbage = txlog.vacuum(table, min_age_seconds=0)
+    assert replaced_rel in garbage
+    assert not os.path.exists(os.path.join(table, replaced_rel))
+    # and the table still reads clean after the physical erase
+    assert txlog.read_table(spark, table).count() == 27
+
+    # idempotent / validation
+    assert txlog.expire_versions(table, keep_from=3) == []
+    with _pytest.raises(ValueError, match="out of range"):
+        txlog.expire_versions(table, keep_from=0)
