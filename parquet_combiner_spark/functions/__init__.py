@@ -98,6 +98,25 @@ def q_doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_tfidf_keywords(_docs(spark, sf_dir), k=_TFIDF_K)
 
 
+# BM25 demo queries: words from the synthetic corpus vocabulary so
+# every query matches real postings. The dict is the single source —
+# the Spark literal frame AND the oracle's VALUES are generated from
+# it, so engine and oracle share the exact term sets.
+_BM25_QUERIES = {
+    "q_join": "join broadcast table",
+    "q_scan": "scan filter fast",
+    "q_window": "window agg order",
+}
+_BM25_K = 5
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 docs per demo query (see
+    :func:`text.doc_bm25_topk`) — the lexical-retrieval scorer next
+    to the ANN family's dense one."""
+    return text.doc_bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=_BM25_K)
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (see :func:`text.doc_pii_scrub`).
     The synthetic corpus contains no PII, so the oracle hash pins the
@@ -881,6 +900,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "split_leakage_report": q_split_leakage_report,
     "doc_split_cluster_safe": q_doc_split_cluster_safe,
+    "doc_bm25_topk": q_doc_bm25_topk,
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_quantization_error": q_embedding_quantization_error,
 }
@@ -1758,6 +1778,58 @@ PIPELINE_ORACLE_SQL["doc_split_cluster_safe"] = f"""
                {sampling.split_oracle_case_sql('split_key', _SPLITS, _SPLIT_SEED)}
                AS split
         FROM keyed
+"""
+
+# BM25: generated from the same _BM25_QUERIES dict and constants as
+# the Spark side (k1/b inlined as literals); ranks order on the
+# rounded score then doc id, so they reproduce exactly
+_BM25_QUERY_VALUES = ", ".join(
+    f"('{qid}', '{t}')"
+    for qid, q in sorted(_BM25_QUERIES.items())
+    for t in sorted(set(q.lower().split()))
+)
+PIPELINE_ORACLE_SQL["doc_bm25_topk"] = f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY 1, 2
+        ), dl AS (
+            SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), corpus AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+            FROM dl
+        ), q(query_id, term) AS (
+            VALUES {_BM25_QUERY_VALUES}
+        ), scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   round(sum(
+                       ln(1.0 + (c.n - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                       * tf.tf * ({text.BM25_K1} + 1.0)
+                         / (tf.tf + {text.BM25_K1}
+                            * (1.0 - {text.BM25_B}
+                               + {text.BM25_B} * dl.dl / c.avgdl))
+                   ), 4) AS score
+            FROM tf
+            JOIN q USING (term)
+            JOIN dl USING (doc_id)
+            JOIN dfreq USING (term)
+            CROSS JOIN corpus c
+            GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, score, rank FROM (
+            SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, doc_id
+                   ) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= {_BM25_K}
 """
 
 # same recursive-CTE clusters, keeper re-decided by the longest-member

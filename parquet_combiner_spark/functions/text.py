@@ -307,6 +307,106 @@ def doc_tfidf_keywords(
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_bm25_topk(
+    documents: DataFrame,
+    queries: dict[str, str],
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 (Robertson/Okapi) — the
+    retrieval scorer behind every lexical search stack, and the
+    sparse half of hybrid retrieval next to the ANN family
+    (`similarity.py`). idf = ln(1 + (N − df + 0.5)/(df + 0.5))
+    (always positive); tf saturation k1, length normalization b.
+
+    Plan shape at 100 TB: one explode feeds the (doc, term) counts;
+    doc length is the SUM of that same frame (no second pass over
+    tokens); document frequency is its vocabulary-sized (Zipf)
+    second aggregate, broadcast back. The QUERY terms broadcast-join
+    first, so everything after the postings filter is sized by docs
+    that match ≥1 query term, not the corpus; the doc-length join is
+    a doc-keyed equi-join against that matched set. Final per-query
+    top-k is a WindowGroupLimit-pruned row_number over a
+    queries-sized partition space. Ranks order on the ROUNDED score
+    then doc id, so the oracle reproduces them bit-for-bit.
+
+    Output: (query_id, doc_id, score, rank).
+    """
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, q in sorted(queries.items())
+            for t in sorted(set(q.lower().split()))
+        ],
+        "query_id string, term string",
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf")
+        * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + F.lit(b) * F.col("dl") / F.col("__avgdl")
+            )
+        )
+    )
+    # df only matters for query terms — semi-filter the vocab-sized
+    # frame down to |query terms| rows BEFORE broadcasting it
+    df_q = df_.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(df_q), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # PII patterns restricted to syntax with IDENTICAL semantics in Java
 # regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
 # \b word boundaries — no backreferences, no lookaround. Application

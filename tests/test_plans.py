@@ -547,3 +547,18 @@ def test_embedding_dim_stats_partial_aggregate_no_join(spark):
     plan = plan_text(df)
     assert "Join" not in plan
     assert_partial_aggregate(df)
+
+
+def test_bm25_plan_broadcast_postings_and_topk(spark):
+    """BM25 plan: query terms and the query-term df broadcast onto
+    the postings (never a shuffle of the big side against them), the
+    per-query top-k is WindowGroupLimit-pruned, and the only
+    nested-loop is the intentional 1-row corpus-stats broadcast."""
+    from parquet_combiner_spark.functions import q_doc_bm25_topk
+    from parquet_combiner_spark.plans import plan_text
+
+    df = q_doc_bm25_topk(spark, "/root/testdata/sf0.001")
+    plan = plan_text(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
