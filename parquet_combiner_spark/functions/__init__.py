@@ -117,6 +117,77 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=_BM25_K)
 
 
+_HYBRID_QUERY_IDS = (0, 1, 2)
+_HYBRID_POOL = 10
+_HYBRID_K = 5
+_RRF_C = 60
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-example HYBRID retrieval: for each query document,
+    fuse the dense ranking (exact cosine over its embedding,
+    `similarity.cosine_topk_bruteforce`) with the sparse ranking
+    (BM25 over its own distinct terms, `text.bm25_topk_terms`) by
+    Reciprocal Rank Fusion — score = Σ 1/(C + rank) over the rankers
+    that returned the candidate (C=60, the Cormack/Clarke'09
+    constant). RRF is THE standard hybrid combiner precisely because
+    it needs no score calibration between BM25 and cosine — only
+    ranks — which also makes it exactly SQL-reproducible. The two
+    candidate pools are ranker-top-10 each; the fused top-5 per
+    query is ordered by (rrf desc, id asc).
+
+    Scale: both rankers broadcast the query workload; the fusion is
+    a full outer join of two pools of |queries|×10 rows — metadata-
+    sized regardless of corpus scale."""
+    docs = _docs(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    qids = list(_HYBRID_QUERY_IDS)
+
+    dense = similarity.cosine_topk_bruteforce(
+        embs, embs.where(F.col("vec_id").isin(qids)), k=_HYBRID_POOL
+    ).select(
+        F.col("q_id").cast("string").alias("query_id"),
+        F.col("n_id").alias("id"),
+        F.col("rank").alias("rank_dense"),
+    )
+    qterms = (
+        docs.where(F.col("doc_id").isin(qids))
+        .select(
+            F.col("doc_id").cast("string").alias("query_id"),
+            F.explode(
+                F.array_distinct(text.tokens(F.lower(F.col("text"))))
+            ).alias("term"),
+        )
+    )
+    sparse = text.bm25_topk_terms(
+        docs, qterms, k=_HYBRID_POOL, exclude_self=True
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("id"),
+        F.col("rank").alias("rank_sparse"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_dense")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("rank_sparse")), F.lit(0.0)
+    )
+    from parquet_combiner_spark.operators.topk import top_k_per_group
+
+    fused = dense.join(sparse, ["query_id", "id"], "full_outer").select(
+        "query_id", "id", F.round(rrf, 6).alias("rrf")
+    )
+    ranked = top_k_per_group(
+        fused,
+        ["query_id"],
+        [F.desc("rrf"), F.asc("id")],
+        _HYBRID_K,
+        rank_col="rank",
+    )
+    return ranked.select(
+        "query_id", "id", "rrf", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (see :func:`text.doc_pii_scrub`).
     The synthetic corpus contains no PII, so the oracle hash pins the
@@ -901,6 +972,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_report": q_split_leakage_report,
     "doc_split_cluster_safe": q_doc_split_cluster_safe,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_quantization_error": q_embedding_quantization_error,
 }
@@ -1830,6 +1902,95 @@ PIPELINE_ORACLE_SQL["doc_bm25_topk"] = f"""
                    ) AS INT) AS rank
             FROM scored
         ) WHERE rank <= {_BM25_K}
+"""
+
+# hybrid RRF: the dense pool (exact cosine, same formulation as the
+# brute-force oracle), the sparse pool (BM25 with each query doc's
+# own distinct terms, self excluded), fused by 1/(C+rank) sums; all
+# knobs come from the same module constants as the Spark side
+PIPELINE_ORACLE_SQL["hybrid_rrf_topk"] = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM e
+            WHERE vec_id IN {_HYBRID_QUERY_IDS}
+        ), dpairs AS (
+            SELECT q.q_id, e.vec_id AS n_id,
+                   list_dot_product(q.q_emb, e.emb)
+                   / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                      * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+            FROM q, e WHERE e.vec_id <> q.q_id
+        ), dense AS (
+            SELECT CAST(q_id AS VARCHAR) AS query_id, n_id AS id,
+                   rank_dense
+            FROM (
+                SELECT q_id, n_id,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY cos DESC, n_id
+                       ) AS rank_dense
+                FROM dpairs
+            ) WHERE rank_dense <= {_HYBRID_POOL}
+        ), toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY 1, 2
+        ), dl AS (
+            SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), corpus AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+            FROM dl
+        ), qt AS (
+            SELECT DISTINCT CAST(doc_id AS VARCHAR) AS query_id, term
+            FROM toks WHERE doc_id IN {_HYBRID_QUERY_IDS}
+        ), bscored AS (
+            SELECT qt.query_id, tf.doc_id,
+                   round(sum(
+                       ln(1.0 + (c.n - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                       * tf.tf * ({text.BM25_K1} + 1.0)
+                         / (tf.tf + {text.BM25_K1}
+                            * (1.0 - {text.BM25_B}
+                               + {text.BM25_B} * dl.dl / c.avgdl))
+                   ), 4) AS score
+            FROM tf
+            JOIN qt USING (term)
+            JOIN dl USING (doc_id)
+            JOIN dfreq USING (term)
+            CROSS JOIN corpus c
+            WHERE qt.query_id <> CAST(tf.doc_id AS VARCHAR)
+            GROUP BY 1, 2
+        ), sparse AS (
+            SELECT query_id, doc_id AS id, rank_sparse FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id
+                       ) AS rank_sparse
+                FROM bscored
+            ) WHERE rank_sparse <= {_HYBRID_POOL}
+        ), fused AS (
+            SELECT coalesce(d.query_id, s.query_id) AS query_id,
+                   coalesce(d.id, s.id) AS id,
+                   round(coalesce(1.0 / ({_RRF_C} + d.rank_dense), 0)
+                         + coalesce(1.0 / ({_RRF_C} + s.rank_sparse), 0),
+                         6) AS rrf
+            FROM dense d
+            FULL OUTER JOIN sparse s
+              ON d.query_id = s.query_id AND d.id = s.id
+        )
+        SELECT query_id, id, rrf, rank FROM (
+            SELECT query_id, id, rrf,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY rrf DESC, id
+                   ) AS INT) AS rank
+            FROM fused
+        ) WHERE rank <= {_HYBRID_K}
 """
 
 # same recursive-CTE clusters, keeper re-decided by the longest-member

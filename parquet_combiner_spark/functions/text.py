@@ -339,9 +339,39 @@ def doc_bm25_topk(
 
     Output: (query_id, doc_id, score, rank).
     """
+    spark = documents.sparkSession
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, q in sorted(queries.items())
+            for t in sorted(set(q.lower().split()))
+        ],
+        "query_id string, term string",
+    )
+    return bm25_topk_terms(
+        documents, qterms, k=k, k1=k1, b=b,
+        text_col=text_col, id_col=id_col,
+    )
+
+
+def bm25_topk_terms(
+    documents: DataFrame,
+    qterms: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """:func:`doc_bm25_topk`'s kernel with the query terms as a
+    DataFrame (query_id string, term string) — the form
+    query-by-example retrieval needs, where the "query" is a
+    document's own distinct terms (``exclude_self`` then drops the
+    trivial self-match by id equality). ``qterms`` must be small
+    enough to broadcast (it is the query workload, not data)."""
     from pyspark.sql import Window
 
-    spark = documents.sparkSession
     toks = documents.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
@@ -352,14 +382,6 @@ def doc_bm25_topk(
     corpus = dl.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("dl").alias("__avgdl"),
-    )
-    qterms = spark.createDataFrame(
-        [
-            (qid, t)
-            for qid, q in sorted(queries.items())
-            for t in sorted(set(q.lower().split()))
-        ],
-        "query_id string, term string",
     )
     idf = F.log(
         F.lit(1.0)
@@ -384,9 +406,13 @@ def doc_bm25_topk(
     df_q = df_.join(
         F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
     )
+    matched = tf.join(F.broadcast(qterms), "term")
+    if exclude_self:
+        matched = matched.where(
+            F.col("query_id") != F.col(id_col).cast("string")
+        )
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(dl, id_col)
+        matched.join(dl, id_col)
         .join(F.broadcast(df_q), "term")
         .crossJoin(F.broadcast(corpus))
         .groupBy("query_id", id_col)
