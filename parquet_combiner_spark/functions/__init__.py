@@ -824,6 +824,42 @@ def q_ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_rerank(pool, embs, k=5, lam=0.7)
 
 
+def q_ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation AS a query: per-query recall@5 of the
+    sign-LSH index against the exact top-5 — the eval harness every
+    production ANN deployment runs when tuning num_planes/num_tables,
+    expressed in the engine itself so the accuracy/speed tradeoff is
+    measurable (and oracle-checkable: both rankers are deterministic,
+    the planes being plan literals). Left join exact→approx on
+    (query, neighbor); hits over exact size is the recall. Pool
+    sizes are |queries|×k — metadata-scale regardless of corpus."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 16)
+    exact = similarity.cosine_topk_bruteforce(embs, queries, k=5).select(
+        "q_id", "n_id"
+    )
+    approx = (
+        similarity.cosine_topk_lsh(embs, queries, k=5, num_planes=8)
+        .select("q_id", "n_id", F.lit(1).alias("__hit"))
+    )
+    return (
+        exact.join(approx, ["q_id", "n_id"], "left_outer")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "q_id",
+            "n_exact",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
 def q_ann_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 16)
@@ -973,6 +1009,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split_cluster_safe": q_doc_split_cluster_safe,
     "doc_bm25_topk": q_doc_bm25_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "ann_lsh_recall_report": q_ann_lsh_recall_report,
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_quantization_error": q_embedding_quantization_error,
 }
@@ -1991,6 +2028,58 @@ PIPELINE_ORACLE_SQL["hybrid_rrf_topk"] = f"""
                    ) AS INT) AS rank
             FROM fused
         ) WHERE rank <= {_HYBRID_K}
+"""
+
+# recall@5 of the LSH index vs the exact ranking — both rankers are
+# the same formulations their own oracles use (planes as literals)
+PIPELINE_ORACLE_SQL["ann_lsh_recall_report"] = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 16
+        ), dpairs AS (
+            SELECT q.q_id, e.vec_id AS n_id,
+                   list_dot_product(q.q_emb, e.emb)
+                   / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                      * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+            FROM q, e WHERE e.vec_id <> q.q_id
+        ), exact AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos DESC, n_id
+                ) AS rn FROM dpairs
+            ) WHERE rn <= 5
+        ), coded AS (
+            SELECT vec_id, emb,
+                   {_lsh_code_sql(similarity.hyperplanes(_EMB_DIM, 8), "emb")}
+                   AS code
+            FROM e
+        ), lq AS (
+            SELECT vec_id AS q_id, emb AS q_emb, code
+            FROM coded WHERE vec_id < 16
+        ), lpairs AS (
+            SELECT lq.q_id, c.vec_id AS n_id,
+                   list_dot_product(lq.q_emb, c.emb)
+                   / (sqrt(list_dot_product(lq.q_emb, lq.q_emb))
+                      * sqrt(list_dot_product(c.emb, c.emb))) AS cos
+            FROM lq JOIN coded c
+              ON lq.code = c.code AND c.vec_id <> lq.q_id
+        ), approx AS (
+            SELECT q_id, n_id FROM (
+                SELECT q_id, n_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos DESC, n_id
+                ) AS rn FROM lpairs
+            ) WHERE rn <= 5
+        )
+        SELECT x.q_id, count(*) AS n_exact,
+               CAST(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               round(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 4) AS recall
+        FROM exact x
+        LEFT JOIN approx a ON a.q_id = x.q_id AND a.n_id = x.n_id
+        GROUP BY 1
 """
 
 # same recursive-CTE clusters, keeper re-decided by the longest-member
