@@ -104,6 +104,9 @@ HEADLINE = [
     # behind association rules
     "events_dedup_stream",
     "event_association_rules",
+    # hybrid retrieval: exact-cosine pool + BM25 pool + RRF fusion in
+    # one plan (subsumes the standalone BM25 line)
+    "hybrid_rrf_topk",
 ]
 
 RUNS = 3
