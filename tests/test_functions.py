@@ -1705,3 +1705,28 @@ def test_cluster_safe_split_has_zero_leakage(spark):
         .where(F.col("split_a") != F.col("split_b"))
     )
     assert base_leaky.count() > 0
+
+
+def test_hybrid_rrf_invariants(spark):
+    """RRF identities: every score is in (0, 2/(C+1)]; a candidate in
+    BOTH ranker pools outscores any single-ranker candidate at equal
+    ranks; the per-query result is exactly top-5 with dense ranks
+    1..5 (values themselves are oracle-hash-checked)."""
+    from parquet_combiner_spark.functions import (
+        _RRF_C,
+        q_hybrid_rrf_topk,
+    )
+
+    rows = q_hybrid_rrf_topk(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        for r in rs:
+            assert 0 < r["rrf"] <= round(2.0 / (_RRF_C + 1), 6) + 1e-9
+        # ranks ordered by rrf desc (ties broken by id asc upstream)
+        scores = [r["rrf"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
