@@ -478,6 +478,78 @@ def _pagerank_oracle_sql() -> str:
     """
 
 
+_PPR_SEEDS_K = 3
+
+
+def q_doc_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the near-dup similarity graph
+    (:func:`graph.personalized_pagerank`): teleport mass concentrated
+    on a seed set — here the 3 smallest node ids of the pair graph, a
+    deterministic stand-in for "the topic set" — so rank measures
+    proximity to the seeds and components disjoint from them converge
+    to exactly 0. Same unrolled-CTE oracle contract as the uniform
+    variant."""
+    from parquet_combiner_spark.functions import graph
+
+    pairs = _ngram_pairs_cached(spark, sf_dir)
+    nodes = (
+        pairs.select(F.col("doc_id_a").alias("node"))
+        .union(pairs.select(F.col("doc_id_b").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(_PPR_SEEDS_K)
+    return graph.personalized_pagerank(
+        pairs, seeds, iters=_PAGERANK_ITERS, damping=_PAGERANK_DAMPING
+    )
+
+
+def _ppr_oracle_sql() -> str:
+    """Unrolled power iteration with the personalized teleport: the
+    per-node base term rides a tele CTE (p = 1/|S| on the 3 smallest
+    graph nodes, 0 elsewhere); float literals embedded via repr() so
+    both engines iterate on bit-identical constants."""
+    d = repr(_PAGERANK_DAMPING)
+    p = repr(1.0 / _PPR_SEEDS_K)
+    b = repr((1.0 - _PAGERANK_DAMPING) / _PPR_SEEDS_K)
+    steps = []
+    for k in range(1, _PAGERANK_ITERS + 1):
+        steps.append(
+            f"""pr{k} AS (
+            SELECT e.dst AS node,
+                   any_value(t.b) + {d}*sum(p.r*e.share) AS r
+            FROM ew e
+            JOIN pr{k - 1} p ON p.node = e.src
+            JOIN tele t ON t.node = e.dst
+            GROUP BY e.dst
+        )"""
+        )
+    return f"""
+        WITH pairs AS (
+            {_NGRAM_PAIRS_SQL}
+        ), edges AS (
+            SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM pairs
+        ), deg AS (
+            SELECT src, count(*) AS degree FROM edges GROUP BY src
+        ), ew AS (
+            SELECT e.src, e.dst, 1.0/d.degree AS share
+            FROM edges e JOIN deg d ON d.src = e.src
+        ), seeds AS (
+            SELECT src AS node FROM deg ORDER BY src LIMIT {_PPR_SEEDS_K}
+        ), tele AS (
+            SELECT dg.src AS node,
+                   CASE WHEN s.node IS NOT NULL THEN {p} ELSE 0.0 END AS p,
+                   CASE WHEN s.node IS NOT NULL THEN {b} ELSE 0.0 END AS b
+            FROM deg dg LEFT JOIN seeds s ON s.node = dg.src
+        ), pr0 AS (
+            SELECT node, p AS r FROM tele
+        ), {', '.join(steps)}
+        SELECT p.node, d.degree, round(p.r, 8) AS ppr
+        FROM pr{_PAGERANK_ITERS} p JOIN deg d ON d.src = p.node
+    """
+
+
 def q_near_dup_clusters_logstar(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -987,6 +1059,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters_logstar": q_near_dup_clusters_logstar,
     "near_dup_keepers_longest": q_near_dup_keepers_longest,
     "doc_graph_pagerank": q_doc_graph_pagerank,
+    "doc_graph_ppr": q_doc_graph_ppr,
     "doc_graph_triangles": q_doc_graph_triangles,
     "doc_split": q_doc_split,
     "doc_pack_sequences": q_doc_pack_sequences,
@@ -1712,6 +1785,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
     "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
     "doc_graph_pagerank": _pagerank_oracle_sql(),
+    "doc_graph_ppr": _ppr_oracle_sql(),
     # orientation-invariant, so the oracle is the simple id-ordered
     # triple join a<b<c over the same pair CTE
     "doc_graph_triangles": f"""

@@ -1730,3 +1730,39 @@ def test_hybrid_rrf_invariants(spark):
         # ranks ordered by rrf desc (ties broken by id asc upstream)
         scores = [r["rrf"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_personalized_pagerank_localizes_to_seed_components(spark):
+    """PPR identities on the sf0.001 pair graph: total mass is
+    conserved at 1 (undirected graph, no dangling nodes), every node
+    in a component disjoint from all seeds has rank exactly 0, and
+    every node in a seed's component has rank > 0 (teleport mass
+    reaches the whole component in iters >= diameter rounds or is
+    seeded directly)."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.functions import (
+        _ngram_pairs_cached,
+        q_doc_graph_ppr,
+    )
+    from parquet_combiner_spark.functions.dedup_text import (
+        near_dup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_doc_graph_ppr(spark, sf).collect()
+    assert rows
+    assert abs(sum(r["ppr"] for r in rows) - 1.0) < 1e-6
+
+    pairs = _ngram_pairs_cached(spark, sf)
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs).collect()
+    }
+    seed_nodes = sorted(comp)[:3]
+    seed_comps = {comp[s] for s in seed_nodes}
+    for r in rows:
+        if comp[r["node"]] in seed_comps:
+            assert r["ppr"] > 0, r
+        else:
+            assert r["ppr"] == 0.0, r
