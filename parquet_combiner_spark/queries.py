@@ -1982,6 +1982,67 @@ def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_scd2_enriched_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static SCD2 enrichment — the point-in-time-correct
+    dimension lookup: each streaming click is joined to the purchase
+    value that was CURRENT at the click's event time (the user's
+    SCD2 interval containing ts), not the latest value — the
+    classic warehouse bug this pattern exists to avoid. The dim side
+    is the batch :func:`user_value_history_scd2` interval build; the
+    join is a STATELESS stream-static inner join on
+    (user match AND ts in [valid_from, valid_to)), so append mode
+    emits each click exactly once as its batch processes and the
+    result is batching-invariant — the oracle is the identical batch
+    SQL. Clicks before the user's first purchase have no interval
+    and drop (inner-join semantics, mirrored in the oracle).
+
+    Scale: the SCD2 dim is change-point-sized; Spark broadcasts it
+    under the stream-static plan, so the stream is never shuffled."""
+    from parquet_combiner_spark.operators.merge import scd2_intervals
+    from parquet_combiner_spark.streaming.run import (
+        run_events_stream_available_now,
+    )
+
+    pts = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "value", "ts")
+    )
+    dim = scd2_intervals(pts, ["user_id"], "ts", ["value"]).select(
+        F.col("user_id").alias("d_user"),
+        F.col("value").alias("purchase_value"),
+        "valid_from",
+        "valid_to",
+    )
+
+    def enrich(stream: DataFrame) -> DataFrame:
+        clicks = stream.where(F.col("event_type") == "click")
+        return clicks.join(
+            dim,
+            (clicks["user_id"] == dim["d_user"])
+            & (clicks["ts"] >= dim["valid_from"])
+            & (
+                dim["valid_to"].isNull()
+                | (clicks["ts"] < dim["valid_to"])
+            ),
+        ).select(
+            "event_id",
+            F.expr("ts div 1000000").alias("ts_ms"),
+            "user_id",
+            F.round("purchase_value", 4).alias("purchase_value"),
+        )
+
+    return run_events_stream_available_now(
+        spark,
+        f"{sf_dir}/events.parquet",
+        enrich,
+        prefix="scd2enrich",
+        event_time=F.timestamp_micros(F.expr("ts div 1000")),
+    )
+
+
 def user_value_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build (operators/merge.py scd2_intervals):
     each user's purchase-value history as validity intervals — valid
@@ -2819,6 +2880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_distribution": customer_order_distribution,
     "top_revenue_suppliers": top_revenue_suppliers,
     "monthly_revenue_growth": monthly_revenue_growth,
+    "events_scd2_enriched_stream": events_scd2_enriched_stream,
     "price_percentiles": price_percentiles,
     "price_percentiles_approx": price_percentiles_approx,
     "user_rolling_value": user_rolling_value,
@@ -3834,6 +3896,25 @@ ORACLE_SQL: dict[str, str] = {
                count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS revenue
         FROM orders GROUP BY 1
+    """,
+    # the stateless stream-static join is batching-invariant, so the
+    # oracle is the batch point-in-time join verbatim
+    "events_scd2_enriched_stream": """
+        WITH dim AS (
+            SELECT user_id AS d_user, value AS purchase_value,
+                   epoch_ns(ts) AS valid_from,
+                   lead(epoch_ns(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_ns(ts)
+                   ) AS valid_to
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id, epoch_ns(e.ts) // 1000000 AS ts_ms,
+               e.user_id, round(d.purchase_value, 4) AS purchase_value
+        FROM events e JOIN dim d
+          ON e.user_id = d.d_user
+         AND epoch_ns(e.ts) >= d.valid_from
+         AND (d.valid_to IS NULL OR epoch_ns(e.ts) < d.valid_to)
+        WHERE e.event_type = 'click'
     """,
     "monthly_revenue_growth": """
         WITH m AS (
