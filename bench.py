@@ -61,6 +61,8 @@ HEADLINE = [
     # iterative algorithm #2: 5 synchronous power-iteration rounds
     # over the same cached pair graph
     "doc_graph_pagerank",
+    # seeded-teleport variant: same warm pair cache, same iteration count
+    "doc_graph_ppr",
     "doc_pack_sequences",
     "ann_cosine_topk",
     "embedding_near_dup_pairs",
@@ -148,6 +150,7 @@ def main() -> None:
         "near_dup_clusters": clear_ngram_pair_cache,
         "near_dup_clusters_logstar": warm_pairs,
         "doc_graph_pagerank": warm_pairs,
+        "doc_graph_ppr": warm_pairs,
         "doc_graph_triangles": warm_pairs,
     }
     post_runs = {
@@ -155,6 +158,7 @@ def main() -> None:
         "near_dup_clusters": clear_ngram_pair_cache,
         "near_dup_clusters_logstar": clear_ngram_pair_cache,
         "doc_graph_pagerank": clear_ngram_pair_cache,
+        "doc_graph_ppr": clear_ngram_pair_cache,
         "doc_graph_triangles": clear_ngram_pair_cache,
     }
 
