@@ -492,12 +492,19 @@ def q_doc_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_combiner_spark.functions import graph
 
     pairs = _ngram_pairs_cached(spark, sf_dir)
-    nodes = (
-        pairs.select(F.col("doc_id_a").alias("node"))
-        .union(pairs.select(F.col("doc_id_b").alias("node")))
-        .distinct()
-    )
-    seeds = nodes.orderBy("node").limit(_PPR_SEEDS_K)
+    # seed derivation: the K smallest node ids — a bounded
+    # (seed-set-sized) collect; a real caller passes its topic set
+    seeds = [
+        r["node"]
+        for r in (
+            pairs.select(F.col("doc_id_a").alias("node"))
+            .union(pairs.select(F.col("doc_id_b").alias("node")))
+            .distinct()
+            .orderBy("node")
+            .limit(_PPR_SEEDS_K)
+            .collect()
+        )
+    ]
     return graph.personalized_pagerank(
         pairs, seeds, iters=_PAGERANK_ITERS, damping=_PAGERANK_DAMPING
     )
