@@ -562,3 +562,37 @@ def test_bm25_plan_broadcast_postings_and_topk(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_shuffle_exchange_budgets(spark):
+    """SCALE.md's shuffle budgets, made executable: the number of
+    shuffle Exchange nodes in each headline plan must not grow. The
+    counts are formatted-explain node counts (AQE prints the plan
+    tree pre-execution; \\bExchange\\b excludes BroadcastExchange and
+    ReusedExchange), so they are a regression TRIPWIRE, not a logical
+    shuffle tally — a lost broadcast (SMJ shuffles both sides) or an
+    accidental repartition trips the cap immediately."""
+    import re
+
+    from parquet_combiner_spark.plans import plan_text
+
+    import __spark_entry__ as entry
+
+    budgets = {
+        "pricing_summary": 2,
+        "events_by_type": 2,
+        "filtered_orders": 0,
+        "forecast_revenue_change": 2,
+        "embedding_dim_stats": 2,
+        "supplier_stats": 4,
+        "customer_order_distribution": 4,
+        "monthly_revenue_growth": 4,
+        "top_revenue_suppliers": 6,
+        "top_parts_per_supplier": 8,
+    }
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    for name, cap in budgets.items():
+        plan = plan_text(qs[name](spark, sf))
+        n = len(re.findall(r"\bExchange\b", plan))
+        assert n <= cap, f"{name}: {n} shuffle exchanges > budget {cap}"
