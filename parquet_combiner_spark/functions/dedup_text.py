@@ -562,16 +562,20 @@ def ngram_containment_pairs(
     never-inflated guarantee under the cap. Output:
     (doc_id_a, doc_id_b, containment), containment >= threshold,
     doc_id_a < doc_id_b."""
-    pairs = ngram_jaccard_pairs(
+    # Thread the REAL threshold into the shared kernel so it applies
+    # to the unrounded score (like the jaccard path and the DuckDB
+    # oracle); filtering the rounded output column here would admit
+    # pairs with true containment in [threshold-5e-5, threshold) that
+    # the oracle rejects (ADVICE r8).
+    return ngram_jaccard_pairs(
         documents,
-        threshold=0.0,
+        threshold=threshold,
         text_col=text_col,
         id_col=id_col,
         k_shingle=k_shingle,
         max_doc_freq=max_doc_freq,
         _metric="containment",
     )
-    return pairs.where(F.col("containment") >= threshold)
 
 
 def near_dup_clusters(

@@ -138,8 +138,13 @@ def merge_upsert(
             tagged_base = base.withColumnRenamed(retain_col, _IS_DELETE)
         else:
             tagged_base = base.withColumn(_IS_DELETE, F.lit(False))
+        # NULL-safe: a NULL op is NOT a delete. A bare == yields NULL
+        # for NULL ops, which the tombstone filter (where(~flag)) then
+        # DROPS — a null-op change row would silently act as a DELETE
+        # (and in retain_col mode poison the retain flag) (ADVICE r8).
         tagged_updates = updates.withColumn(
-            _IS_DELETE, F.col(op_col) == F.lit(delete_op)
+            _IS_DELETE,
+            F.coalesce(F.col(op_col) == F.lit(delete_op), F.lit(False)),
         ).drop(op_col)
     else:
         tagged_base, tagged_updates = base, updates

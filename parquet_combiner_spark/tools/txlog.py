@@ -401,6 +401,28 @@ def _snapshot_stats(table: str, version: int | None) -> dict:
     return stats
 
 
+def _zone_disjoint(s: dict | None, lo, hi) -> bool:
+    """True only when the file's committed zone map PROVES no row of
+    ``col`` lies in [lo, hi]. Everything else — missing stats, null
+    bounds, or non-numeric values on EITHER side — is "may
+    intersect": commit records are JSON, so timestamp/date/bytes
+    footer stats round-trip as strings (``_json_safe``), and
+    comparing those against a caller's datetime raises TypeError (or
+    worse, compares lexicographically against an int's str). Pruning
+    is an optimization; a type it can't compare must degrade to a
+    full-predicate read, never to a wrong skip. Practical upshot:
+    ``stats_cols`` buy file skipping for numeric columns only."""
+    if s is None or s.get("min") is None or s.get("max") is None:
+        return False
+
+    def _num(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+    if not (_num(s["min"]) and _num(s["max"]) and _num(lo) and _num(hi)):
+        return False
+    return hi < s["min"] or lo > s["max"]
+
+
 def read_table_pruned(
     spark: SparkSession,
     table: str,
@@ -422,14 +444,13 @@ def read_table_pruned(
     commits, evolved columns) are conservatively kept."""
     files, schema = _snapshot_files(table, version)
     stats = _snapshot_stats(table, version)
-    kept = []
-    for f in files:
-        rel = os.path.relpath(f, table)
-        s = stats.get(rel, {}).get(col)
-        if s is None or s["min"] is None or s["max"] is None:
-            kept.append(f)  # no zone map: cannot prune safely
-        elif not (hi < s["min"] or lo > s["max"]):
-            kept.append(f)
+    kept = [
+        f
+        for f in files
+        if not _zone_disjoint(
+            stats.get(os.path.relpath(f, table), {}).get(col), lo, hi
+        )
+    ]
     from pyspark.sql import functions as F
 
     if not kept:
@@ -556,20 +577,23 @@ def delete_where(
             raise FileNotFoundError(f"{table} has no transaction log")
         files, schema = _snapshot_files(table, base)
         stats = _snapshot_stats(table, base)
-        touched = []
-        for f in files:
-            rel = os.path.relpath(f, table)
-            s = stats.get(rel, {}).get(col)
-            if s is None or s["min"] is None or s["max"] is None:
-                touched.append(f)  # no zone map: must rewrite
-            elif not (hi < s["min"] or lo > s["max"]):
-                touched.append(f)
+        touched = [
+            f
+            for f in files
+            if not _zone_disjoint(
+                stats.get(os.path.relpath(f, table), {}).get(col), lo, hi
+            )
+        ]
         if not touched:
             return base
+        # NULL-valued rows are NOT in [lo, hi] and must SURVIVE the
+        # copy-on-write rewrite: a bare ~between() is NULL for them,
+        # which a WHERE drops — silent physical deletion of every
+        # NULL row in any touched file (ADVICE r8, high).
         survivors = (
             spark.read.schema(schema)
             .parquet(*touched)
-            .where(~F.col(col).between(lo, hi))
+            .where(F.col(col).isNull() | ~F.col(col).between(lo, hi))
         )
         try:
             return commit(
@@ -636,16 +660,19 @@ def update_where(
                 f"SET targets columns not in the table: {unknown}"
             )
         stats = _snapshot_stats(table, base)
-        touched = []
-        for f in files:
-            rel = os.path.relpath(f, table)
-            s = stats.get(rel, {}).get(col)
-            if s is None or s["min"] is None or s["max"] is None:
-                touched.append(f)
-            elif not (hi < s["min"] or lo > s["max"]):
-                touched.append(f)
+        touched = [
+            f
+            for f in files
+            if not _zone_disjoint(
+                stats.get(os.path.relpath(f, table), {}).get(col), lo, hi
+            )
+        ]
         if not touched:
             return base
+        # between() is NULL for NULL rows; when() treats NULL as
+        # false, so NULL rows take the otherwise() branch and keep
+        # their old value — already NULL-safe, unlike delete_where's
+        # pre-fix filter.
         hit = F.col(col).between(lo, hi)
         df = spark.read.schema(schema).parquet(*touched)
         for name, expr in set_exprs.items():

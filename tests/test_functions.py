@@ -1611,6 +1611,50 @@ def test_select_by_token_budget_matches_window_reference(spark):
         select_by_token_budget(df, 0, "s", "n_tokens")
 
 
+def test_select_by_token_budget_all_ties_partition_safe(spark):
+    """The degenerate case the r8 verdict flagged: every document
+    shares ONE score, so the whole corpus is the boundary bucket.
+    The selection must still match the window reference (id order
+    decides), and the plan must resolve the slice with a PARTITIONED
+    window (the distributed sub-bucket prefix sum), never an
+    unpartitioned one. NULL scores are rejected loudly."""
+    import pytest as _pytest
+
+    from parquet_combiner_spark.functions.sampling import (
+        select_by_token_budget,
+    )
+
+    n = 500
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).cast("long").alias("n_tokens"),
+        F.lit(0.5).alias("s"),  # all-ties: one score bucket
+    )
+    rows = sorted(
+        [(i, i % 7 + 1) for i in range(n)], key=lambda r: r[0]
+    )  # score ties ⇒ pure id order
+    budget = sum(t for _, t in rows) // 3
+    keep, c = [], 0
+    for i, t in rows:
+        if c < budget:
+            keep.append(i)
+        c += t
+    out = select_by_token_budget(df, budget, "s", "n_tokens")
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == keep
+    # plan pin: every window spec is partitioned (on the sub-bucket)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(" in plan
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.split(",")[0].startswith("__sbkt"), plan
+
+    null_df = df.withColumn(
+        "s", F.when(F.col("doc_id") == 3, None).otherwise(F.col("s"))
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        select_by_token_budget(null_df, budget, "s", "n_tokens")
+
+
 def test_incremental_near_dup_across_batches(spark, tmp_path):
     """Near-dup ingestion against the persistent MinHash index:
     batch-1 admits originals and rejects a within-batch paraphrase;

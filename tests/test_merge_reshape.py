@@ -221,6 +221,33 @@ def test_merge_upsert_retained_tombstones_block_stale_resurrect(
     assert "a" in {r["k"] for r in naive2.collect()}
 
 
+def test_merge_upsert_null_op_is_upsert_not_delete(spark, cdc_ops):
+    """A NULL op value must behave as a plain upsert (r8 ADVICE): the
+    raw `op == 'D'` comparison is NULL for it, and the tombstone
+    filter `where(~flag)` would silently DROP the key — a null-op
+    change row acting as a DELETE. In retain_col mode the flag must
+    come out a real False, not NULL (reader filters `~flag` would
+    drop it there too)."""
+    base, _ = cdc_ops
+    changes = spark.createDataFrame(
+        [("b", 99, "null-op-upd", None)],
+        "k string, v bigint, val string, op string",
+    )
+    out = {
+        r["k"]: r
+        for r in merge_upsert(
+            base, changes, ["k"], ["v"], op_col="op"
+        ).collect()
+    }
+    assert "b" in out and out["b"]["val"] == "null-op-upd"
+    seeded = base.withColumn("__dead", F.lit(False))
+    kept = merge_upsert(
+        seeded, changes, ["k"], ["v"], op_col="op", retain_col="__dead"
+    )
+    flags = {r["k"]: r["__dead"] for r in kept.collect()}
+    assert flags["b"] is False  # real False, never NULL
+
+
 def test_merge_upsert_retain_requires_op(spark, cdc_ops):
     base, changes = cdc_ops
     with pytest.raises(ValueError, match="retain_col requires op_col"):

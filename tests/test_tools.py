@@ -886,6 +886,74 @@ def test_txlog_delete_where_rewrites_only_matching_files(spark, tmp_path):
         )
 
 
+def test_txlog_delete_where_null_rows_survive(spark, tmp_path):
+    """NULL-valued rows are NOT in [lo, hi] and must survive the
+    copy-on-write rewrite (r8 ADVICE high): a bare ~between() is NULL
+    for them and a WHERE drops NULL — the worst case being an
+    all-NULL file with no footer min/max, conservatively rewritten,
+    silently losing every row. Also pins that non-numeric
+    (JSON-stringified) zone maps degrade to a conservative rewrite
+    instead of raising or comparing lexicographically."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "nulls")
+    # file 1: all-NULL k (footer has no min/max for it)
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=None, v="n0"), Row(k=None, v="n1")],
+            "k int, v string",
+        ).coalesce(1),
+        table,
+        stats_cols=["k"],
+    )
+    # file 2: mixed NULL and in-range
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=5, v="hit"), Row(k=None, v="n2"), Row(k=50, v="keep")],
+            "k int, v string",
+        ).coalesce(1),
+        table,
+        stats_cols=["k"],
+    )
+    txlog.delete_where(spark, table, "k", 0, 10, stats_cols=["k"])
+    got = sorted(
+        (r["k"], r["v"])
+        for r in txlog.read_table(spark, table).collect()
+        if r["k"] is None
+    )
+    assert [v for _, v in got] == ["n0", "n1", "n2"]  # every NULL row alive
+    ks = sorted(
+        r["k"]
+        for r in txlog.read_table(spark, table).collect()
+        if r["k"] is not None
+    )
+    assert ks == [50]  # the in-range row, and only it, was deleted
+
+    # non-numeric stats column: timestamps stringify in the JSON log;
+    # pruning must neither raise nor wrongly skip — delete still works
+    t2 = str(tmp_path / "temporal")
+    ts = datetime.datetime(2024, 1, 1)
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(ts=ts, v="a"), Row(ts=ts + datetime.timedelta(days=5), v="b")]
+        ).coalesce(1),
+        t2,
+        stats_cols=["ts"],
+    )
+    txlog.delete_where(
+        spark, t2, "ts", ts, ts + datetime.timedelta(days=1), stats_cols=["ts"]
+    )
+    assert [r["v"] for r in txlog.read_table(spark, t2).collect()] == ["b"]
+    pruned = txlog.read_table_pruned(
+        spark, t2, "ts", ts, ts + datetime.timedelta(days=30)
+    )
+    assert [r["v"] for r in pruned.collect()] == ["b"]
+
+
 def test_txlog_update_where_copy_on_write(spark, tmp_path):
     """Row-level UPDATE: matching rows transformed, non-matching rows
     in touched files byte-preserved, untouched files never rewritten,
