@@ -323,6 +323,22 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level repeated-span dedup (dedup_text.repeated_spans):
+    per-doc maximal removal intervals of runs of >= 8 consecutive
+    tokens shared with another document — the Lee-et-al. span-removal
+    operator, postings-aggregate + gaps-and-islands, never a driver
+    suffix array. Oracle: identical string-shingle semantics in SQL."""
+    return dedup_text.repeated_spans(_docs(spark, sf_dir), min_tokens=8)
+
+
+def q_doc_strip_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated spans APPLIED (dedup_text.strip_repeated_spans): each
+    document's text with every cross-doc repeated run excised, plus
+    surviving token count — the actual corpus-cleaning output."""
+    return dedup_text.strip_repeated_spans(_docs(spark, sf_dir), min_tokens=8)
+
+
 def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-leakage audit: near-duplicate pairs whose endpoints fall
     in DIFFERENT train/val/test splits — the eval-integrity check a
@@ -1062,6 +1078,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_containment_pairs": q_ngram_containment_pairs,
+    "doc_repeated_spans": q_doc_repeated_spans,
+    "doc_strip_repeated_spans": q_doc_strip_repeated_spans,
     "near_dup_clusters": q_near_dup_clusters,
     "near_dup_clusters_logstar": q_near_dup_clusters_logstar,
     "near_dup_keepers_longest": q_near_dup_keepers_longest,
@@ -1198,6 +1216,39 @@ _NGRAM_CONTAINMENT_SQL = _NGRAM_PAIRS_SQL.replace(
 ).replace("AS jaccard", "AS containment").replace(">= 0.3", ">= 0.5")
 assert "least" in _NGRAM_CONTAINMENT_SQL
 assert "containment" in _NGRAM_CONTAINMENT_SQL
+
+# shared CTE chain of the repeated-span oracles (min_tokens=8, so the
+# 8/7 literals): positional 8-token string shingles -> shingles seen
+# in >1 doc -> covered start positions -> removed token positions ->
+# gaps-and-islands run ids — the direct SQL rendering of
+# dedup_text.repeated_spans' semantics
+_REPEATED_SPANS_CTE = """
+        WITH docs AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS l
+            FROM documents
+        ), pos_tab AS (
+            SELECT doc_id, l,
+                   unnest(range(greatest(len(l) - 7, 0))) AS pos
+            FROM docs
+        ), sh AS (
+            SELECT doc_id, pos,
+                   array_to_string(l[pos + 1 : pos + 8], ' ') AS s
+            FROM pos_tab
+        ), dup AS (
+            SELECT s FROM sh GROUP BY s HAVING min(doc_id) <> max(doc_id)
+        ), cov AS (
+            SELECT doc_id, pos FROM sh WHERE s IN (SELECT s FROM dup)
+        ), rem AS (
+            SELECT DISTINCT doc_id, pos + d AS pos
+            FROM cov, (SELECT unnest(range(8)) AS d) o
+        ), isl AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS g
+            FROM rem
+        )
+"""
 
 
 _MARKER_LISTS = ",\n".join(
@@ -1791,6 +1842,36 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # same 3-token shingle sets and joins on the shingle string.
     "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
     "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
+    # string-shingle formulation of the span semantics (the Spark
+    # side hashes the same windows; equal modulo xxhash64 collision)
+    "doc_repeated_spans": _REPEATED_SPANS_CTE
+    + """
+        SELECT doc_id,
+               CAST(min(pos) AS BIGINT) AS span_start,
+               CAST(max(pos) AS BIGINT) AS span_end,
+               CAST(max(pos) - min(pos) + 1 AS BIGINT) AS n_tokens
+        FROM isl GROUP BY doc_id, g
+    """,
+    "doc_strip_repeated_spans": _REPEATED_SPANS_CTE
+    + """
+        , toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(len(string_split(text, ' ')))) AS pos
+            FROM documents
+        ), kept AS (
+            SELECT t.doc_id,
+                   string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM toks t
+            ANTI JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(k.clean_text, '') AS clean_text,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
     "doc_graph_pagerank": _pagerank_oracle_sql(),
     "doc_graph_ppr": _ppr_oracle_sql(),
     # orientation-invariant, so the oracle is the simple id-ordered

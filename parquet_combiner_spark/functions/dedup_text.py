@@ -578,6 +578,175 @@ def ngram_containment_pairs(
     )
 
 
+def _positional_shingles(
+    documents: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, sh): the xxhash64 k-shingle hash STARTING at each
+    0-based token position — the position-carrying variant of
+    :func:`hashed_shingle_set` (same lower + whitespace-split token
+    definition, same hash-of-token-hashes construction, so the span
+    and set families cannot drift). STRICT windows: only positions
+    with a full k tokens ahead shingle; docs shorter than ``k``
+    contribute nothing (unlike the set machinery, which pads — a
+    span shorter than the minimum match length is meaningless here).
+    Pure map: slice-zip over the token-hash array, posexplode — no
+    window, no shuffle."""
+    tok_hashes = F.transform(
+        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+    )
+    n = F.greatest(F.size(tok_hashes) - F.lit(k - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(tok_hashes, j + 1, n) for j in range(k)]
+    )
+    sh = F.transform(
+        zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(k)])
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sh).alias("pos", "sh"),
+    )
+
+
+def repeated_spans(
+    documents: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level (repeated-span) exact dedup — the
+    remove-the-repeated-span operator of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (2022): per document,
+    the maximal token intervals covered by some run of >=
+    ``min_tokens`` consecutive tokens that ALSO occurs in another
+    document. Doc-level near-dup (MinHash/SimHash/Jaccard above)
+    keeps or drops whole documents; production corpus pipelines run
+    THIS afterwards to cut boilerplate, quotes, and templated
+    passages out of otherwise-unique documents.
+
+    Semantics (exact, not probabilistic): token position ``p`` of a
+    doc is REMOVED iff some k-shingle window containing ``p``
+    (k = ``min_tokens``) also occurs in a DIFFERENT document;
+    adjacent removed positions merge into maximal [span_start,
+    span_end] intervals (inclusive 0-based token indices, so two
+    docs sharing an m-token run each get one span of m tokens).
+    Within-document repeats alone do not trigger removal.
+
+    Scale shape — never a suffix array on the driver (the paper's
+    single-node formulation): positional shingles are a pure map
+    (:func:`_positional_shingles`); "occurs in another doc" is ONE
+    partial-aggregated groupBy on the shingle hash — min(doc) !=
+    max(doc), an O(1) combiner, NOT a distinct-count, and because
+    it is an aggregate rather than the pairwise self-join of the
+    Jaccard family there is no posting-list-squared blow-up and no
+    df cap is needed (the hotter a span, the more it matters here);
+    covered starts come back via one equi-join on the hash; runs
+    merge with the gaps-and-islands trick under windows PARTITIONED
+    by doc. Spans equal string-shingle semantics modulo xxhash64
+    collisions (~n²/2⁶⁴ — the standing assumption of every hashed
+    consumer in this module).
+
+    Output: (doc_id, span_start, span_end, n_tokens), disjoint per
+    doc, all BIGINT except doc_id's own type.
+    """
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    from pyspark.sql import Window
+
+    k = min_tokens
+    shingled = _positional_shingles(documents, text_col, id_col, k)
+    cross_doc = (
+        shingled.groupBy("sh")
+        .agg(F.min("doc_id").alias("__d0"), F.max("doc_id").alias("__d1"))
+        .where(F.col("__d0") != F.col("__d1"))
+        .select("sh")
+    )
+    covered = shingled.join(cross_doc, "sh").select("doc_id", "pos")
+    # every token of a covered window is removed; distinct collapses
+    # the (<= k-fold) overlap of adjacent windows
+    removed = covered.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("pos"),
+    ).dropDuplicates(["doc_id", "pos"])
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = removed.withColumn(
+        "__g", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "__g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("pos").cast("long").alias("span_end"),
+            (F.max("pos") - F.min("pos") + 1).cast("long").alias("n_tokens"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_tokens")
+    )
+
+
+def strip_repeated_spans(
+    documents: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`repeated_spans`: rebuild each document's text
+    with every removed token excised (original casing kept — matching
+    is case-folded, surviving text is not), plus the surviving token
+    count. Documents left with nothing keep an empty string — the
+    caller decides whether to drop them (the paper's pipelines
+    typically length-filter afterwards).
+
+    Shape: spans explode back to removed positions (output intervals
+    are disjoint, so no distinct needed), anti-join against the
+    posexploded tokens on (doc, pos), and one groupBy(doc) rebuilds
+    the text via sort_array(collect_list(struct(pos, tok))) —
+    per-doc-bounded state, order restored without a window. The
+    final left join back to the id list reinstates fully-stripped
+    docs.
+
+    Output: (doc_id, clean_text, n_kept).
+    """
+    spans = repeated_spans(
+        documents, min_tokens=min_tokens, text_col=text_col, id_col=id_col
+    )
+    removed = spans.select(
+        "doc_id",
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    kept = toks.join(
+        removed,
+        [
+            toks["doc_id"] == removed["doc_id"],
+            toks["pos"].cast("long") == removed["pos"],
+        ],
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     id_a: str = "doc_id_a",

@@ -1568,6 +1568,76 @@ def test_phash_near_dup_planted_edits(spark):
     assert set(got) == want
 
 
+def test_repeated_spans_planted_cross_doc_quote(spark):
+    """The span-removal semantics on planted data: a 10-token quote
+    embedded in two docs is found with exact boundaries in each;
+    within-doc-only repetition is NOT flagged; docs shorter than
+    min_tokens contribute nothing; two overlapping covered windows
+    merge into ONE maximal span; strip_repeated_spans excises exactly
+    the spanned tokens (original casing kept) and reinstates
+    untouched docs verbatim."""
+    from parquet_combiner_spark.functions import dedup_text
+
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two " + quote + " three four"),
+            (2, quote.upper() + " five six seven"),  # case-folded match
+            (3, "unrelated words only here nothing shared at all x"),
+            (4, "rep rep rep rep rep rep rep rep rep rep"),  # intra-doc only
+            (5, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_tokens"])
+        for r in dedup_text.repeated_spans(docs, min_tokens=8).collect()
+    }
+    assert spans == {1: (2, 11, 10), 2: (0, 9, 10)}
+
+    stripped = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"])
+        for r in dedup_text.strip_repeated_spans(docs, min_tokens=8).collect()
+    }
+    assert stripped[1] == ("one two three four", 4)
+    assert stripped[2] == ("five six seven", 3)  # original casing excised
+    assert stripped[3][0] == "unrelated words only here nothing shared at all x"
+    assert stripped[4][0] == "rep rep rep rep rep rep rep rep rep rep"
+    assert stripped[5] == ("short doc", 2)
+
+    # overlap merge: docs sharing two 8-runs whose windows overlap
+    # (positions 0..7 and 2..9 of doc 10) produce ONE 10-token span
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs2 = spark.createDataFrame(
+        [
+            (10, base),
+            (11, "x " + " ".join(base.split()[0:8]) + " zzz"),
+            (12, "y1 y2 " + " ".join(base.split()[2:10])),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in dedup_text.repeated_spans(docs2, min_tokens=8).collect()
+    }
+    assert got[10] == (0, 9)  # merged, not two overlapping intervals
+
+    with pytest.raises(ValueError, match="min_tokens"):
+        dedup_text.repeated_spans(docs, min_tokens=1)
+
+    # plan posture: no cartesian product anywhere; every window
+    # partitioned (by doc) — the operator never global-sorts
+    plan = (
+        dedup_text.repeated_spans(docs, min_tokens=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        assert frag.split(",")[0].startswith("doc_id"), plan
+
+
 def test_select_by_token_budget_matches_window_reference(spark):
     """The sort-free budget selector must equal the global-window
     formulation row-for-row, including ties at the boundary score
