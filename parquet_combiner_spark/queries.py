@@ -2839,6 +2839,235 @@ def event_counts_additive_merge(
     return merge_additive(half(0), half(1), keys=["event_type"], sum_cols=["n"])
 
 
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — CORRELATED MIN-PER-GROUP decorrelation: for
+    each small STANDARD part, the EUROPE supplier(s) whose best unit
+    price equals the part's minimum across all EUROPE suppliers.
+    (This testdata has no partsupp/supplycost; the part-supplier
+    offer table is derived as min(l_extendedprice/l_quantity) per
+    lineitem pair — same correlated-subquery structure.) The
+    correlated `cost = (SELECT min(...) WHERE partkey = outer)`
+    decorrelates into a per-part MIN WINDOW over the offers frame —
+    one extra part-keyed exchange, NO self-join (the join-back
+    formulation sort-merges two part-keyed aggregates; the window
+    form reads offers once) — and ties all surface (the Q2 contract
+    NTILE/LIMIT would break). Both dims broadcast."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("__unit"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .join(
+            F.broadcast(supp.select(F.col("s_suppkey").alias("__sk"))),
+            F.col("l_suppkey") == F.col("__sk"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__unit").alias("cost"))
+    )
+    from pyspark.sql import Window
+
+    best = offers.withColumn(
+        "__min", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("cost") == F.col("__min"))
+    return best.join(
+        F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"]
+    ).select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        F.col("l_partkey").alias("p_partkey"),
+        F.round("cost", 4).alias("cost"),
+    )
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — profit by supplier nation and order year for
+    one product family ('red'-named parts): revenue minus cost, all
+    five joins in one pipeline. (No ps_supplycost here: cost is
+    0.8 × p_retailprice × quantity — the arithmetic rides the same
+    join tree.) Dims (part-filtered, supplier, nation) broadcast;
+    orders⋈lineitem is the one fact-fact shuffle, exactly Q9's
+    irreducible exchange; aggregation partial-combines into
+    (nation × year) cells."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    profit = (
+        li.join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .join(
+            F.broadcast(nation),
+            supp["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        .select("n_name", "o_year", amount.alias("__amount"))
+    )
+    return profit.groupBy("n_name", "o_year").agg(
+        F.round(F.sum("__amount"), 2).alias("profit")
+    )
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — CASE-sum priority split: lineitems shipped
+    in 1996 more than 90 days after their order date (no
+    commit/receipt dates in this testdata — lateness vs order date
+    carries the predicate), bucketed by l_linestatus (the mode-like
+    column available), counting high- vs low-priority orders per
+    bucket. The year filter pushes to the lineitem scan; the
+    priority classification is a conditional aggregate, never a
+    second join."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = li.join(orders, F.col("l_orderkey") == orders["o_orderkey"]).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0))
+        .cast("long")
+        .alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1))
+        .cast("long")
+        .alias("low_line_count"),
+    )
+
+
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT-IN exclusion + grouped distinct count:
+    how many distinct suppliers serve each qualifying (brand, type,
+    size) cell, excluding 'complaint' suppliers (stand-in: negative
+    account balance — this testdata has no comment column). The
+    part-supplier relation is lineitem's (partkey, suppkey) pairs
+    (no partsupp table). NOT IN decorrelates to a LEFT ANTI join
+    against the broadcast complaint list; countDistinct dedups the
+    pair multiplicity in the same aggregate."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    qualified = ps.join(
+        F.broadcast(part), F.col("l_partkey") == part["p_partkey"]
+    ).join(
+        F.broadcast(complaints),
+        F.col("l_suppkey") == complaints["s_suppkey"],
+        "left_anti",
+    )
+    return qualified.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+def potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — NESTED SEMI with CORRELATED AGGREGATE: the
+    suppliers who shipped more than half of some 'red' part's total
+    1996 volume (no partsupp.availqty here: the "more than half of
+    (SELECT sum(l_quantity) WHERE same part)" threshold keeps Q20's
+    correlated-aggregate-inside-IN structure exactly). Decorrelation:
+    per-(part, supplier) sums roll up once; the per-part total is a
+    SECOND aggregate over that first one (never a rescan); the
+    correlated comparison becomes a part-keyed join between the two;
+    the qualifying supplier set semi-joins the supplier dim."""
+    red = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(red), F.col("l_partkey") == red["p_partkey"])
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    tot = pair.groupBy("l_partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    dominant = (
+        pair.join(tot, "l_partkey")
+        .where(F.col("pair_qty") > F.lit(0.5) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(
+            F.broadcast(dominant),
+            supp["s_suppkey"] == dominant["l_suppkey"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation["n_nationkey"],
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -2940,6 +3169,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_event_type_counts": hourly_event_type_counts,
     "local_supplier_volume": local_supplier_volume,
     "customers_with_high_value_orders": customers_with_high_value_orders,
+    "min_cost_supplier": min_cost_supplier,
+    "product_type_profit": product_type_profit,
+    "late_shipment_priority": late_shipment_priority,
+    "part_supplier_counts": part_supplier_counts,
+    "potential_part_promotion": potential_part_promotion,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4117,6 +4351,91 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS rn
             FROM events
         ) WHERE rn = 1 AND op = 'U'
+    """,
+    # Q2 oracle keeps the CORRELATED scalar-min form the Spark side
+    # decorrelates — that the two agree is the decorrelation proof
+    "min_cost_supplier": """
+        WITH pf AS (
+            SELECT p_partkey FROM part
+            WHERE p_type = 'STANDARD' AND p_size <= 10
+        ), se AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), offers AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS cost
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM pf)
+              AND l_suppkey IN (SELECT s_suppkey FROM se)
+            GROUP BY 1, 2
+        )
+        SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+               round(cost, 4) AS cost
+        FROM offers o JOIN se ON o.l_suppkey = se.s_suppkey
+        WHERE cost = (
+            SELECT min(o2.cost) FROM offers o2
+            WHERE o2.l_partkey = o.l_partkey
+        )
+    """,
+    "product_type_profit": """
+        SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.8 * p_retailprice * l_quantity), 2) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """,
+    "late_shipment_priority": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                    AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1
+    """,
+    "part_supplier_counts": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY 1, 2, 3
+    """,
+    # Q20 oracle keeps the nested-IN-with-correlated-aggregate form
+    "potential_part_promotion": """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem l1
+            WHERE l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                  )
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+            HAVING sum(l_quantity) > 0.5 * (
+                SELECT sum(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey
+                  AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l2.l_shipdate < TIMESTAMP '1997-01-01'
+            )
+        )
     """,
 }
 

@@ -536,6 +536,54 @@ def test_q6_q13_q15_plan_shapes(spark):
     assert "BroadcastHashJoin" in q15
 
 
+def test_q2_q9_q12_q16_q20_plan_shapes(spark):
+    """Plan pins for the last five TPC-H shapes. Q2: the correlated
+    min-per-group decorrelates into aggregates + equi-joins (no
+    cartesian, dims broadcast); Q9: part/supplier/nation broadcast,
+    no SMJ; Q12: the shipdate year filter reaches the lineitem scan;
+    Q16: the NOT IN is a LEFT ANTI against the broadcast complaint
+    list; Q20: the qualifying supplier set arrives as a LEFT SEMI
+    with partial aggregation underneath."""
+    from parquet_combiner_spark.plans import plan_text
+    from parquet_combiner_spark.queries import (
+        late_shipment_priority,
+        min_cost_supplier,
+        part_supplier_counts,
+        potential_part_promotion,
+        product_type_profit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    q2 = plan_text(min_cost_supplier(spark, sf))
+    assert "CartesianProduct" not in q2
+    assert "BroadcastNestedLoopJoin" not in q2
+    assert "SortMergeJoin" not in q2
+    assert q2.count("BroadcastHashJoin") >= 3, q2
+    assert_partial_aggregate(min_cost_supplier(spark, sf))
+
+    q9 = plan_text(product_type_profit(spark, sf))
+    assert "CartesianProduct" not in q9
+    assert "SortMergeJoin" not in q9
+    assert q9.count("BroadcastHashJoin") >= 3, q9
+    assert "StringContains(p_name,red)" in q9  # LIKE pushed to the dim scan
+
+    q12 = plan_text(late_shipment_priority(spark, sf))
+    assert "CartesianProduct" not in q12
+    assert "GreaterThanOrEqual(l_shipdate" in q12  # year filter at the scan
+    assert_partial_aggregate(late_shipment_priority(spark, sf))
+
+    q16 = plan_text(part_supplier_counts(spark, sf))
+    assert "CartesianProduct" not in q16
+    assert "LeftAnti" in q16
+    assert "BroadcastHashJoin" in q16
+
+    q20 = plan_text(potential_part_promotion(spark, sf))
+    assert "CartesianProduct" not in q20
+    assert "LeftSemi" in q20
+    assert_partial_aggregate(potential_part_promotion(spark, sf))
+
+
 def test_embedding_dim_stats_partial_aggregate_no_join(spark):
     """The per-dimension stats pass must stay a narrow explode into a
     dims-sized partial aggregate: no join, partial HashAggregate
