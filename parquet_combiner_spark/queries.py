@@ -2237,6 +2237,50 @@ def current_user_state_with_deletes(
     )
 
 
+def user_state_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level MERGE INTO on a VERSIONED table (tools/txlog.py
+    ``merge_into`` — the last Delta-parity DML verb): the even-id
+    events are committed as the table's initial snapshot, the odd-id
+    op-carrying CDC batch (every 7th a DELETE) merges in as ONE
+    atomic zone-map-pruned ``replace`` commit with expected_version
+    retry, and the query returns the table's end state. Version
+    ordering (ts, event_id) decides every key, so the end state must
+    equal the one-shot batch compaction — the
+    ``current_user_state_with_deletes`` oracle checks it verbatim."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-mrginto-")
+    table = f"{root}/state"
+    try:
+        txlog.commit(
+            ev.where(F.col("event_id") % 2 == 0), table, stats_cols=["user_id"]
+        )
+        updates = ev.where(F.col("event_id") % 2 == 1).withColumn(
+            "op",
+            F.when(F.col("event_id") % 7 == 0, F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        txlog.merge_into(
+            spark,
+            table,
+            updates,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+            op_col="op",
+            stats_cols=["user_id"],
+        )
+        return txlog.read_table(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def current_user_state_with_deletes_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3138,6 +3182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state": current_user_state,
     "current_user_state_stream": current_user_state_stream,
     "current_user_state_with_deletes": current_user_state_with_deletes,
+    "user_state_merge_into": user_state_merge_into,
     "current_user_state_with_deletes_stream": (
         current_user_state_with_deletes_stream
     ),
@@ -4475,6 +4520,12 @@ ORACLE_SQL["current_user_state_with_deletes_stream"] = ORACLE_SQL[
 
 # the txlog-state variant converges to the identical compaction
 ORACLE_SQL["current_user_state_txlog_stream"] = ORACLE_SQL[
+    "current_user_state_with_deletes"
+]
+
+# MERGE INTO's end state is version-ordered, so it too equals the
+# one-shot compaction regardless of the base/batch split
+ORACLE_SQL["user_state_merge_into"] = ORACLE_SQL[
     "current_user_state_with_deletes"
 ]
 

@@ -706,6 +706,125 @@ def update_where(
     raise AssertionError("unreachable")
 
 
+def merge_into(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+    prune_col: str | None = None,
+    max_retries: int = 3,
+    stats_cols: Sequence[str] | None = None,
+) -> int:
+    """Table-level MERGE INTO — Delta's last DML verb, composed from
+    the pieces this module and ``operators/merge.py`` already own:
+    run the latest-wins CDC kernel (:func:`~parquet_combiner_spark.
+    operators.merge.merge_upsert` — upserts, inserts, and with
+    ``op_col`` deletes) of ``updates`` against the CURRENT snapshot,
+    and publish the result as ONE atomic zone-map-pruned ``replace``
+    commit. Returns the committed version.
+
+    Copy-on-write discipline mirrors :func:`delete_where`: only files
+    whose ``prune_col`` zone map (default ``keys[0]``) intersects the
+    batch's [min, max] key range are read, merged, and rewritten —
+    on a key-clustered table a narrow CDC batch touches O(matching
+    files) of a 100 TB table. Pruning is sound because ``prune_col``
+    must be a MERGE key: equality on all keys implies equality on it,
+    so a file range-disjoint from every batch key value can contain
+    no matched row (and unmatched rows are pure pass-through).
+    Non-numeric zone maps, files without stats, or NULL batch keys
+    degrade to rewriting conservatively (:func:`_zone_disjoint` /
+    full-table fallback) — never to a missed match. Inserts land in
+    the rewritten output regardless of pruning.
+
+    Concurrency: the commit pins its snapshot (``expected_version``)
+    and the whole prune-merge-commit loop retries on
+    :class:`CommitConflict`, so two writers merging concurrently
+    serialize — the loser re-reads the winner's snapshot and re-merges
+    (latest-wins keeps the retry correct even when the ranges
+    overlap). Replaying the SAME batch is a no-op by the kernel's
+    replay-idempotence (version ties go to the update, which equals
+    the already-applied row).
+    """
+    if prune_col is None:
+        prune_col = keys[0]
+    if prune_col not in keys:
+        raise ValueError(
+            f"prune_col {prune_col!r} must be one of the merge keys "
+            f"{list(keys)} (pruning on a non-key column is unsound)"
+        )
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.operators.merge import merge_upsert
+
+    bounds = updates.agg(
+        F.min(prune_col).alias("lo"),
+        F.max(prune_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(prune_col).alias("n_key"),
+    ).first()
+    if bounds["n"] == 0:
+        v = current_version(table)
+        if v < 0:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        return v  # empty batch: publish nothing
+    # NULL batch keys fall outside min/max — disable pruning for them
+    prunable = bounds["n_key"] == bounds["n"]
+    for attempt in range(max(1, max_retries)):
+        base = current_version(table)
+        if base < 0:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        files, schema = _snapshot_files(table, base)
+        stats = _snapshot_stats(table, base)
+        touched = [
+            f
+            for f in files
+            if not prunable
+            or not _zone_disjoint(
+                stats.get(os.path.relpath(f, table), {}).get(prune_col),
+                bounds["lo"],
+                bounds["hi"],
+            )
+        ]
+        if touched:
+            base_df = spark.read.schema(schema).parquet(*touched)
+        else:  # nothing can match: the merge is pure insert
+            base_df = spark.createDataFrame([], schema)
+        merged = merge_upsert(
+            base_df,
+            updates,
+            keys,
+            version_cols,
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+        try:
+            return commit(
+                merged,
+                table,
+                action="replace",
+                remove=[os.path.relpath(f, table) for f in touched],
+                meta={
+                    "merge": {
+                        "keys": list(keys),
+                        "version_cols": list(version_cols),
+                        "prune_col": prune_col,
+                        "lo": _json_safe(bounds["lo"]),
+                        "hi": _json_safe(bounds["hi"]),
+                    }
+                },
+                expected_version=base,
+                stats_cols=stats_cols,
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue  # table advanced: re-merge against the new snapshot
+    raise AssertionError("unreachable")
+
+
 def read_appends(
     spark: SparkSession,
     table: str,
@@ -911,6 +1030,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--optimize", action="store_true")
     ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument(
+        "--merge-from",
+        metavar="PARQUET",
+        help="MERGE INTO: latest-wins upsert of this parquet path's "
+        "rows into the table (one atomic zone-map-pruned replace "
+        "commit); requires --keys and --version-cols",
+    )
+    ap.add_argument("--keys", help="comma-separated merge key columns")
+    ap.add_argument(
+        "--version-cols", help="comma-separated version-order columns"
+    )
+    ap.add_argument(
+        "--op-col",
+        help="updates column whose value 'D' marks a delete tombstone",
+    )
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--min-age", type=float, default=3600.0)
     ap.add_argument("--dry-run", action="store_true")
@@ -936,6 +1070,21 @@ def main(argv: list[str] | None = None) -> int:
             target_file_mb=args.target_file_mb,
         )
         print(f"optimized -> version {v}")
+    if args.merge_from:
+        if not (args.keys and args.version_cols):
+            ap.error("--merge-from requires --keys and --version-cols")
+        from parquet_combiner_spark.session import get_spark
+
+        s = get_spark(app_name="txlog-merge")
+        v = merge_into(
+            s,
+            args.table,
+            s.read.parquet(args.merge_from),
+            keys=args.keys.split(","),
+            version_cols=args.version_cols.split(","),
+            op_col=args.op_col,
+        )
+        print(f"merged -> version {v}")
     if args.expire is not None:
         expired = expire_versions(args.table, args.expire)
         print(f"expired {len(expired)} version(s)")
@@ -950,6 +1099,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.optimize
         or args.vacuum
         or args.fast_count
+        or args.merge_from
         or args.expire is not None
     ):
         print(f"version: {current_version(args.table)}")

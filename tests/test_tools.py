@@ -548,6 +548,125 @@ def test_optimize_retries_past_concurrent_append(spark, tmp_path, monkeypatch):
         txlog.optimize(spark, table, max_retries=1)
 
 
+def test_txlog_merge_into_upserts_deletes_prunes_and_retries(
+    spark, tmp_path, monkeypatch
+):
+    """Table-level MERGE INTO: upserts + inserts + op-col deletes land
+    as ONE replace commit; zone maps prune the rewrite to files whose
+    key range intersects the batch (untouched files keep their
+    original paths); replaying the same batch is a no-op end-state;
+    a concurrent writer between snapshot and publish loses the race
+    and merge_into rebases + retries; non-key prune_col refuses."""
+    import os as _os
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "mrg")
+    # three key-clustered files: k in [0,9], [100,109], [200,209]
+    for lo in (0, 100, 200):
+        txlog.commit(
+            spark.createDataFrame(
+                [Row(k=lo + i, v=1, val=f"base-{lo + i}") for i in range(10)]
+            ).coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+    before = {
+        _os.path.relpath(f, table)
+        for f in txlog._snapshot_files(table, None)[0]
+    }
+
+    batch = spark.createDataFrame(
+        [
+            Row(k=103, v=2, val="upd-103", op="U"),   # update
+            Row(k=105, v=2, val=None, op="D"),        # delete
+            Row(k=150, v=2, val="new-150", op="U"),   # insert (same range)
+            Row(k=101, v=0, val="stale-101", op="U"), # older: loses
+        ]
+    )
+    v = txlog.merge_into(
+        spark, table, batch, keys=["k"], version_cols=["v"],
+        op_col="op", stats_cols=["k"],
+    )
+    assert v == 3
+    state = {r["k"]: r for r in txlog.read_table(spark, table).collect()}
+    assert state[103]["val"] == "upd-103"
+    assert 105 not in state                      # tombstone applied
+    assert state[150]["val"] == "new-150"        # insert landed
+    assert state[101]["val"] == "base-101"       # stale update lost
+    assert len(state) == 30  # 30 base - 1 delete + 1 insert
+    # pruning: only the 100-range file was replaced
+    log = txlog._read_log(table)
+    assert log[-1]["action"] == "replace"
+    assert len(log[-1]["remove"]) == 1
+    after = {
+        _os.path.relpath(f, table)
+        for f in txlog._snapshot_files(table, None)[0]
+    }
+    assert len(before & after) == 2
+
+    # replay idempotence: same batch -> same end state (new version)
+    txlog.merge_into(
+        spark, table, batch, keys=["k"], version_cols=["v"],
+        op_col="op", stats_cols=["k"],
+    )
+    replayed = {r["k"]: r["val"] for r in txlog.read_table(spark, table).collect()}
+    assert replayed == {k: r["val"] for k, r in state.items()}
+
+    # pure insert outside every zone map: no file removed
+    txlog.merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=500, v=1, val="new-500")]),
+        keys=["k"], version_cols=["v"], stats_cols=["k"],
+    )
+    assert txlog._read_log(table)[-1]["remove"] == []
+    assert txlog.read_table(spark, table).where("k = 500").count() == 1
+
+    # empty batch publishes nothing
+    cur = txlog.current_version(table)
+    assert txlog.merge_into(
+        spark, table, spark.createDataFrame([], "k bigint, v bigint, val string"),
+        keys=["k"], version_cols=["v"],
+    ) == cur
+
+    # concurrent writer: append lands between snapshot and publish;
+    # merge rebases and neither the append nor the merge is lost
+    real_snapshot = txlog._snapshot_files
+    raced = {"done": False}
+
+    def racing_snapshot(t, version):
+        out = real_snapshot(t, version)
+        if not raced["done"]:
+            raced["done"] = True
+            txlog.commit(
+                spark.createDataFrame([Row(k=600, v=1, val="race-600")]),
+                table,
+                stats_cols=["k"],
+            )
+        return out
+
+    monkeypatch.setattr(txlog, "_snapshot_files", racing_snapshot)
+    txlog.merge_into(
+        spark, table,
+        spark.createDataFrame([Row(k=103, v=3, val="upd2-103")]),
+        keys=["k"], version_cols=["v"], stats_cols=["k"],
+    )
+    monkeypatch.undo()
+    final = {r["k"]: r["val"] for r in txlog.read_table(spark, table).collect()}
+    assert final[600] == "race-600"   # racing append survived
+    assert final[103] == "upd2-103"   # and the merge applied
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="prune_col"):
+        txlog.merge_into(
+            spark, table, batch, keys=["k"], version_cols=["v"],
+            prune_col="val",
+        )
+
+
 def test_txtable_source_null_fills_schema_evolved_files(spark, tmp_path):
     """The custom DataSource must read tables whose schema evolved via
     merge_schema appends: files written BEFORE the evolution lack the
