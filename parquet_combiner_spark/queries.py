@@ -2623,6 +2623,67 @@ def event_counts_stream_metric_store(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def event_counts_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING READ of a versioned table (sources/txtable_source.py
+    ``format("txtable_changes")`` + streaming/cdf.py): events land in
+    a txlog table as three append commits (event_id % 3 — a
+    deterministic split both engines can reproduce), the commit log
+    is then consumed as a stream whose offsets ARE versions and
+    whose rows carry ``_commit_version``, and the result aggregates
+    the STREAMED rows — count per type plus how many distinct
+    commits delivered that type. The commit-provenance column is
+    what the oracle pins: n_commits must equal the distinct residues
+    per type, which only holds if every row streamed out stamped
+    with the version that added it."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableChangesDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    try:
+        spark.dataSource.register(TxTableChangesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    root = tempfile.mkdtemp(prefix="pcs-cdfsrc-")
+    table = f"{root}/events_log"
+    out = tempfile.mkdtemp(prefix="pcs-cdfout-")
+    ckpt = tempfile.mkdtemp(prefix="pcs-cdfckpt-")
+    try:
+        for m in range(3):
+            txlog.commit(ev.where(F.col("event_id") % 3 == m), table)
+
+        def land(batch: DataFrame, _eid: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        query = (
+            spark.readStream.format("txtable_changes")
+            .option("path", table)
+            .load()
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("_commit_version").alias("n_commits"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape — EXISTS-qualified priority counts: orders from
     H1-1997 having at least one lineitem shipped after the order date
@@ -3183,6 +3244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state_stream": current_user_state_stream,
     "current_user_state_with_deletes": current_user_state_with_deletes,
     "user_state_merge_into": user_state_merge_into,
+    "event_counts_cdf_stream": event_counts_cdf_stream,
     "current_user_state_with_deletes_stream": (
         current_user_state_with_deletes_stream
     ),
@@ -4528,6 +4590,16 @@ ORACLE_SQL["current_user_state_txlog_stream"] = ORACLE_SQL[
 ORACLE_SQL["user_state_merge_into"] = ORACLE_SQL[
     "current_user_state_with_deletes"
 ]
+
+# every streamed row must carry the version that ADDED it, so the
+# per-type distinct-commit count equals the distinct residues of the
+# deterministic three-way commit split
+ORACLE_SQL["event_counts_cdf_stream"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_id % 3) AS BIGINT) AS n_commits
+    FROM events GROUP BY event_type
+"""
 
 # both as-of formulations (JVM union+window, cogrouped pandas
 # merge_asof) compute the same temporal join — one oracle checks both

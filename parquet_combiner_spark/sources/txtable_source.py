@@ -33,6 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 from pyspark.sql.types import StructType
@@ -41,6 +42,34 @@ from pyspark.sql.types import StructType
 @dataclass
 class _FilePartition(InputPartition):
     path: str
+
+
+@dataclass
+class _ChangeFilePartition(InputPartition):
+    path: str
+    version: int
+
+
+def _read_file_as_arrow(path: str, target):
+    """One data file → Arrow table cast to the target schema, with
+    schema-evolution null-fill (files written before a merge_schema
+    append lack the added columns — same semantics as
+    txlog.read_table's schema-enforced scan). Executor-side only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    have = set(pq.ParquetFile(path).schema_arrow.names)
+    present = [f.name for f in target if f.name in have]
+    table = pq.read_table(path, columns=present)
+    cols = {
+        f.name: (
+            table.column(f.name)
+            if f.name in have
+            else pa.nulls(table.num_rows, type=f.type)
+        )
+        for f in target
+    }
+    return pa.table(cols).cast(target)
 
 
 class TxTableReader(DataSourceReader):
@@ -53,28 +82,10 @@ class TxTableReader(DataSourceReader):
 
     def read(self, partition: _FilePartition):  # noqa: D102
         # executor-side import: workers must not need the driver's state
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        # Schema evolution: a merge_schema append evolves the TABLE
-        # schema, but files written earlier lack the added columns —
-        # read each file with the columns it HAS and null-fill the
-        # rest (the same semantics txlog.read_table gets for free from
-        # Spark's schema-enforced parquet scan).
         target = to_arrow_schema(self._schema)
-        have = set(pq.ParquetFile(partition.path).schema_arrow.names)
-        present = [f.name for f in target if f.name in have]
-        table = pq.read_table(partition.path, columns=present)
-        cols = {
-            f.name: (
-                table.column(f.name)
-                if f.name in have
-                else pa.nulls(table.num_rows, type=f.type)
-            )
-            for f in target
-        }
-        yield from pa.table(cols).cast(target).to_batches()
+        yield from _read_file_as_arrow(partition.path, target).to_batches()
 
 
 class TxTableDataSource(DataSource):
@@ -114,3 +125,145 @@ class TxTableDataSource(DataSource):
     def reader(self, schema: StructType) -> TxTableReader:
         files, _ = self._resolve()
         return TxTableReader(schema, files)
+
+
+class TxTableChangesStreamReader(DataSourceStreamReader):
+    """Commit-log streaming reader: offsets ARE table versions, each
+    micro-batch is exactly the files a contiguous version range
+    ADDED, in commit order, stamped with ``_commit_version``. This is
+    the Delta streaming-source contract ported to the txlog layer:
+
+    * deterministic replay — ``partitions(start, end)`` is a pure
+      function of the immutable commit log, so a restarted query
+      re-reads identical batches from its checkpointed offset;
+    * append commits stream natively; commits that REWRITE data
+      (replace/overwrite — MERGE INTO, delete_where, optimize) are
+      refused unless ``ignore_changes`` is set, in which case their
+      added files are re-emitted whole and downstream must be
+      idempotent per key — exactly Delta's ``ignoreChanges``
+      semantics (a compaction's rewritten rows reappear);
+    * scale: the driver touches only the log (O(commits) JSON); file
+      reads happen on executors, one task per added file.
+    """
+
+    def __init__(
+        self, schema: StructType, table: str, from_version: int,
+        ignore_changes: bool, max_versions_per_trigger: int | None = None,
+    ) -> None:
+        self._schema = schema
+        self._table = table
+        self._from = from_version
+        self._ignore_changes = ignore_changes
+        self._max_per_trigger = max_versions_per_trigger
+        self._cursor = from_version  # rate-limit bookkeeping only
+
+    def initialOffset(self) -> dict:
+        # "last fully consumed version"; -1 = from the table's birth
+        return {"version": self._from}
+
+    def latestOffset(self) -> dict:
+        from parquet_combiner_spark.tools import txlog
+
+        try:
+            cur = txlog.current_version(self._table)
+        except FileNotFoundError:
+            cur = -1
+        cur = max(cur, self._from)
+        if self._max_per_trigger is not None:
+            # advisory rate limit (Delta's maxFilesPerTrigger analog,
+            # in versions): each planning call advances the advertised
+            # latest by at most N commits, so a processing-time
+            # trigger drains a backlog one bounded batch at a time.
+            # Correctness never depends on it — batch membership is
+            # always partitions(start, end) off the immutable log.
+            # (Note: availableNow falls back to single-batch for
+            # Python sources and reads to the FIRST advertised latest.)
+            self._cursor = min(cur, self._cursor + self._max_per_trigger)
+            return {"version": self._cursor}
+        return {"version": cur}
+
+    def partitions(self, start: dict, end: dict):  # noqa: D102
+        import os
+
+        from parquet_combiner_spark.tools import txlog
+
+        parts: list[_ChangeFilePartition] = []
+        for rec in txlog._read_log(self._table):
+            v = rec["version"]
+            if not start["version"] < v <= end["version"]:
+                continue
+            rewrites = rec["action"] == "overwrite" or rec.get("remove")
+            if rewrites and not self._ignore_changes:
+                raise ValueError(
+                    f"version {v} of {self._table} is a "
+                    f"{rec['action']} that rewrites data; streaming "
+                    "a table with non-append commits requires "
+                    ".option('ignore_changes', 'true') (rewritten "
+                    "rows are then re-emitted — downstream must be "
+                    "idempotent per key)"
+                )
+            parts.extend(
+                _ChangeFilePartition(os.path.join(self._table, rel), v)
+                for rel in rec["add"]
+            )
+        return parts
+
+    def read(self, partition: _ChangeFilePartition):  # noqa: D102
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        data_schema = pa.schema(
+            [f for f in target if f.name != "_commit_version"]
+        )
+        table = _read_file_as_arrow(partition.path, data_schema)
+        stamped = table.append_column(
+            "_commit_version",
+            pa.array([partition.version] * table.num_rows, pa.int64()),
+        )
+        yield from stamped.cast(target).to_batches()
+
+    def commit(self, end: dict) -> None:  # noqa: D102 — log is immutable
+        pass
+
+
+class TxTableChangesDataSource(DataSource):
+    """``format("txtable_changes")``: stream a txlog table's commits
+    as micro-batches (``spark.readStream.format("txtable_changes")
+    .option("path", t).load()``). Options: ``path``; ``from_version``
+    (last already-consumed version, default -1 = everything);
+    ``ignore_changes`` ('true' to accept replace/overwrite commits,
+    re-emitting their rewritten files). Output schema = the table's
+    schema + ``_commit_version bigint``. Pair with
+    ``streaming/txlog_sink.py`` keyed on (query_id, epoch) for an
+    exactly-once versioned-table → versioned-table pipeline."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txtable_changes"
+
+    def _table(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "txtable_changes requires a table path: .load(path) "
+                "or .option('path', ...)"
+            )
+        return path
+
+    def schema(self) -> str:
+        from parquet_combiner_spark.tools import txlog
+
+        _, ddl = txlog._snapshot_files(self._table(), None)
+        return f"{ddl}, _commit_version bigint"
+
+    def streamReader(self, schema: StructType) -> TxTableChangesStreamReader:
+        mvpt = self.options.get("max_versions_per_trigger")
+        return TxTableChangesStreamReader(
+            schema,
+            self._table(),
+            int(self.options.get("from_version", -1)),
+            str(self.options.get("ignore_changes", "false")).lower()
+            == "true",
+            int(mvpt) if mvpt is not None else None,
+        )

@@ -921,3 +921,177 @@ def test_dedup_events_stream_suppresses_double_delivery(spark, tmp_path):
     out = dedup_events_stream_available_now(spark, events)
     assert out.count() == n
     assert out.select("event_id").distinct().count() == n
+
+
+def test_txtable_changes_stream_per_commit_batches_and_restart(
+    spark, tmp_path
+):
+    """The versioned-table streaming source: offsets are commit
+    versions, rate limiting drains a backlog one commit per
+    micro-batch (rows stamped with the version that added them, in
+    commit order), a checkpointed restart resumes AFTER the consumed
+    versions (no re-delivery), and a data-rewriting commit is refused
+    without ignore_changes but re-emits its files with it."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableChangesDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    try:
+        spark.dataSource.register(TxTableChangesDataSource)
+    except Exception:
+        pass
+    table = str(tmp_path / "cdc_src")
+    for v in range(3):
+        txlog.commit(
+            spark.createDataFrame(
+                [Row(k=v * 10 + j, val=f"v{v}") for j in range(4)]
+            ).coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+
+    batches: list[tuple[int, list]] = []
+
+    def sink(df, eid):
+        rows = sorted(tuple(r) for r in df.collect())
+        if rows:
+            batches.append((eid, rows))
+
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("txtable_changes")
+        .option("path", table)
+        .option("max_versions_per_trigger", 1)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # one micro-batch per commit, in commit order, correctly stamped
+    assert len(batches) == 3
+    for i, (_eid, rows) in enumerate(batches):
+        assert {r[2] for r in rows} == {i}          # _commit_version
+        assert sorted(r[0] for r in rows) == [i * 10 + j for j in range(4)]
+
+    # restart from the checkpoint: only NEW commits stream
+    txlog.commit(
+        spark.createDataFrame([Row(k=99, val="v3")]).coalesce(1),
+        table,
+        stats_cols=["k"],
+    )
+    batches.clear()
+    q = (
+        spark.readStream.format("txtable_changes")
+        .option("path", table)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) == 1
+    assert [tuple(r)[:2] for r in batches[0][1]] == [(99, "v3")]
+
+    # a rewriting commit refuses without ignore_changes...
+    txlog.delete_where(spark, table, "k", 0, 0)
+    batches.clear()
+    q = (
+        spark.readStream.format("txtable_changes")
+        .option("path", table)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignore_changes"):
+        q.awaitTermination()
+    # ...and re-emits the rewritten file with it (fresh checkpoint,
+    # from_version pins the already-consumed prefix)
+    batches.clear()
+    q = (
+        spark.readStream.format("txtable_changes")
+        .option("path", table)
+        .option("from_version", 3)
+        .option("ignore_changes", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) == 1
+    replayed = sorted(r[0] for r in batches[0][1])
+    assert replayed == [1, 2, 3]  # survivors of the touched file, k=0 gone
+
+
+def test_drain_table_changes_commit_order_and_replay(spark, tmp_path):
+    """The key-level CDF drain: one change batch per commit in order
+    (v0 classifies everything 'added'), correct add/change/remove
+    classification per step, version-keyed consumers skip replays
+    (re-draining an applied version hands the identical batch), and
+    expired history raises instead of fabricating a diff."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.cdf import drain_table_changes
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "mv_src")
+    txlog.commit(
+        spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]), table
+    )
+    txlog.commit(spark.createDataFrame([Row(k=3, v="c")]), table)
+    # v2 rewrites: k=2 changed, k=3 removed
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="B2")]
+        ),
+        table,
+        action="overwrite",
+    )
+
+    seen: list[tuple[int, dict]] = []
+
+    def apply_fn(batch, version):
+        seen.append(
+            (version, {r["k"]: r["change"] for r in batch.collect()})
+        )
+
+    last = drain_table_changes(spark, table, apply_fn, keys=["k"])
+    assert last == 2
+    assert [v for v, _ in seen] == [0, 1, 2]
+    assert seen[0][1] == {1: "added", 2: "added"}
+    assert seen[1][1] == {1: "unchanged", 2: "unchanged", 3: "added"}
+    assert seen[2][1] == {1: "unchanged", 2: "changed", 3: "removed"}
+
+    # replay determinism + version-keyed idempotence: the re-drain
+    # produces byte-identical classifications, so a consumer keyed on
+    # version applies nothing twice
+    applied: dict[int, dict] = {v: d for v, d in seen}
+    replays: list[int] = []
+
+    def idempotent_apply(batch, version):
+        d = {r["k"]: r["change"] for r in batch.collect()}
+        if version in applied:
+            assert d == applied[version]
+            replays.append(version)
+            return
+        applied[version] = d
+
+    assert drain_table_changes(spark, table, idempotent_apply) == 2
+    assert replays == [0, 1, 2]
+
+    # incremental continuation: only versions after from_version
+    seen.clear()
+    txlog.commit(spark.createDataFrame([Row(k=9, v="z")]), table)
+    drain_table_changes(spark, table, apply_fn, keys=["k"], from_version=2)
+    assert [v for v, _ in seen] == [3]
+    assert seen[0][1][9] == "added"
