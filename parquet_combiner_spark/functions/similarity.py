@@ -233,6 +233,7 @@ def cosine_topk_lsh(
     num_planes: int = DEFAULT_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: score only candidates sharing the
     query's LSH bucket. Output: (q_id, n_id, sim, rank) — a subset of
@@ -240,8 +241,15 @@ def cosine_topk_lsh(
     ``num_planes``; fewer planes → bigger buckets → higher recall).
     ``dim`` defaults to the actual vector length (see
     :func:`_vector_dim` for why a mismatch must not pass silently).
+    ``planes`` overrides generation — pass
+    :func:`load_lsh_planes`'s result so serving uses the COMMITTED
+    hash geometry (any plane change silently re-buckets everything;
+    the versioned table is what makes that an explicit event).
     """
-    planes = hyperplanes(dim or _vector_dim(candidates, vec_col), num_planes)
+    if planes is None:
+        planes = hyperplanes(
+            dim or _vector_dim(candidates, vec_col), num_planes
+        )
     cand = _as_double(candidates, vec_col).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_emb"),
@@ -602,6 +610,54 @@ def persist_ivf_centroids(
         action="overwrite",
         meta={"n_centroids": len(cents), "sample": sample, "seed": seed},
     )
+
+
+def persist_lsh_planes(
+    spark,
+    table: str,
+    dim: int,
+    num_planes: int = DEFAULT_PLANES,
+    seed: int = 42,
+) -> int:
+    """Commit the sign-LSH hyperplanes to a txlog versioned table —
+    the companion of :func:`persist_ivf_centroids`, so the ENTIRE ANN
+    serving state (coarse quantizer + hash geometry) is versioned:
+    planes decide bucket membership, so changing them invisibly
+    re-buckets every vector; committing them makes a re-hash an
+    explicit, time-travelable event readers pin a version of. One row
+    per plane (plane_id, plane) — metadata-sized. Returns the
+    committed version."""
+    from parquet_combiner_spark.tools import txlog
+
+    planes = hyperplanes(dim, num_planes, seed)
+    df = spark.createDataFrame(
+        [(i, list(p)) for i, p in enumerate(planes)],
+        "plane_id int, plane array<double>",
+    )
+    return txlog.commit(
+        df,
+        table,
+        action="overwrite",
+        meta={"dim": dim, "num_planes": num_planes, "seed": seed},
+    )
+
+
+def load_lsh_planes(
+    spark, table: str, version: int | None = None
+) -> list[list[float]]:
+    """Load committed hyperplanes (latest or a pinned version) in
+    plane_id order — the ``planes=`` input to :func:`cosine_topk_lsh`
+    / :func:`lsh_code`."""
+    from parquet_combiner_spark.tools import txlog
+
+    rows = (
+        txlog.read_table(spark, table, version)
+        .orderBy("plane_id")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"{table} holds no hyperplanes")
+    return [list(r["plane"]) for r in rows]
 
 
 def load_ivf_centroids(

@@ -250,12 +250,23 @@ def scd2_intervals(
     )
 
 
+def _broadcastable(touched: DataFrame, max_keys: int | None) -> bool:
+    """Size gate for broadcasting a key set: probe with a
+    LIMIT(max+1) count — the scan short-circuits at the cap, so the
+    probe costs O(max_keys) rows read, never a full aggregation of a
+    backfill-sized batch. None disables broadcasting outright."""
+    if max_keys is None:
+        return False
+    return touched.limit(max_keys + 1).count() <= max_keys
+
+
 def scd2_apply(
     dim: DataFrame,
     changes: DataFrame,
     keys: Sequence[str],
     ts_col: str = "valid_from",
     attrs: Sequence[str] | None = None,
+    max_broadcast_keys: int | None = 1_000_000,
 ) -> DataFrame:
     """Apply a change batch to an existing SCD2 dimension: rows whose
     key changed get their ``valid_to`` closed at the change's
@@ -273,11 +284,16 @@ def scd2_apply(
 
     Scale: only keys PRESENT in the batch can change rows, so the
     rebuild is pruned to the touched keys — the batch's (usually
-    tiny) key set broadcasts into a semi join selecting the histories
-    to rewrite and an anti join passing the untouched remainder
-    through untouched. The window therefore sorts O(|batch keys| ×
-    history) rows, never the dimension — at 100 TB the dominant cost
-    is the two broadcast-probed scans of the dimension.
+    tiny) key set drives a semi join selecting the histories to
+    rewrite and an anti join passing the untouched remainder through.
+    The window therefore sorts O(|batch keys| × history) rows, never
+    the dimension. The key set is SIZE-GATED
+    (``max_broadcast_keys``): up to the cap it broadcasts (at 100 TB
+    the dominant cost is then the two broadcast-probed dimension
+    scans); a backfill-sized batch that exceeds it falls back to
+    plain shuffle semi/anti joins instead of blowing the driver —
+    the probe is a LIMIT-bounded count, so deciding costs O(cap)
+    rows, not a scan of the batch. ``None`` forces the shuffle path.
     """
     if attrs is None:
         attrs = [
@@ -287,12 +303,14 @@ def scd2_apply(
         ]
     out_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
     touched = changes.select(*keys).distinct()
+    if _broadcastable(touched, max_broadcast_keys):
+        touched = F.broadcast(touched)
     dim_points = (
-        dim.join(F.broadcast(touched), list(keys), "left_semi")
+        dim.join(touched, list(keys), "left_semi")
         .select(*keys, *attrs, F.col("valid_from").alias(ts_col))
     )
     untouched = dim.join(
-        F.broadcast(touched), list(keys), "left_anti"
+        touched, list(keys), "left_anti"
     ).select(*out_cols)
     change_points = changes.select(*keys, *attrs, F.col(ts_col))
     rebuilt = scd2_intervals(

@@ -1111,7 +1111,12 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type").isNotNull())
         .distinct()
     )
-    n_users = ev.select("user_id").distinct().count()
+    # the user total is a 1-row aggregate folded into the plan as a
+    # broadcast (the forecast_revenue_change pattern) — a driver-side
+    # count() here would be a whole extra job per run
+    n_users = ev.agg(
+        F.count_distinct("user_id").cast("double").alias("__n_users")
+    )
     item = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_item")
     )
@@ -1148,13 +1153,14 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         directed.join(F.broadcast(sup_a), "antecedent")
         .join(F.broadcast(sup_b), "consequent")
+        .crossJoin(F.broadcast(n_users))
         .select(
             "antecedent",
             "consequent",
             "n_pair",
             F.round(F.col("n_pair") / F.col("n_a"), 4).alias("confidence"),
             F.round(
-                F.col("n_pair") * F.lit(float(n_users))
+                F.col("n_pair") * F.col("__n_users")
                 / (F.col("n_a") * F.col("n_b")),
                 4,
             ).alias("lift"),

@@ -1382,6 +1382,39 @@ def test_ivf_persisted_centroids_parity(spark, tmp_path):
     assert meta["n_centroids"] == 4 and meta["seed"] == 42
 
 
+def test_lsh_persisted_planes_parity(spark, tmp_path):
+    """The hash-geometry companion of the persisted quantizer: sign-
+    LSH hyperplanes committed to a txlog table and loaded back must
+    give cosine_topk_lsh results identical to in-query generation
+    (same seed/dim), and a re-hash commits a NEW version with the old
+    geometry still pinnable — ANN serving state fully versioned."""
+    from parquet_combiner_spark.functions import similarity
+    from parquet_combiner_spark.tools import txlog
+
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = embs.where("vec_id < 8")
+    dim = similarity._vector_dim(embs, "embedding")
+    table = str(tmp_path / "planes")
+
+    v0 = similarity.persist_lsh_planes(spark, table, dim, num_planes=6)
+    planes = similarity.load_lsh_planes(spark, table)
+    assert len(planes) == 6 and len(planes[0]) == dim
+
+    generated = similarity.cosine_topk_lsh(embs, queries, k=3, num_planes=6)
+    pinned = similarity.cosine_topk_lsh(embs, queries, k=3, planes=planes)
+    assert sorted(map(tuple, generated.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
+
+    v1 = similarity.persist_lsh_planes(spark, table, dim, num_planes=8)
+    assert v1 == v0 + 1
+    assert len(similarity.load_lsh_planes(spark, table)) == 8
+    assert len(similarity.load_lsh_planes(spark, table, version=v0)) == 6
+    meta = txlog.history(table)[0]["meta"]
+    assert meta["num_planes"] == 8 and meta["dim"] == dim
+
+
 def test_bpe_encoder_matches_python_reference(spark):
     """The codegen'd BPE replace chain must reproduce a pure-Python
     implementation of the same spec (space every char, two

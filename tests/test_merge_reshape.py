@@ -350,3 +350,41 @@ def test_scd2_intervals_and_incremental_apply(spark):
     assert sorted(map(tuple, dim2.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_scd2_apply_broadcast_size_gate_parity(spark):
+    """The batch key set is size-gated: above max_broadcast_keys (or
+    with None) the semi/anti pruning joins run as plain shuffle joins
+    instead of broadcasting a backfill-sized key set at the driver —
+    and BOTH paths produce the identical dimension. The gate's probe
+    is LIMIT-bounded (_broadcastable), pinned directly."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.operators.merge import (
+        _broadcastable,
+        scd2_apply,
+        scd2_intervals,
+    )
+
+    pts = [
+        Row(k=f"k{i}", attr=f"v{i}-{j}", ts=10 * j)
+        for i in range(20)
+        for j in range(1, 3)
+    ]
+    dim = scd2_intervals(spark.createDataFrame(pts), ["k"], "ts", ["attr"])
+    batch = spark.createDataFrame(
+        [Row(k=f"k{i}", attr=f"new{i}", valid_from=100) for i in range(0, 20, 2)]
+    )
+    paths = [
+        scd2_apply(dim, batch, ["k"], max_broadcast_keys=cap)
+        for cap in (1_000_000, 3, None)  # broadcast / exceeded / forced-off
+    ]
+    rows = [sorted(map(tuple, p.collect())) for p in paths]
+    assert rows[0] == rows[1] == rows[2]
+    # the forced-shuffle plan carries no broadcast of the key set
+    plan = paths[2]._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan
+
+    assert _broadcastable(batch.select("k").distinct(), 10)
+    assert not _broadcastable(batch.select("k").distinct(), 9)
+    assert not _broadcastable(batch.select("k").distinct(), None)
