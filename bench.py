@@ -109,6 +109,18 @@ HEADLINE = [
     # hybrid retrieval: exact-cosine pool + BM25 pool + RRF fusion in
     # one plan (subsumes the standalone BM25 line)
     "hybrid_rrf_topk",
+    # round-9 additions: substring-level span removal (postings
+    # aggregate + islands), the sort-free budget selector with its
+    # partition-safe boundary resolution, table-level MERGE INTO
+    # (zone-map-pruned copy-on-write), the commit-log streaming
+    # source, and two of the five new TPC-H shapes (Q2's window
+    # decorrelation; Q9's five-join profit rollup)
+    "doc_repeated_spans",
+    "doc_token_budget_selection",
+    "user_state_merge_into",
+    "event_counts_cdf_stream",
+    "min_cost_supplier",
+    "product_type_profit",
 ]
 
 RUNS = 3
