@@ -121,6 +121,9 @@ HEADLINE = [
     "event_counts_cdf_stream",
     "min_cost_supplier",
     "product_type_profit",
+    # the full-outer cell of the streaming join matrix (inner and
+    # left-outer lines above): dual watermark-proof NULL gating
+    "purchases_errors_full_outer_stream",
 ]
 
 RUNS = 3

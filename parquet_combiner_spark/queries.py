@@ -618,6 +618,54 @@ def purchases_with_errors_outer_stream(
     )
 
 
+def purchases_errors_full_outer_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.10 stream-stream FULL OUTER interval join — the last cell
+    of the streaming join matrix (inner / left outer / full outer,
+    all three driver-checked). Matched rows emit exhaustively (inner
+    emission); each NULL class is reported for its own
+    provably-final region only, and the two proofs differ by a full
+    window (streaming/pipeline.py docstring): a matchless PURCHASE
+    finalizes when the watermark passes ``p_time``, a matchless
+    ERROR when it passes ``e_time + window``. Between
+    ``watermark − window`` and each proof point Spark's outer
+    eviction emits opportunistically per micro-batch, so the
+    deterministic contract — and the oracle — takes the conservative
+    cut one window below each proof. Rows above their cut are
+    withheld, never wrongly NULLed. Watermark is the min-of-maxima
+    over the two substreams (same batch-side reconstruction as the
+    left-outer key; boundary verified at two SFs)."""
+    from parquet_combiner_spark.streaming.pipeline import (
+        purchases_errors_full_outer_stream_available_now,
+    )
+
+    out = purchases_errors_full_outer_stream_available_now(
+        spark, table_path(sf_dir, "events"), window_ms=_ERR_WINDOW_MS
+    )
+    ev = _events(spark, sf_dir)
+    maxd = ev.where(
+        F.col("event_type").isin("purchase", "error")
+    ).groupBy("event_type").agg(
+        F.expr("max(ts div 1000000)").alias("__m")
+    ).agg(F.min("__m").alias("__max_ms"))
+    wm = F.col("__max_ms") - F.lit(600_000)
+    cut_p = wm - F.lit(_ERR_WINDOW_MS)
+    cut_e = wm - F.lit(2 * _ERR_WINDOW_MS)
+    return (
+        out.crossJoin(F.broadcast(maxd))
+        .where(
+            (
+                F.col("event_id").isNotNull()
+                & F.col("error_event_id").isNotNull()
+            )
+            | (F.col("error_event_id").isNull() & (F.col("tms") <= cut_p))
+            | (F.col("event_id").isNull() & (F.col("win_start") <= cut_e))
+        )
+        .drop("__max_ms")
+    )
+
+
 def windowed_top_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 windowed top-N under the hard signal: the streaming
     tumbling-window count → rank pipeline (the reference's proposed
@@ -3208,6 +3256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchases_after_error_interval": purchases_after_error_interval,
     "purchases_after_error_interval_stream": purchases_after_error_interval_stream,
     "purchases_with_errors_outer_stream": purchases_with_errors_outer_stream,
+    "purchases_errors_full_outer_stream": purchases_errors_full_outer_stream,
     "user_sessions": user_sessions,
     "user_sessions_native": user_sessions_native,
     "user_sessions_stream": user_sessions_stream,
@@ -3522,6 +3571,40 @@ ORACLE_SQL: dict[str, str] = {
                   GROUP BY event_type
               )
           )
+    """,
+
+    # FULL OUTER stream-stream join: matched rows emit
+    # unconditionally; each NULL class restricted to its own
+    # finalized region — matchless purchases need the watermark past
+    # p_time (cut: wm − window, conservative), matchless errors need
+    # it past e_time + window (cut: wm − 2·window). Boundary verified
+    # empirically at two SFs, same method as the left-outer key.
+    "purchases_errors_full_outer_stream": """
+        WITH ev AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000000 AS tms
+            FROM events
+        ), j AS (
+            SELECT f.event_id,
+                   COALESCE(f.user_id, d.user_id) AS user_id,
+                   f.tms,
+                   d.event_id AS error_event_id,
+                   d.tms AS win_start
+            FROM (SELECT * FROM ev WHERE event_type = 'purchase') f
+            FULL JOIN (SELECT * FROM ev WHERE event_type = 'error') d
+              ON f.user_id = d.user_id
+             AND f.tms BETWEEN d.tms AND d.tms + 3600000
+        ), wm AS (
+            SELECT min(m) - 600000 AS w FROM (
+                SELECT event_type, max(tms) AS m FROM ev
+                WHERE event_type IN ('purchase', 'error')
+                GROUP BY event_type
+            )
+        )
+        SELECT j.* FROM j, wm
+        WHERE (event_id IS NOT NULL AND error_event_id IS NOT NULL)
+           OR (error_event_id IS NULL AND tms <= w - 3600000)
+           OR (event_id IS NULL AND win_start <= w - 7200000)
     """,
 
     # DuckDB has a NATIVE ASOF JOIN (inclusive: fact.t >= dim.t) — an

@@ -415,6 +415,91 @@ def purchases_with_errors_outer_stream_available_now(
     )
 
 
+def purchases_errors_full_outer_stream_available_now(
+    spark: SparkSession,
+    events_path: str,
+    window_ms: int = 3_600_000,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM **FULL OUTER** interval join, run to completion —
+    the last cell of the streaming join matrix (inner:
+    :func:`purchases_after_errors_stream_available_now`, left outer:
+    :func:`purchases_with_errors_outer_stream_available_now`). Every
+    purchase with the error that opened its window, PLUS every error
+    no purchase followed — both NULL classes in one query.
+
+    The two NULL classes finalize on DIFFERENT watermark proofs,
+    which is what makes full outer strictly harder than left outer:
+
+    - purchase-with-no-error emits once the watermark passes
+      ``p_time`` (matching errors satisfy e_time ∈ [p_time − window,
+      p_time], and on-time arrivals above the watermark can no
+      longer land there);
+    - error-with-no-purchase emits once the watermark passes
+      ``e_time + window`` (matching purchases satisfy p_time ∈
+      [e_time, e_time + window]) — a FULL window later than the
+      other side's proof.
+
+    Between ``watermark − window`` and the watermark each class
+    emits opportunistically per micro-batch (same eviction behavior
+    pinned for the left-outer query), so the deterministic contract
+    the registry wrapper enforces is the conservative cut one window
+    below each proof point.
+
+    Output: (event_id, user_id, tms, error_event_id, win_start) —
+    ``user_id`` coalesced across sides (never NULL); purchase
+    columns NULL for matchless errors, error columns NULL for
+    matchless purchases; integral epoch millis throughout."""
+    from parquet_combiner_spark.streaming.run import (
+        run_events_stream_available_now,
+    )
+
+    def join_streams(stream: DataFrame) -> DataFrame:
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                "user_id",
+                F.col("event_time").alias("p_time"),
+            )
+            .withWatermark("p_time", watermark_delay)
+        )
+        errors = (
+            stream.where(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_event_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("event_time").alias("e_time"),
+            )
+            .withWatermark("e_time", watermark_delay)
+        )
+        return purchases.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("p_time") >= F.col("e_time"))
+            & (
+                F.col("p_time")
+                <= F.col("e_time")
+                + F.expr(f"INTERVAL {window_ms} MILLISECONDS")
+            ),
+            "full_outer",
+        ).select(
+            "event_id",
+            F.coalesce("user_id", "e_user").alias("user_id"),
+            F.unix_millis("p_time").alias("tms"),
+            "error_event_id",
+            F.unix_millis("e_time").alias("win_start"),
+        )
+
+    return run_events_stream_available_now(
+        spark,
+        events_path,
+        join_streams,
+        prefix="fullouterjoin",
+        event_time=F.timestamp_micros(F.expr("ts div 1000")),
+    )
+
+
 def windowed_top_events_update_available_now(
     spark: SparkSession,
     events_path: str,

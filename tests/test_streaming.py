@@ -825,6 +825,65 @@ def test_outer_interval_join_null_gating(spark, tmp_path):
     assert 4 not in got
 
 
+def test_full_outer_interval_join_both_null_classes(spark, tmp_path):
+    """Full-outer stream-stream join: matched pairs emit once; an old
+    matchless purchase emits a NULL-error row; an old matchless error
+    emits a NULL-purchase row (the class left outer never produces);
+    a head matchless ERROR is withheld because its proof point —
+    watermark passing e_time + window — is a full window later than
+    the purchase side's."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.pipeline import (
+        purchases_errors_full_outer_stream_available_now,
+    )
+
+    base = 1_700_000_000_000_000_000  # ns
+    HOUR = 3_600_000_000_000
+    rows = [
+        # old matchless purchase -> NULL-error row
+        Row(event_id=1, ts=base, user_id=1, event_type="purchase",
+            value=1.0, props=None),
+        # old matchless error -> NULL-purchase row (full-outer only)
+        Row(event_id=2, ts=base + HOUR, user_id=7, event_type="error",
+            value=0.0, props=None),
+        # error + purchase inside its window -> matched row
+        Row(event_id=3, ts=base + 10 * HOUR, user_id=2, event_type="error",
+            value=0.0, props=None),
+        Row(event_id=4, ts=base + 10 * HOUR + HOUR // 2, user_id=2,
+            event_type="purchase", value=2.0, props=None),
+        # head matchless error: purchases may still land in
+        # [e_time, e_time + window] -> withheld
+        Row(event_id=5, ts=base + 12 * HOUR, user_id=3,
+            event_type="error", value=0.0, props=None),
+        # head purchase keeps the purchase-side watermark advanced
+        Row(event_id=6, ts=base + 12 * HOUR, user_id=9,
+            event_type="purchase", value=3.0, props=None),
+    ]
+    src = str(tmp_path / "ev.parquet")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    out = purchases_errors_full_outer_stream_available_now(
+        spark, src
+    ).collect()
+    matched = {
+        (r["event_id"], r["error_event_id"])
+        for r in out
+        if r["event_id"] is not None and r["error_event_id"] is not None
+    }
+    assert matched == {(4, 3)}
+    null_err = {r["event_id"] for r in out if r["error_event_id"] is None}
+    null_pur = {r["error_event_id"] for r in out if r["event_id"] is None}
+    assert 1 in null_err  # finalized matchless purchase
+    assert 2 in null_pur  # finalized matchless error — full-outer-only class
+    assert 5 not in null_pur  # head error window still open: withheld
+    # user_id is coalesced across sides: never NULL
+    assert all(r["user_id"] is not None for r in out)
+
+
 def test_cdc_txlog_state_time_travel_and_replay(spark, tmp_path):
     """The txlog-backed CDC apply: state versions accrete one per
     micro-batch (time travel reproduces the state mid-stream), a full
