@@ -52,6 +52,20 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_bpe_token_stats(_docs(spark, sf_dir))
 
 
+def q_doc_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge TRAINING (Sennrich et al. 2016) over the
+    documents corpus: one combiner-reduced word-histogram pass, then
+    vocabulary-bounded merge rounds with a 1-row argmax fetch each —
+    the artifact (rank, left, right, merged, pair_count) is what a
+    tokenizer ships. Iterative greedy argmax is not SQL-expressible,
+    so this key is rows-only; the correctness gate is the exact
+    merge-for-merge parity pytest against a pure-Python reference
+    trainer on the same histogram (tests/test_text.py)."""
+    return text.bpe_train_merges(
+        _docs(spark, sf_dir), num_merges=16, max_vocab=4000
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_quality(_docs(spark, sf_dir))
 
@@ -1055,6 +1069,7 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_bpe_tokens": q_doc_bpe_tokens,
+    "doc_bpe_train_merges": q_doc_bpe_train_merges,
     "doc_chunks": q_doc_chunks,
     "doc_tfidf_keywords": q_doc_tfidf_keywords,
     "doc_pii_scrub": q_doc_pii_scrub,

@@ -693,3 +693,140 @@ def doc_bpe_token_stats(documents: DataFrame) -> DataFrame:
             n_tokens > 0, F.round(n_chars / n_tokens, 4)
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge TRAINING (distributed, word-histogram collapsed)
+# ---------------------------------------------------------------------------
+
+
+def word_histogram(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Lowercased whitespace pre-token histogram — the ONLY
+    corpus-scale pass BPE training needs. Classic BPE trainers
+    (Sennrich et al. 2016; SentencePiece/HF follow suit) never
+    iterate over the corpus: they pre-tokenize once, collapse
+    identical words, and train on (word, count). At 100 TB that is
+    the whole scale story — one combiner-reduced groupBy shuffles
+    vocabulary-sized partials (~1e6-1e8 rows), and every training
+    round after it touches only this bounded frame.
+
+    ``max_vocab`` keeps the top-N words by (count desc, word asc) —
+    a frequency floor real trainers apply; the tie-break keeps the
+    cut deterministic. Output: (w, cnt).
+    """
+    words = documents.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), "\\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w")
+    )
+    hist = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    if max_vocab is not None:
+        # deterministic top-N cut; vocab-sized sort, not corpus-sized
+        hist = hist.orderBy(
+            F.col("cnt").desc(), F.col("w").asc()
+        ).limit(int(max_vocab))
+    return hist
+
+
+def _merge_adjacent(syms: Column, left: str, right: str) -> Column:
+    """Rewrite one learned pair inside a symbol array: every
+    leftmost-first non-overlapping (left, right) adjacency becomes
+    the concatenated symbol — the exact left-to-right greedy rule a
+    BPE encoder applies, expressed as a single fold. The accumulator
+    ends with ``left`` and the next element is ``right`` ⇒ replace
+    the tail; a just-produced merge can't cascade because the merged
+    symbol ``left+right`` never equals ``left`` (``right`` is
+    non-empty). Interpreted per element (higher-order function), but
+    it only ever runs over the vocabulary frame — never the corpus.
+    """
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train_merges(
+    documents: DataFrame,
+    num_merges: int = 30,
+    text_col: str = "text",
+    max_vocab: int | None = None,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Train a BPE merge table on a corpus (Sennrich et al. 2016),
+    distributed the way production tokenizer trainers are: ONE
+    corpus pass builds the word histogram
+    (:func:`word_histogram`), then each merge round runs entirely on
+    that vocabulary-bounded frame — explode adjacent symbol pairs
+    weighted by word count, partial-aggregate to (pair, count), take
+    the 1-row argmax (count desc, then lexicographic pair — the
+    deterministic tie-break), and rewrite the winning pair into the
+    symbol arrays with :func:`_merge_adjacent`. The per-round driver
+    fetch is a single row (the PageRank bounded-metadata pattern)
+    and ``localCheckpoint`` truncates the growing fold lineage every
+    few rounds, so ``num_merges`` rounds cost O(rounds) small jobs
+    after the one corpus shuffle — no suffix arrays, no per-round
+    corpus scans, no Python in the data path.
+
+    Stops early when no pair reaches ``min_pair_count``. Returns the
+    learned table ordered by rank: (rank, left, right, merged,
+    pair_count) — the artifact :func:`bpe_encode_spaced` ships as
+    plan literals.
+    """
+    spark = documents.sparkSession
+    vocab = word_histogram(
+        documents, text_col=text_col, max_vocab=max_vocab
+    ).select(
+        F.split("w", "").alias("syms"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, int(num_merges) + 1):
+        pairs = vocab.where(F.size("syms") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2), "
+                    "i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pc"] < min_pair_count:
+            break
+        a, b, pc = top[0]["a"], top[0]["b"], int(top[0]["pc"])
+        merges.append((rank, a, b, a + b, pc))
+        vocab = vocab.select(
+            _merge_adjacent(F.col("syms"), a, b).alias("syms"), "cnt"
+        )
+        if rank % 5 == 0:
+            # truncate the fold-upon-fold lineage before it makes
+            # planning itself the bottleneck
+            vocab = vocab.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, "
+        "pair_count bigint",
+    )
