@@ -114,15 +114,41 @@ def _log_path(table: str, version: int) -> str:
     )
 
 
-def _read_log(table: str) -> list[dict]:
-    """All commits in version order; [] for a fresh/non table."""
+def _log_versions(table: str) -> list[int]:
+    """Committed version numbers in order, from the LISTING alone —
+    the zero-padded filenames encode them, so range validation never
+    parses a commit record."""
+    d = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(name.split(".")[0])
+        for name in os.listdir(d)
+        if name.endswith(".json") and name.split(".")[0].isdigit()
+    )
+
+
+def _read_log(
+    table: str, after: int | None = None, through: int | None = None
+) -> list[dict]:
+    """Commits in version order; [] for a fresh/non table. ``after``/
+    ``through`` bound the versions PARSED (exclusive/inclusive) — the
+    filename encodes the version, so out-of-range records are skipped
+    without opening them. This is what makes checkpoint-seeded
+    snapshot reads O(commits since checkpoint), not O(table
+    lifetime)."""
     d = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(d):
         return []
     out = []
     for name in sorted(os.listdir(d)):
-        if not name.endswith(".json"):
+        if not (name.endswith(".json") and name.split(".")[0].isdigit()):
             continue
+        v = int(name.split(".")[0])
+        if after is not None and v <= after:
+            continue
+        if through is not None and v > through:
+            break
         with open(os.path.join(d, name)) as f:
             out.append(json.load(f))
     return out
@@ -147,28 +173,78 @@ def current_version(table: str) -> int:
     return last["version"] if last else -1
 
 
-def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
-    """(data file paths, schema DDL) as of ``version`` (None=latest)."""
-    log = _read_log(table)
-    if not log:
+def _ckpt_dir(table: str) -> str:
+    return os.path.join(table, _LOG_DIR, "_checkpoints")
+
+
+def _checkpoint_at_or_below(table: str, version: int) -> dict | None:
+    """The newest checkpoint record usable as a replay base for
+    ``version`` — fast path through the ``_last_checkpoint`` pointer
+    (Delta's trick: one GET instead of a listing on an object
+    store), falling back to the checkpoint listing for time travel
+    below the newest one."""
+    d = _ckpt_dir(table)
+    if not os.path.isdir(d):
+        return None
+    ptr = os.path.join(table, _LOG_DIR, "_last_checkpoint")
+    if os.path.isfile(ptr):
+        with open(ptr) as f:
+            v = json.load(f)["version"]
+        if v <= version:
+            p = os.path.join(d, f"{v:0{_VERSION_DIGITS}d}.json")
+            if os.path.isfile(p):
+                with open(p) as f:
+                    return json.load(f)
+    best = None
+    for name in os.listdir(d):
+        if name.endswith(".json") and name.split(".")[0].isdigit():
+            v = int(name.split(".")[0])
+            if v <= version and (best is None or v > best):
+                best = v
+    if best is None:
+        return None
+    with open(os.path.join(d, f"{best:0{_VERSION_DIGITS}d}.json")) as f:
+        return json.load(f)
+
+
+def _resolve_version(table: str, version: int | None) -> int:
+    """Validate/default ``version`` against the committed range using
+    the LISTING only (no record parsed)."""
+    versions = _log_versions(table)
+    if not versions:
         raise FileNotFoundError(f"{table} has no transaction log")
     if version is None:
-        version = log[-1]["version"]
-    if not log[0]["version"] <= version <= log[-1]["version"]:
+        return versions[-1]
+    if not versions[0] <= version <= versions[-1]:
         raise ValueError(
             f"version {version} out of range "
-            f"{log[0]['version']}..{log[-1]['version']}"
-            + (
-                " (earlier versions expired)"
-                if log[0]["version"] > 0
-                else ""
-            )
+            f"{versions[0]}..{versions[-1]}"
+            + (" (earlier versions expired)" if versions[0] > 0 else "")
         )
+    return version
+
+
+def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
+    """(data file paths, schema DDL) as of ``version`` (None=latest).
+
+    Seeds from the newest checkpoint at-or-below the target when one
+    exists, replaying only the commits after it — O(commits since
+    checkpoint) JSON reads instead of O(table lifetime). A
+    checkpoint is a pure cache of the resolved state: correctness
+    never depends on its freshness (later commits replay on top),
+    and an expired-history rebase (action ``overwrite``) resets the
+    state mid-replay, so even a checkpoint predating an expiry is
+    harmless."""
+    version = _resolve_version(table, version)
     files: list[str] = []
     schema = ""
-    for commit in log:
-        if commit["version"] > version:
-            break
+    after = None
+    ck = _checkpoint_at_or_below(table, version)
+    if ck is not None:
+        files = list(ck["files"])
+        schema = ck["schema"]
+        after = ck["version"]
+    for commit in _read_log(table, after=after, through=version):
         if commit["action"] == "overwrite":
             files = []
         elif commit["action"] == "replace":
@@ -380,16 +456,20 @@ def _file_stats(path: str, cols: Sequence[str]) -> dict:
 
 def _snapshot_stats(table: str, version: int | None) -> dict:
     """rel_path -> stats dict for the files of the snapshot (empty
-    entries for files whose commit recorded no stats)."""
-    log = _read_log(table)
+    entries for files whose commit recorded no stats). Checkpoint-
+    seeded like :func:`_snapshot_files` — zone maps travel in the
+    checkpoint record, so pruned reads keep their file skipping
+    without parsing pre-checkpoint commits."""
+    if not _log_versions(table):
+        return {}
+    version = _resolve_version(table, version)
     stats: dict = {}
-    if not log:
-        return stats
-    if version is None:
-        version = log[-1]["version"]
-    for commit in log:
-        if commit["version"] > version:
-            break
+    after = None
+    ck = _checkpoint_at_or_below(table, version)
+    if ck is not None:
+        stats = {f: ck.get("stats", {}).get(f, {}) for f in ck["files"]}
+        after = ck["version"]
+    for commit in _read_log(table, after=after, through=version):
         if commit["action"] == "overwrite":
             stats = {}
         elif commit["action"] == "replace":
@@ -863,6 +943,56 @@ def read_appends(
     return spark.read.schema(schema).parquet(*files)
 
 
+def checkpoint(table: str, version: int | None = None) -> int:
+    """Materialize the resolved snapshot state (file list, schema,
+    zone maps) at ``version`` (None = latest) as a checkpoint record
+    — Delta's ``<v>.checkpoint`` + ``_last_checkpoint``, sized for
+    this engine. Readers seed snapshot reconstruction from the
+    newest checkpoint at-or-below their target and replay only the
+    commits after it, so a long-lived table (10^5+ commits at
+    streaming cadence) answers ``read_table``/``fast_count``/
+    ``read_table_pruned`` in O(commits since checkpoint) metadata
+    reads instead of O(lifetime).
+
+    Not a commit: no version is consumed, concurrent writers are
+    unaffected, and a checkpoint is semantically a pure cache —
+    every read replays the suffix on top, and deleting one only
+    costs speed. The record and the pointer are published with
+    temp-file + atomic rename, so readers racing a checkpoint see
+    the old state or the new, never a torn file. Returns the
+    checkpointed version."""
+    version = _resolve_version(table, version)
+    files, schema = _snapshot_files(table, version)
+    stats = _snapshot_stats(table, version)
+    rels = [os.path.relpath(f, table) for f in files]
+    record = {
+        "version": version,
+        "files": rels,
+        "schema": schema,
+        "stats": {r: stats[r] for r in rels if stats.get(r)},
+    }
+    d = _ckpt_dir(table)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{version:0{_VERSION_DIGITS}d}.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, path)
+    ptr = os.path.join(table, _LOG_DIR, "_last_checkpoint")
+    # only advance the pointer (a time-travel checkpoint of an old
+    # version must not point readers backwards)
+    cur = None
+    if os.path.isfile(ptr):
+        with open(ptr) as f:
+            cur = json.load(f)["version"]
+    if cur is None or version > cur:
+        tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, ptr)
+    return version
+
+
 def fast_count(table: str, version: int | None = None) -> int:
     """Row count of a snapshot from parquet FOOTER metadata — no data
     scan, no Spark job, O(files) footer reads (each a few KB). The
@@ -1010,6 +1140,31 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
     expired = [c["version"] for c in log if c["version"] < keep_from]
     for v in expired:
         os.unlink(_log_path(table, v))
+    # checkpoints below the kept base are dead weight: targets >=
+    # keep_from replay the rebased overwrite anyway, and targets
+    # below it now raise. Drop them; fix the pointer if it dangled.
+    d = _ckpt_dir(table)
+    if os.path.isdir(d):
+        kept = []
+        for name in os.listdir(d):
+            if name.endswith(".json") and name.split(".")[0].isdigit():
+                v = int(name.split(".")[0])
+                if v < keep_from:
+                    os.unlink(os.path.join(d, name))
+                else:
+                    kept.append(v)
+        ptr = os.path.join(table, _LOG_DIR, "_last_checkpoint")
+        if os.path.isfile(ptr):
+            with open(ptr) as f:
+                pv = json.load(f)["version"]
+            if pv < keep_from:
+                if kept:
+                    tmp = ptr + f".tmp-{uuid.uuid4().hex}"
+                    with open(tmp, "w") as f:
+                        json.dump({"version": max(kept)}, f)
+                    os.replace(tmp, ptr)
+                else:
+                    os.unlink(ptr)
     return expired
 
 
@@ -1044,6 +1199,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--op-col",
         help="updates column whose value 'D' marks a delete tombstone",
+    )
+    ap.add_argument(
+        "--checkpoint",
+        action="store_true",
+        help="materialize the latest snapshot state as a checkpoint "
+        "record (readers replay only commits after it)",
     )
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--min-age", type=float, default=3600.0)
@@ -1085,6 +1246,9 @@ def main(argv: list[str] | None = None) -> int:
             op_col=args.op_col,
         )
         print(f"merged -> version {v}")
+    if args.checkpoint:
+        v = checkpoint(args.table)
+        print(f"checkpointed version {v}")
     if args.expire is not None:
         expired = expire_versions(args.table, args.expire)
         print(f"expired {len(expired)} version(s)")
@@ -1100,6 +1264,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.vacuum
         or args.fast_count
         or args.merge_from
+        or args.checkpoint
         or args.expire is not None
     ):
         print(f"version: {current_version(args.table)}")

@@ -1190,3 +1190,103 @@ def test_txlog_expire_then_vacuum_makes_delete_physical(spark, tmp_path):
     assert txlog.expire_versions(table, keep_from=3) == []
     with _pytest.raises(ValueError, match="out of range"):
         txlog.expire_versions(table, keep_from=0)
+
+
+def test_txlog_checkpoint_seeds_reads_and_survives_log_damage(
+    spark, tmp_path
+):
+    """Checkpointing: reads at/before/after the checkpoint are
+    byte-identical to the full-replay answers; the pointer advances
+    monotonically; a corrupted PRE-checkpoint commit record no
+    longer breaks head reads (the proof the checkpoint actually
+    short-circuits the replay) while time travel below the
+    checkpoint — which must parse the damaged record — still does."""
+    import pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(
+        spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]),
+        table,
+        stats_cols=["k"],
+    )
+    txlog.commit(
+        spark.createDataFrame([Row(k=3, v=30)]), table, stats_cols=["k"]
+    )
+    txlog.commit(
+        spark.createDataFrame([Row(k=8, v=80)]), table, action="overwrite",
+        stats_cols=["k"],
+    )
+    txlog.commit(
+        spark.createDataFrame([Row(k=9, v=90)]), table, stats_cols=["k"]
+    )
+    want_v3 = {(8, 80), (9, 90)}
+
+    before_files = txlog._snapshot_files(table, None)
+    before_stats = txlog._snapshot_stats(table, None)
+    assert txlog.checkpoint(table) == 3
+    # pure cache: resolved state identical through the checkpoint
+    assert txlog._snapshot_files(table, None) == before_files
+    assert txlog._snapshot_stats(table, None) == before_stats
+    rows = {tuple(r) for r in txlog.read_table(spark, table).collect()}
+    assert rows == want_v3
+    assert txlog.fast_count(table) == 2
+    # zone maps travel with the checkpoint: pruning still skips
+    pruned = txlog.read_table_pruned(spark, table, "k", 100, 200)
+    assert pruned.count() == 0
+
+    # commits after the checkpoint replay on top of it
+    txlog.commit(
+        spark.createDataFrame([Row(k=5, v=50)]), table, stats_cols=["k"]
+    )
+    rows = {tuple(r) for r in txlog.read_table(spark, table).collect()}
+    assert rows == want_v3 | {(5, 50)}
+
+    # a checkpoint OF AN OLD VERSION must not move the pointer back
+    assert txlog.checkpoint(table, version=2) == 2
+    import json as _json
+    import os as _os
+
+    ptr = _os.path.join(table, txlog._LOG_DIR, "_last_checkpoint")
+    assert _json.load(open(ptr))["version"] == 3
+    # ...but time travel below the newest checkpoint uses it
+    assert {
+        tuple(r) for r in txlog.read_table(spark, table, version=2).collect()
+    } == {(8, 80)}
+
+    # the short-circuit proof: damage a PRE-checkpoint commit record;
+    # head reads (seeded at v3) never parse it, pre-checkpoint time
+    # travel (full replay from v0) must
+    with open(txlog._log_path(table, 1), "w") as f:
+        f.write("{not json")
+    assert txlog.fast_count(table) == 3  # head: checkpoint-seeded
+    assert {
+        tuple(r) for r in txlog.read_table(spark, table).collect()
+    } == want_v3 | {(5, 50)}
+    with pytest.raises(Exception):
+        txlog.read_table(spark, table, version=1).collect()
+    # repair for the expiry leg
+    with open(txlog._log_path(table, 1), "w") as f:
+        _json.dump(
+            {
+                "version": 1,
+                "action": "append",
+                "add": [],
+                "schema": "k bigint, v bigint",
+                "commit_id": "repair",
+            },
+            f,
+        )
+
+    # expiry drops checkpoints below the kept base and fixes the
+    # pointer to a surviving one
+    txlog.checkpoint(table)  # v4 checkpoint
+    txlog.expire_versions(table, keep_from=4)
+    names = sorted(_os.listdir(txlog._ckpt_dir(table)))
+    assert [int(n.split(".")[0]) for n in names] == [4]
+    assert _json.load(open(ptr))["version"] == 4
+    assert txlog.fast_count(table) == 3
+    with pytest.raises(ValueError, match="expired"):
+        txlog.read_table(spark, table, version=2)
