@@ -747,6 +747,23 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_SEED = "epoch1"
+
+
+def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: dense training positions 0..n−1
+    in content-hash order, assigned by the distributed two-phase
+    prefix count (ONE exchange, no global sort, no unpartitioned
+    window). The oracle is the naive formulation — a global
+    ROW_NUMBER over the same md5-derived key with the same doc_id
+    tie-break — which the bucketed plan must equal row-for-row."""
+    return sampling.epoch_shuffle(
+        _docs(spark, sf_dir).select("doc_id"),
+        "doc_id",
+        seed=_EPOCH_SEED,
+    )
+
+
 _PACK_BUDGET = 512
 
 
@@ -1102,6 +1119,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_graph_ppr": q_doc_graph_ppr,
     "doc_graph_triangles": q_doc_graph_triangles,
     "doc_split": q_doc_split,
+    "doc_epoch_shuffle": q_doc_epoch_shuffle,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_binary_metadata": q_doc_binary_metadata,
     "doc_payload_features": q_doc_payload_features,
@@ -1512,6 +1530,18 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     """,
     "doc_fingerprints": """
         SELECT doc_id, md5(text) AS fp_md5 FROM documents
+    """,
+    # the naive global-window formulation of the distributed prefix
+    # count: same md5-derived 32-bit key, same doc_id tie-break
+    "doc_epoch_shuffle": f"""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                || '{_EPOCH_SEED}'),
+                                 1, 8) AS BIGINT),
+                            doc_id
+               ) - 1 AS BIGINT) AS position
+        FROM documents
     """,
     # generated from the same thresholds as the Spark side, so the
     # split assignment can never drift between engine and oracle

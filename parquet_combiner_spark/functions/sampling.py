@@ -471,3 +471,87 @@ def select_by_token_budget(
         .drop("__ns", "__sbkt", "__cum")
     )
     return above.unionByName(in_boundary)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "",
+    position_col: str = "position",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global training order for one epoch: every row
+    gets a dense position 0..n−1 in the order of its content hash —
+    the "shuffle the corpus between epochs" step of a pretraining
+    data loader, reproducible across runs, engines, and retries
+    because the order is a pure function of (key, seed), exactly
+    like every sampler here. Vary ``seed`` per epoch for fresh
+    orders.
+
+    Scale shape: the naive rank is a GLOBAL sort (or worse, an
+    unpartitioned ``row_number`` window). This is instead the
+    two-phase distributed prefix count proven in
+    ``packing.pack_sequences``: literal range splits over the hash
+    bucket every row into a deterministic range, per-bucket counts
+    (one row each) prefix-sum on the driver into base offsets, and
+    the final position is the within-bucket ``row_number`` plus the
+    bucket base — exactly ONE full-data exchange (hash on the
+    bucket), never a single-partition window, and recompute-safe
+    with no checkpoint (bucket membership is a plan literal). Ties
+    on the 32-bit hash break by key, so the order is total and
+    deterministic.
+
+    Output: (key_col, position_col) with positions a permutation of
+    0..n−1."""
+    from pyspark.sql import Window
+
+    from parquet_combiner_spark.functions.packing import (
+        _range_splits,
+        _resolve_partitions,
+    )
+
+    proj = df.select(
+        F.col(key_col).alias("__doc"),
+        _hash_u32(F.col(key_col), seed).alias("__id"),
+    )
+    parts = (
+        int(num_partitions)
+        if num_partitions is not None
+        else _resolve_partitions(proj.sparkSession)
+    )
+    splits = _range_splits(proj, parts)
+    if splits:
+        bkt: Column = F.lit(0)
+        for s in splits:
+            bkt = bkt + F.when(F.col("__id") >= F.lit(s), 1).otherwise(0)
+    else:
+        bkt = F.lit(0)
+    bucketed = proj.withColumn("__bkt", bkt)
+    totals = {
+        r["__bkt"]: r["__c"]
+        for r in bucketed.groupBy("__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }  # <= parts rows of metadata
+    bases: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):
+        bases[b] = acc
+        acc += totals[b]
+    if not bases:
+        bases = {0: 0}
+    base_expr = F.element_at(
+        F.create_map(
+            *[x for b in sorted(bases) for x in (F.lit(b), F.lit(bases[b]))]
+        ),
+        F.col("__bkt"),
+    )
+    w = Window.partitionBy("__bkt").orderBy(
+        F.asc("__id"), F.asc("__doc")
+    )
+    return bucketed.select(
+        F.col("__doc").alias(key_col),
+        (F.row_number().over(w) - 1 + base_expr)
+        .cast("long")
+        .alias(position_col),
+    )

@@ -2008,3 +2008,47 @@ def test_bpe_train_merges_early_stop_and_vocab_cap(spark):
         ).collect()
     ]
     assert m2 == [(1, "a", "b", "ab", 3)]
+
+
+def test_epoch_shuffle_is_a_deterministic_permutation(spark):
+    """Positions are a dense permutation of 0..n-1; identical across
+    runs and partitionings; a different seed produces a genuinely
+    different order; and the distributed prefix-count positions equal
+    the naive global-sort formulation exactly."""
+    from parquet_combiner_spark.functions.sampling import (
+        _hash_u32,
+        epoch_shuffle,
+    )
+
+    docs = spark.range(777).select(F.col("id").alias("doc_id"))
+    out = {
+        r["doc_id"]: r["position"]
+        for r in epoch_shuffle(docs, "doc_id", seed="e1").collect()
+    }
+    assert sorted(out.values()) == list(range(777))
+    # repartitioned input, same answer (order is content-addressed)
+    out2 = {
+        r["doc_id"]: r["position"]
+        for r in epoch_shuffle(
+            docs.repartition(13), "doc_id", seed="e1"
+        ).collect()
+    }
+    assert out == out2
+    # naive reference: global sort by (hash, key)
+    keyed = docs.select(
+        "doc_id", _hash_u32(F.col("doc_id"), "e1").alias("k")
+    ).collect()
+    ref = {
+        r["doc_id"]: i
+        for i, r in enumerate(
+            sorted(keyed, key=lambda r: (r["k"], r["doc_id"]))
+        )
+    }
+    assert out == ref
+    # another epoch reshuffles
+    out_e2 = {
+        r["doc_id"]: r["position"]
+        for r in epoch_shuffle(docs, "doc_id", seed="e2").collect()
+    }
+    assert sorted(out_e2.values()) == list(range(777))
+    assert out_e2 != out

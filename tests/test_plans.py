@@ -644,3 +644,21 @@ def test_shuffle_exchange_budgets(spark):
         plan = plan_text(qs[name](spark, sf))
         n = len(re.findall(r"\bExchange\b", plan))
         assert n <= cap, f"{name}: {n} shuffle exchanges > budget {cap}"
+
+
+def test_epoch_shuffle_plan_single_exchange_no_global_window(spark):
+    """epoch_shuffle's reason to exist: dense global positions with
+    exactly ONE full-data exchange (hash on the literal range
+    bucket) and a window clustered by that bucket — never the naive
+    global-sort / single-partition row_number."""
+    from parquet_combiner_spark.functions.sampling import epoch_shuffle
+    from parquet_combiner_spark.plans import plan_text
+
+    docs = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = epoch_shuffle(docs, "doc_id", seed="e1")
+    plan = plan_text(out, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(__bkt" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    win_spec = plan.split("Window [")[1].split("\n")[0]
+    assert "[__bkt" in win_spec, plan
