@@ -49,6 +49,7 @@ def txlog_append_batch(
     table: str,
     _seen: set | None = None,
     query_id: str = DEFAULT_QUERY_ID,
+    checkpoint_every: int | None = 10,
 ) -> bool:
     """Idempotently commit one micro-batch as a table version, keyed
     on ``(query_id, epoch_id)`` (Delta's txnAppId+txnVersion shape).
@@ -59,7 +60,15 @@ def txlog_append_batch(
     cache is cold (query start / restart-after-crash), then each batch
     consults and updates the in-memory set — without it, a
     long-running stream re-parses every commit record per batch
-    (quadratic in versions over the stream's lifetime)."""
+    (quadratic in versions over the stream's lifetime).
+
+    ``checkpoint_every`` writes a LOG CHECKPOINT after every Nth
+    version (Delta's every-10-commits default; None disables):
+    streaming ingestion is exactly the workload that accretes
+    unbounded commit history, and the cadence keeps every reader's
+    snapshot reconstruction O(10) records regardless of how long the
+    stream has run. The checkpoint is a pure cache — a crash between
+    commit and checkpoint costs nothing but replay length."""
     if _seen is None:
         _seen = set()
     if not _seen:
@@ -70,10 +79,12 @@ def txlog_append_batch(
         )
     if (query_id, epoch_id) in _seen:
         return False
-    txlog.commit(
+    v = txlog.commit(
         batch, table, meta={"query_id": query_id, "epoch": epoch_id}
     )
     _seen.add((query_id, epoch_id))
+    if checkpoint_every and v > 0 and v % checkpoint_every == 0:
+        txlog.checkpoint(table, version=v)
     return True
 
 

@@ -160,7 +160,11 @@ def _last_commit(table: str) -> dict | None:
     d = os.path.join(table, _LOG_DIR)
     if not os.path.isdir(d):
         return None
-    names = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+    names = sorted(
+        n
+        for n in os.listdir(d)
+        if n.endswith(".json") and n.split(".")[0].isdigit()
+    )
     if not names:
         return None
     with open(os.path.join(d, names[-1])) as f:
@@ -385,12 +389,15 @@ def commit(
     } if stats_cols else {}
 
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+    import time as _time
+
     record = {
         "version": version,
         "action": action,
         "add": added,
         "schema": schema_ddl,
         "commit_id": commit_id,
+        "ts": _time.time(),
         "meta": meta or {},
     }
     if action == "replace":
@@ -545,13 +552,53 @@ def read_table_pruned(
     )
 
 
+def version_at_timestamp(table: str, ts: float) -> int:
+    """The newest version committed at-or-before epoch-seconds ``ts``
+    — the resolver behind ``TIMESTAMP AS OF`` time travel. Commit
+    times come from each record's ``ts`` field; records predating
+    the field (or rebased by expiry) fall back to the log file's
+    mtime, so old tables stay resolvable. Raises if ``ts`` precedes
+    the first retained commit (matching Delta: a timestamp before
+    history starts is an error, not an empty table)."""
+    best = None
+    for v in _log_versions(table):
+        rec_path = _log_path(table, v)
+        with open(rec_path) as f:
+            cts = json.load(f).get("ts")
+        if cts is None:
+            cts = os.path.getmtime(rec_path)
+        if cts <= ts:
+            best = v
+        else:
+            break
+    if best is None:
+        versions = _log_versions(table)
+        if not versions:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        raise ValueError(
+            f"timestamp {ts} precedes the first retained commit of "
+            f"{table} (version {versions[0]})"
+        )
+    return best
+
+
 def read_table(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
-    """Snapshot read at ``version`` (None = latest). The file list
-    comes from the log (metadata only); each snapshot is parsed with
-    ITS OWN committed schema, so time travel across an overwrite that
-    changed the schema still reads correctly."""
+    """Snapshot read at ``version`` (None = latest), or with
+    ``timestamp`` at the newest version committed at-or-before that
+    epoch-seconds instant (``TIMESTAMP AS OF``; mutually exclusive
+    with ``version``). The file list comes from the log (metadata
+    only); each snapshot is parsed with ITS OWN committed schema, so
+    time travel across an overwrite that changed the schema still
+    reads correctly."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(table, timestamp)
     files, schema = _snapshot_files(table, version)
     if not files:
         return spark.createDataFrame([], schema)
@@ -1041,6 +1088,7 @@ def history(table: str) -> list[dict]:
             "action": c["action"],
             "n_files": len(c["add"]),
             "schema": c["schema"],
+            "ts": c.get("ts"),
             "meta": c.get("meta", {}),
         }
         for c in reversed(_read_log(table))
@@ -1129,6 +1177,10 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         "commit_id": base_rec["commit_id"],
         "meta": {**base_rec.get("meta", {}), "expired_through": keep_from - 1},
     }
+    if base_rec.get("ts") is not None:
+        # the rebase preserves the ORIGINAL commit instant, so
+        # TIMESTAMP AS OF resolution is unchanged by expiry
+        record["ts"] = base_rec["ts"]
     kept_stats = {r: stats[r] for r in rels if stats.get(r)}
     if kept_stats:
         record["stats"] = kept_stats

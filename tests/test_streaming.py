@@ -1154,3 +1154,44 @@ def test_drain_table_changes_commit_order_and_replay(spark, tmp_path):
     drain_table_changes(spark, table, apply_fn, keys=["k"], from_version=2)
     assert [v for v, _ in seen] == [3]
     assert seen[0][1][9] == "added"
+
+
+def test_txlog_sink_checkpoint_cadence(spark, tmp_path):
+    """The ingestion sink checkpoints the LOG every Nth version
+    (Delta's cadence): after version N a checkpoint record + pointer
+    exist and reads are unchanged; replayed epochs never re-commit or
+    re-checkpoint; checkpoint_every=None disables."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.txlog_sink import (
+        txlog_append_batch,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    seen: set = set()
+    for epoch in range(11):  # versions 0..10
+        assert txlog_append_batch(
+            spark.createDataFrame([Row(k=epoch)]),
+            epoch,
+            table,
+            seen,
+            checkpoint_every=5,
+        )
+    d = txlog._ckpt_dir(table)
+    assert sorted(int(n.split(".")[0]) for n in _os.listdir(d)) == [5, 10]
+    ptr = _os.path.join(table, txlog._LOG_DIR, "_last_checkpoint")
+    assert _json.load(open(ptr))["version"] == 10
+    assert {
+        r["k"] for r in txlog.read_table(spark, table).collect()
+    } == set(range(11))
+    # replayed epoch: no commit, no new checkpoint
+    assert not txlog_append_batch(
+        spark.createDataFrame([Row(k=99)]), 10, table, seen,
+        checkpoint_every=1,
+    )
+    assert txlog.current_version(table) == 10
+    assert sorted(int(n.split(".")[0]) for n in _os.listdir(d)) == [5, 10]

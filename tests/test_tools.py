@@ -1290,3 +1290,55 @@ def test_txlog_checkpoint_seeds_reads_and_survives_log_damage(
     assert txlog.fast_count(table) == 3
     with pytest.raises(ValueError, match="expired"):
         txlog.read_table(spark, table, version=2)
+
+
+def test_txlog_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: reads resolve to the newest version committed
+    at-or-before the instant; pre-history timestamps raise; records
+    without a ts field fall back to log-file mtime; expiry preserves
+    the base's original commit instant."""
+    import json as _json
+    import time as _time
+
+    import pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(spark.createDataFrame([Row(k=1)]), table)
+    t0 = _time.time()
+    _time.sleep(0.05)
+    txlog.commit(spark.createDataFrame([Row(k=2)]), table)
+    t1 = _time.time()
+    _time.sleep(0.05)
+    txlog.commit(spark.createDataFrame([Row(k=3)]), table)
+
+    assert txlog.version_at_timestamp(table, t0) == 0
+    assert txlog.version_at_timestamp(table, t1) == 1
+    assert txlog.version_at_timestamp(table, _time.time()) == 2
+    assert {
+        r["k"] for r in txlog.read_table(spark, table, timestamp=t1).collect()
+    } == {1, 2}
+    with pytest.raises(ValueError, match="precedes"):
+        txlog.version_at_timestamp(table, t0 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        txlog.read_table(spark, table, version=1, timestamp=t1)
+    # history surfaces the commit instants, newest first
+    hs = txlog.history(table)
+    assert [h["version"] for h in hs] == [2, 1, 0]
+    assert all(isinstance(h["ts"], float) for h in hs)
+
+    # pre-ts records (simulated legacy) resolve via file mtime
+    p0 = txlog._log_path(table, 0)
+    rec = _json.load(open(p0))
+    rec.pop("ts")
+    with open(p0, "w") as f:
+        _json.dump(rec, f)
+    assert txlog.version_at_timestamp(table, _time.time()) == 2
+
+    # expiry rebases keep the base's ORIGINAL instant
+    orig_t1 = _json.load(open(txlog._log_path(table, 1)))["ts"]
+    txlog.expire_versions(table, keep_from=1)
+    assert _json.load(open(txlog._log_path(table, 1)))["ts"] == orig_t1
+    assert txlog.version_at_timestamp(table, t1) == 1
