@@ -747,6 +747,28 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the corpus quality classifier (GPT-3/CCNet shape:
+    logistic regression, positive class = the curated slice — here
+    ``lang = 'en'`` — over engineered JVM-side text features). Each
+    GD iteration is ONE combiner-reduced aggregation with the weight
+    vector as plan literals; the feature frame is persisted for the
+    iteration loop and released after. Driver-resident iterative
+    optimization is not SQL-expressible → rows-only; the gate is the
+    numpy-reference parity pytest (same features, same schedule,
+    ~1e-9 agreement)."""
+    feats = quality.classifier_feature_frame(
+        _docs(spark, sf_dir), label=(F.col("lang") == "en")
+    ).persist()
+    try:
+        # 15 steps at lr 2: per-iteration cost is Spark job overhead,
+        # not data, at sweep scale — fewer, larger steps, same
+        # optimum direction (standardized features tolerate it)
+        return quality.logreg_train(feats, iters=15, lr=2.0)
+    finally:
+        feats.unpersist()
+
+
 _EPOCH_SEED = "epoch1"
 
 
@@ -1120,6 +1142,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_graph_triangles": q_doc_graph_triangles,
     "doc_split": q_doc_split,
     "doc_epoch_shuffle": q_doc_epoch_shuffle,
+    "doc_quality_classifier": q_doc_quality_classifier,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_binary_metadata": q_doc_binary_metadata,
     "doc_payload_features": q_doc_payload_features,

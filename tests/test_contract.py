@@ -59,6 +59,10 @@ def test_every_oracle_has_a_query():
         # SQL-expressible; exact merge-for-merge parity with a
         # pure-Python reference trainer is pinned by pytest
         "doc_bpe_train_merges",
+        # driver-resident gradient descent (quality classifier) is
+        # not SQL-expressible; numpy-reference parity pinned by
+        # pytest
+        "doc_quality_classifier",
     }
 
 

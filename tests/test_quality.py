@@ -277,3 +277,92 @@ def test_temperature_sample_deterministic_and_validates(spark, skewed_docs):
         sampling.temperature_sample(
             skewed_docs, "doc_id", "source", alpha=-1.0
         )
+
+
+def test_logreg_train_matches_numpy_reference(spark):
+    """The distributed GD trainer is the numpy algorithm exactly:
+    same standardization, same schedule, same de-standardization —
+    agreement to float-summation noise (~1e-9). Also pins that the
+    classifier actually LEARNS a separable planted signal (loss well
+    below ln 2, decisive weight on the separating feature)."""
+    import math
+
+    import numpy as np
+
+    from parquet_combiner_spark.functions import quality
+
+    rng = np.random.RandomState(7)
+    n = 400
+    # planted: f0 separates the classes; f1 is noise; f2 is constant
+    y = (rng.rand(n) < 0.5).astype(float)
+    f0 = y * 1.5 + rng.rand(n)
+    f1 = rng.rand(n)
+    f2 = np.full(n, 0.25)
+    rows = [
+        (int(i), float(y[i]), float(f0[i]), float(f1[i]), float(f2[i]))
+        for i in range(n)
+    ]
+    feats = spark.createDataFrame(
+        rows, "doc_id long, label double, f0 double, f1 double, f2 double"
+    )
+    wdf = quality.logreg_train(
+        feats, feature_cols=("f0", "f1", "f2"), iters=30, lr=1.5
+    )
+    got = {r["feature"]: r["weight"] for r in wdf.collect()}
+
+    X = np.stack([f0, f1, f2], axis=1)
+    mu, sd = X.mean(0), X.std(0)
+    sd[sd == 0] = 1.0
+    Xs = (X - mu) / sd
+    w = np.zeros(3)
+    b = 0.0
+    for _ in range(30):
+        p = 1 / (1 + np.exp(-(Xs @ w + b)))
+        w -= 1.5 * (Xs.T @ (p - y)) / n
+        b -= 1.5 * (p - y).sum() / n
+    p = 1 / (1 + np.exp(-(Xs @ w + b)))
+    loss = float(
+        (-(y * np.log(p + 1e-12) + (1 - y) * np.log(1 - p + 1e-12))).mean()
+    )
+    # NOTE: reference loss is computed from the POST-update weights;
+    # the trainer reports the loss of the LAST iteration's pre-update
+    # weights — compare weights exactly, loss loosely
+    w_raw = w / sd
+    b_raw = b - float((w * mu / sd).sum())
+    for i, c in enumerate(("f0", "f1", "f2")):
+        assert abs(got[c] - w_raw[i]) < 1e-6, (c, got[c], w_raw[i])
+    assert abs(got["__bias__"] - b_raw) < 1e-6
+    # learning happened: separating feature dominates, constant is 0
+    assert got["f0"] > 1.0
+    assert got["f2"] == 0.0
+    assert got["__loss__"] < math.log(2) - 0.05
+    assert abs(got["__loss__"] - loss) < 0.05
+
+
+def test_classifier_feature_frame_shapes(spark):
+    """Feature projection: one row per doc, label cast to {0,1},
+    ratios in [0,1], avg word length positive."""
+    from parquet_combiner_spark.functions import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat.", "en"),
+            (2, "bonjour le monde 123", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    from pyspark.sql import functions as F
+
+    out = quality.classifier_feature_frame(
+        docs, label=(F.col("lang") == "en")
+    ).collect()
+    assert len(out) == 2
+    byid = {r["doc_id"]: r for r in out}
+    assert byid[1]["label"] == 1.0 and byid[2]["label"] == 0.0
+    for r in out:
+        for c in ("stopword_ratio", "punct_ratio", "ascii_ratio",
+                  "digit_ratio"):
+            assert 0.0 <= r[c] <= 1.0
+        assert r["avg_word_len"] > 0
+    assert byid[2]["digit_ratio"] > 0
+    assert byid[1]["punct_ratio"] > 0
