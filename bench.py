@@ -124,6 +124,9 @@ HEADLINE = [
     # the full-outer cell of the streaming join matrix (inner and
     # left-outer lines above): dual watermark-proof NULL gating
     "purchases_errors_full_outer_stream",
+    # global training-order rank via the bucketed prefix count (the
+    # sort-free permutation; one exchange — plan pinned)
+    "doc_epoch_shuffle",
 ]
 
 RUNS = 3

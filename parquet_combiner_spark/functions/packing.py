@@ -53,6 +53,35 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _prefix_bases(
+    bucketed: DataFrame, bucket_col: str, agg: "F.Column"
+) -> "F.Column":
+    """Phase 2 of the two-phase distributed prefix sum (module
+    docstring): aggregate one row per deterministic bucket, collect
+    that bounded metadata (≤ parts rows), prefix-sum the bases on the
+    driver, and return a plan-literal bucket→base map expression.
+    Shared by :func:`pack_sequences`, ``select_by_token_budget`` and
+    ``epoch_shuffle`` so the empty-input and ordering handling lives
+    in exactly one place."""
+    totals = {
+        r[bucket_col]: r["__t"]
+        for r in bucketed.groupBy(bucket_col).agg(agg.alias("__t")).collect()
+    }
+    bases: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):
+        bases[b] = acc
+        acc += totals[b]
+    if not bases:
+        bases = {0: 0}
+    return F.element_at(
+        F.create_map(
+            *[x for b in sorted(bases) for x in (F.lit(b), F.lit(bases[b]))]
+        ),
+        F.col(bucket_col),
+    )
+
+
 def _resolve_partitions(spark: SparkSession) -> int:
     """Bucket-count default: ``spark.sql.shuffle.partitions`` when it
     parses as an int, else ``defaultParallelism`` (some deployments
@@ -134,23 +163,7 @@ def pack_sequences(
         bkt = F.lit(0)
     bucketed = proj.withColumn("__bkt", bkt)
     # one row per bucket reaches the driver; prefix-sum the bases.
-    totals = {
-        r["__bkt"]: r["__t"]
-        for r in bucketed.groupBy("__bkt").agg(F.sum("__n").alias("__t")).collect()
-    }
-    bases: dict[int, int] = {}
-    acc = 0
-    for b in sorted(totals):
-        bases[b] = acc
-        acc += totals[b]
-    if not bases:
-        bases = {0: 0}
-    base_expr = F.element_at(
-        F.create_map(
-            *[x for b in sorted(bases) for x in (F.lit(b), F.lit(bases[b]))]
-        ),
-        F.col("__bkt"),
-    )
+    base_expr = _prefix_bases(bucketed, "__bkt", F.sum("__n"))
     w = (
         Window.partitionBy("__bkt")
         .orderBy("__id")

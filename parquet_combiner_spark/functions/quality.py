@@ -396,6 +396,14 @@ def logreg_train(
     import math
 
     d = len(feature_cols)
+    # NULL features/labels would be skipped by the F.sum gradients but
+    # still counted in n — a silently biased run (and an all-NULL
+    # column makes float(mean) crash). Drop them up front so every
+    # aggregate and n see the same rows; train on complete cases only.
+    complete = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        complete = complete & F.col(c).isNotNull()
+    feats = feats.where(complete)
     stats_row = feats.agg(
         F.count(F.lit(1)).alias("n"),
         *[F.avg(c).alias(f"m{i}") for i, c in enumerate(feature_cols)],
@@ -406,7 +414,10 @@ def logreg_train(
     ).collect()[0]
     n = float(stats_row["n"])
     if n == 0:
-        raise ValueError("empty training frame")
+        raise ValueError(
+            "empty training frame (no rows with non-NULL features "
+            "and label)"
+        )
     mean = [float(stats_row[f"m{i}"]) for i in range(d)]
     std = [
         float(stats_row[f"s{i}"]) or 1.0 for i in range(d)

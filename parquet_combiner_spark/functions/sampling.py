@@ -441,25 +441,9 @@ def select_by_token_budget(
     else:
         bkt = F.lit(0)
     sub = proj.withColumn("__sbkt", bkt)
-    totals = {
-        r["__sbkt"]: r["__t"]
-        for r in sub.groupBy("__sbkt")
-        .agg(F.sum(token_col).alias("__t"))
-        .collect()
-    }  # <= parts rows
-    bases: dict[int, int] = {}
-    acc = 0
-    for b in sorted(totals):
-        bases[b] = acc
-        acc += totals[b]
-    if not bases:
-        bases = {0: 0}
-    base_expr = F.element_at(
-        F.create_map(
-            *[x for b in sorted(bases) for x in (F.lit(b), F.lit(bases[b]))]
-        ),
-        F.col("__sbkt"),
-    )
+    from .packing import _prefix_bases
+
+    base_expr = _prefix_bases(sub, "__sbkt", F.sum(token_col))
     w = (
         Window.partitionBy("__sbkt")
         .orderBy(F.asc("__ns"), F.asc(id_col))
@@ -527,25 +511,9 @@ def epoch_shuffle(
     else:
         bkt = F.lit(0)
     bucketed = proj.withColumn("__bkt", bkt)
-    totals = {
-        r["__bkt"]: r["__c"]
-        for r in bucketed.groupBy("__bkt")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .collect()
-    }  # <= parts rows of metadata
-    bases: dict[int, int] = {}
-    acc = 0
-    for b in sorted(totals):
-        bases[b] = acc
-        acc += totals[b]
-    if not bases:
-        bases = {0: 0}
-    base_expr = F.element_at(
-        F.create_map(
-            *[x for b in sorted(bases) for x in (F.lit(b), F.lit(bases[b]))]
-        ),
-        F.col("__bkt"),
-    )
+    from parquet_combiner_spark.functions.packing import _prefix_bases
+
+    base_expr = _prefix_bases(bucketed, "__bkt", F.count(F.lit(1)))
     w = Window.partitionBy("__bkt").orderBy(
         F.asc("__id"), F.asc("__doc")
     )

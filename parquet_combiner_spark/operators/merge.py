@@ -250,14 +250,19 @@ def scd2_intervals(
     )
 
 
-def _broadcastable(touched: DataFrame, max_keys: int | None) -> bool:
-    """Size gate for broadcasting a key set: probe with a
-    LIMIT(max+1) count — the scan short-circuits at the cap, so the
-    probe costs O(max_keys) rows read, never a full aggregation of a
-    backfill-sized batch. None disables broadcasting outright."""
+def _broadcastable(rows: DataFrame, max_keys: int | None) -> bool:
+    """Size gate for broadcasting a key set: probe the PRE-distinct
+    projection with a LIMIT(max+1) count — the scan short-circuits at
+    the cap with no aggregation in the plan (a distinct under the
+    limit would shuffle the whole batch before the LocalLimit ever
+    fired), so deciding costs O(max_keys) rows read. Row count bounds
+    key count, so "≤ cap rows" proves the key set broadcasts; a
+    many-rows/few-keys batch conservatively falls back to the shuffle
+    path, which is always safe. None disables broadcasting
+    outright."""
     if max_keys is None:
         return False
-    return touched.limit(max_keys + 1).count() <= max_keys
+    return rows.limit(max_keys + 1).count() <= max_keys
 
 
 def scd2_apply(
@@ -303,7 +308,9 @@ def scd2_apply(
         ]
     out_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
     touched = changes.select(*keys).distinct()
-    if _broadcastable(touched, max_broadcast_keys):
+    # probe the raw projection, not `touched`: counting through the
+    # distinct would shuffle the full batch just to decide
+    if _broadcastable(changes.select(*keys), max_broadcast_keys):
         touched = F.broadcast(touched)
     dim_points = (
         dim.join(touched, list(keys), "left_semi")

@@ -155,10 +155,21 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         self._from = from_version
         self._ignore_changes = ignore_changes
         self._max_per_trigger = max_versions_per_trigger
-        self._cursor = from_version  # rate-limit bookkeeping only
+        # Rate-limit position. None = "this reader instance has not
+        # yet learned where the query is" — on a checkpointed RESTART
+        # Spark never calls initialOffset, so until partitions() hands
+        # us the engine's (checkpoint-derived) range, advertising
+        # from_version here would move the committed offset BACKWARD
+        # and re-deliver every already-consumed version.
+        self._cursor: int | None = None
 
     def initialOffset(self) -> dict:
-        # "last fully consumed version"; -1 = from the table's birth
+        # "last fully consumed version"; -1 = from the table's birth.
+        # Seeds the rate-limit cursor only if nothing has yet — Spark
+        # may call this AFTER latestOffset, and knocking the cursor
+        # back down would regress the next advertised offset.
+        if self._cursor is None:
+            self._cursor = self._from
         return {"version": self._from}
 
     def latestOffset(self) -> dict:
@@ -171,14 +182,26 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         cur = max(cur, self._from)
         if self._max_per_trigger is not None:
             # advisory rate limit (Delta's maxFilesPerTrigger analog,
-            # in versions): each planning call advances the advertised
-            # latest by at most N commits, so a processing-time
-            # trigger drains a backlog one bounded batch at a time.
-            # Correctness never depends on it — batch membership is
-            # always partitions(start, end) off the immutable log.
+            # in versions): once the query's position is known, each
+            # planning call advances the advertised latest by at most
+            # N commits, so a processing-time trigger drains new
+            # commits one bounded batch at a time. Correctness never
+            # depends on it — batch membership is always
+            # partitions(start, end) off the immutable log.
             # (Note: availableNow falls back to single-batch for
             # Python sources and reads to the FIRST advertised latest.)
-            self._cursor = min(cur, self._cursor + self._max_per_trigger)
+            if self._cursor is None:
+                # first planning call of this reader instance: the
+                # engine's (possibly checkpoint-restored) position is
+                # not visible here — Spark calls latestOffset before
+                # both initialOffset and partitions — so the ONLY
+                # regression-safe advertisement is the table head.
+                # The first micro-batch of a (re)start is therefore
+                # unthrottled; the limit engages once partitions()
+                # has revealed the query's real position.
+                self._cursor = cur
+            else:
+                self._cursor = min(cur, self._cursor + self._max_per_trigger)
             return {"version": self._cursor}
         return {"version": cur}
 
@@ -187,11 +210,19 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
 
         from parquet_combiner_spark.tools import txlog
 
+        # the engine's offsets are authoritative (checkpoint-derived on
+        # a replayed batch) — never let the rate-limit cursor regress
+        # below them
+        if self._cursor is None or end["version"] > self._cursor:
+            self._cursor = end["version"]
         parts: list[_ChangeFilePartition] = []
-        for rec in txlog._read_log(self._table):
+        # bounded parse: the filename encodes the version, so only the
+        # in-range commit records are opened — O(batch), not O(table
+        # lifetime), per micro-batch
+        for rec in txlog._read_log(
+            self._table, after=start["version"], through=end["version"]
+        ):
             v = rec["version"]
-            if not start["version"] < v <= end["version"]:
-                continue
             rewrites = rec["action"] == "overwrite" or rec.get("remove")
             if rewrites and not self._ignore_changes:
                 raise ValueError(

@@ -391,13 +391,20 @@ def commit(
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     import time as _time
 
+    # canonicalized commit time (what Delta does): strictly greater
+    # than the predecessor's even across a backward clock step, so
+    # TIMESTAMP AS OF resolution can binary-search the log instead of
+    # scanning it, and a later version never carries an earlier instant
+    commit_ts = _time.time()
+    if last is not None and last.get("ts") is not None:
+        commit_ts = max(commit_ts, last["ts"] + 1e-3)
     record = {
         "version": version,
         "action": action,
         "add": added,
         "schema": schema_ddl,
         "commit_id": commit_id,
-        "ts": _time.time(),
+        "ts": commit_ts,
         "meta": meta or {},
     }
     if action == "replace":
@@ -552,29 +559,40 @@ def read_table_pruned(
     )
 
 
+def _commit_ts(table: str, v: int) -> float:
+    """One commit's instant: the record's canonicalized ``ts`` field,
+    falling back to the log file's mtime for records predating the
+    field — so old tables stay resolvable."""
+    rec_path = _log_path(table, v)
+    with open(rec_path) as f:
+        cts = json.load(f).get("ts")
+    return os.path.getmtime(rec_path) if cts is None else cts
+
+
 def version_at_timestamp(table: str, ts: float) -> int:
     """The newest version committed at-or-before epoch-seconds ``ts``
-    — the resolver behind ``TIMESTAMP AS OF`` time travel. Commit
-    times come from each record's ``ts`` field; records predating
-    the field (or rebased by expiry) fall back to the log file's
-    mtime, so old tables stay resolvable. Raises if ``ts`` precedes
-    the first retained commit (matching Delta: a timestamp before
+    — the resolver behind ``TIMESTAMP AS OF`` time travel. Binary
+    search over the version listing, opening O(log commits) records
+    (a 10^5-commit table resolves in ~17 reads, not 10^5) — sound
+    because :func:`commit` canonicalizes each instant to exceed its
+    predecessor's even across backward clock steps (Delta's
+    commit-time monotonicity), and an expiry rebase preserves the
+    base commit's original instant. Raises if ``ts`` precedes the
+    first retained commit (matching Delta: a timestamp before
     history starts is an error, not an empty table)."""
+    versions = _log_versions(table)
+    if not versions:
+        raise FileNotFoundError(f"{table} has no transaction log")
+    lo, hi = 0, len(versions) - 1
     best = None
-    for v in _log_versions(table):
-        rec_path = _log_path(table, v)
-        with open(rec_path) as f:
-            cts = json.load(f).get("ts")
-        if cts is None:
-            cts = os.path.getmtime(rec_path)
-        if cts <= ts:
-            best = v
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if _commit_ts(table, versions[mid]) <= ts:
+            best = versions[mid]
+            lo = mid + 1
         else:
-            break
+            hi = mid - 1
     if best is None:
-        versions = _log_versions(table)
-        if not versions:
-            raise FileNotFoundError(f"{table} has no transaction log")
         raise ValueError(
             f"timestamp {ts} precedes the first retained commit of "
             f"{table} (version {versions[0]})"

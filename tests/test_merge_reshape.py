@@ -385,6 +385,16 @@ def test_scd2_apply_broadcast_size_gate_parity(spark):
     plan = paths[2]._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in plan
 
-    assert _broadcastable(batch.select("k").distinct(), 10)
-    assert not _broadcastable(batch.select("k").distinct(), 9)
-    assert not _broadcastable(batch.select("k").distinct(), None)
+    # probed on the PRE-distinct projection (a distinct under the
+    # limit would shuffle the whole batch before the limit fired)
+    assert _broadcastable(batch.select("k"), 10)
+    assert not _broadcastable(batch.select("k"), 9)
+    assert not _broadcastable(batch.select("k"), None)
+    probe_plan = (
+        batch.select("k")
+        .limit(10)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Aggregate" not in probe_plan and "Exchange" not in probe_plan

@@ -339,6 +339,44 @@ def test_logreg_train_matches_numpy_reference(spark):
     assert abs(got["__loss__"] - loss) < 0.05
 
 
+def test_logreg_train_drops_null_rows_instead_of_biasing(spark):
+    """NULL features/labels: F.sum skips them but count(*) wouldn't,
+    silently scaling every gradient — the trainer must instead train
+    on complete cases only (identical to pre-filtering), and an
+    all-NULL frame must raise loudly, not crash in float(None)."""
+    import pytest
+
+    from parquet_combiner_spark.functions import quality
+
+    rows = [
+        (0, 1.0, 0.9, 0.1),
+        (1, 0.0, 0.2, 0.8),
+        (2, 1.0, 0.8, 0.3),
+        (3, 0.0, 0.1, 0.9),
+        (4, None, 0.5, 0.5),   # NULL label
+        (5, 1.0, None, 0.2),   # NULL feature
+    ]
+    schema = "doc_id long, label double, f0 double, f1 double"
+    feats = spark.createDataFrame(rows, schema)
+    clean = spark.createDataFrame(rows[:4], schema)
+    kw = dict(feature_cols=("f0", "f1"), iters=10, lr=1.0)
+    got = {
+        r["feature"]: r["weight"]
+        for r in quality.logreg_train(feats, **kw).collect()
+    }
+    want = {
+        r["feature"]: r["weight"]
+        for r in quality.logreg_train(clean, **kw).collect()
+    }
+    assert got == want
+
+    all_null = spark.createDataFrame(
+        [(0, None, None, None), (1, None, None, None)], schema
+    )
+    with pytest.raises(ValueError, match="empty training frame"):
+        quality.logreg_train(all_null, **kw)
+
+
 def test_classifier_feature_frame_shapes(spark):
     """Feature projection: one row per doc, label cast to {0,1},
     ratios in [0,1], avg word length positive."""

@@ -986,11 +986,14 @@ def test_txtable_changes_stream_per_commit_batches_and_restart(
     spark, tmp_path
 ):
     """The versioned-table streaming source: offsets are commit
-    versions, rate limiting drains a backlog one commit per
-    micro-batch (rows stamped with the version that added them, in
-    commit order), a checkpointed restart resumes AFTER the consumed
-    versions (no re-delivery), and a data-rewriting commit is refused
-    without ignore_changes but re-emits its files with it."""
+    versions; the first micro-batch of a (re)start is unthrottled
+    (latestOffset cannot see the checkpointed position, so the table
+    head is the only regression-safe advertisement) while LATER
+    commits drain one per micro-batch under the rate limit (rows
+    stamped with the version that added them, in commit order); a
+    checkpointed restart resumes AFTER the consumed versions (no
+    re-delivery); a data-rewriting commit is refused without
+    ignore_changes but re-emits its files with it."""
     from pyspark.sql import Row
 
     from parquet_combiner_spark.sources.txtable_source import (
@@ -1031,12 +1034,33 @@ def test_txtable_changes_stream_per_commit_batches_and_restart(
         .start()
     )
     q.processAllAvailable()
+    # the pre-existing backlog lands in ONE unthrottled first batch
+    # (stamped per originating commit), because latestOffset cannot
+    # yet know the query's position
+    assert len(batches) == 1
+    first = batches[0][1]
+    assert sorted({r[2] for r in first}) == [0, 1, 2]  # _commit_version
+    assert sorted(r[0] for r in first) == [
+        v * 10 + j for v in range(3) for j in range(4)
+    ]
+    # once the position is known, the rate limit drains NEW commits
+    # one per micro-batch, in commit order
+    batches.clear()
+    for v in (3, 4):
+        txlog.commit(
+            spark.createDataFrame(
+                [Row(k=v * 10 + j, val=f"v{v}") for j in range(4)]
+            ).coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+    q.processAllAvailable()
     q.stop()
-    # one micro-batch per commit, in commit order, correctly stamped
-    assert len(batches) == 3
+    assert len(batches) == 2
     for i, (_eid, rows) in enumerate(batches):
-        assert {r[2] for r in rows} == {i}          # _commit_version
-        assert sorted(r[0] for r in rows) == [i * 10 + j for j in range(4)]
+        v = i + 3
+        assert {r[2] for r in rows} == {v}
+        assert sorted(r[0] for r in rows) == [v * 10 + j for j in range(4)]
 
     # restart from the checkpoint: only NEW commits stream
     txlog.commit(
@@ -1078,7 +1102,7 @@ def test_txtable_changes_stream_per_commit_batches_and_restart(
     q = (
         spark.readStream.format("txtable_changes")
         .option("path", table)
-        .option("from_version", 3)
+        .option("from_version", 5)
         .option("ignore_changes", "true")
         .load()
         .writeStream.foreachBatch(sink)
@@ -1090,6 +1114,66 @@ def test_txtable_changes_stream_per_commit_batches_and_restart(
     assert len(batches) == 1
     replayed = sorted(r[0] for r in batches[0][1])
     assert replayed == [1, 2, 3]  # survivors of the touched file, k=0 gone
+
+
+def test_txtable_changes_rate_limited_restart_no_redelivery(
+    spark, tmp_path
+):
+    """Restarting a RATE-LIMITED stream must not re-deliver consumed
+    versions: the fresh reader instance's cursor starts below the
+    checkpointed offset, and a latestOffset() that advertised it
+    would move the committed offset backward (regression pinned —
+    the first post-restart batch runs unthrottled instead)."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableChangesDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    try:
+        spark.dataSource.register(TxTableChangesDataSource)
+    except Exception:
+        pass
+    table = str(tmp_path / "rl_src")
+    for v in range(3):
+        txlog.commit(
+            spark.createDataFrame([Row(k=v, val=f"v{v}")]).coalesce(1),
+            table,
+        )
+    seen: list[tuple] = []
+
+    def sink(df, eid):
+        seen.extend(tuple(r) for r in df.collect())
+
+    def run():
+        q = (
+            spark.readStream.format("txtable_changes")
+            .option("path", table)
+            .option("max_versions_per_trigger", 1)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    assert sorted(r[0] for r in seen) == [0, 1, 2]
+    # new commits land, the query restarts from its checkpoint with
+    # the SAME rate limit: only the new versions may appear
+    for v in range(3, 5):
+        txlog.commit(
+            spark.createDataFrame([Row(k=v, val=f"v{v}")]).coalesce(1),
+            table,
+        )
+    seen.clear()
+    run()
+    assert sorted(r[0] for r in seen) == [3, 4], (
+        f"re-delivered rows: {sorted(seen)}"
+    )
 
 
 def test_drain_table_changes_commit_order_and_replay(spark, tmp_path):

@@ -1342,3 +1342,33 @@ def test_txlog_timestamp_time_travel(spark, tmp_path):
     txlog.expire_versions(table, keep_from=1)
     assert _json.load(open(txlog._log_path(table, 1)))["ts"] == orig_t1
     assert txlog.version_at_timestamp(table, t1) == 1
+
+
+def test_txlog_commit_ts_monotonic_under_backward_clock_step(
+    spark, tmp_path, monkeypatch
+):
+    """Commit instants are canonicalized (Delta-style): a later
+    version's ts strictly exceeds its predecessor's even when the
+    wall clock steps BACKWARD between commits (NTP correction) — so
+    the binary-search resolver never hides a valid later version."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(spark.createDataFrame([Row(k=1)]), table)
+    ts0 = txlog._commit_ts(table, 0)
+    real = _time.time
+    monkeypatch.setattr(_time, "time", lambda: real() - 3600.0)
+    try:
+        txlog.commit(spark.createDataFrame([Row(k=2)]), table)
+    finally:
+        monkeypatch.undo()
+    ts1 = txlog._commit_ts(table, 1)
+    assert ts1 > ts0
+    # resolution sees BOTH versions despite the clock step
+    assert txlog.version_at_timestamp(table, ts0) == 0
+    assert txlog.version_at_timestamp(table, ts1) == 1
+    assert txlog.version_at_timestamp(table, _time.time()) == 1
