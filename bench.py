@@ -139,6 +139,26 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _release_blocks(spark) -> None:
+    """Unpersist every block still in the block manager. The
+    iterative lines (`localCheckpoint(eager=True)` per graph round,
+    txlog snapshot reads) leave executor-memory blocks behind until
+    the driver happens to GC their RDD handles; over a 50-line
+    session that accumulation taxes LATER measured lines with
+    eviction/GC pressure that belongs to no line. Called outside the
+    timed region, after each line's post hook — at that point the
+    pair cache is empty (its own hooks clear it), so every surviving
+    block is an orphan of an already-measured line."""
+    import gc
+
+    gc.collect()  # drop driver handles so unpersist isn't fought
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+    except Exception as e:  # noqa: BLE001 — diagnostics only
+        sys.stderr.write(f"block release failed: {e}\n")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -197,6 +217,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             sys.stderr.write(f"warm-up failed for {name} at {warm_dir}: {e}\n")
     clear_ngram_pair_cache()  # warm-up must not pre-pay a measured line
+    _release_blocks(spark)  # ...nor leave its checkpoint blocks behind
 
     timings: dict[str, float] = {}
     for name in names:
@@ -213,6 +234,7 @@ def main() -> None:
         post = post_runs.get(name)
         if post is not None:
             post()
+        _release_blocks(spark)
         timings[name] = round(statistics.median(runs), 3)
         sys.stderr.write(
             f"{name}: median {timings[name]}s of "
