@@ -436,11 +436,15 @@ def _json_safe(v):
 
 
 def _file_stats(path: str, cols: Sequence[str]) -> dict:
-    """Per-file min/max zone map for ``cols``, read from the parquet
+    """Per-file zone map for ``cols`` — min/max AND null count (what
+    Delta's per-file ``stats`` records) — read from the parquet
     FOOTER (row-group statistics — no data decode). Columns missing
-    from the file, or with any stats-less row group, record null
-    bounds (= never prunable), keeping skipping safe under schema
-    evolution and unstatted writers."""
+    from the file record null bounds and ``nulls == rows`` (a
+    schema-evolved reader null-fills the whole file); columns with
+    any stats-less row group record null bounds / null ``nulls``
+    (= never prunable), keeping skipping safe under unstatted
+    writers. ``rows`` carries the file's row count so readers can
+    recognize all-NULL files without opening them."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -451,20 +455,34 @@ def _file_stats(path: str, cols: Sequence[str]) -> dict:
     for c in cols:
         i = name_to_idx.get(c)
         lo = hi = None
+        nulls: int | None = 0
         ok = i is not None and md.num_row_groups > 0
-        if ok:
+        if i is None:
+            nulls = md.num_rows  # evolved column: null-filled on read
+        else:
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(i).statistics
-                if st is None or not st.has_min_max:
+                if st is None:
                     ok = False
+                    nulls = None
                     break
-                lo = st.min if lo is None or st.min < lo else lo
-                hi = st.max if hi is None or st.max > hi else hi
-        out[c] = (
+                if st.has_min_max:
+                    lo = st.min if lo is None or st.min < lo else lo
+                    hi = st.max if hi is None or st.max > hi else hi
+                else:
+                    ok = False
+                if nulls is not None and st.null_count is not None:
+                    nulls += st.null_count
+                else:
+                    nulls = None
+        entry = (
             {"min": _json_safe(lo), "max": _json_safe(hi)}
             if ok
             else {"min": None, "max": None}
         )
+        entry["nulls"] = nulls
+        entry["rows"] = md.num_rows
+        out[c] = entry
     return out
 
 
@@ -506,7 +524,18 @@ def _zone_disjoint(s: dict | None, lo, hi) -> bool:
     is an optimization; a type it can't compare must degrade to a
     full-predicate read, never to a wrong skip. Practical upshot:
     ``stats_cols`` buy file skipping for numeric columns only."""
-    if s is None or s.get("min") is None or s.get("max") is None:
+    if s is None:
+        return False
+    # every value NULL (or an empty file): no row can satisfy a range
+    # predicate — prunable even though there are no min/max bounds.
+    # Recorded null counts only; absent/unknown stays conservative.
+    if (
+        s.get("nulls") is not None
+        and s.get("rows") is not None
+        and s["nulls"] >= s["rows"]
+    ):
+        return True
+    if s.get("min") is None or s.get("max") is None:
         return False
 
     def _num(v):
@@ -556,6 +585,42 @@ def read_table_pruned(
         spark.read.schema(schema)
         .parquet(*kept)
         .where(F.col(col).between(lo, hi))
+    )
+
+
+def read_table_null_pruned(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    version: int | None = None,
+) -> DataFrame:
+    """``WHERE col IS NULL`` snapshot read with METADATA file
+    skipping: files whose committed null count PROVES zero NULLs for
+    ``col`` never enter the scan (the IS NULL twin of
+    :func:`read_table_pruned` — Delta prunes the same predicate from
+    its per-file ``nullCount``). The find-the-incomplete-rows scan of
+    a backfill or data-quality sweep touches only the files that can
+    hold them. Files without a recorded null count (pre-null-stats
+    commits, stats-less writers) are conservatively kept; the
+    predicate is ALSO applied row-level, so the result is exactly the
+    filtered snapshot."""
+    files, schema = _snapshot_files(table, version)
+    stats = _snapshot_stats(table, version)
+    kept = [
+        f
+        for f in files
+        if (
+            stats.get(os.path.relpath(f, table), {}).get(col) or {}
+        ).get("nulls") != 0
+    ]
+    from pyspark.sql import functions as F
+
+    if not kept:
+        return spark.createDataFrame([], schema).where(F.col(col).isNull())
+    return (
+        spark.read.schema(schema)
+        .parquet(*kept)
+        .where(F.col(col).isNull())
     )
 
 

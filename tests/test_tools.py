@@ -813,6 +813,88 @@ def test_txlog_zone_map_file_skipping(spark, tmp_path):
     assert v0.count() == 6 and len(v0.inputFiles()) == 1
 
 
+def test_txlog_null_count_zone_maps(spark, tmp_path):
+    """Null-count zone maps (Delta's per-file nullCount): an all-NULL
+    file is provably disjoint from any range read; an IS NULL read
+    (read_table_null_pruned) skips files with a recorded zero null
+    count but keeps stats-less files conservatively; and a
+    schema-evolved column treats pre-evolution files as all-NULL —
+    pruned from range reads, kept for IS NULL reads."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "nulled")
+    rows_by_file = [
+        [Row(k=i, v=f"a{i}") for i in range(5)],          # null-free
+        [Row(k=None, v=f"n{i}") for i in range(3)],       # all-NULL
+        [Row(k=100, v="m0"), Row(k=None, v="m1")],        # mixed
+    ]
+    for rows in rows_by_file:
+        txlog.commit(
+            spark.createDataFrame(rows, "k int, v string").coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+    # stats-less legacy commit: conservative for BOTH read shapes
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=None, v="legacy")], "k int, v string"
+        ).coalesce(1),
+        table,
+    )
+
+    # range read skips the all-NULL file (no bounds, but nulls==rows)
+    ranged = txlog.read_table_pruned(spark, table, "k", 0, 10)
+    assert sorted(r["k"] for r in ranged.collect()) == list(range(5))
+    assert len(ranged.inputFiles()) == 2  # null-free + legacy
+
+    # IS NULL read skips the null-free file, keeps legacy
+    nulls = txlog.read_table_null_pruned(spark, table, "k")
+    assert nulls.count() == 5  # 3 all-NULL + 1 mixed + 1 legacy
+    assert all(r["k"] is None for r in nulls.collect())
+    assert len(nulls.inputFiles()) == 3  # all-NULL + mixed + legacy
+
+    # schema evolution: a pre-evolution file has NO stats entry for
+    # the added column → conservatively kept by both read shapes
+    # (pruning it would need a stats recompute, same as Delta)
+    table2 = str(tmp_path / "evolved")
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=1, v="old")], "k int, v string"
+        ).coalesce(1),
+        table2,
+        stats_cols=["k"],
+    )
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=2, v="new", score=7)], "k int, v string, score int"
+        ).coalesce(1),
+        table2,
+        merge_schema=True,
+        stats_cols=["k", "score"],
+    )
+    ranged2 = txlog.read_table_pruned(spark, table2, "score", 0, 100)
+    assert [r["k"] for r in ranged2.collect()] == [2]
+    assert len(ranged2.inputFiles()) == 2  # old file kept: no stats
+    nulls2 = txlog.read_table_null_pruned(spark, table2, "score")
+    assert [r["k"] for r in nulls2.collect()] == [1]
+    # old file kept (no stats entry), NEW file pruned (nulls == 0)
+    assert len(nulls2.inputFiles()) == 1
+
+    # stats_cols naming a column the written file LACKS records it as
+    # all-NULL (a reader null-fills it), directly from the footer
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "plain.parquet")
+    pq.write_table(pa.table({"k": [1, 2]}), p)
+    st = txlog._file_stats(p, ["k", "score"])
+    assert st["score"] == {"min": None, "max": None, "nulls": 2, "rows": 2}
+    assert st["k"]["nulls"] == 0 and st["k"]["rows"] == 2
+    assert txlog._zone_disjoint(st["score"], 0, 100)  # all-NULL: prunable
+
+
 def test_profile_table_counts_nulls_and_cardinality(spark):
     """Profile over a frame with planted nulls/duplicates; the approx
     variant agrees within HLL error and plans no Expand."""
