@@ -175,11 +175,10 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         from parquet_combiner_spark.tools import txlog
 
-        try:
-            cur = txlog.current_version(self._table)
-        except FileNotFoundError:
-            cur = -1
-        cur = max(cur, self._from)
+        # current_version returns -1 for a missing/empty log (it has
+        # no raising path) — and the stream can't start before the
+        # table exists anyway: schema() resolves the snapshot first.
+        cur = max(txlog.current_version(self._table), self._from)
         if self._max_per_trigger is not None:
             # advisory rate limit (Delta's maxFilesPerTrigger analog,
             # in versions): once the query's position is known, each
@@ -250,7 +249,12 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         table = _read_file_as_arrow(partition.path, data_schema)
         stamped = table.append_column(
             "_commit_version",
-            pa.array([partition.version] * table.num_rows, pa.int64()),
+            # constant column without a num_rows-sized Python list of
+            # boxed ints (a 10M-row file would transiently hold ~80MB
+            # of PyObjects before Arrow conversion)
+            pa.repeat(
+                pa.scalar(partition.version, pa.int64()), table.num_rows
+            ),
         )
         yield from stamped.cast(target).to_batches()
 

@@ -79,9 +79,30 @@ def txlog_append_batch(
         )
     if (query_id, epoch_id) in _seen:
         return False
-    v = txlog.commit(
-        batch, table, meta={"query_id": query_id, "epoch": epoch_id}
-    )
+    # a CommitConflict here means a CONCURRENT writer (OPTIMIZE, a
+    # second query, a row-level DELETE) took the version this commit
+    # targeted — since no expected_version is pinned (an append
+    # depends on no prior read), the right response is recompute-and-
+    # republish, not killing the streaming query. Bounded retries so
+    # a livelocked table still surfaces.
+    for attempt in range(5):
+        try:
+            v = txlog.commit(
+                batch, table, meta={"query_id": query_id, "epoch": epoch_id}
+            )
+            break
+        except txlog.CommitConflict:
+            # the winner might BE this epoch (two replayed instances
+            # of the same query racing): re-check before republishing
+            if any(
+                c.get("meta", {}).get("epoch") == epoch_id
+                and c["meta"].get("query_id", DEFAULT_QUERY_ID) == query_id
+                for c in txlog._read_log(table)
+            ):
+                _seen.add((query_id, epoch_id))
+                return False
+            if attempt == 4:
+                raise
     _seen.add((query_id, epoch_id))
     if checkpoint_every and v > 0 and v % checkpoint_every == 0:
         txlog.checkpoint(table, version=v)

@@ -228,8 +228,15 @@ def _resolve_version(table: str, version: int | None) -> int:
     return version
 
 
-def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
-    """(data file paths, schema DDL) as of ``version`` (None=latest).
+def _snapshot(
+    table: str, version: int | None
+) -> tuple[list[str], str, dict]:
+    """ONE log replay → (data file paths, schema DDL, rel_path→stats)
+    as of ``version`` (None=latest). Pruned reads and the
+    copy-on-write DML kernels need files AND zone maps; resolving
+    both in a single pass keeps the hot metadata path at one dir
+    listing / one checkpoint read / one parse per commit instead of
+    two of each.
 
     Seeds from the newest checkpoint at-or-below the target when one
     exists, replaying only the commits after it — O(commits since
@@ -242,21 +249,35 @@ def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
     version = _resolve_version(table, version)
     files: list[str] = []
     schema = ""
+    stats: dict = {}
     after = None
     ck = _checkpoint_at_or_below(table, version)
     if ck is not None:
         files = list(ck["files"])
         schema = ck["schema"]
+        stats = {f: ck.get("stats", {}).get(f, {}) for f in ck["files"]}
         after = ck["version"]
     for commit in _read_log(table, after=after, through=version):
         if commit["action"] == "overwrite":
             files = []
+            stats = {}
         elif commit["action"] == "replace":
             drop = set(commit.get("remove", []))
             files = [f for f in files if f not in drop]
+            for f in drop:
+                stats.pop(f, None)
         files.extend(commit["add"])
+        stats.update(
+            {f: commit.get("stats", {}).get(f, {}) for f in commit["add"]}
+        )
         schema = commit["schema"]
-    return [os.path.join(table, f) for f in files], schema
+    return [os.path.join(table, f) for f in files], schema, stats
+
+
+def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
+    """(data file paths, schema DDL) — see :func:`_snapshot`."""
+    files, schema, _ = _snapshot(table, version)
+    return files, schema
 
 
 def _normalize_schema(df: DataFrame) -> list[list[str]]:
@@ -317,6 +338,29 @@ def commit(
             "remove is required for (and only for) action='replace'"
         )
     last = _last_commit(table)
+    # staleness fires FIRST: with a pinned base, a concurrent commit
+    # must surface as CommitConflict (what the DML retry loops catch
+    # and recover from), never as a downstream validation error — a
+    # replace whose removed files were concurrently rewritten would
+    # otherwise raise ValueError out of the snapshot check below and
+    # escape every retry loop.
+    version = (last["version"] + 1) if last else 0
+    if expected_version is not None:
+        head = last["version"] if last else -1
+        if head > expected_version:
+            raise CommitConflict(
+                f"{table} advanced past expected version "
+                f"{expected_version} (now at {head})"
+            )
+        if head < expected_version:
+            # a base the table never reached is a caller bug (stale
+            # variable, typo) — committing would publish a version
+            # GAP that later reads resolve to mislabeled snapshots
+            raise ValueError(
+                f"expected_version {expected_version} exceeds the "
+                f"current head of {table} ({head})"
+            )
+        version = expected_version + 1
     if action == "replace":
         # file-granular rewrite: df holds the SURVIVORS of the
         # removed files; the rest of the snapshot is untouched. The
@@ -344,14 +388,6 @@ def commit(
                 f"replace removes files not in the current snapshot: "
                 f"{unknown}"
             )
-    version = (last["version"] + 1) if last else 0
-    if expected_version is not None:
-        version = expected_version + 1
-        if (last["version"] if last else -1) > expected_version:
-            raise CommitConflict(
-                f"{table} advanced past expected version "
-                f"{expected_version} (now at {last['version']})"
-            )
     schema_ddl = _ddl(df)
     if action == "append" and last:
         current = last["schema"]
@@ -360,12 +396,22 @@ def commit(
         have = _normalize_schema(df)
         if want != have:
             missing = [f for f in want if f not in have]
-            added_fields = [f for f in have if f not in want]
+            want_names = {name for name, _ in want}
+            added_names = {
+                name for name, _ in have if name not in want_names
+            }
             if merge_schema and not missing:
                 # pure column addition: evolve to the union schema
-                # (existing fields first, new fields after — stable)
+                # (existing fields first, new fields after — stable).
+                # Added columns keep the DataFrame's ORIGINAL casing:
+                # the normalized (lowercased) comparison names would
+                # mismatch the parquet files this very commit writes,
+                # and the Arrow-side txtable reader matches names
+                # case-sensitively — it would silently null-fill.
                 schema_ddl = current + ", " + ", ".join(
-                    f"{name} {typ}" for name, typ in added_fields
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields
+                    if f.name.lower() in added_names
                 )
             else:
                 raise TypeError(
@@ -488,29 +534,13 @@ def _file_stats(path: str, cols: Sequence[str]) -> dict:
 
 def _snapshot_stats(table: str, version: int | None) -> dict:
     """rel_path -> stats dict for the files of the snapshot (empty
-    entries for files whose commit recorded no stats). Checkpoint-
-    seeded like :func:`_snapshot_files` — zone maps travel in the
-    checkpoint record, so pruned reads keep their file skipping
-    without parsing pre-checkpoint commits."""
+    entries for files whose commit recorded no stats) — see
+    :func:`_snapshot`; zone maps travel in checkpoint records, so
+    pruned reads keep their file skipping without parsing
+    pre-checkpoint commits."""
     if not _log_versions(table):
         return {}
-    version = _resolve_version(table, version)
-    stats: dict = {}
-    after = None
-    ck = _checkpoint_at_or_below(table, version)
-    if ck is not None:
-        stats = {f: ck.get("stats", {}).get(f, {}) for f in ck["files"]}
-        after = ck["version"]
-    for commit in _read_log(table, after=after, through=version):
-        if commit["action"] == "overwrite":
-            stats = {}
-        elif commit["action"] == "replace":
-            for f in commit.get("remove", []):
-                stats.pop(f, None)
-        stats.update(
-            {f: commit.get("stats", {}).get(f, {}) for f in commit["add"]}
-        )
-    return stats
+    return _snapshot(table, version)[2]
 
 
 def _zone_disjoint(s: dict | None, lo, hi) -> bool:
@@ -565,8 +595,7 @@ def read_table_pruned(
     pushdown can only skip WITHIN files the planner already listed;
     this skips the listing. Files without recorded stats (older
     commits, evolved columns) are conservatively kept."""
-    files, schema = _snapshot_files(table, version)
-    stats = _snapshot_stats(table, version)
+    files, schema, stats = _snapshot(table, version)
     kept = [
         f
         for f in files
@@ -604,8 +633,7 @@ def read_table_null_pruned(
     commits, stats-less writers) are conservatively kept; the
     predicate is ALSO applied row-level, so the result is exactly the
     filtered snapshot."""
-    files, schema = _snapshot_files(table, version)
-    stats = _snapshot_stats(table, version)
+    files, schema, stats = _snapshot(table, version)
     kept = [
         f
         for f in files
@@ -785,8 +813,7 @@ def delete_where(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema = _snapshot_files(table, base)
-        stats = _snapshot_stats(table, base)
+        files, schema, stats = _snapshot(table, base)
         touched = [
             f
             for f in files
@@ -862,14 +889,13 @@ def update_where(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema = _snapshot_files(table, base)
+        files, schema, stats = _snapshot(table, base)
         cols = {f.name for f in spark.createDataFrame([], schema).schema}
         unknown = sorted(set(set_exprs) - cols)
         if unknown:
             raise ValueError(
                 f"SET targets columns not in the table: {unknown}"
             )
-        stats = _snapshot_stats(table, base)
         touched = [
             f
             for f in files
@@ -986,8 +1012,7 @@ def merge_into(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema = _snapshot_files(table, base)
-        stats = _snapshot_stats(table, base)
+        files, schema, stats = _snapshot(table, base)
         touched = [
             f
             for f in files
@@ -1092,8 +1117,7 @@ def checkpoint(table: str, version: int | None = None) -> int:
     the old state or the new, never a torn file. Returns the
     checkpointed version."""
     version = _resolve_version(table, version)
-    files, schema = _snapshot_files(table, version)
-    stats = _snapshot_stats(table, version)
+    files, schema, stats = _snapshot(table, version)
     rels = [os.path.relpath(f, table) for f in files]
     record = {
         "version": version,
@@ -1248,8 +1272,7 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         )
     if keep_from == first:
         return []
-    files, schema = _snapshot_files(table, keep_from)
-    stats = _snapshot_stats(table, keep_from)
+    files, schema, stats = _snapshot(table, keep_from)
     base_rec = next(c for c in log if c["version"] == keep_from)
     rels = [os.path.relpath(f, table) for f in files]
     record = {
@@ -1260,10 +1283,16 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         "commit_id": base_rec["commit_id"],
         "meta": {**base_rec.get("meta", {}), "expired_through": keep_from - 1},
     }
+    # the rebase preserves the ORIGINAL commit instant, so TIMESTAMP
+    # AS OF resolution is unchanged by expiry. A pre-'ts' record's
+    # instant is its log file's mtime (_commit_ts fallback) — stamp
+    # THAT into the rebased record, or os.replace would give the base
+    # mtime=now and break the monotonicity the binary-search resolver
+    # relies on (base instant > every retained successor's).
     if base_rec.get("ts") is not None:
-        # the rebase preserves the ORIGINAL commit instant, so
-        # TIMESTAMP AS OF resolution is unchanged by expiry
         record["ts"] = base_rec["ts"]
+    else:
+        record["ts"] = os.path.getmtime(_log_path(table, keep_from))
     kept_stats = {r: stats[r] for r in rels if stats.get(r)}
     if kept_stats:
         record["stats"] = kept_stats

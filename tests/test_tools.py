@@ -522,7 +522,7 @@ def test_optimize_retries_past_concurrent_append(spark, tmp_path, monkeypatch):
     for i in range(3):
         txlog.commit(spark.createDataFrame([Row(k=i)]), table)
 
-    real_snapshot = txlog._snapshot_files
+    real_snapshot = txlog._snapshot
     raced = {"done": False}
 
     def racing_snapshot(t, version):
@@ -532,7 +532,7 @@ def test_optimize_retries_past_concurrent_append(spark, tmp_path, monkeypatch):
             txlog.commit(spark.createDataFrame([Row(k=99)]), table)
         return out
 
-    monkeypatch.setattr(txlog, "_snapshot_files", racing_snapshot)
+    monkeypatch.setattr(txlog, "_snapshot", racing_snapshot)
     v = txlog.optimize(spark, table)
     monkeypatch.undo()
     got = sorted(r["k"] for r in txlog.read_table(spark, table).collect())
@@ -541,7 +541,7 @@ def test_optimize_retries_past_concurrent_append(spark, tmp_path, monkeypatch):
 
     # with retries exhausted the conflict SURFACES instead of rebasing
     raced["done"] = False
-    monkeypatch.setattr(txlog, "_snapshot_files", racing_snapshot)
+    monkeypatch.setattr(txlog, "_snapshot", racing_snapshot)
     import pytest as _pytest
 
     with _pytest.raises(txlog.CommitConflict):
@@ -633,7 +633,7 @@ def test_txlog_merge_into_upserts_deletes_prunes_and_retries(
 
     # concurrent writer: append lands between snapshot and publish;
     # merge rebases and neither the append nor the merge is lost
-    real_snapshot = txlog._snapshot_files
+    real_snapshot = txlog._snapshot
     raced = {"done": False}
 
     def racing_snapshot(t, version):
@@ -647,7 +647,7 @@ def test_txlog_merge_into_upserts_deletes_prunes_and_retries(
             )
         return out
 
-    monkeypatch.setattr(txlog, "_snapshot_files", racing_snapshot)
+    monkeypatch.setattr(txlog, "_snapshot", racing_snapshot)
     txlog.merge_into(
         spark, table,
         spark.createDataFrame([Row(k=103, v=3, val="upd2-103")]),
@@ -1424,6 +1424,171 @@ def test_txlog_timestamp_time_travel(spark, tmp_path):
     txlog.expire_versions(table, keep_from=1)
     assert _json.load(open(txlog._log_path(table, 1)))["ts"] == orig_t1
     assert txlog.version_at_timestamp(table, t1) == 1
+
+
+def test_txlog_commit_conflict_ordering_and_expected_version_bounds(
+    spark, tmp_path
+):
+    """Concurrency-contract pins on commit():
+
+    * a replace whose pinned base went stale raises CommitConflict —
+      NOT the unknown-files ValueError — even when the concurrent
+      commit rewrote the very files being removed (the DML retry
+      loops only catch CommitConflict; anything else escapes them);
+    * an expected_version ABOVE the table head is a caller bug and
+      raises ValueError instead of silently publishing a version gap
+      that later reads would resolve to mislabeled snapshots."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(
+        spark.createDataFrame([Row(k=i) for i in range(4)]).coalesce(1),
+        table,
+        stats_cols=["k"],
+    )
+    base = txlog.current_version(table)
+    rels = [
+        _os.path.relpath(f, table)
+        for f in txlog._snapshot_files(table, base)[0]
+    ]
+    survivors = txlog.read_table(spark, table, base).where("k > 0")
+    # concurrent OPTIMIZE rewrites every base file before we publish
+    txlog.optimize(spark, table)
+    with pytest.raises(txlog.CommitConflict):
+        txlog.commit(
+            survivors,
+            table,
+            action="replace",
+            remove=rels,
+            expected_version=base,
+        )
+
+    with pytest.raises(ValueError, match="exceeds the current head"):
+        txlog.commit(
+            spark.createDataFrame([Row(k=9)]),
+            table,
+            expected_version=txlog.current_version(table) + 7,
+        )
+
+
+def test_txlog_merge_schema_preserves_added_column_case(spark, tmp_path):
+    """merge_schema appends must commit added columns with the
+    DataFrame's ORIGINAL casing: the committed DDL names must match
+    the parquet files the commit writes, or the case-sensitive Arrow
+    txtable reader silently null-fills the new column."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "cased")
+    txlog.commit(
+        spark.createDataFrame([Row(k=1)], "k int"), table
+    )
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=2, eventTime=7)], "k int, eventTime int"
+        ),
+        table,
+        merge_schema=True,
+    )
+    assert "eventTime int" in txlog._last_commit(table)["schema"]
+    try:
+        spark.dataSource.register(TxTableDataSource)
+    except Exception:
+        pass
+    got = {
+        r["k"]: r["eventTime"]
+        for r in spark.read.format("txtable").load(table).collect()
+    }
+    assert got == {1: None, 2: 7}  # 7 present, not null-filled
+
+
+def test_txlog_expiry_preserves_pre_ts_instants(spark, tmp_path):
+    """expire_versions on records predating the 'ts' field must stamp
+    the base's ORIGINAL instant (the log file's mtime) into the
+    rebased record — os.replace would otherwise give it mtime=now,
+    breaking the monotonicity the binary-search resolver needs and
+    hiding every retained successor."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    import os as _os
+
+    table = str(tmp_path / "legacy")
+    for i in range(4):
+        txlog.commit(spark.createDataFrame([Row(k=i)]), table)
+    # simulate a legacy table: strip 'ts' from every record and give
+    # the log files well-separated mtimes (the fallback instants)
+    now = _time.time()
+    for v in range(4):
+        p = txlog._log_path(table, v)
+        rec = _json.load(open(p))
+        rec.pop("ts", None)
+        with open(p, "w") as f:
+            _json.dump(rec, f)
+        t = now - (4 - v) * 60.0
+        _os.utime(p, (t, t))
+    instants = [txlog._commit_ts(table, v) for v in range(4)]
+    txlog.expire_versions(table, keep_from=1)
+    # the rebase records the base's pre-rebase mtime as its instant
+    assert abs(txlog._commit_ts(table, 1) - instants[1]) < 1.0
+    # resolution still sees the retained successors
+    assert txlog.version_at_timestamp(table, _time.time()) == 3
+    assert txlog.version_at_timestamp(table, instants[2] + 0.001) == 2
+
+
+def test_txlog_sink_retries_concurrent_commit_conflict(spark, tmp_path):
+    """A concurrent writer taking the sink's target version must not
+    kill the streaming query: txlog_append_batch recomputes and
+    republishes (appends pin no base), still exactly once."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.txlog_sink import (
+        txlog_append_batch,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "sinked")
+    txlog.commit(spark.createDataFrame([Row(k=0)], "k int"), table)
+
+    class FailOnce(txlog.CommitArbiter):
+        def __init__(self):
+            self.failed = False
+
+        def publish(self, path, payload):
+            if not self.failed:
+                self.failed = True
+                # simulate losing the O_EXCL race for this version
+                raise txlog.CommitConflict(f"{path} taken concurrently")
+            txlog.FilesystemArbiter().publish(path, payload)
+
+    prev = txlog.set_arbiter(FailOnce())
+    try:
+        assert txlog_append_batch(
+            spark.createDataFrame([Row(k=1)], "k int"), 0, table, set()
+        )
+    finally:
+        txlog.set_arbiter(prev)
+    assert txlog.read_table(spark, table).count() == 2
+    # the retried epoch is recorded exactly once
+    epochs = [
+        c["meta"].get("epoch")
+        for c in txlog._read_log(table)
+        if "epoch" in c.get("meta", {})
+    ]
+    assert epochs == [0]
 
 
 def test_txlog_commit_ts_monotonic_under_backward_clock_step(
