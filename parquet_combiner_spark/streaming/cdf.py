@@ -53,20 +53,24 @@ def drain_table_changes(
     (``expire_versions``) raises — the feed is replayable only while
     the log retains both endpoints of each step, Delta's own CDF
     retention rule.
+
+    An EMPTY range (nothing past ``from_version``) returns
+    ``from_version`` unchanged — never a smaller value, so a consumer
+    that persists the return as its cursor cannot move backward and
+    re-apply versions it already consumed (e.g. on a stale
+    ``to_version``).
     """
     from parquet_combiner_spark.tools import txlog
 
     last = (
         txlog.current_version(table) if to_version is None else to_version
     )
-    for v in range(max(from_version, -1) + 1, last + 1):
-        if v == 0:
-            from parquet_combiner_spark.tools.diff import snapshot_diff
-
-            new = txlog.read_table(spark, table, 0)
-            k = list(keys) if keys else [new.columns[0]]
-            batch = snapshot_diff(new.limit(0), new, k)
-        else:
-            batch = txlog.table_changes(spark, table, v - 1, v, keys)
+    start = max(from_version, -1)
+    applied = start
+    for v in range(start + 1, last + 1):
+        # v-1 == -1 (version 0's batch) → table_changes' from-birth
+        # case: the empty old side classifies every key as added
+        batch = txlog.table_changes(spark, table, v - 1, v, keys)
         apply_fn(batch, v)
-    return last
+        applied = v
+    return applied

@@ -254,6 +254,74 @@ def top_items_per_window(
     )
 
 
+def _millis_floored_event_time():
+    """Event time for every stream-stream interval join: nanos
+    floored to MILLIS (ts div 1e6 = ms, ×1000 = micros at the ms
+    boundary) so the join comparisons are bit-identical to the batch
+    oracles' integer-ms BETWEEN — a raw-micros comparison can
+    disagree on rows that tie only after flooring. ONE definition for
+    all three join types; the inner/left/full variants previously
+    each built their own and two had drifted to raw micros. (A
+    function, not a module constant: building a Column requires an
+    active SparkContext.)"""
+    return F.timestamp_micros(F.expr("(ts div 1000000) * 1000"))
+
+
+def _interval_join_transform(
+    window_ms: int, watermark_delay: str, how: str
+):
+    """The shared stream-stream interval join: purchases ⋈ errors on
+    user with e_time ∈ [p_time − window, p_time], as one transform
+    closure parameterized by join type — inner / left_outer /
+    full_outer differ ONLY in `how` and (for full outer) the
+    coalesced user_id, so the join condition, watermarks, and output
+    contract cannot drift between the three registry queries."""
+
+    def join_streams(stream: DataFrame) -> DataFrame:
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                "event_id",
+                "user_id",
+                F.col("event_time").alias("p_time"),
+            )
+            .withWatermark("p_time", watermark_delay)
+        )
+        errors = (
+            stream.where(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_event_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("event_time").alias("e_time"),
+            )
+            .withWatermark("e_time", watermark_delay)
+        )
+        user = (
+            F.coalesce("user_id", "e_user")
+            if how == "full_outer"
+            else F.col("user_id")
+        )
+        return purchases.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("p_time") >= F.col("e_time"))
+            & (
+                F.col("p_time")
+                <= F.col("e_time")
+                + F.expr(f"INTERVAL {window_ms} MILLISECONDS")
+            ),
+            how,
+        ).select(
+            "event_id",
+            user.alias("user_id"),
+            F.unix_millis("p_time").alias("tms"),
+            "error_event_id",
+            F.unix_millis("e_time").alias("win_start"),
+        )
+
+    return join_streams
+
+
 def purchases_after_errors_stream_available_now(
     spark: SparkSession,
     events_path: str,
@@ -289,51 +357,12 @@ def purchases_after_errors_stream_available_now(
         run_events_stream_available_now,
     )
 
-    def join_streams(stream: DataFrame) -> DataFrame:
-        purchases = (
-            stream.where(F.col("event_type") == "purchase")
-            .select(
-                "event_id",
-                "user_id",
-                F.col("event_time").alias("p_time"),
-            )
-            .withWatermark("p_time", watermark_delay)
-        )
-        errors = (
-            stream.where(F.col("event_type") == "error")
-            .select(
-                F.col("event_id").alias("error_event_id"),
-                F.col("user_id").alias("e_user"),
-                F.col("event_time").alias("e_time"),
-            )
-            .withWatermark("e_time", watermark_delay)
-        )
-        return purchases.join(
-            errors,
-            (F.col("user_id") == F.col("e_user"))
-            & (F.col("p_time") >= F.col("e_time"))
-            & (
-                F.col("p_time")
-                <= F.col("e_time")
-                + F.expr(f"INTERVAL {window_ms} MILLISECONDS")
-            ),
-            "inner",
-        ).select(
-            "event_id",
-            "user_id",
-            F.unix_millis("p_time").alias("tms"),
-            "error_event_id",
-            F.unix_millis("e_time").alias("win_start"),
-        )
-
     return run_events_stream_available_now(
         spark,
         events_path,
-        join_streams,
+        _interval_join_transform(window_ms, watermark_delay, "inner"),
         prefix="ssjoin",
-        # millis-floored micros: comparisons equal the batch integer-ms
-        # BETWEEN exactly
-        event_time=F.timestamp_micros(F.expr("(ts div 1000000) * 1000")),
+        event_time=_millis_floored_event_time(),
     )
 
 
@@ -369,49 +398,12 @@ def purchases_with_errors_outer_stream_available_now(
         run_events_stream_available_now,
     )
 
-    def join_streams(stream: DataFrame) -> DataFrame:
-        purchases = (
-            stream.where(F.col("event_type") == "purchase")
-            .select(
-                "event_id",
-                "user_id",
-                F.col("event_time").alias("p_time"),
-            )
-            .withWatermark("p_time", watermark_delay)
-        )
-        errors = (
-            stream.where(F.col("event_type") == "error")
-            .select(
-                F.col("event_id").alias("error_event_id"),
-                F.col("user_id").alias("e_user"),
-                F.col("event_time").alias("e_time"),
-            )
-            .withWatermark("e_time", watermark_delay)
-        )
-        return purchases.join(
-            errors,
-            (F.col("user_id") == F.col("e_user"))
-            & (F.col("p_time") >= F.col("e_time"))
-            & (
-                F.col("p_time")
-                <= F.col("e_time")
-                + F.expr(f"INTERVAL {window_ms} MILLISECONDS")
-            ),
-            "left_outer",
-        ).select(
-            "event_id",
-            "user_id",
-            F.unix_millis("p_time").alias("tms"),
-            "error_event_id",
-            F.unix_millis("e_time").alias("win_start"),
-        )
-
     return run_events_stream_available_now(
         spark,
         events_path,
-        join_streams,
+        _interval_join_transform(window_ms, watermark_delay, "left_outer"),
         prefix="outerjoin",
-        event_time=F.timestamp_micros(F.expr("ts div 1000")),
+        event_time=_millis_floored_event_time(),
     )
 
 
@@ -454,49 +446,12 @@ def purchases_errors_full_outer_stream_available_now(
         run_events_stream_available_now,
     )
 
-    def join_streams(stream: DataFrame) -> DataFrame:
-        purchases = (
-            stream.where(F.col("event_type") == "purchase")
-            .select(
-                "event_id",
-                "user_id",
-                F.col("event_time").alias("p_time"),
-            )
-            .withWatermark("p_time", watermark_delay)
-        )
-        errors = (
-            stream.where(F.col("event_type") == "error")
-            .select(
-                F.col("event_id").alias("error_event_id"),
-                F.col("user_id").alias("e_user"),
-                F.col("event_time").alias("e_time"),
-            )
-            .withWatermark("e_time", watermark_delay)
-        )
-        return purchases.join(
-            errors,
-            (F.col("user_id") == F.col("e_user"))
-            & (F.col("p_time") >= F.col("e_time"))
-            & (
-                F.col("p_time")
-                <= F.col("e_time")
-                + F.expr(f"INTERVAL {window_ms} MILLISECONDS")
-            ),
-            "full_outer",
-        ).select(
-            "event_id",
-            F.coalesce("user_id", "e_user").alias("user_id"),
-            F.unix_millis("p_time").alias("tms"),
-            "error_event_id",
-            F.unix_millis("e_time").alias("win_start"),
-        )
-
     return run_events_stream_available_now(
         spark,
         events_path,
-        join_streams,
+        _interval_join_transform(window_ms, watermark_delay, "full_outer"),
         prefix="fullouterjoin",
-        event_time=F.timestamp_micros(F.expr("ts div 1000")),
+        event_time=_millis_floored_event_time(),
     )
 
 
@@ -560,6 +515,10 @@ def windowed_top_events_update_available_now(
         stage_time_bands(ev, stage, n_batches)
 
         def apply_batch(batch: DataFrame, batch_id: int) -> None:
+            # persisted for the batch: both the merge write and the
+            # observer count consume it, and an unpersisted frame
+            # would re-execute the windowed aggregation per action
+            # (bounded: windows × event types rows)
             changed = batch.select(
                 F.expr("unix_micros(window.start) div 1000").alias(
                     "window_start_ms"
@@ -567,23 +526,26 @@ def windowed_top_events_update_available_now(
                 "event_type",
                 F.col("count").alias("n"),
                 F.lit(batch_id).alias("__v"),
-            )
-            if _os.path.isdir(store):
-                base = spark.read.parquet(store)
-            else:
-                base = spark.createDataFrame([], changed.schema)
-            merged = merge_upsert(
-                base,
-                changed,
-                keys=["window_start_ms", "event_type"],
-                version_cols=["__v"],
-            )
-            tmp = store + "__tmp"
-            merged.write.mode("overwrite").parquet(tmp)
-            _shutil.rmtree(store, ignore_errors=True)
-            _os.rename(tmp, store)
-            if on_batch is not None:
-                on_batch(batch_id, changed.count())
+            ).persist()
+            try:
+                if _os.path.isdir(store):
+                    base = spark.read.parquet(store)
+                else:
+                    base = spark.createDataFrame([], changed.schema)
+                merged = merge_upsert(
+                    base,
+                    changed,
+                    keys=["window_start_ms", "event_type"],
+                    version_cols=["__v"],
+                )
+                tmp = store + "__tmp"
+                merged.write.mode("overwrite").parquet(tmp)
+                _shutil.rmtree(store, ignore_errors=True)
+                _os.rename(tmp, store)
+                if on_batch is not None:
+                    on_batch(batch_id, changed.count())
+            finally:
+                changed.unpersist()
 
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
@@ -659,15 +621,24 @@ def stage_time_bands(
     import shutil as _shutil
     import time as _time
 
-    bounds = ev.agg(
-        *[
-            F.approx_percentile(
-                "ts", F.lit((i + 1) / n_batches), F.lit(10000)
-            ).alias(f"b{i}")
-            for i in range(n_batches - 1)
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+    if n_batches == 1:
+        # no interior cuts — agg(*[]) is rejected by Spark, and a
+        # single band needs none: one full-range file
+        cuts: list = [None, None]
+    else:
+        bounds = ev.agg(
+            *[
+                F.approx_percentile(
+                    "ts", F.lit((i + 1) / n_batches), F.lit(10000)
+                ).alias(f"b{i}")
+                for i in range(n_batches - 1)
+            ]
+        ).collect()[0]
+        cuts = [
+            None, *[bounds[f"b{i}"] for i in range(n_batches - 1)], None
         ]
-    ).collect()[0]
-    cuts = [None, *[bounds[f"b{i}"] for i in range(n_batches - 1)], None]
     now = _time.time()
     for k in range(n_batches):
         part = ev
@@ -729,37 +700,12 @@ def dedup_events_stream_available_now(
 
     Output: (event_id, ts_ms, user_id, event_type, value).
     """
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-    import uuid as _uuid
-
-    from parquet_combiner_spark.sources.io import ensure_ts_nanos
     from parquet_combiner_spark.streaming.run import (
-        STREAM_STATE_PARTITIONS,
+        run_events_stream_available_now,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = ensure_ts_nanos(spark.read.parquet(events_path))
-    schema = ev.schema
-
-    stage = _tempfile.mkdtemp(prefix="pcs-dedupstream-src-")
-    ckpt = _tempfile.mkdtemp(prefix="pcs-dedupstream-ckpt-")
-    name = f"dedup_events_{_uuid.uuid4().hex}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        stage_time_bands(ev, stage, n_batches, copies=copies)
-        spark.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
-        )
-        stream = ensure_ts_nanos(
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage + "/*")
-        ).withColumn(
-            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-        deduped = dedup_stream(
+    def transform(stream: DataFrame) -> DataFrame:
+        return dedup_stream(
             stream, keys=[key], delay=watermark_delay
         ).select(
             "event_id",
@@ -768,21 +714,14 @@ def dedup_events_stream_available_now(
             "event_type",
             "value",
         )
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-        return spark.table(name).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        _shutil.rmtree(stage, ignore_errors=True)
-        _shutil.rmtree(ckpt, ignore_errors=True)
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:  # noqa: BLE001 — sink never registered
-            pass
+
+    return run_events_stream_available_now(
+        spark,
+        events_path,
+        transform,
+        prefix="dedupstream",
+        event_time=F.timestamp_micros(F.expr("ts div 1000")),
+        stage_bands=n_batches,
+        band_copies=copies,
+        max_files_per_trigger=1,
+    )

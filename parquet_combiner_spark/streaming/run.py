@@ -47,9 +47,19 @@ def run_events_stream_available_now(
     prefix: str,
     event_time: Column,
     shuffle_partitions: int | None = STREAM_STATE_PARTITIONS,
+    stage_bands: int | None = None,
+    band_copies: int = 1,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Stream the events table through ``transform`` to completion and
     return the append-mode output as a batch DataFrame.
+
+    ``stage_bands=N`` stages the source as N event-time-range files
+    with monotone mtimes (``pipeline.stage_time_bands``) instead of a
+    plain copy — the ordered-replay discipline stateful queries need
+    — delivering each band ``band_copies`` times (the at-least-once
+    redelivery harness). ``max_files_per_trigger`` caps files per
+    micro-batch (1 = one band per batch).
 
     - ``ts`` is normalized to integer nanos (``ensure_ts_nanos``) and
       ``event_time`` (a Column over the normalized frame) becomes the
@@ -66,17 +76,44 @@ def run_events_stream_available_now(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
     stage = None
-    if os.path.isfile(events_path):
+    if stage_bands is not None:
+        from parquet_combiner_spark.streaming.pipeline import (
+            stage_time_bands,
+        )
+
+        ev = ensure_ts_nanos(spark.read.parquet(events_path))
+        # bands are WRITTEN from the normalized frame (ts already
+        # integer nanos), so the stream must read them with ITS
+        # schema, not the raw file's (whose ts may present as a
+        # timestamp type)
+        schema = ev.schema
+        stage = tempfile.mkdtemp(prefix=f"pcs-{prefix}-src-")
+        stage_time_bands(ev, stage, stage_bands, copies=band_copies)
+        events_path = stage + "/*"  # bands are per-band directories
+    elif os.path.isfile(events_path):
         # FileStreamSource requires a DIRECTORY; the testdata ships
         # single .parquet files, so stage one into a throwaway dir (a
         # real deployment streams from a directory/bucket prefix).
         stage = tempfile.mkdtemp(prefix=f"pcs-{prefix}-src-")
         shutil.copy(events_path, stage)
         events_path = stage
-    stream = ensure_ts_nanos(
-        spark.readStream.schema(schema).parquet(events_path)
-    ).withColumn("event_time", event_time)
-    out = transform(stream)
+    try:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        stream = ensure_ts_nanos(reader.parquet(events_path)).withColumn(
+            "event_time", event_time
+        )
+        out = transform(stream)
+    except BaseException:
+        # transform failures (analysis errors in the caller's lambda)
+        # happen before the cleanup finally below — don't leak the
+        # staged source copy
+        if stage is not None:
+            shutil.rmtree(stage, ignore_errors=True)
+        raise
     name = f"{prefix}_{uuid.uuid4().hex}"
     ckpt = tempfile.mkdtemp(prefix=f"pcs-{prefix}-ckpt-")
     # State partitioning is fixed by spark.sql.shuffle.partitions at

@@ -1173,14 +1173,22 @@ def table_changes(
     reads plus the content-hash snapshot diff (`tools/diff.py`):
     each key classified added / removed / changed, payload never
     rides the diff join. ``keys`` defaults to the first column.
+    ``from_version=-1`` means "from the table's birth": the old side
+    is the empty table, so every key classifies as added — the
+    consumer-side special case every from-scratch CDF drain would
+    otherwise re-derive.
 
     Versions stay readable until vacuum removes UNREFERENCED files
     only, so the feed is replayable for the table's whole history —
     the property streaming consumers need after a restart."""
     from parquet_combiner_spark.tools.diff import snapshot_diff
 
-    old = read_table(spark, table, from_version)
     new = read_table(spark, table, to_version)
+    old = (
+        new.limit(0)
+        if from_version == -1
+        else read_table(spark, table, from_version)
+    )
     keys = list(keys) if keys else [old.columns[0]]
     return snapshot_diff(old, new, keys)
 

@@ -1239,6 +1239,48 @@ def test_drain_table_changes_commit_order_and_replay(spark, tmp_path):
     assert [v for v, _ in seen] == [3]
     assert seen[0][1][9] == "added"
 
+    # an EMPTY range (stale to_version, or nothing new) returns the
+    # cursor UNCHANGED — a persisted cursor must never move backward
+    # and re-deliver applied versions
+    seen.clear()
+    assert (
+        drain_table_changes(
+            spark, table, apply_fn, keys=["k"], from_version=3, to_version=1
+        )
+        == 3
+    )
+    assert (
+        drain_table_changes(
+            spark, table, apply_fn, keys=["k"], from_version=3
+        )
+        == 3
+    )
+    assert seen == []
+
+
+def test_stage_time_bands_single_band(spark, tmp_path):
+    """n_batches=1 stages ONE full-range band instead of crashing in
+    an empty approx_percentile aggregation (agg(*[]) is rejected);
+    bad counts raise loudly."""
+    import os
+
+    import pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.pipeline import stage_time_bands
+
+    ev = spark.createDataFrame(
+        [Row(ts=i * 1_000_000_000, event_id=i) for i in range(10)]
+    )
+    stage = str(tmp_path / "bands")
+    stage_time_bands(ev, stage, 1)
+    bands = sorted(d for d in os.listdir(stage) if d.startswith("b"))
+    assert bands == ["b0"]
+    back = spark.read.parquet(os.path.join(stage, "b0"))
+    assert back.count() == 10
+    with pytest.raises(ValueError, match="n_batches"):
+        stage_time_bands(ev, str(tmp_path / "bad"), 0)
+
 
 def test_txlog_sink_checkpoint_cadence(spark, tmp_path):
     """The ingestion sink checkpoints the LOG every Nth version
