@@ -2335,6 +2335,76 @@ def user_state_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def event_state_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF on a versioned table
+    (tools/txlog.py ``restore``): the even-id events are committed as
+    v0, the odd-id events appended as v1, then the table is RESTORED
+    to v0 — a METADATA-ONLY commit that republishes v0's exact file
+    list as the new head (no data read or rewritten; at 100 TB the
+    rollback is O(files) JSON metadata). The end state must be
+    exactly the even-id rows — the oracle — while v1 stays
+    time-travelable underneath (pytest covers that and the undo-diff
+    CDF; reference parity: combiner.cpp's immutable outputs, lifted
+    to versioned-table semantics)."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-restore-")
+    table = f"{root}/events_v"
+    try:
+        txlog.commit(ev.where(F.col("event_id") % 2 == 0), table)
+        txlog.commit(ev.where(F.col("event_id") % 2 == 1), table)
+        txlog.restore(table, version=0)
+        return txlog.read_table(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY (user_id, value) then a zone-map-pruned
+    selective scan on the SECOND clustering column (tools/txlog.py
+    ``optimize(zorder_by=...)``): events land as 8 arbitrary files,
+    the Morton-curve rewrite lays them out so each output file covers
+    a small (user_id, value) rectangle, and the value-range read
+    opens only the files whose zone maps intersect [20, 40] —
+    file skipping on a NON-LEADING dimension, which a lexicographic
+    sort cannot give. Pruning is a pure superset optimization, so the
+    result must equal the plain filtered scan — the oracle. The
+    multi-file layout + both-column skip ratios are pinned in pytest
+    (test_tools.py); at 100 TB this is the layout that turns a
+    two-predicate scan into a minority-of-files read."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-zorder-")
+    table = f"{root}/events_z"
+    try:
+        txlog.commit(ev.repartition(8), table)
+        txlog.optimize(
+            spark,
+            table,
+            target_file_mb=0.05,
+            zorder_by=["user_id", "value"],
+        )
+        return (
+            txlog.read_table_pruned(spark, table, "value", 20.0, 40.0)
+            .where(F.col("value").between(20.0, 40.0))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def current_user_state_with_deletes_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3299,6 +3369,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state_stream": current_user_state_stream,
     "current_user_state_with_deletes": current_user_state_with_deletes,
     "user_state_merge_into": user_state_merge_into,
+    "event_state_restore": event_state_restore,
+    "events_zorder_pruned_scan": events_zorder_pruned_scan,
     "event_counts_cdf_stream": event_counts_cdf_stream,
     "current_user_state_with_deletes_stream": (
         current_user_state_with_deletes_stream
@@ -4679,6 +4751,20 @@ ORACLE_SQL["current_user_state_txlog_stream"] = ORACLE_SQL[
 ORACLE_SQL["user_state_merge_into"] = ORACLE_SQL[
     "current_user_state_with_deletes"
 ]
+
+# RESTORE to v0 republishes exactly the even-id snapshot — the later
+# append must vanish from the head (and stay time-travelable, pytest)
+ORACLE_SQL["event_state_restore"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id % 2 = 0
+"""
+
+# zone-map pruning is a pure superset optimization: the Z-ordered
+# pruned scan must equal the plain filtered scan bit-for-bit
+ORACLE_SQL["events_zorder_pruned_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE value BETWEEN 20.0 AND 40.0
+"""
 
 # every streamed row must carry the version that ADDED it, so the
 # per-type distinct-commit count equals the distinct residues of the

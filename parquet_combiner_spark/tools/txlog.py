@@ -53,6 +53,12 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first; re-read and retry."""
 
 
+class ConstraintViolation(ValueError):
+    """A write carried rows failing a table CHECK constraint; nothing
+    was published (the rejected data directory is unreferenced
+    garbage for :func:`vacuum`)."""
+
+
 class CommitArbiter:
     """The atomicity primitive behind :func:`commit`: publish exactly
     one winner per (table, version). ``publish`` must either create
@@ -420,10 +426,45 @@ def commit(
                     "merge_schema=True to add columns"
                 )
 
+    constraints = dict(last.get("constraints", {})) if last else {}
+    obs = None
+    if constraints:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        # CHECK semantics (SQL standard, Delta's invariant enforcement):
+        # a row violates only when the expression is FALSE — NULL
+        # passes. Violation counts ride the write job itself as an
+        # Observation, so enforcement costs ZERO extra passes over the
+        # data (Delta does the same with write-job metrics).
+        obs = Observation()
+        df = df.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(expr), F.lit(True)), 1
+                    ).otherwise(0)
+                ).alias(name)
+                for name, expr in sorted(constraints.items())
+            ],
+        )
     commit_id = uuid.uuid4().hex
     rel_dir = os.path.join("data", commit_id)
     out_dir = os.path.join(table, rel_dir)
     df.write.mode("error").parquet(out_dir)
+    if obs is not None:
+        bad = {k: int(v) for k, v in obs.get.items() if v}
+        if bad:
+            # written files stay UNREFERENCED (vacuum's garbage) —
+            # nothing is published, the table is untouched
+            raise ConstraintViolation(
+                f"write into {table} violates CHECK constraint(s): "
+                + "; ".join(
+                    f"{k} ({constraints[k]}) fails on {v} row(s)"
+                    for k, v in sorted(bad.items())
+                )
+            )
     added = sorted(
         os.path.join(rel_dir, f)
         for f in os.listdir(out_dir)
@@ -457,6 +498,11 @@ def commit(
         record["remove"] = sorted(remove)
     if stats:
         record["stats"] = stats
+    if constraints:
+        # the active constraint set rides EVERY commit record, so
+        # resolution is one _last_commit read and expire_versions'
+        # rebase can never orphan it
+        record["constraints"] = constraints
     path = _log_path(table, version)
     try:
         (arbiter or _DEFAULT_ARBITER).publish(path, json.dumps(record))
@@ -617,6 +663,46 @@ def read_table_pruned(
     )
 
 
+def read_table_pruned_multi(
+    spark: SparkSession,
+    table: str,
+    predicates: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Conjunctive range scan with metadata file skipping on EVERY
+    zone-mapped column: ``predicates`` maps column → (lo, hi), a file
+    survives only if ALL its per-column zone maps intersect their
+    ranges, and the full conjunction is re-applied row-level so the
+    result is exactly the filtered snapshot.
+
+    This is the read-side payoff of ``optimize(zorder_by=[x, y])``:
+    on a Z-ordered layout each file covers a small hyper-rectangle,
+    so a two-predicate scan intersects the skip sets — file counts
+    multiply DOWN (each dimension independently eliminates most
+    files), where a lexicographic sort only ever prunes its leading
+    column. Files missing stats for a column are conservatively kept
+    for that column (same rule as :func:`read_table_pruned`)."""
+    files, schema, stats = _snapshot(table, version)
+    kept = [
+        f
+        for f in files
+        if all(
+            not _zone_disjoint(
+                stats.get(os.path.relpath(f, table), {}).get(c), lo, hi
+            )
+            for c, (lo, hi) in predicates.items()
+        )
+    ]
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        cond = cond & F.col(c).between(lo, hi)
+    if not kept:
+        return spark.createDataFrame([], schema).where(cond)
+    return spark.read.schema(schema).parquet(*kept).where(cond)
+
+
 def read_table_null_pruned(
     spark: SparkSession,
     table: str,
@@ -716,11 +802,51 @@ def read_table(
     return spark.read.schema(schema).parquet(*files)
 
 
+def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 8):
+    """Morton (Z-curve) key over ``cols`` as a pure JVM expression:
+    each column is rank-quantized to ``bits`` bits against its own
+    approx-quantile cut points (a PLAN LITERAL — one driver-side
+    approxQuantile per column, no per-row Python), then the bucket
+    bits are interleaved. Quantile buckets, not min/max linear
+    scaling, so heavy value skew still spreads across the curve —
+    the rank-binned upgrade `sources/io.write_zordered`'s docstring
+    calls for (that sink is the raw-parquet twin of this rewrite).
+    NULLs quantize to bucket 0 and cluster together at the curve's
+    origin — exactly where an IS NULL pruned read wants them."""
+    from pyspark.sql import functions as F
+
+    qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+
+    def _bucket(colname: str, cuts: list):
+        # closure factory: pyspark derives the lambda's arity from its
+        # parameter count, so the column name can't ride a default arg
+        return F.aggregate(
+            F.lit(cuts),
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(F.col(colname) >= cut, 1).otherwise(0),
+        )
+
+    buckets = []
+    for c in cols:
+        cuts = sorted(set(df.stat.approxQuantile(c, qs, 0.01)))
+        buckets.append(_bucket(c, cuts))
+    k = len(buckets)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
+
+
 def optimize(
     spark: SparkSession,
     table: str,
-    target_file_mb: int = 128,
+    target_file_mb: float = 128,
     max_retries: int = 3,
+    zorder_by: Sequence[str] | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> int:
     """Compact the table's CURRENT snapshot into sensibly-sized files
     as one ``overwrite`` commit (the warehouse OPTIMIZE operation,
@@ -738,6 +864,24 @@ def optimize(
 
     Returns the new version number.
 
+    ``zorder_by=[c1, c2, ...]`` is Delta's OPTIMIZE ... ZORDER BY:
+    instead of arbitrary coalescing, rows are laid out along a Morton
+    curve over the listed (numeric) columns — range-partitioned and
+    sorted by the interleaved-bit key — so each output file covers a
+    small hyper-rectangle of the (c1, c2, ...) space and the per-file
+    zone maps (recorded via ``stats_cols``, defaulting to the zorder
+    columns) prune selective reads on ANY of the listed columns, not
+    just the first sort key. This is the layout answer for the 100 TB
+    two-predicate scan: a lexicographic sort prunes only its leading
+    column; the Z-curve prunes both at a modest per-column resolution
+    cost (2^8 quantile buckets/column here). The curve key is a pure
+    JVM expression; the one extra exchange is the range partitioner
+    that any clustered rewrite needs.
+
+    ``stats_cols`` (independent of zorder) re-records zone maps on
+    the rewritten files so a compaction doesn't silently discard the
+    file-skipping metadata the table was committed with.
+
     Read-check-write discipline: the compaction rewrites the snapshot
     it READ, so the commit pins that snapshot's version as its base
     (``expected_version``) — an append landing between the snapshot
@@ -754,19 +898,100 @@ def optimize(
             raise FileNotFoundError(f"{table} has no data to optimize")
         total = sum(os.path.getsize(f) for f in files)
         n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
-        df = spark.read.schema(schema).parquet(*files).coalesce(int(n_files))
+        df = spark.read.schema(schema).parquet(*files)
+        meta: dict = {"optimize": True}
+        if zorder_by:
+            z = _zorder_column(df, zorder_by)
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(int(n_files), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            meta["zorder_by"] = list(zorder_by)
+        else:
+            df = df.coalesce(int(n_files))
+        keep_stats = stats_cols or (list(zorder_by) if zorder_by else None)
         try:
             return commit(
                 df,
                 table,
                 action="overwrite",
-                meta={"optimize": True},
+                meta=meta,
                 expected_version=base,
+                stats_cols=keep_stats,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
                 raise
             continue  # re-read the advanced snapshot and re-compact
+    raise AssertionError("unreachable")
+
+
+def compact_small_files(
+    spark: SparkSession,
+    table: str,
+    target_file_mb: float = 128,
+    small_file_mb: float | None = None,
+    max_retries: int = 3,
+    stats_cols: Sequence[str] | None = None,
+) -> int | None:
+    """INCREMENTAL compaction (Delta OPTIMIZE's actual bin-packing
+    contract): rewrite ONLY the snapshot's files smaller than
+    ``small_file_mb`` (default ``target_file_mb / 2``) into
+    target-sized ones, published as one atomic ``replace`` commit.
+    Files already at a healthy size are NOT read, NOT rewritten, and
+    keep their zone maps untouched.
+
+    This is the compaction a 100 TB table can afford: streaming
+    ingestion accretes one small file per micro-batch, and the fix
+    must cost O(small files), not O(table) — :func:`optimize`'s full
+    rewrite (still the right verb for a global re-layout such as
+    ``zorder_by``) would re-shuffle 100 TB to fix a few thousand MB.
+    Run at a cadence, this keeps file counts bounded while touching
+    only the freshly-ingested tail.
+
+    Rewritten files get zone maps for ``stats_cols``, defaulting to
+    every column the small files already had stats for — a cadenced
+    compaction never silently erodes the table's file-skipping
+    metadata.
+
+    Returns the new version, or ``None`` when fewer than two small
+    files exist (nothing worth publishing). Same read-check-write
+    discipline as the other DML verbs: the replace pins the snapshot
+    it read and retries on :class:`CommitConflict`."""
+    if small_file_mb is None:
+        small_file_mb = target_file_mb / 2
+    threshold = small_file_mb * 1024 * 1024
+    for attempt in range(max(1, max_retries)):
+        base = current_version(table)
+        if base < 0:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        files, schema, stats = _snapshot(table, base)
+        small = [f for f in files if os.path.getsize(f) < threshold]
+        if len(small) < 2:
+            return None
+        total = sum(os.path.getsize(f) for f in small)
+        n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        rels = [os.path.relpath(f, table) for f in small]
+        keep_stats = list(stats_cols) if stats_cols else sorted(
+            {c for r in rels for c in stats.get(r, {})}
+        )
+        df = spark.read.schema(schema).parquet(*small).coalesce(int(n_files))
+        try:
+            return commit(
+                df,
+                table,
+                action="replace",
+                remove=rels,
+                meta={"optimize": "bin-pack", "compacted": len(rels)},
+                expected_version=base,
+                stats_cols=keep_stats or None,
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue  # re-read the advanced snapshot and re-pack
     raise AssertionError("unreachable")
 
 
@@ -1291,6 +1516,10 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         "commit_id": base_rec["commit_id"],
         "meta": {**base_rec.get("meta", {}), "expired_through": keep_from - 1},
     }
+    if base_rec.get("constraints"):
+        # CHECK constraints ride every record, so the rebase carries
+        # the base's set — expiry never silently disarms enforcement
+        record["constraints"] = base_rec["constraints"]
     # the rebase preserves the ORIGINAL commit instant, so TIMESTAMP
     # AS OF resolution is unchanged by expiry. A pre-'ts' record's
     # instant is its log file's mtime (_commit_ts fallback) — stamp
@@ -1340,9 +1569,223 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
     return expired
 
 
+def restore(
+    table: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+    max_retries: int = 3,
+) -> int:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (Delta's
+    ``RESTORE``): republish an earlier snapshot's exact table state —
+    file list, schema, zone maps — as the table's NEW head version.
+    Returns the committed version number.
+
+    METADATA-ONLY: no data is read or rewritten; the restore commit
+    re-references the target version's immutable files (O(files)
+    metadata, zero Spark jobs — the operation a 100 TB table answers
+    in milliseconds). Because the files are re-referenced by the new
+    head, :func:`vacuum` keeps them alive; nothing between the target
+    and the old head is deleted either — every intermediate version
+    stays time-travelable, so a mistaken restore is itself
+    restorable. :func:`table_changes` across the restore boundary
+    yields exactly the undo diff (keys added since the target
+    classify as removed, and vice versa) — downstream CDF consumers
+    converge to the restored state with no special casing.
+
+    The full target STATE comes back — data, schema, and zone-map
+    stats — so a restore across a schema evolution also rolls the
+    schema back (the rows being republished are the old files; keeping
+    the evolved schema would null-fill phantom columns forever).
+
+    Concurrency: the restore pins the head it resolved against
+    (O_EXCL on head+1, the same arbiter-mediated race every commit
+    runs); a concurrent writer landing first surfaces as
+    :class:`CommitConflict` and the restore re-resolves and retries
+    up to ``max_retries`` — the target version is absolute, so the
+    retry republishes the same state at a later version number.
+
+    Raises ``ValueError`` if the target version is out of the
+    retained range (e.g. below an :func:`expire_versions` horizon) or
+    if both/neither of ``version``/``timestamp`` are given.
+    """
+    if (version is None) == (timestamp is None):
+        raise ValueError("restore needs exactly one of version|timestamp")
+    if timestamp is not None:
+        version = version_at_timestamp(table, timestamp)
+    for attempt in range(max(1, max_retries)):
+        last = _last_commit(table)
+        if last is None:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        target = _resolve_version(table, version)
+        files, schema, stats = _snapshot(table, target)
+        rels = [os.path.relpath(f, table) for f in files]
+        import time as _time
+
+        commit_ts = _time.time()
+        if last.get("ts") is not None:
+            commit_ts = max(commit_ts, last["ts"] + 1e-3)
+        record = {
+            "version": last["version"] + 1,
+            "action": "overwrite",
+            "add": rels,
+            "schema": schema,
+            "commit_id": uuid.uuid4().hex,
+            "ts": commit_ts,
+            "meta": {"restore_of": target},
+        }
+        kept_stats = {r: stats[r] for r in rels if stats.get(r)}
+        if kept_stats:
+            record["stats"] = kept_stats
+        # the FULL target state comes back, CHECK constraints included
+        # (a restore across an add_constraint must not keep enforcing
+        # a rule the restored rows were never validated against — and
+        # the restore of a constrained version re-arms its rules)
+        target_cons = _constraints_at(table, target)
+        if target_cons:
+            record["constraints"] = target_cons
+        try:
+            _DEFAULT_ARBITER.publish(
+                _log_path(table, record["version"]), json.dumps(record)
+            )
+            return record["version"]
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue  # head advanced; re-resolve and republish
+    raise AssertionError("unreachable")
+
+
+def _constraints_at(table: str, version: int) -> dict:
+    """Active CHECK constraints as of ``version``: every commit record
+    since the feature carries the full set, so this is one log-record
+    read (empty for records predating any add_constraint)."""
+    recs = _read_log(table, after=version - 1, through=version)
+    return dict(recs[0].get("constraints", {})) if recs else {}
+
+
+def constraints_of(table: str) -> dict:
+    """The table's active CHECK constraints, ``{name: sql_expr}``."""
+    last = _last_commit(table)
+    return dict(last.get("constraints", {})) if last else {}
+
+
+def _republish_head(
+    table: str, head: dict, meta: dict, constraints: dict
+) -> int:
+    """Publish a METADATA-ONLY commit that re-references the head
+    snapshot's exact files with an updated constraint set — the
+    ALTER TABLE commit shape. Raises :class:`CommitConflict` if the
+    head moved (callers run the optimistic retry loop)."""
+    files, schema, stats = _snapshot(table, head["version"])
+    rels = [os.path.relpath(f, table) for f in files]
+    import time as _time
+
+    commit_ts = _time.time()
+    if head.get("ts") is not None:
+        commit_ts = max(commit_ts, head["ts"] + 1e-3)
+    record = {
+        "version": head["version"] + 1,
+        "action": "overwrite",
+        "add": rels,
+        "schema": schema,
+        "commit_id": uuid.uuid4().hex,
+        "ts": commit_ts,
+        "meta": meta,
+    }
+    kept_stats = {r: stats[r] for r in rels if stats.get(r)}
+    if kept_stats:
+        record["stats"] = kept_stats
+    if constraints:
+        record["constraints"] = constraints
+    _DEFAULT_ARBITER.publish(
+        _log_path(table, record["version"]), json.dumps(record)
+    )
+    return record["version"]
+
+
+def add_constraint(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    expr: str,
+    max_retries: int = 3,
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) — Delta's
+    namesake verb. From the commit it lands in onward, EVERY write
+    (append, overwrite, replace — so merge_into / delete_where /
+    update_where / optimize / the streaming sink too) rejects rows
+    where ``expr`` evaluates to FALSE (NULL passes, the SQL-standard
+    CHECK rule) with :class:`ConstraintViolation`; enforcement rides
+    the write job as an Observation, zero extra data passes.
+
+    The EXISTING snapshot is validated first (one scan, Delta's
+    behavior) — a constraint the current rows already violate is
+    rejected, because enforcing it would make every future rewrite of
+    those rows fail. Read-check-write discipline: the validated
+    snapshot is pinned as the commit base; a concurrent write landing
+    in between forces re-validation (up to ``max_retries``).
+
+    Returns the commit version the constraint landed in."""
+    from pyspark.sql import functions as F
+
+    if not name.isidentifier():
+        raise ValueError(f"constraint name {name!r} is not an identifier")
+    for attempt in range(max(1, max_retries)):
+        head = _last_commit(table)
+        if head is None:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        cons = dict(head.get("constraints", {}))
+        if name in cons:
+            raise ValueError(
+                f"constraint {name} already exists on {table}: {cons[name]}"
+            )
+        current = read_table(spark, table, head["version"])
+        bad = current.where(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).count()
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name} ({expr}) to {table}: "
+                f"{bad} existing row(s) violate it"
+            )
+        cons[name] = expr
+        try:
+            return _republish_head(
+                table, head, {"add_constraint": name}, cons
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue  # head advanced: re-validate the new snapshot
+    raise AssertionError("unreachable")
+
+
+def drop_constraint(table: str, name: str, max_retries: int = 3) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT — stop enforcing ``name`` from
+    the returned commit version onward (metadata-only; no data is
+    read). Raises ``ValueError`` if the constraint doesn't exist."""
+    for attempt in range(max(1, max_retries)):
+        head = _last_commit(table)
+        if head is None:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        cons = dict(head.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no constraint {name} on {table}")
+        del cons[name]
+        try:
+            return _republish_head(
+                table, head, {"drop_constraint": name}, cons
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue
+    raise AssertionError("unreachable")
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI: ``python -m parquet_combiner_spark.tools.txlog <table>
-    [--history | --optimize | --expire KEEP_FROM |
+    [--history | --optimize | --restore VERSION | --expire KEEP_FROM |
     --vacuum [--min-age S] [--dry-run]]``."""
     import argparse
     import json as _json
@@ -1357,6 +1800,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--optimize", action="store_true")
     ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument(
+        "--zorder-by",
+        help="comma-separated numeric columns: OPTIMIZE lays rows out "
+        "along a Morton curve so zone maps prune on every listed column",
+    )
     ap.add_argument(
         "--merge-from",
         metavar="PARQUET",
@@ -1377,6 +1825,25 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="materialize the latest snapshot state as a checkpoint "
         "record (readers replay only commits after it)",
+    )
+    ap.add_argument(
+        "--restore",
+        type=int,
+        metavar="VERSION",
+        help="republish this version's snapshot as the new head "
+        "(metadata-only; every intermediate version stays readable)",
+    )
+    ap.add_argument(
+        "--add-constraint",
+        nargs=2,
+        metavar=("NAME", "EXPR"),
+        help="ADD CONSTRAINT NAME CHECK (EXPR): validate the current "
+        "snapshot, then enforce on every future write",
+    )
+    ap.add_argument(
+        "--drop-constraint",
+        metavar="NAME",
+        help="stop enforcing this CHECK constraint (metadata-only)",
     )
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--min-age", type=float, default=3600.0)
@@ -1401,6 +1868,7 @@ def main(argv: list[str] | None = None) -> int:
             get_spark(app_name="txlog-optimize"),
             args.table,
             target_file_mb=args.target_file_mb,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
         )
         print(f"optimized -> version {v}")
     if args.merge_from:
@@ -1421,6 +1889,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.checkpoint:
         v = checkpoint(args.table)
         print(f"checkpointed version {v}")
+    if args.restore is not None:
+        v = restore(args.table, version=args.restore)
+        print(f"restored version {args.restore} -> version {v}")
+    if args.add_constraint:
+        from parquet_combiner_spark.session import get_spark
+
+        cname, cexpr = args.add_constraint
+        v = add_constraint(
+            get_spark(app_name="txlog-constraint"), args.table, cname, cexpr
+        )
+        print(f"constraint {cname} added -> version {v}")
+    if args.drop_constraint:
+        v = drop_constraint(args.table, args.drop_constraint)
+        print(f"constraint {args.drop_constraint} dropped -> version {v}")
     if args.expire is not None:
         expired = expire_versions(args.table, args.expire)
         print(f"expired {len(expired)} version(s)")
@@ -1438,6 +1920,9 @@ def main(argv: list[str] | None = None) -> int:
         or args.merge_from
         or args.checkpoint
         or args.expire is not None
+        or args.restore is not None
+        or args.add_constraint
+        or args.drop_constraint
     ):
         print(f"version: {current_version(args.table)}")
     return 0

@@ -1619,3 +1619,334 @@ def test_txlog_commit_ts_monotonic_under_backward_clock_step(
     assert txlog.version_at_timestamp(table, ts0) == 0
     assert txlog.version_at_timestamp(table, ts1) == 1
     assert txlog.version_at_timestamp(table, _time.time()) == 1
+
+
+def test_txlog_restore_lifecycle(spark, tmp_path):
+    """RESTORE republishes an earlier snapshot as the NEW head,
+    metadata-only: no data files are written, every intermediate
+    version stays time-travelable, the restore is itself restorable,
+    and vacuum keeps the re-referenced files alive."""
+    import os
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(spark.createDataFrame([Row(k=1), Row(k=2)]), table)
+    txlog.commit(spark.createDataFrame([Row(k=3)]), table)
+    data_dirs_before = set(os.listdir(os.path.join(table, "data")))
+
+    v = txlog.restore(table, version=0)
+    assert v == 2
+    # METADATA-ONLY: restore wrote no new data directory
+    assert set(os.listdir(os.path.join(table, "data"))) == data_dirs_before
+    assert txlog.read_table(spark, table).count() == 2
+    assert txlog.history(table)[0]["meta"] == {"restore_of": 0}
+    # the skipped-over version is still readable (and still counts)
+    assert txlog.read_table(spark, table, 1).count() == 3
+    assert txlog.fast_count(table, 1) == 3
+    # vacuum keeps everything: v1's file is referenced by v1 itself
+    assert txlog.vacuum(table, dry_run=True, min_age_seconds=0) == []
+
+    # a mistaken restore is restorable (restore to the pre-restore head)
+    v2 = txlog.restore(table, version=1)
+    assert txlog.read_table(spark, table).count() == 3
+    assert v2 == 3
+
+    # timestamp form resolves through the canonical commit instants
+    ts0 = txlog._commit_ts(table, 0)
+    v3 = txlog.restore(table, timestamp=ts0)
+    assert txlog.read_table(spark, table).count() == 2
+    assert txlog.history(table)[0]["meta"] == {"restore_of": 0}
+    assert v3 == 4
+
+    # CDF across the restore boundary is the undo diff: k=3 (added in
+    # v1, gone from the restored state) classifies as removed
+    changes = txlog.table_changes(spark, table, 3, 4, keys=["k"])
+    rows = {
+        (r["k"], r["change"])
+        for r in changes.collect()
+        if r["change"] != "unchanged"
+    }
+    assert rows == {(3, "removed")}
+
+    # exactly one of version|timestamp
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        txlog.restore(table)
+    with pytest.raises(ValueError, match="exactly one"):
+        txlog.restore(table, version=0, timestamp=ts0)
+    # out-of-range target
+    with pytest.raises(ValueError):
+        txlog.restore(table, version=99)
+
+
+def test_txlog_restore_conflict_retry(spark, tmp_path):
+    """A concurrent writer landing between resolve and publish makes
+    the restore lose the O_EXCL race; the retry re-resolves the head
+    and republishes the SAME absolute target at the next version."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(spark.createDataFrame([Row(k=1)]), table)
+    txlog.commit(spark.createDataFrame([Row(k=2)]), table)
+
+    class SqueezeIn(txlog.CommitArbiter):
+        def __init__(self):
+            self.raced = False
+
+        def publish(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                # a concurrent append wins version 2 first
+                txlog.FilesystemArbiter().publish(path, payload.replace(
+                    '"restore_of": 0', '"squeezed": true'
+                ))
+                raise txlog.CommitConflict(f"{path} taken concurrently")
+            txlog.FilesystemArbiter().publish(path, payload)
+
+    prev = txlog.set_arbiter(SqueezeIn())
+    try:
+        v = txlog.restore(table, version=0)
+    finally:
+        txlog.set_arbiter(prev)
+    assert v == 3
+    assert txlog.read_table(spark, table).count() == 1
+    assert txlog.history(table)[0]["meta"] == {"restore_of": 0}
+
+
+def test_txlog_check_constraints(spark, tmp_path):
+    """ALTER TABLE ADD CONSTRAINT semantics: existing data validated
+    at add time, every later write (append AND the DML verbs riding
+    commit()) rejects FALSE rows, NULL passes (SQL CHECK rule),
+    restore rolls the constraint state back with the data, and
+    expire_versions' rebase carries the active set forward."""
+    import pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(
+        spark.createDataFrame([Row(k=1, a=5), Row(k=2, a=9)], "k int, a int"),
+        table,
+    )
+    # a constraint the current rows violate is rejected
+    with pytest.raises(txlog.ConstraintViolation, match="existing"):
+        txlog.add_constraint(spark, table, "a_small", "a < 9")
+    v = txlog.add_constraint(spark, table, "a_small", "a < 10")
+    assert v == 1
+    assert txlog.constraints_of(table) == {"a_small": "a < 10"}
+    with pytest.raises(ValueError, match="already exists"):
+        txlog.add_constraint(spark, table, "a_small", "a < 99")
+    with pytest.raises(ValueError, match="identifier"):
+        txlog.add_constraint(spark, table, "no-dashes", "a < 99")
+
+    # FALSE rows reject; the table is untouched
+    with pytest.raises(txlog.ConstraintViolation, match="a_small"):
+        txlog.commit(
+            spark.createDataFrame([Row(k=3, a=55)], "k int, a int"), table
+        )
+    assert txlog.current_version(table) == 1
+    assert txlog.fast_count(table) == 2
+    # NULL passes (SQL-standard CHECK), valid rows commit
+    txlog.commit(
+        spark.createDataFrame([Row(k=4, a=None)], "k int, a int"), table
+    )
+    assert txlog.fast_count(table) == 3
+
+    # enforcement rides the DML kernels too (merge_into -> replace)
+    with pytest.raises(txlog.ConstraintViolation):
+        txlog.merge_into(
+            spark,
+            table,
+            spark.createDataFrame([Row(k=1, a=77)], "k int, a int"),
+            keys=["k"],
+            version_cols=["a"],
+        )
+
+    # restore to the pre-constraint version disarms it (full state)
+    txlog.restore(table, version=0)
+    assert txlog.constraints_of(table) == {}
+    txlog.commit(
+        spark.createDataFrame([Row(k=9, a=99)], "k int, a int"), table
+    )
+
+    # re-arm, then expire history: the rebase keeps the constraint
+    txlog.add_constraint(spark, table, "a_any", "a IS NOT NULL OR k > 0")
+    head = txlog.current_version(table)
+    txlog.expire_versions(table, head)
+    assert txlog.constraints_of(table) == {
+        "a_any": "a IS NOT NULL OR k > 0"
+    }
+    # drop
+    txlog.drop_constraint(table, "a_any")
+    assert txlog.constraints_of(table) == {}
+    with pytest.raises(ValueError, match="no constraint"):
+        txlog.drop_constraint(table, "a_any")
+
+
+def test_txlog_optimize_zorder_prunes_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): after the Morton-curve rewrite, the
+    per-file zone maps prune a selective predicate on EITHER column
+    to a strict minority of files — the property a lexicographic
+    sort only has for its leading column — and the data survives the
+    rewrite bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "z")
+    df = spark.range(60000).select(
+        "id",
+        (F.abs(F.hash("id")) % 1000).alias("x"),
+        (F.abs(F.hash(F.col("id") + 1)) % 1000).alias("y"),
+    )
+    txlog.commit(df.repartition(8), table)
+    before = sorted(map(tuple, txlog.read_table(spark, table).collect()))
+
+    v = txlog.optimize(spark, table, target_file_mb=0.02, zorder_by=["x", "y"])
+    rec = txlog._last_commit(table)
+    assert rec["meta"] == {"optimize": True, "zorder_by": ["x", "y"]}
+    n = len(rec["add"])
+    assert n >= 8, f"need a multi-file layout to measure pruning, got {n}"
+    kept_x = sum(
+        1
+        for f in rec["add"]
+        if not txlog._zone_disjoint(rec["stats"][f].get("x"), 0, 50)
+    )
+    kept_y = sum(
+        1
+        for f in rec["add"]
+        if not txlog._zone_disjoint(rec["stats"][f].get("y"), 0, 50)
+    )
+    # a ~5%-selective predicate on EACH dimension must skip most files
+    assert kept_x < n / 2, (kept_x, n)
+    assert kept_y < n / 2, (kept_y, n)
+
+    after = sorted(map(tuple, txlog.read_table(spark, table, v).collect()))
+    assert after == before
+    # pruned read agrees with the full read under the predicate
+    pruned = (
+        txlog.read_table_pruned(spark, table, "y", 0, 50)
+        .where(F.col("y").between(0, 50))
+        .count()
+    )
+    assert pruned == sum(1 for r in after if 0 <= r[2] <= 50)
+
+
+def test_txlog_compact_small_files_incremental(spark, tmp_path):
+    """Incremental bin-packing: only the sub-threshold files are
+    rewritten (one atomic replace), healthy files keep their exact
+    paths AND their zone maps, and the data is unchanged. A second
+    run with nothing small left is a no-op returning None."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    # one healthy file (large-ish) ...
+    txlog.commit(
+        spark.range(50000)
+        .select("id", (F.col("id") % 100).alias("k"))
+        .coalesce(1),
+        table,
+        stats_cols=["k"],
+    )
+    # ... plus a stream of tiny single-row appends
+    for i in range(4):
+        txlog.commit(
+            spark.range(i, i + 1).select(
+                "id", (F.col("id") % 100).alias("k")
+            ),
+            table,
+            stats_cols=["k"],
+        )
+    rec_before = txlog._snapshot(table, None)
+    files_before = [os.path.relpath(f, table) for f in rec_before[0]]
+    big = max(files_before, key=lambda r: os.path.getsize(os.path.join(table, r)))
+    rows_before = sorted(
+        map(tuple, txlog.read_table(spark, table).collect())
+    )
+
+    v = txlog.compact_small_files(
+        spark, table, target_file_mb=64, small_file_mb=0.1
+    )
+    assert v == 5
+    rec = txlog._last_commit(table)
+    assert rec["action"] == "replace"
+    assert rec["meta"]["optimize"] == "bin-pack"
+    # the healthy file was NOT touched
+    assert big not in rec["remove"]
+    files_after, _, stats_after = txlog._snapshot(table, None)
+    rels_after = [os.path.relpath(f, table) for f in files_after]
+    assert big in rels_after
+    # fewer files, same rows
+    assert len(rels_after) < len(files_before)
+    assert (
+        sorted(map(tuple, txlog.read_table(spark, table).collect()))
+        == rows_before
+    )
+    # zone maps carried onto the rewritten file(s), untouched on big
+    for r in rec["add"]:
+        assert "k" in rec["stats"][r]
+    assert "k" in stats_after[big]
+    # steady state: nothing small left -> no-op, no version burned
+    assert (
+        txlog.compact_small_files(
+            spark, table, target_file_mb=64, small_file_mb=0.1
+        )
+        is None
+    )
+    assert txlog.current_version(table) == 5
+
+
+def test_txlog_read_table_pruned_multi(spark, tmp_path):
+    """Conjunctive pruning intersects the per-column skip sets: on a
+    Z-ordered table the (x AND y) scan opens fewer files than either
+    single-column prune, and the result equals the plain filtered
+    read."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "z")
+    df = spark.range(60000).select(
+        "id",
+        (F.abs(F.hash("id")) % 1000).alias("x"),
+        (F.abs(F.hash(F.col("id") + 1)) % 1000).alias("y"),
+    )
+    txlog.commit(df.repartition(8), table)
+    txlog.optimize(spark, table, target_file_mb=0.02, zorder_by=["x", "y"])
+    rec = txlog._last_commit(table)
+    n = len(rec["add"])
+
+    def kept(preds):
+        return sum(
+            1
+            for f in rec["add"]
+            if all(
+                not txlog._zone_disjoint(rec["stats"][f].get(c), lo, hi)
+                for c, (lo, hi) in preds.items()
+            )
+        )
+
+    kx = kept({"x": (0, 50)})
+    ky = kept({"y": (0, 50)})
+    kxy = kept({"x": (0, 50), "y": (0, 50)})
+    assert kxy <= min(kx, ky) < n
+    out = txlog.read_table_pruned_multi(
+        spark, table, {"x": (0, 50), "y": (0, 50)}
+    )
+    expected = (
+        txlog.read_table(spark, table)
+        .where(F.col("x").between(0, 50) & F.col("y").between(0, 50))
+        .count()
+    )
+    assert out.count() == expected
