@@ -629,6 +629,26 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_decontaminate_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage Bloom decontamination (quality.decontaminate_bloom):
+    every training n-gram is tested against the eval set's Bloom
+    bitmap — a fixed-size plan literal built DISTRIBUTED (bit_or of
+    Kirsch-Mitzenmacher probe positions, never a driver funnel of
+    grams) — and only the surviving candidates reach the exact
+    broadcast confirm join. Bloom false positives die in stage 2, so
+    the answer is bit-identical to the one-stage exact path and the
+    SAME DuckDB oracle checks both. The scale story: an eval suite
+    too large to probe exhaustively compresses to a few-MB bitmap
+    that eliminates ~99% of join volume on a clean corpus."""
+    docs = _docs(spark, sf_dir)
+    is_eval = (F.col("doc_id") % _DECON_EVAL_MOD) == 0
+    return quality.decontaminate_bloom(
+        docs.where(~is_eval), docs.where(is_eval), n=_DECON_NGRAM
+    )
+
+
 _STRAT_RATES = {"en": 0.25, "de": 0.75, "fr": 1.0}
 _STRAT_SEED = "strat-v1"
 
@@ -1121,6 +1141,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_repetition_stats": q_doc_repetition_stats,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_source_temperature_sample": q_doc_source_temperature_sample,
     "doc_weighted_sample": q_doc_weighted_sample,
@@ -2069,6 +2090,13 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
 # the hash signal
 PIPELINE_ORACLE_SQL["near_dup_clusters_logstar"] = PIPELINE_ORACLE_SQL[
     "near_dup_clusters"
+]
+
+# the Bloom prefilter is a pure pruning stage (no false negatives;
+# false positives die in the exact confirm join), so the two-stage
+# path answers bit-identically to the one-stage exact path
+PIPELINE_ORACLE_SQL["doc_decontaminate_bloom"] = PIPELINE_ORACLE_SQL[
+    "doc_decontaminate"
 ]
 
 # leakage = near-dup pairs whose endpoints hash into different splits;

@@ -97,6 +97,55 @@ def test_decontaminate_broadcasts_eval_side(spark, decon_data):
     assert_broadcast_join(quality.decontaminate(train, eval_df))
 
 
+def test_decontaminate_bloom_exact_parity(spark, decon_data):
+    """Two-stage Bloom path == one-stage exact path bit-for-bit (the
+    prefilter has no false negatives; FPs die in the confirm join) —
+    including at an aggressively tiny bitmap where FPs are common."""
+    train, eval_df = decon_data
+    a = sorted(quality.decontaminate(train, eval_df).collect())
+    b = sorted(quality.decontaminate_bloom(train, eval_df).collect())
+    assert a == b
+    tiny = sorted(
+        quality.decontaminate_bloom(
+            train, eval_df, num_bits=64, num_hashes=2
+        ).collect()
+    )
+    assert tiny == a
+
+
+def test_bloom_bitmap_prunes_disjoint_corpus(spark, decon_data):
+    """The prefilter eliminates (nearly) every gram of a corpus
+    disjoint from the eval set, and never drops a planted member."""
+    from pyspark.sql import functions as F
+
+    train, eval_df = decon_data
+    bm = quality.ngram_bloom_bitmap(eval_df, n=3)
+    assert len(bm) == (1 << 20) // 64
+    # planted member grams ALL pass (no false negatives)
+    ev_grams = quality._doc_ngrams(eval_df, 3, "text")
+    n_ev = ev_grams.count()
+    assert (
+        ev_grams.where(
+            quality.bloom_might_contain(F.col("gram"), bm)
+        ).count()
+        == n_ev
+    )
+    # a disjoint corpus is (almost entirely) pruned before any join
+    other = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"wholly different words number {i * 31} x")
+            for i in range(300)
+        ]
+    )
+    g = quality._doc_ngrams(other, 3, "text", id_col="doc_id")
+    kept = g.where(quality.bloom_might_contain(F.col("gram"), bm)).count()
+    assert kept <= g.count() * 0.01
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        quality.ngram_bloom_bitmap(eval_df, num_bits=100)
+
+
 @pytest.fixture(scope="module")
 def strat_docs(spark):
     return spark.createDataFrame(
