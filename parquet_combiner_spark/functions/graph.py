@@ -241,6 +241,16 @@ def triangle_counts(
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     )
+    # materialize the oriented edge list ONCE: it feeds three plan
+    # branches (both wedge sides + the closure probe), and through the
+    # self-joins Catalyst replicates the whole distinct+degree-join
+    # subtree per branch (measured: the pairs input scanned 15x, a 3x
+    # line slowdown at sf0.1) — ReuseExchange only catches exact
+    # exchange twins, not subtrees under different join keys. The
+    # edge frame is pairs-sized (graph metadata, not corpus), so the
+    # checkpoint is small; lineage truncation also keeps the wedge
+    # join planning flat.
+    oriented = oriented.localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     # wedges at the lowest-ranked vertex: two out-edges, second
     # strictly higher-ranked than the first (each triangle built once)
