@@ -847,7 +847,8 @@ def optimize(
     max_retries: int = 3,
     zorder_by: Sequence[str] | None = None,
     stats_cols: Sequence[str] | None = None,
-) -> int:
+    where: tuple | None = None,
+) -> int | None:
     """Compact the table's CURRENT snapshot into sensibly-sized files
     as one ``overwrite`` commit (the warehouse OPTIMIZE operation,
     composed from the namesake compaction sizing).
@@ -882,6 +883,18 @@ def optimize(
     the rewritten files so a compaction doesn't silently discard the
     file-skipping metadata the table was committed with.
 
+    ``where=(col, lo, hi)`` is Delta's OPTIMIZE ... WHERE — the scoped
+    rewrite a 100 TB table actually runs: only files whose zone map
+    for ``col`` intersects [lo, hi] are rewritten (file granularity —
+    every row in a selected file is preserved verbatim), published as
+    one atomic ``replace`` commit; the rest of the snapshot is never
+    read. Z-ordering the hot time-slice nightly is
+    ``optimize(..., zorder_by=[x, y], where=("day", d, d))`` — each
+    slice pays only its own rewrite. Files without recorded stats for
+    ``col`` are conservatively INCLUDED (rewriting extra files is
+    safe; skipping a matching one would strand it unclustered).
+    Returns None when the scope selects nothing.
+
     Read-check-write discipline: the compaction rewrites the snapshot
     it READ, so the commit pins that snapshot's version as its base
     (``expected_version``) — an append landing between the snapshot
@@ -893,9 +906,28 @@ def optimize(
     """
     for attempt in range(max(1, max_retries)):
         base = current_version(table)
-        files, schema = _snapshot_files(table, base if base >= 0 else None)
+        files, schema, snap_stats = _snapshot(
+            table, base if base >= 0 else None
+        )
         if not files:
             raise FileNotFoundError(f"{table} has no data to optimize")
+        action = "overwrite"
+        remove = None
+        if where is not None:
+            col, lo, hi = where
+            files = [
+                f
+                for f in files
+                if not _zone_disjoint(
+                    snap_stats.get(os.path.relpath(f, table), {}).get(col),
+                    lo,
+                    hi,
+                )
+            ]
+            if not files:
+                return None
+            action = "replace"
+            remove = [os.path.relpath(f, table) for f in files]
         total = sum(os.path.getsize(f) for f in files)
         n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         df = spark.read.schema(schema).parquet(*files)
@@ -911,15 +943,25 @@ def optimize(
             meta["zorder_by"] = list(zorder_by)
         else:
             df = df.coalesce(int(n_files))
+        if where is not None:
+            meta["where"] = [where[0], _json_safe(where[1]), _json_safe(where[2])]
         keep_stats = stats_cols or (list(zorder_by) if zorder_by else None)
+        if keep_stats is None and where is not None:
+            # a scoped rewrite keeps every stat column its input files
+            # had (same rule as compact_small_files) — at minimum the
+            # scoping column, or the next scoped run can't find them
+            keep_stats = sorted(
+                {c for r in remove for c in snap_stats.get(r, {})}
+            ) or [where[0]]
         try:
             return commit(
                 df,
                 table,
-                action="overwrite",
+                action=action,
                 meta=meta,
                 expected_version=base,
                 stats_cols=keep_stats,
+                remove=remove,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:

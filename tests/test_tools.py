@@ -1950,3 +1950,69 @@ def test_txlog_read_table_pruned_multi(spark, tmp_path):
         .count()
     )
     assert out.count() == expected
+
+
+def test_txlog_optimize_where_scoped_rewrite(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only files whose zone map intersects the
+    scope are rewritten (one atomic replace, rows preserved verbatim
+    at file granularity); out-of-scope files keep their exact paths;
+    an empty scope is a None no-op; Z-order applies within the
+    scope."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    df = spark.range(20000).select(
+        "id",
+        (F.col("id") % 100).alias("day"),
+        (F.abs(F.hash("id")) % 1000).alias("x"),
+    )
+    # two zone-disjoint commits: days 0-49 and days 50-99
+    txlog.commit(
+        df.where("day < 50").repartition(4), table, stats_cols=["day", "x"]
+    )
+    txlog.commit(
+        df.where("day >= 50").repartition(4), table, stats_cols=["day", "x"]
+    )
+    rows_before = sorted(map(tuple, txlog.read_table(spark, table).collect()))
+    files_before, _, stats_before = txlog._snapshot(table, None)
+    rels_before = [
+        __import__("os").path.relpath(f, table) for f in files_before
+    ]
+    cold = [
+        r
+        for r in rels_before
+        if txlog._zone_disjoint(stats_before[r].get("day"), 0, 49)
+    ]
+    assert cold, "fixture must have out-of-scope files"
+
+    v = txlog.optimize(
+        spark,
+        table,
+        target_file_mb=0.05,
+        zorder_by=["day", "x"],
+        where=("day", 0, 49),
+    )
+    rec = txlog._last_commit(table)
+    assert rec["action"] == "replace"
+    assert rec["meta"]["where"] == ["day", 0, 49]
+    # out-of-scope files never touched: not removed, still in snapshot
+    assert not set(cold) & set(rec["remove"])
+    files_after, _, stats_after = txlog._snapshot(table, None)
+    rels_after = [
+        __import__("os").path.relpath(f, table) for f in files_after
+    ]
+    assert set(cold) <= set(rels_after)
+    # rewritten files carry zone maps for the zorder columns
+    for r in rec["add"]:
+        assert "day" in rec["stats"][r] and "x" in rec["stats"][r]
+    # rows preserved bit-for-bit
+    assert (
+        sorted(map(tuple, txlog.read_table(spark, table, v).collect()))
+        == rows_before
+    )
+    # empty scope -> None, no version burned
+    head = txlog.current_version(table)
+    assert txlog.optimize(spark, table, where=("day", 1000, 2000)) is None
+    assert txlog.current_version(table) == head
