@@ -2016,3 +2016,77 @@ def test_txlog_optimize_where_scoped_rewrite(spark, tmp_path):
     head = txlog.current_version(table)
     assert txlog.optimize(spark, table, where=("day", 1000, 2000)) is None
     assert txlog.current_version(table) == head
+
+
+def test_txlog_add_constraint_revalidates_after_conflict(spark, tmp_path):
+    """A write landing between add_constraint's snapshot validation
+    and its publish makes the ALTER lose the O_EXCL race; the retry
+    re-validates the ADVANCED snapshot — so a concurrently-committed
+    violating row is caught instead of being grandfathered in."""
+    import json
+
+    import pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(spark.createDataFrame([Row(k=1, a=5)], "k int, a int"), table)
+
+    class SqueezeViolator(txlog.CommitArbiter):
+        """First publish: a concurrent append of a VIOLATING row wins
+        the contested version, then the ALTER's publish conflicts."""
+
+        def __init__(self):
+            self.raced = False
+
+        def publish(self, path, payload):
+            if not self.raced:
+                self.raced = True
+                bad = spark.createDataFrame(
+                    [Row(k=2, a=99)], "k int, a int"
+                )
+                prev = txlog.set_arbiter(txlog.FilesystemArbiter())
+                try:
+                    txlog.commit(bad, table)
+                finally:
+                    txlog.set_arbiter(prev)
+                raise txlog.CommitConflict(f"{path} taken concurrently")
+            txlog.FilesystemArbiter().publish(path, payload)
+
+    prev = txlog.set_arbiter(SqueezeViolator())
+    try:
+        with pytest.raises(txlog.ConstraintViolation, match="existing"):
+            txlog.add_constraint(spark, table, "a_small", "a < 10")
+    finally:
+        txlog.set_arbiter(prev)
+    # nothing published by the failed ALTER: head is the violator's
+    # append, with no constraints
+    assert txlog.constraints_of(table) == {}
+    assert txlog.fast_count(table) == 2
+
+
+def test_txlog_sink_rejects_constraint_violating_batch(spark, tmp_path):
+    """CHECK constraints gate the streaming ingestion path too: the
+    exactly-once sink rides commit(), so a poisoned micro-batch
+    raises ConstraintViolation (failing the stream loudly) and
+    publishes nothing — the table never holds invalid rows."""
+    import pytest
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.txlog_sink import (
+        txlog_append_batch,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "sinked")
+    txlog.commit(spark.createDataFrame([Row(k=1, v=10)], "k int, v int"), table)
+    txlog.add_constraint(spark, table, "v_pos", "v >= 0")
+
+    ok = spark.createDataFrame([Row(k=2, v=5)], "k int, v int")
+    assert txlog_append_batch(ok, 0, table, set())
+    bad = spark.createDataFrame([Row(k=3, v=-1)], "k int, v int")
+    with pytest.raises(txlog.ConstraintViolation, match="v_pos"):
+        txlog_append_batch(bad, 1, table, set())
+    assert txlog.fast_count(table) == 2
+    assert txlog.read_table(spark, table).where("v < 0").count() == 0
