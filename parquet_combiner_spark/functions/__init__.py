@@ -84,6 +84,13 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.exact_dedup_docs(_docs(spark, sf_dir))
 
 
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-style scoring with add-alpha smoothing
+    (:func:`text.doc_bigram_logprob`) — transition-aware quality
+    filtering the unigram scorer cannot express."""
+    return text.doc_bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram log-probability per document (the perplexity-
     filter proxy, see :func:`text.doc_unigram_logprob`)."""
@@ -1138,6 +1145,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_repetition_stats": q_doc_repetition_stats,
     "doc_decontaminate": q_doc_decontaminate,
@@ -1540,6 +1548,29 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                    AS avg_logp
         FROM t JOIN v USING (w), tot
         GROUP BY t.doc_id
+    """,
+    # add-alpha bigram LM: c12/c1 from the same pair stream, V =
+    # context vocabulary, alpha = 0.1 (the Spark-side plan literal)
+    "doc_bigram_logprob": """
+        WITH t AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS a
+            FROM documents
+        ), p AS (
+            SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+            FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i FROM t)
+        ), bi AS (
+            SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2
+        ), uni AS (
+            SELECT w1, sum(c12) AS c1 FROM bi GROUP BY 1
+        ), vv AS (
+            SELECT CAST(count(*) AS DOUBLE) AS v FROM uni
+        )
+        SELECT p.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(ln((bi.c12 + 0.1) / (uni.c1 + 0.1 * vv.v))), 4)
+                   AS avg_logp
+        FROM p JOIN bi USING (w1, w2) JOIN uni USING (w1), vv
+        GROUP BY p.doc_id
     """,
     "doc_token_stats": f"""
         SELECT doc_id, lang,

@@ -615,6 +615,70 @@ def doc_unigram_logprob(
     )
 
 
+def doc_bigram_logprob(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Bigram language-model scoring with add-alpha smoothing — the
+    step up from :func:`doc_unigram_logprob` toward the KenLM
+    perplexity filter (CCNet/Gopher): each document scored by the
+    mean conditional log-probability of its token bigrams under the
+    corpus's own bigram distribution,
+
+        logP(w2|w1) = ln((c(w1 w2) + alpha) / (c(w1) + alpha·V))
+
+    where c(w1) is w1's count as a bigram CONTEXT (tokens except each
+    document's last) and V the context vocabulary size — so unseen
+    continuations get smoothed mass instead of -inf, and word-salad
+    documents (every unigram common, transitions improbable) now
+    score low where the unigram model cannot see past frequency.
+
+    Plan shape at 100 TB: bigram emission is the MinHash slice-zip
+    idiom — two shifted slices of the token array zipped and exploded,
+    a pure map, no lambda per element, no window. The bigram table is
+    one partial-aggregated groupBy; its context marginals derive from
+    THAT table (vocabulary-sized input, not a second corpus pass); V
+    rides as a broadcast 1-row frame. The probe join is left to AQE:
+    bigram vocabularies are Zipf-bounded far below the corpus, so it
+    broadcasts in practice, and degrades to ONE hash shuffle of the
+    pair stream when a corpus outgrows that — either way the final
+    per-document mean partial-aggregates map-side. Smoothing
+    constants are plan literals.
+
+    Output: (id, n_bigrams, avg_logp) — documents with fewer than two
+    tokens have no bigrams and no row (the unigram scorer's ≥1-token
+    convention, one order up)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n_pairs), F.slice(toks, 2, n_pairs)
+    )
+    pairs = documents.select(
+        F.col(id_col), F.explode(zipped).alias("p")
+    ).select(id_col, F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("__v"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(F.broadcast(uni), ["w1"])
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            id_col,
+            F.log(
+                (F.col("c12") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("__v"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE tokenization (merges table as plan literals)
 # ---------------------------------------------------------------------------

@@ -898,6 +898,46 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[2]["avg_logp"] == pytest.approx(round(math.log(0.25), 4), abs=1e-4)
 
 
+def test_bigram_logprob_hand_computed_and_transition_aware(spark):
+    """Corpus 'a b a b a' + 'b a'. Bigrams: doc1 = ab,ba,ab,ba;
+    doc2 = ba. c(ab)=2, c(ba)=3; contexts c(a)=2, c(b)=3; V=2.
+    With alpha=0.1: logP(b|a)=ln(2.1/2.2), logP(a|b)=ln(3.1/3.2).
+    Also the semantic claim: under a corpus with a dominant word
+    order, a scrambled doc ties the fluent one on UNIGRAMS but
+    scores strictly lower on BIGRAMS (transition-awareness)."""
+    import math
+
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b a"), Row(doc_id=2, text="b a")]
+    )
+    got = {
+        r["doc_id"]: r for r in text.doc_bigram_logprob(docs).collect()
+    }
+    p_ab = math.log(2.1 / 2.2)
+    p_ba = math.log(3.1 / 3.2)
+    assert got[1]["n_bigrams"] == 4 and got[2]["n_bigrams"] == 1
+    assert got[1]["avg_logp"] == pytest.approx(
+        round((2 * p_ab + 2 * p_ba) / 4, 4), abs=1e-4
+    )
+    assert got[2]["avg_logp"] == pytest.approx(round(p_ba, 4), abs=1e-4)
+    # a one-token doc has no bigrams and no row
+    single = spark.createDataFrame([Row(doc_id=9, text="a")])
+    assert text.doc_bigram_logprob(single).count() == 0
+
+    fluent = "the cat sat . " * 10
+    corpus = [Row(doc_id=i, text=fluent.strip()) for i in range(10)]
+    scrambled = Row(doc_id=99, text=("sat the . cat " * 10).strip())
+    df = spark.createDataFrame(corpus + [scrambled])
+    uni = {r["doc_id"]: r["avg_logp"] for r in text.doc_unigram_logprob(df).collect()}
+    bi = {r["doc_id"]: r["avg_logp"] for r in text.doc_bigram_logprob(df).collect()}
+    # identical unigram bags -> unigram cannot separate
+    assert uni[99] == pytest.approx(uni[0], abs=1e-4)
+    # improbable transitions -> bigram strictly lower
+    assert bi[99] < bi[0] - 0.1
+
+
 def test_doc_chunks_coverage_and_overlap(spark):
     """120 tokens at chunk=64/overlap=16 (stride 48): chunks start at
     0, 48, 96 — ceil((120-16)/48) = 3; consecutive chunks share
