@@ -127,6 +127,17 @@ HEADLINE = [
     # global training-order rank via the bucketed prefix count (the
     # sort-free permutation; one exchange — plan pinned)
     "doc_epoch_shuffle",
+    # late round-9 additions: Bloom two-stage decontamination — at
+    # this eval size the exact broadcast join is already cheap, so
+    # the line MEASURES THE PREFILTER OVERHEAD (expected: within ~2x
+    # of doc_decontaminate; the filter's win begins where the eval
+    # gram table stops being broadcast-cheap — SCALE.md row) —
+    # transition-aware bigram LM scoring, and the OPTIMIZE ZORDER +
+    # zone-map-pruned scan over a txtable built in-line (the whole
+    # lifecycle, not just the read)
+    "doc_decontaminate_bloom",
+    "doc_bigram_logprob",
+    "events_zorder_pruned_scan",
 ]
 
 RUNS = 3

@@ -391,15 +391,31 @@ def ngram_bloom_bitmap(
 
 def bloom_might_contain(
     hash_col: Column,
-    bitmap: list[int],
+    bitmap,
     num_hashes: int = 5,
+    num_bits: int | None = None,
 ) -> Column:
     """Membership test against a :func:`ngram_bloom_bitmap` — a pure
-    JVM expression (array literal + shifts/ands, no UDF): true iff
-    all ``num_hashes`` probe bits are set. No false negatives; false
-    positives at the filter's designed rate."""
-    num_bits = len(bitmap) * 64
-    lit = F.lit(bitmap)
+    JVM expression (array lookup + shifts/ands, no UDF): true iff all
+    ``num_hashes`` probe bits are set. No false negatives; false
+    positives at the filter's designed rate.
+
+    ``bitmap`` is either the Python word list (embedded as a literal
+    — fine for SMALL filters and tests) or a Column holding the word
+    array from a broadcast 1-row frame, with ``num_bits`` passed
+    explicitly. Production callers want the Column form: a 2^20-bit
+    list literal becomes a 16384-child CreateArray that blows the
+    generated method past the JIT/codegen limits and drops the whole
+    stage to interpreted evaluation — measured 4.6x slower on the
+    decontamination prefilter at sf0.1. The broadcast row keeps the
+    bitmap ONE array value and the probe loop inside codegen."""
+    if isinstance(bitmap, Column):
+        if num_bits is None:
+            raise ValueError("num_bits is required with a Column bitmap")
+        lit = bitmap
+    else:
+        num_bits = len(bitmap) * 64
+        lit = F.lit(bitmap)
     b1 = F.pmod(hash_col, F.lit(num_bits))
     b2 = F.pmod(F.xxhash64(hash_col), F.lit(num_bits))
     cond = F.lit(True)
@@ -440,9 +456,22 @@ def decontaminate_bloom(
     bitmap = ngram_bloom_bitmap(
         eval_df, n, text_col, num_bits=num_bits, num_hashes=num_hashes
     )
+    # the bitmap rides a BROADCAST 1-row frame, not a list literal —
+    # see bloom_might_contain: a 16384-child CreateArray literal
+    # drops the filter stage out of codegen (measured 4.6x)
+    bm = F.broadcast(
+        train.sparkSession.createDataFrame([(bitmap,)], "__bm array<long>")
+    )
     eval_grams = _doc_ngrams(eval_df, n, text_col, id_col=None).distinct()
-    candidates = _doc_ngrams(train, n, text_col, id_col=id_col).where(
-        bloom_might_contain(F.col("gram"), bitmap, num_hashes)
+    candidates = (
+        _doc_ngrams(train, n, text_col, id_col=id_col)
+        .crossJoin(bm)
+        .where(
+            bloom_might_contain(
+                F.col("gram"), F.col("__bm"), num_hashes, num_bits=num_bits
+            )
+        )
+        .drop("__bm")
     )
     hits = (
         candidates.join(F.broadcast(eval_grams), "gram")
