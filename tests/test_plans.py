@@ -637,6 +637,14 @@ def test_shuffle_exchange_budgets(spark):
         "monthly_revenue_growth": 4,
         "top_revenue_suppliers": 6,
         "top_parts_per_supplier": 8,
+        # bloom prefilter must not ADD exchanges over the exact path
+        # beyond its two bitmap-build aggs (which are metadata-sized)
+        "doc_decontaminate": 4,
+        "doc_decontaminate_bloom": 6,
+        # bigram LM: pair-stream aggs + probe; the formatted plan
+        # prints the pair subtree once per consumer branch
+        "doc_unigram_logprob": 8,
+        "doc_bigram_logprob": 12,
     }
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
