@@ -741,6 +741,21 @@ def q_doc_source_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", F.col("rank").cast("int").alias("rank"))
 
 
+def q_doc_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the English slice and the rest of
+    the corpus (:func:`corpus.corpus_drift_report`): volumes,
+    vocabularies, vocabulary Jaccard, and the Jensen-Shannon
+    divergence of the two unigram distributions — the shift monitor
+    run before mixing a new crawl into training data."""
+    from parquet_combiner_spark.functions import corpus
+
+    docs = _docs(spark, sf_dir)
+    return corpus.corpus_drift_report(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed five-stage corpus-preparation pipeline
     (:mod:`corpus`): repetition filter → quality filter → exact dedup
@@ -1155,6 +1170,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "doc_token_budget_selection": q_doc_token_budget_selection,
     "corpus_prep": q_corpus_prep,
+    "doc_corpus_drift": q_doc_corpus_drift,
     "corpus_mixture": q_corpus_mixture,
     "doc_source_capped": q_doc_source_capped,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
@@ -2129,6 +2145,47 @@ PIPELINE_ORACLE_SQL["near_dup_clusters_logstar"] = PIPELINE_ORACLE_SQL[
 PIPELINE_ORACLE_SQL["doc_decontaminate_bloom"] = PIPELINE_ORACLE_SQL[
     "doc_decontaminate"
 ]
+
+# JS divergence over the union vocabulary: zero-count terms contribute
+# nothing, the mixture is positive wherever either side is; double
+# summation agrees across engines far below the 1e-6 rounding
+PIPELINE_ORACLE_SQL["doc_corpus_drift"] = """
+    WITH ta AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE lang = 'en'
+    ), tb AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE lang <> 'en'
+    ), va AS (
+        SELECT w, count(*) AS ca FROM ta GROUP BY w
+    ), vb AS (
+        SELECT w, count(*) AS cb FROM tb GROUP BY w
+    ), j AS (
+        SELECT ca, cb FROM va FULL OUTER JOIN vb ON va.w = vb.w
+    ), tot AS (
+        SELECT CAST(sum(ca) AS DOUBLE) AS na,
+               CAST(sum(cb) AS DOUBLE) AS nb,
+               count(ca) AS vocab_a, count(cb) AS vocab_b,
+               count(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                     THEN 1 END) AS vboth,
+               count(*) AS vunion
+        FROM j
+    )
+    SELECT CAST(na AS BIGINT) AS n_tokens_a,
+           CAST(nb AS BIGINT) AS n_tokens_b,
+           vocab_a, vocab_b,
+           round(CAST(vboth AS DOUBLE) / vunion, 4) AS vocab_jaccard,
+           round((
+               sum(CASE WHEN ca IS NOT NULL THEN (ca / na)
+                   * ln((ca / na) /
+                        ((ca / na + coalesce(cb, 0) / nb) / 2)) END)
+             + sum(CASE WHEN cb IS NOT NULL THEN (cb / nb)
+                   * ln((cb / nb) /
+                        ((coalesce(ca, 0) / na + cb / nb) / 2)) END)
+           ) / 2, 6) AS js_divergence
+    FROM j, tot
+    GROUP BY na, nb, vocab_a, vocab_b, vboth, vunion
+"""
 
 # leakage = near-dup pairs whose endpoints hash into different splits;
 # both the pair SQL and the split CASE come from the single shared

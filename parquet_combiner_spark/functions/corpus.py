@@ -121,3 +121,84 @@ def corpus_prep(
         CORPUS_SPLITS,
         seed=CORPUS_SPLIT_SEED,
     ).select(id_col, "split", "n_tokens")
+
+def corpus_drift_report(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-shift report between two corpus slices (crawl
+    snapshots, sources, time windows) — the drift monitor a
+    continuously-ingesting training pipeline runs before mixing new
+    data in: one row with
+
+    - ``n_tokens_a/b``, ``vocab_a/b`` — volume and lexical size,
+    - ``vocab_jaccard`` — vocabulary overlap,
+    - ``js_divergence`` — Jensen-Shannon divergence (natural log)
+      between the two unigram distributions over the UNION
+      vocabulary. JS needs no smoothing (a side's zero terms
+      contribute 0 and the mixture M is positive wherever either
+      side is), is symmetric, and is bounded by ln 2 — a stable
+      dashboard number where KL explodes on any novel token.
+
+    Plan shape at 100 TB: each slice collapses to its Zipf-bounded
+    (token, count) table via one partial-aggregated explode, the two
+    tables FULL OUTER join on the token, and that vocabulary-sized
+    frame is checkpointed ONCE — each corpus is read exactly once
+    however many aggregates follow (the triangle-counting lesson:
+    multi-consumer frames otherwise replicate their whole subtree).
+    The totals ride back as a broadcast 1-row frame; the report is a
+    single 1-row aggregation."""
+    from parquet_combiner_spark.functions.text import tokens
+
+    def vocab(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    joined = (
+        vocab(docs_a, "a")
+        .join(vocab(docs_b, "b"), "w", "full_outer")
+        .localCheckpoint(eager=True)
+    )
+    totals = joined.agg(
+        F.sum("c_a").cast("double").alias("__na"),
+        F.sum("c_b").cast("double").alias("__nb"),
+        F.count(F.col("c_a")).alias("vocab_a"),
+        F.count(F.col("c_b")).alias("vocab_b"),
+        F.count(
+            F.when(F.col("c_a").isNotNull() & F.col("c_b").isNotNull(), 1)
+        ).alias("vocab_both"),
+        F.count(F.lit(1)).alias("vocab_union"),
+    )
+    ca = F.coalesce(F.col("c_a"), F.lit(0)).cast("double")
+    cb = F.coalesce(F.col("c_b"), F.lit(0)).cast("double")
+    p = ca / F.col("__na")
+    q = cb / F.col("__nb")
+    m = (p + q) / 2
+    kl_pm = F.sum(F.when(ca > 0, p * F.log(p / m)))
+    kl_qm = F.sum(F.when(cb > 0, q * F.log(q / m)))
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .groupBy(
+            "__na", "__nb", "vocab_a", "vocab_b",
+            "vocab_both", "vocab_union",
+        )
+        .agg(
+            F.round((kl_pm + kl_qm) / 2, 6).alias("js_divergence")
+        )
+        .select(
+            F.col("__na").cast("long").alias("n_tokens_a"),
+            F.col("__nb").cast("long").alias("n_tokens_b"),
+            "vocab_a",
+            "vocab_b",
+            F.round(
+                F.col("vocab_both") / F.col("vocab_union"), 4
+            ).alias("vocab_jaccard"),
+            "js_divergence",
+        )
+    )

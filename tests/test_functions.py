@@ -2092,3 +2092,44 @@ def test_epoch_shuffle_is_a_deterministic_permutation(spark):
     }
     assert sorted(out_e2.values()) == list(range(777))
     assert out_e2 != out
+
+
+def test_corpus_drift_report_hand_computed(spark):
+    """JS endpoints: identical slices -> 0; disjoint vocabularies ->
+    ln 2. Vocabulary jaccard and volumes match by hand."""
+    import math
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.functions.corpus import (
+        corpus_drift_report,
+    )
+
+    a = spark.createDataFrame(
+        [Row(doc_id=1, text="x y x"), Row(doc_id=2, text="y")]
+    )
+    same = corpus_drift_report(a, a).collect()[0]
+    assert same["js_divergence"] == pytest.approx(0.0, abs=1e-9)
+    assert same["vocab_jaccard"] == 1.0
+    assert same["n_tokens_a"] == same["n_tokens_b"] == 4
+
+    b = spark.createDataFrame([Row(doc_id=3, text="p q p q")])
+    disj = corpus_drift_report(a, b).collect()[0]
+    assert disj["js_divergence"] == pytest.approx(
+        round(math.log(2), 6), abs=1e-6
+    )
+    assert disj["vocab_jaccard"] == 0.0
+    assert (disj["vocab_a"], disj["vocab_b"]) == (2, 2)
+
+    # asymmetric overlap, hand-checked: A = {x:3, y:1}, B = {x:1, y:1}
+    a2 = spark.createDataFrame([Row(doc_id=5, text="x x x y")])
+    c = spark.createDataFrame([Row(doc_id=4, text="x y")])
+    r = corpus_drift_report(a2, c).collect()[0]
+    p = {"x": 3 / 4, "y": 1 / 4}
+    q = {"x": 1 / 2, "y": 1 / 2}
+    js = 0.5 * sum(
+        p[w] * math.log(p[w] / ((p[w] + q[w]) / 2)) for w in p
+    ) + 0.5 * sum(
+        q[w] * math.log(q[w] / ((p[w] + q[w]) / 2)) for w in q
+    )
+    assert r["js_divergence"] == pytest.approx(round(js, 6), abs=1e-6)
