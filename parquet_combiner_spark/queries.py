@@ -3068,6 +3068,52 @@ def event_counts_additive_merge(
     return merge_additive(half(0), half(1), keys=["event_type"], sum_cols=["n"])
 
 
+def event_distinct_users_sketch_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable-sketch distinct-count metric store: events split into
+    three synthetic batches (event_id % 3), each batch reduced to
+    per-type HLL sketches (operators/aggregate.py
+    ``sketch_distinct_partials`` — Apache DataSketches via Spark's
+    ``hll_sketch_agg``) and COMMITTED to a versioned table; the query
+    reads the stored partials back and answers distinct users per
+    event type by UNIONING them (``sketch_distinct_estimate``) —
+    never rescanning the raw events. Distinct-count partials cannot
+    be added like counts; the sketch is the mergeable state that
+    makes a distinct-users-per-window store possible at 100 TB.
+    HLL unions never lose presence information, so the batched
+    answer tracks the one-shot sketch (pytest pins <2.5% plus a 5%
+    error bound vs exact; rows-only for the driver — estimates
+    differ from exact SQL by design)."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.operators.aggregate import (
+        sketch_distinct_estimate,
+        sketch_distinct_partials,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id", "event_id")
+    root = tempfile.mkdtemp(prefix="pcs-sketchstore-")
+    table = f"{root}/sketches"
+    try:
+        for m in range(3):
+            txlog.commit(
+                sketch_distinct_partials(
+                    ev.where(F.col("event_id") % 3 == m),
+                    ["event_type"],
+                    "user_id",
+                ),
+                table,
+            )
+        return sketch_distinct_estimate(
+            txlog.read_table(spark, table), ["event_type"]
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape — CORRELATED MIN-PER-GROUP decorrelation: for
     each small STANDARD part, the EUROPE supplier(s) whose best unit
@@ -3309,6 +3355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returnflag_counts_salted": returnflag_counts_salted,
     "lineitem_priority_salted_join": lineitem_priority_salted_join,
     "event_counts_additive_merge": event_counts_additive_merge,
+    "event_distinct_users_sketch_store": event_distinct_users_sketch_store,
     "event_counts_stream_metric_store": event_counts_stream_metric_store,
     "orders_profile": orders_profile,
     "distinct_parts": distinct_parts,

@@ -63,6 +63,9 @@ def test_every_oracle_has_a_query():
         # not SQL-expressible; numpy-reference parity pinned by
         # pytest
         "doc_quality_classifier",
+        # DataSketches HLL store: estimates differ from exact SQL by
+        # design; merge-losslessness + 5% error bound pinned by pytest
+        "event_distinct_users_sketch_store",
     }
 
 

@@ -1450,3 +1450,52 @@ def test_event_association_rules_invariants(spark):
         # confidence = n_pair/n_a, so n_pair <= n_a; and by the
         # mirror, n_pair <= n_b
         assert r["n_pair"] * 1.0 / r["confidence"] >= r["n_pair"]
+
+
+def test_sketch_distinct_store_lossless_merge_and_bound(spark):
+    """HLL partials are MERGEABLE state: however the rows are batched
+    when the partials are built, the unioned estimate tracks the
+    one-shot sketch (within the two estimators'
+    combined noise, <2.5%) and both sit within the sketch's error bound of the exact
+    count."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.operators.aggregate import (
+        sketch_distinct_estimate,
+        sketch_distinct_partials,
+    )
+
+    df = spark.range(30000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 7919).alias("u"),  # ~2640 distinct per group
+    )
+    one_shot = {
+        r["g"]: r["n_distinct_est"]
+        for r in sketch_distinct_estimate(
+            sketch_distinct_partials(df, ["g"], "u"), ["g"]
+        ).collect()
+    }
+    # batch three ways -> three partial frames -> union -> estimate
+    parts = [
+        sketch_distinct_partials(
+            df.where(F.col("id") % 4 == m), ["g"], "u"
+        )
+        for m in range(4)
+    ]
+    merged_frame = parts[0]
+    for p in parts[1:]:
+        merged_frame = merged_frame.unionAll(p)
+    merged = {
+        r["g"]: r["n_distinct_est"]
+        for r in sketch_distinct_estimate(merged_frame, ["g"]).collect()
+    }
+    for g in one_shot:  # batching-independent up to mode-transition wiggle
+        assert abs(merged[g] - one_shot[g]) / one_shot[g] < 0.025
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g")
+        .agg(F.countDistinct("u").alias("n"))
+        .collect()
+    }
+    for g, est in merged.items():
+        assert abs(est - exact[g]) / exact[g] < 0.05, (g, est, exact[g])
