@@ -4,6 +4,8 @@ inspector (reference tools/ReadParquet.scala), CLI
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from parquet_combiner_spark.cli import main as cli_main
@@ -2090,3 +2092,121 @@ def test_txlog_sink_rejects_constraint_violating_batch(spark, tmp_path):
         txlog_append_batch(bad, 1, table, set())
     assert txlog.fast_count(table) == 2
     assert txlog.read_table(spark, table).where("v < 0").count() == 0
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_txlog_randomized_model_parity(spark, tmp_path, seed):
+    """Model-based fuzz of the whole versioned-table verb set: a
+    random interleaving of append / overwrite / delete_where /
+    update_where / restore / optimize(+zorder) / compact_small_files
+    must keep the table equal to a plain Python reference model at
+    EVERY step, and every historical version must replay to the
+    model's remembered snapshot (time travel is part of the
+    contract, not just the head)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.tools import txlog
+
+    rng = random.Random(seed)
+    table = str(tmp_path / f"fuzz{seed}")
+    next_id = 0
+
+    def batch(n):
+        nonlocal next_id
+        rows = [
+            (next_id + i, rng.randrange(100), rng.randrange(1000))
+            for i in range(n)
+        ]
+        next_id += n
+        return rows
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            rows or [], "id long, k long, v long"
+        ).repartition(2)
+
+    model = batch(20)
+    txlog.commit(to_df(model), table, stats_cols=["k"])
+    history = {0: sorted(model)}  # version -> snapshot rows
+
+    def snap():
+        return sorted(
+            map(tuple, txlog.read_table(spark, table).collect())
+        )
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "delete", "update", "restore", "optimize",
+             "compact", "overwrite"]
+        )
+        head_before = txlog.current_version(table)
+        if op == "append":
+            rows = batch(rng.randrange(1, 15))
+            v = txlog.commit(to_df(rows), table, stats_cols=["k"])
+            model = model + rows
+        elif op == "overwrite":
+            rows = batch(rng.randrange(1, 15))
+            v = txlog.commit(
+                to_df(rows), table, action="overwrite", stats_cols=["k"]
+            )
+            model = rows
+        elif op == "delete":
+            lo = rng.randrange(90)
+            hi = lo + rng.randrange(1, 20)
+            v = txlog.delete_where(
+                spark, table, "k", lo, hi, stats_cols=["k"]
+            )
+            model = [r for r in model if not (lo <= r[1] <= hi)]
+        elif op == "update":
+            lo = rng.randrange(90)
+            hi = lo + rng.randrange(1, 20)
+            v = txlog.update_where(
+                spark, table, "k", lo, hi, {"v": "v + 1000"},
+                stats_cols=["k"],
+            )
+            model = [
+                (r[0], r[1], r[2] + 1000) if lo <= r[1] <= hi else r
+                for r in model
+            ]
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            v = txlog.restore(table, version=target)
+            model = [tuple(r) for r in history[target]]
+        elif op == "optimize":
+            zo = rng.random() < 0.5
+            v = txlog.optimize(
+                spark,
+                table,
+                target_file_mb=0.01,
+                zorder_by=["k", "v"] if zo else None,
+                stats_cols=["k"],
+            )
+        else:  # compact
+            v = txlog.compact_small_files(
+                spark, table, target_file_mb=1, small_file_mb=0.5
+            )
+            if v is None:
+                v = head_before
+        got = snap()
+        assert got == sorted(model), f"step {step} op {op} diverged"
+        assert txlog.fast_count(table) == len(model)
+        history[txlog.current_version(table)] = got
+    # time travel: every remembered version still replays exactly
+    for ver, rows in history.items():
+        assert (
+            sorted(
+                map(tuple, txlog.read_table(spark, table, ver).collect())
+            )
+            == rows
+        ), f"version {ver} drifted"
+    # vacuum removes only unreferenced garbage; all snapshots survive
+    txlog.vacuum(table, min_age_seconds=0)
+    for ver, rows in history.items():
+        assert (
+            sorted(
+                map(tuple, txlog.read_table(spark, table, ver).collect())
+            )
+            == rows
+        ), f"version {ver} lost data to vacuum"
