@@ -286,6 +286,32 @@ def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
     return files, schema
 
 
+def _sizes_for(
+    table: str, version: int | None, rels: Sequence[str]
+) -> dict:
+    """Byte sizes for snapshot files, resolved from the commit log's
+    per-file ``sizes`` (Delta's ``add.size``) — checkpoint-seeded like
+    :func:`_snapshot`, so maintenance ops (OPTIMIZE sizing, small-file
+    selection) cost O(commits since checkpoint) metadata instead of a
+    per-file stat/HEAD against the store. Files from records
+    predating size logging fall back to one ``os.path.getsize``."""
+    version = _resolve_version(table, version)
+    sizes: dict = {}
+    after = None
+    ck = _checkpoint_at_or_below(table, version)
+    if ck is not None:
+        sizes.update(ck.get("sizes", {}))
+        after = ck["version"]
+    for commit in _read_log(table, after=after, through=version):
+        sizes.update(commit.get("sizes", {}))
+    return {
+        r: sizes[r]
+        if r in sizes
+        else os.path.getsize(os.path.join(table, r))
+        for r in rels
+    }
+
+
 def _normalize_schema(df: DataFrame) -> list[list[str]]:
     return sorted([f.name.lower(), f.dataType.simpleString()] for f in df.schema.fields)
 
@@ -493,6 +519,13 @@ def commit(
         "commit_id": commit_id,
         "ts": commit_ts,
         "meta": meta or {},
+        # per-file byte sizes (Delta's add.size): one local stat at
+        # write time so maintenance (optimize sizing, small-file
+        # selection) never pays a per-file HEAD against the store
+        "sizes": {
+            rel: os.path.getsize(os.path.join(table, rel))
+            for rel in added
+        },
     }
     if action == "replace":
         record["remove"] = sorted(remove)
@@ -928,7 +961,8 @@ def optimize(
                 return None
             action = "replace"
             remove = [os.path.relpath(f, table) for f in files]
-        total = sum(os.path.getsize(f) for f in files)
+        rels_in = [os.path.relpath(f, table) for f in files]
+        total = sum(_sizes_for(table, base, rels_in).values())
         n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         df = spark.read.schema(schema).parquet(*files)
         meta: dict = {"optimize": True}
@@ -1010,12 +1044,19 @@ def compact_small_files(
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
         files, schema, stats = _snapshot(table, base)
-        small = [f for f in files if os.path.getsize(f) < threshold]
+        sizes = _sizes_for(
+            table, base, [os.path.relpath(f, table) for f in files]
+        )
+        small = [
+            f
+            for f in files
+            if sizes[os.path.relpath(f, table)] < threshold
+        ]
         if len(small) < 2:
             return None
-        total = sum(os.path.getsize(f) for f in small)
-        n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         rels = [os.path.relpath(f, table) for f in small]
+        total = sum(sizes[r] for r in rels)
+        n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         keep_stats = list(stats_cols) if stats_cols else sorted(
             {c for r in rels for c in stats.get(r, {})}
         )
@@ -1391,6 +1432,7 @@ def checkpoint(table: str, version: int | None = None) -> int:
         "files": rels,
         "schema": schema,
         "stats": {r: stats[r] for r in rels if stats.get(r)},
+        "sizes": _sizes_for(table, version, rels),
     }
     d = _ckpt_dir(table)
     os.makedirs(d, exist_ok=True)
@@ -1562,6 +1604,9 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         # CHECK constraints ride every record, so the rebase carries
         # the base's set — expiry never silently disarms enforcement
         record["constraints"] = base_rec["constraints"]
+    # resolved BEFORE the expired records are unlinked, so legacy
+    # sizes survive the rebase instead of degrading to stat() calls
+    record["sizes"] = _sizes_for(table, keep_from, rels)
     # the rebase preserves the ORIGINAL commit instant, so TIMESTAMP
     # AS OF resolution is unchanged by expiry. A pre-'ts' record's
     # instant is its log file's mtime (_commit_ts fallback) — stamp
@@ -1678,6 +1723,7 @@ def restore(
         kept_stats = {r: stats[r] for r in rels if stats.get(r)}
         if kept_stats:
             record["stats"] = kept_stats
+        record["sizes"] = _sizes_for(table, target, rels)
         # the FULL target state comes back, CHECK constraints included
         # (a restore across an add_constraint must not keep enforcing
         # a rule the restored rows were never validated against — and
@@ -1737,6 +1783,7 @@ def _republish_head(
     kept_stats = {r: stats[r] for r in rels if stats.get(r)}
     if kept_stats:
         record["stats"] = kept_stats
+    record["sizes"] = _sizes_for(table, head["version"], rels)
     if constraints:
         record["constraints"] = constraints
     _DEFAULT_ARBITER.publish(
