@@ -3068,6 +3068,56 @@ def event_counts_additive_merge(
     return merge_additive(half(0), half(1), keys=["event_type"], sum_cols=["n"])
 
 
+def event_counts_native_sink_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Events streamed through the NATIVE ``format("txtable")``
+    streaming sink (sources/txtable_source.py ``TxTableStreamWriter``
+    — Spark 4's Python DataSource streaming-writer API, the
+    first-class twin of the foreachBatch sink): three micro-batches,
+    each staged executor-side and published as one exactly-once
+    ``(query_id, epoch)``-stamped version, then the per-type counts
+    aggregated FROM THE VERSIONED TABLE must equal the plain batch
+    aggregation over the raw events — the metric-store oracle. Only
+    the one needed column rides the Python sink boundary."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    spark.dataSource.register(TxTableDataSource)
+    ev = _events(spark, sf_dir).select("event_type")
+    root = tempfile.mkdtemp(prefix="pcs-natsink-")
+    src = f"{root}/src"
+    table = f"{root}/sink"
+    ckpt = f"{root}/ckpt"
+    ev.repartition(3).write.parquet(src)
+    try:
+        q = (
+            spark.readStream.schema("event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("txtable")
+            .option("path", table)
+            .option("query_id", "native-sink")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            txlog.read_table(spark, table)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def event_distinct_users_sketch_store(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3356,6 +3406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_priority_salted_join": lineitem_priority_salted_join,
     "event_counts_additive_merge": event_counts_additive_merge,
     "event_distinct_users_sketch_store": event_distinct_users_sketch_store,
+    "event_counts_native_sink_stream": event_counts_native_sink_stream,
     "event_counts_stream_metric_store": event_counts_stream_metric_store,
     "orders_profile": orders_profile,
     "distinct_parts": distinct_parts,
@@ -3543,6 +3594,11 @@ ORACLE_SQL: dict[str, str] = {
     # the streaming metric store (per-batch partials, exactly-once
     # epoch-keyed commits, final fold) converges to the same answer
     "event_counts_stream_metric_store": """
+        SELECT event_type, count(*) AS n FROM events GROUP BY 1
+    """,
+    # the native Python-DataSource streaming sink converges to the
+    # same per-type counts (exactly-once on (query_id, epoch))
+    "event_counts_native_sink_stream": """
         SELECT event_type, count(*) AS n FROM events GROUP BY 1
     """,
     "distinct_parts": """

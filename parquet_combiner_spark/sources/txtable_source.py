@@ -34,7 +34,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -125,6 +127,144 @@ class TxTableDataSource(DataSource):
     def reader(self, schema: StructType) -> TxTableReader:
         files, _ = self._resolve()
         return TxTableReader(schema, files)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "txtable streaming writes are append-only (versioned "
+                "appends); use txlog.commit(action='overwrite') for "
+                "batch replacement"
+            )
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "txtable requires a table path: .start(path) or "
+                ".option('path', ...)"
+            )
+        return TxTableStreamWriter(
+            path, self.options.get("query_id", "ingest"), schema
+        )
+
+
+@dataclass
+class _StagedFiles(WriterCommitMessage):
+    rels: list
+
+
+class TxTableStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("txtable")`` — EXACTLY-ONCE streaming
+    appends to a versioned table through Spark 4's native streaming
+    sink API (the first-class twin of ``streaming/txlog_sink.py``'s
+    foreachBatch shape; same log protocol, no user glue).
+
+    Mechanics per micro-batch: each executor task writes its rows to
+    its own staged parquet file under ``<table>/data/stream-<uuid>/``
+    (data before log, like every txlog writer — a crash strands only
+    unreferenced vacuum garbage) and returns the relative path as its
+    commit message; the driver's ``commit(messages, batchId)``
+    publishes ONE log record adding every staged file, stamped
+    ``meta={"query_id", "epoch"}``. Replayed batches (failure after
+    publish, before the streaming checkpoint advanced) are detected
+    by that stamp and skipped — the exactly-once key Delta calls
+    txnAppId/txnVersion.
+
+    CHECK constraints hold here too: staged rows cannot ride a write
+    job's Observation (there is no Spark job — tasks write their own
+    files), and the commit runner is a session-less Python process,
+    so each TASK validates its own rows before writing: the active
+    constraint set is read from the table's log (pure file I/O) and
+    evaluated over the in-memory Arrow batch with DuckDB (NULL passes,
+    the SQL CHECK rule; constraints in this layer are ANSI
+    expressions, which both engines parse identically — the
+    engine-wide oracle discipline applied to enforcement). A
+    violating task fails the batch before ANY file is staged for it;
+    nothing is published, the table never holds invalid rows.
+
+    Rows cross Python as Arrow (same honesty note as the reader: for
+    parquet-on-disk the foreachBatch sink keeps the JVM writer; this
+    is the API shape for Python-native sinks)."""
+
+    def __init__(self, table: str, query_id: str, schema: StructType):
+        self.table = table
+        self.query_id = query_id
+        self.schema = schema
+        self.ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        self._seen: set | None = None
+
+    def write(self, iterator) -> _StagedFiles:
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = [r.asDict(recursive=True) for r in iterator]
+        if not rows:
+            return _StagedFiles([])
+        tbl = pa.Table.from_pylist(
+            rows, schema=to_arrow_schema(self.schema)
+        )
+        from parquet_combiner_spark.tools import txlog
+
+        cons = txlog.constraints_of(self.table)
+        if cons:
+            import duckdb
+
+            con = duckdb.connect()
+            con.register("__batch", tbl)
+            for name, expr in sorted(cons.items()):
+                bad = con.execute(
+                    "SELECT count(*) FROM __batch WHERE NOT "
+                    f"coalesce(({expr}), true)"
+                ).fetchone()[0]
+                if bad:
+                    raise txlog.ConstraintViolation(
+                        f"streamed rows into {self.table} violate "
+                        f"CHECK constraint {name} ({expr}) on {bad} "
+                        "row(s); nothing staged"
+                    )
+        rel = os.path.join(
+            "data", f"stream-{_uuid.uuid4().hex}", "part-0.parquet"
+        )
+        full = os.path.join(self.table, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        pq.write_table(tbl, full, compression="snappy")
+        return _StagedFiles([rel])
+
+    def commit(self, messages, batchId: int) -> None:
+        from parquet_combiner_spark.tools import txlog
+
+        if self._seen is None:
+            self._seen = {
+                (m.get("query_id"), m.get("epoch"))
+                for rec in txlog._read_log(self.table)
+                for m in [rec.get("meta", {})]
+                if "epoch" in m
+            }
+        if (self.query_id, batchId) in self._seen:
+            return  # replayed batch: staged files are vacuum garbage
+        rels = [r for m in messages if m is not None for r in m.rels]
+        if not rels:
+            return
+        txlog.publish_files(
+            self.table,
+            rels,
+            self.ddl,
+            meta={
+                "query_id": self.query_id,
+                "epoch": batchId,
+                "streaming": True,
+            },
+        )
+        self._seen.add((self.query_id, batchId))
+
+    def abort(self, messages, batchId: int) -> None:
+        # staged files are unreferenced by any commit record — vacuum
+        # garbage by construction; nothing to roll back
+        return None
 
 
 class TxTableChangesStreamReader(DataSourceStreamReader):

@@ -316,6 +316,36 @@ def _normalize_schema(df: DataFrame) -> list[list[str]]:
     return sorted([f.name.lower(), f.dataType.simpleString()] for f in df.schema.fields)
 
 
+def _normalize_ddl(ddl: str) -> list[list[str]]:
+    """Order-insensitive (name, type) pairs from a simpleString DDL,
+    WITHOUT a SparkSession — a depth-aware top-level comma split
+    (nested struct/array/map types carry commas inside <>). Every
+    schema string in this layer is produced by the same simpleString
+    generator, so string-level type comparison is sound. Needed by
+    writers running where no session exists (the Python streaming
+    sink runner is its own process)."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in ddl:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    out = []
+    for field in parts:
+        name, _, typ = field.partition(" ")
+        out.append([name.lower(), typ.strip().lower()])
+    return sorted(out)
+
+
 def commit(
     df: DataFrame,
     table: str,
@@ -544,6 +574,79 @@ def commit(
             f"version {version} of {table} was committed concurrently"
         ) from e
     return version
+
+
+def publish_files(
+    table: str,
+    rels: Sequence[str],
+    schema_ddl: str,
+    meta: dict | None = None,
+    max_retries: int = 3,
+) -> int:
+    """Publish ALREADY-WRITTEN data files (paths relative to the
+    table root) as the table's next ``append`` version — the
+    log-protocol primitive behind writers that stage their own files
+    (the ``format("txtable")`` streaming writer's per-task parquet
+    outputs). Same append contract as :func:`commit`: the schema must
+    match the table's (normalized, order-insensitive), the active
+    CHECK constraint set is carried forward on the record, per-file
+    sizes are recorded, and version races retry. The caller owns
+    constraint VALIDATION of the staged rows (commit() validates
+    in-flight via Observation; pre-written files need a scan — the
+    streaming writer does exactly that before calling this).
+
+    No SparkSession required (the Python streaming sink runner is its
+    own session-less process): the append schema check compares
+    simpleString DDLs via :func:`_normalize_ddl`.
+
+    Losing every retry, or crashing before publish, leaves only
+    unreferenced staged files — :func:`vacuum` garbage, never a torn
+    table (the same story as commit's data-before-log ordering)."""
+    rels = list(rels)
+    for rel in rels:
+        if not os.path.isfile(os.path.join(table, rel)):
+            raise FileNotFoundError(f"staged file missing: {rel}")
+    sizes = {
+        rel: os.path.getsize(os.path.join(table, rel)) for rel in rels
+    }
+    for attempt in range(max(1, max_retries)):
+        last = _last_commit(table)
+        version = (last["version"] + 1) if last else 0
+        if last:
+            want = _normalize_ddl(last["schema"])
+            have = _normalize_ddl(schema_ddl)
+            if want != have:
+                raise TypeError(
+                    f"staged schema {have} != table schema {want}"
+                )
+        import time as _time
+
+        commit_ts = _time.time()
+        if last is not None and last.get("ts") is not None:
+            commit_ts = max(commit_ts, last["ts"] + 1e-3)
+        record = {
+            "version": version,
+            "action": "append",
+            "add": sorted(rels),
+            "schema": last["schema"] if last else schema_ddl,
+            "commit_id": uuid.uuid4().hex,
+            "ts": commit_ts,
+            "meta": meta or {},
+            "sizes": sizes,
+        }
+        if last and last.get("constraints"):
+            record["constraints"] = last["constraints"]
+        os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+        try:
+            _DEFAULT_ARBITER.publish(
+                _log_path(table, version), json.dumps(record)
+            )
+            return version
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue
+    raise AssertionError("unreachable")
 
 
 def _ddl(df: DataFrame) -> str:

@@ -1321,3 +1321,101 @@ def test_txlog_sink_checkpoint_cadence(spark, tmp_path):
     )
     assert txlog.current_version(table) == 10
     assert sorted(int(n.split(".")[0]) for n in _os.listdir(d)) == [5, 10]
+
+
+def test_txtable_native_stream_writer_exactly_once(spark, tmp_path):
+    """writeStream.format("txtable"): per-task staged files published
+    as one version per micro-batch with (query_id, epoch) stamps; a
+    REPLAYED epoch publishes nothing (exactly-once); a batch
+    violating a CHECK constraint fails the stream with nothing
+    staged; schema drift is rejected by the session-less DDL check."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableDataSource,
+        TxTableStreamWriter,
+        _StagedFiles,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    spark.dataSource.register(TxTableDataSource)
+    root = str(tmp_path)
+    table = os.path.join(root, "sink")
+    src = os.path.join(root, "src")
+    spark.range(60).select("id", (F.col("id") % 5).alias("k")).repartition(
+        3
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("id long, k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("txtable")
+        .option("path", table)
+        .option("query_id", "t1")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert txlog.fast_count(table) == 60
+    n_versions = txlog.current_version(table) + 1
+    assert n_versions >= 2  # one per micro-batch
+    metas = [r["meta"] for r in txlog.history(table)]
+    assert all(m["query_id"] == "t1" and "epoch" in m for m in metas)
+    assert (
+        txlog.read_table(spark, table).agg(F.sum("id")).head()[0]
+        == sum(range(60))
+    )
+
+    # REPLAY: re-commit an epoch that already published -> no-op
+    w = TxTableStreamWriter(table, "t1", spark.range(1).schema)
+    w.ddl = "id bigint, k bigint"
+    seen_epoch = metas[0]["epoch"]
+    w.commit([_StagedFiles(["data/phantom/p.parquet"])], seen_epoch)
+    assert txlog.current_version(table) + 1 == n_versions
+
+    # constraint violation: the task rejects before staging
+    txlog.add_constraint(spark, table, "id_small", "id < 1000")
+    bad_src = os.path.join(root, "bad")
+    spark.range(5000, 5003).select(
+        "id", F.lit(0).cast("long").alias("k")
+    ).write.parquet(bad_src)
+    q2 = (
+        spark.readStream.schema("id long, k long")
+        .parquet(bad_src)
+        .writeStream.format("txtable")
+        .option("path", table)
+        .option("query_id", "t2")
+        .option("checkpointLocation", os.path.join(root, "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="id_small"):
+        q2.awaitTermination()
+    assert txlog.fast_count(table) == 60  # nothing published
+
+    # schema drift rejected without a session
+    with pytest.raises(TypeError, match="staged schema"):
+        txlog.publish_files(
+            table, [], "id bigint, wrong string", meta={}
+        )
+
+
+def test_normalize_ddl_nested_types():
+    """The session-less DDL normalizer splits only TOP-LEVEL commas
+    (struct/array/map types carry commas inside <>), compares
+    case-insensitively, and ignores field order."""
+    from parquet_combiner_spark.tools.txlog import _normalize_ddl
+
+    a = _normalize_ddl(
+        "id bigint, s struct<a:int,b:array<string>>, m map<string,int>"
+    )
+    b = _normalize_ddl(
+        "M MAP<STRING,INT>, ID BIGINT, S STRUCT<A:INT,B:ARRAY<STRING>>"
+    )
+    assert a == b
+    assert len(a) == 3
+    assert _normalize_ddl("id bigint") != _normalize_ddl("id int")
