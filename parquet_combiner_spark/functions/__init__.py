@@ -756,6 +756,21 @@ def q_doc_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_corpus_drift_movers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-level drift drill-down (:func:`corpus.corpus_drift_movers`):
+    the 20 tokens contributing most JS divergence between the English
+    slice and the rest — WHAT changed, not just how much."""
+    from parquet_combiner_spark.functions import corpus
+
+    docs = _docs(spark, sf_dir)
+    return corpus.corpus_drift_movers(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed five-stage corpus-preparation pipeline
     (:mod:`corpus`): repetition filter → quality filter → exact dedup
@@ -1171,6 +1186,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_budget_selection": q_doc_token_budget_selection,
     "corpus_prep": q_corpus_prep,
     "doc_corpus_drift": q_doc_corpus_drift,
+    "doc_corpus_drift_movers": q_doc_corpus_drift_movers,
     "corpus_mixture": q_corpus_mixture,
     "doc_source_capped": q_doc_source_capped,
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
@@ -2186,6 +2202,42 @@ PIPELINE_ORACLE_SQL["doc_corpus_drift"] = """
     FROM j, tot
     GROUP BY na, nb, vocab_a, vocab_b, vboth, vunion
 """
+
+# per-token JS contributions, top-20 by contribution (token tiebreak)
+PIPELINE_ORACLE_SQL["doc_corpus_drift_movers"] = """
+    WITH ta AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE lang = 'en'
+    ), tb AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE lang <> 'en'
+    ), va AS (
+        SELECT w, count(*) AS ca FROM ta GROUP BY w
+    ), vb AS (
+        SELECT w, count(*) AS cb FROM tb GROUP BY w
+    ), j AS (
+        SELECT coalesce(va.w, vb.w) AS w, ca, cb
+        FROM va FULL OUTER JOIN vb ON va.w = vb.w
+    ), tot AS (
+        SELECT CAST(sum(ca) AS DOUBLE) AS na,
+               CAST(sum(cb) AS DOUBLE) AS nb FROM j
+    ), c AS (
+        SELECT w AS token,
+               round(coalesce(ca, 0) / na, 6) AS p_a,
+               round(coalesce(cb, 0) / nb, 6) AS p_b,
+               round((
+                   coalesce(CASE WHEN ca IS NOT NULL THEN (ca / na)
+                       * ln((ca / na) /
+                            ((ca / na + coalesce(cb, 0) / nb) / 2)) END, 0)
+                 + coalesce(CASE WHEN cb IS NOT NULL THEN (cb / nb)
+                       * ln((cb / nb) /
+                            ((coalesce(ca, 0) / na + cb / nb) / 2)) END, 0)
+               ) / 2, 6) AS js_contribution
+        FROM j, tot
+    )
+    SELECT * FROM c ORDER BY js_contribution DESC, token LIMIT 20
+"""
+
 
 # leakage = near-dup pairs whose endpoints hash into different splits;
 # both the pair SQL and the split CASE come from the single shared

@@ -202,3 +202,60 @@ def corpus_drift_report(
             "js_divergence",
         )
     )
+
+
+def corpus_drift_movers(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Token-level drill-down for :func:`corpus_drift_report`: the
+    ``top_k`` tokens contributing most to the divergence, ranked by
+    each token's JS contribution — the "WHAT changed" a drift alarm
+    needs before anyone acts on it. Output: (token, p_a, p_b,
+    js_contribution), contribution descending with token tiebreak.
+
+    Same plan as the report (two vocab aggs + one vocab-sized full
+    outer join) with a TakeOrderedAndProject top-k instead of the
+    final fold — never a global sort."""
+    from parquet_combiner_spark.functions.text import tokens
+
+    def vocab(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    joined = (
+        vocab(docs_a, "a")
+        .join(vocab(docs_b, "b"), "w", "full_outer")
+        .localCheckpoint(eager=True)
+    )
+    totals = joined.agg(
+        F.sum("c_a").cast("double").alias("__na"),
+        F.sum("c_b").cast("double").alias("__nb"),
+    )
+    ca = F.coalesce(F.col("c_a"), F.lit(0)).cast("double")
+    cb = F.coalesce(F.col("c_b"), F.lit(0)).cast("double")
+    p = ca / F.col("__na")
+    q = cb / F.col("__nb")
+    m = (p + q) / 2
+    contrib = (
+        F.coalesce(F.when(ca > 0, p * F.log(p / m)), F.lit(0.0))
+        + F.coalesce(F.when(cb > 0, q * F.log(q / m)), F.lit(0.0))
+    ) / 2
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("w").alias("token"),
+            F.round(p, 6).alias("p_a"),
+            F.round(q, 6).alias("p_b"),
+            F.round(contrib, 6).alias("js_contribution"),
+        )
+        .orderBy(F.desc("js_contribution"), "token")
+        .limit(top_k)
+    )

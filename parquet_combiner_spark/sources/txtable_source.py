@@ -93,7 +93,8 @@ class TxTableReader(DataSourceReader):
 class TxTableDataSource(DataSource):
     """``format("txtable")``: snapshot reads of a txlog versioned
     table. Options: ``path`` (or the ``load(path)`` argument) and
-    optional ``version`` (time travel)."""
+    optionally ``version`` OR ``timestamp`` (epoch seconds) for time
+    travel — VERSION/TIMESTAMP AS OF on the reader surface."""
 
     @classmethod
     def name(cls) -> str:
@@ -115,6 +116,15 @@ class TxTableDataSource(DataSource):
                 ".option('path', ...)"
             )
         version = self.options.get("version")
+        ts = self.options.get("timestamp")
+        if version is not None and ts is not None:
+            raise ValueError(
+                "txtable takes version OR timestamp, not both"
+            )
+        if ts is not None:
+            # TIMESTAMP AS OF: resolve through the canonical commit
+            # instants (binary search over the log, txlog semantics)
+            version = txlog.version_at_timestamp(path, float(ts))
         self._snapshot = txlog._snapshot_files(
             path, int(version) if version is not None else None
         )

@@ -422,6 +422,22 @@ def test_txtable_custom_datasource_reads_snapshots(spark, tmp_path):
     files, _ = txlog._snapshot_files(table, 0)
     assert v0.rdd.getNumPartitions() == len(files)
 
+    # TIMESTAMP AS OF on the reader surface: v0's commit instant
+    # resolves to v0; both options together are rejected
+    ts0 = txlog._commit_ts(table, 0)
+    at0 = (
+        spark.read.format("txtable")
+        .option("timestamp", str(ts0))
+        .load(table)
+    )
+    assert sorted(map(tuple, at0.collect())) == sorted(
+        map(tuple, fast.collect())
+    )
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("txtable").option("version", "0").option(
+            "timestamp", str(ts0)
+        ).load(table).collect()
+
 
 def test_txlog_schema_evolution_and_optimize(spark, tmp_path):
     """merge_schema appends add columns (old files null-fill in the
