@@ -335,6 +335,18 @@ def _bit_of(pos: Column) -> Column:
     return F.get(F.lit(_POW2), F.pmod(pos, F.lit(64)).cast("int"))
 
 
+def _bloom_probes(hash_col: Column, num_bits: int):
+    """The shared Kirsch-Mitzenmacher base pair (b1, b2): probe i is
+    (b1 + i*b2) mod m. ONE definition for build and query — a drifted
+    pair would make membership silently always-false. b2 is forced
+    odd-like (never 0 mod m): b2 == 0 collapses all k probes onto b1,
+    degrading the filter to k=1 for that gram."""
+    b1 = F.pmod(hash_col, F.lit(num_bits))
+    b2 = F.pmod(F.xxhash64(hash_col), F.lit(num_bits))
+    b2 = F.when(b2 == 0, F.lit(1)).otherwise(b2)
+    return b1, b2
+
+
 def ngram_bloom_bitmap(
     eval_df: DataFrame,
     n: int = 3,
@@ -365,8 +377,7 @@ def ngram_bloom_bitmap(
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64: {num_bits}")
     g = _doc_ngrams(eval_df, n, text_col, id_col=None, hashed=True)
-    b1 = F.pmod(F.col("gram"), F.lit(num_bits))
-    b2 = F.pmod(F.xxhash64("gram"), F.lit(num_bits))
+    b1, b2 = _bloom_probes(F.col("gram"), num_bits)
     # b1 + i*b2 <= (1 + k) * num_bits — far from long overflow (ANSI
     # mode throws on overflow, so the bound matters)
     pos = F.explode(
@@ -416,8 +427,7 @@ def bloom_might_contain(
     else:
         num_bits = len(bitmap) * 64
         lit = F.lit(bitmap)
-    b1 = F.pmod(hash_col, F.lit(num_bits))
-    b2 = F.pmod(F.xxhash64(hash_col), F.lit(num_bits))
+    b1, b2 = _bloom_probes(hash_col, num_bits)
     cond = F.lit(True)
     for i in range(num_hashes):
         pos = F.pmod(b1 + F.lit(i) * b2, F.lit(num_bits))
