@@ -1990,13 +1990,33 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="row count from parquet footers (no Spark, no data scan)",
     )
+    ap.add_argument(
+        "--detail",
+        action="store_true",
+        help="DESCRIBE DETAIL: version, file count, bytes (from logged "
+        "sizes — no per-file stat), schema, constraints, checkpoint",
+    )
     ap.add_argument("--optimize", action="store_true")
-    ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument("--target-file-mb", type=float, default=128)
     ap.add_argument(
         "--zorder-by",
         help="comma-separated numeric columns: OPTIMIZE lays rows out "
         "along a Morton curve so zone maps prune on every listed column",
     )
+    ap.add_argument(
+        "--where",
+        nargs=3,
+        metavar=("COL", "LO", "HI"),
+        help="scope OPTIMIZE to files whose zone map intersects "
+        "[LO, HI] (numeric): one replace commit, rest untouched",
+    )
+    ap.add_argument(
+        "--compact-small",
+        action="store_true",
+        help="incremental bin-packing: rewrite ONLY files smaller than "
+        "--small-file-mb (default target/2) as one replace commit",
+    )
+    ap.add_argument("--small-file-mb", type=float, default=None)
     ap.add_argument(
         "--merge-from",
         metavar="PARQUET",
@@ -2053,16 +2073,63 @@ def main(argv: list[str] | None = None) -> int:
             print(_json.dumps(rec))
     if args.fast_count:
         print(f"rows: {fast_count(args.table)}")
+    if args.detail:
+        last = _last_commit(args.table)
+        if last is None:
+            print("no transaction log")
+            return 1
+        rels = [
+            os.path.relpath(f, args.table)
+            for f in _snapshot_files(args.table, None)[0]
+        ]
+        sizes = _sizes_for(args.table, None, rels)
+        ptr = os.path.join(args.table, _LOG_DIR, "_last_checkpoint")
+        ck = None
+        if os.path.isfile(ptr):
+            with open(ptr) as f:
+                ck = _json.load(f)["version"]
+        print(
+            _json.dumps(
+                {
+                    "version": last["version"],
+                    "num_files": len(rels),
+                    "size_bytes": sum(sizes.values()),
+                    "schema": last["schema"],
+                    "constraints": last.get("constraints", {}),
+                    "last_checkpoint": ck,
+                },
+                indent=2,
+            )
+        )
     if args.optimize:
         from parquet_combiner_spark.session import get_spark
 
+        where = None
+        if args.where:
+            c, lo, hi = args.where
+            where = (c, float(lo), float(hi))
         v = optimize(
             get_spark(app_name="txlog-optimize"),
             args.table,
             target_file_mb=args.target_file_mb,
             zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+            where=where,
         )
         print(f"optimized -> version {v}")
+    if args.compact_small:
+        from parquet_combiner_spark.session import get_spark
+
+        v = compact_small_files(
+            get_spark(app_name="txlog-compact"),
+            args.table,
+            target_file_mb=args.target_file_mb,
+            small_file_mb=args.small_file_mb,
+        )
+        print(
+            f"compacted -> version {v}"
+            if v is not None
+            else "nothing small enough to compact"
+        )
     if args.merge_from:
         if not (args.keys and args.version_cols):
             ap.error("--merge-from requires --keys and --version-cols")
@@ -2115,6 +2182,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.restore is not None
         or args.add_constraint
         or args.drop_constraint
+        or args.detail
+        or args.compact_small
     ):
         print(f"version: {current_version(args.table)}")
     return 0
