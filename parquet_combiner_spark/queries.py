@@ -3068,6 +3068,47 @@ def event_counts_additive_merge(
     return merge_additive(half(0), half(1), keys=["event_type"], sum_cols=["n"])
 
 
+def events_zorder_two_predicate_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The read-side payoff of Z-order, measured on BOTH dimensions:
+    after ``optimize(zorder_by=[user_id, value])`` the conjunctive
+    range scan goes through ``read_table_pruned_multi`` — a file
+    survives only if BOTH its per-column zone maps intersect, so the
+    skip sets multiply down across dimensions (a lexicographic sort
+    prunes only its leading column). Pruning is a pure superset
+    optimization; the result must equal the plain two-predicate
+    filter — the oracle."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-zorder2-")
+    table = f"{root}/events_z"
+    try:
+        txlog.commit(ev.repartition(8), table)
+        txlog.optimize(
+            spark,
+            table,
+            target_file_mb=0.05,
+            zorder_by=["user_id", "value"],
+        )
+        return (
+            txlog.read_table_pruned_multi(
+                spark,
+                table,
+                {"user_id": (100, 400), "value": (20.0, 40.0)},
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def event_counts_native_sink_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3469,6 +3510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_state_merge_into": user_state_merge_into,
     "event_state_restore": event_state_restore,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
+    "events_zorder_two_predicate_scan": events_zorder_two_predicate_scan,
     "event_counts_cdf_stream": event_counts_cdf_stream,
     "current_user_state_with_deletes_stream": (
         current_user_state_with_deletes_stream
@@ -4868,6 +4910,15 @@ ORACLE_SQL["events_zorder_pruned_scan"] = """
     SELECT event_id, user_id, event_type, value
     FROM events WHERE value BETWEEN 20.0 AND 40.0
 """
+
+# conjunctive pruning is still a pure superset optimization
+ORACLE_SQL["events_zorder_two_predicate_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 400
+      AND value BETWEEN 20.0 AND 40.0
+"""
+
 
 # every streamed row must carry the version that ADDED it, so the
 # per-type distinct-commit count equals the distinct residues of the
