@@ -122,33 +122,17 @@ def corpus_prep(
         seed=CORPUS_SPLIT_SEED,
     ).select(id_col, "split", "n_tokens")
 
-def corpus_drift_report(
-    docs_a: DataFrame,
-    docs_b: DataFrame,
-    text_col: str = "text",
-) -> DataFrame:
-    """Distribution-shift report between two corpus slices (crawl
-    snapshots, sources, time windows) — the drift monitor a
-    continuously-ingesting training pipeline runs before mixing new
-    data in: one row with
 
-    - ``n_tokens_a/b``, ``vocab_a/b`` — volume and lexical size,
-    - ``vocab_jaccard`` — vocabulary overlap,
-    - ``js_divergence`` — Jensen-Shannon divergence (natural log)
-      between the two unigram distributions over the UNION
-      vocabulary. JS needs no smoothing (a side's zero terms
-      contribute 0 and the mixture M is positive wherever either
-      side is), is symmetric, and is bounded by ln 2 — a stable
-      dashboard number where KL explodes on any novel token.
-
-    Plan shape at 100 TB: each slice collapses to its Zipf-bounded
-    (token, count) table via one partial-aggregated explode, the two
-    tables FULL OUTER join on the token, and that vocabulary-sized
-    frame is checkpointed ONCE — each corpus is read exactly once
-    however many aggregates follow (the triangle-counting lesson:
-    multi-consumer frames otherwise replicate their whole subtree).
-    The totals ride back as a broadcast 1-row frame; the report is a
-    single 1-row aggregation."""
+def _drift_vocab_join(
+    docs_a: DataFrame, docs_b: DataFrame, text_col: str
+):
+    """Shared core of the drift report and its drill-down: the two
+    slices collapsed to (token, c_a, c_b) via one partial-aggregated
+    explode each, FULL OUTER joined and checkpointed (each corpus read
+    exactly once however many aggregates follow — the triangle-
+    counting lesson), plus the totals 1-row frame and the p/q/m
+    probability expressions. ONE definition, so tokenization or
+    JS-term fixes cannot drift between the two consumers."""
     from parquet_combiner_spark.functions.text import tokens
 
     def vocab(df: DataFrame, side: str) -> DataFrame:
@@ -180,6 +164,39 @@ def corpus_drift_report(
     p = ca / F.col("__na")
     q = cb / F.col("__nb")
     m = (p + q) / 2
+    return joined, totals, ca, cb, p, q, m
+
+
+def corpus_drift_report(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-shift report between two corpus slices (crawl
+    snapshots, sources, time windows) — the drift monitor a
+    continuously-ingesting training pipeline runs before mixing new
+    data in: one row with
+
+    - ``n_tokens_a/b``, ``vocab_a/b`` — volume and lexical size,
+    - ``vocab_jaccard`` — vocabulary overlap,
+    - ``js_divergence`` — Jensen-Shannon divergence (natural log)
+      between the two unigram distributions over the UNION
+      vocabulary. JS needs no smoothing (a side's zero terms
+      contribute 0 and the mixture M is positive wherever either
+      side is), is symmetric, and is bounded by ln 2 — a stable
+      dashboard number where KL explodes on any novel token.
+
+    Plan shape at 100 TB: each slice collapses to its Zipf-bounded
+    (token, count) table via one partial-aggregated explode, the two
+    tables FULL OUTER join on the token, and that vocabulary-sized
+    frame is checkpointed ONCE — each corpus is read exactly once
+    however many aggregates follow (the triangle-counting lesson:
+    multi-consumer frames otherwise replicate their whole subtree).
+    The totals ride back as a broadcast 1-row frame; the report is a
+    single 1-row aggregation."""
+    joined, totals, ca, cb, p, q, m = _drift_vocab_join(
+        docs_a, docs_b, text_col
+    )
     kl_pm = F.sum(F.when(ca > 0, p * F.log(p / m)))
     kl_qm = F.sum(F.when(cb > 0, q * F.log(q / m)))
     return (
@@ -219,31 +236,9 @@ def corpus_drift_movers(
     Same plan as the report (two vocab aggs + one vocab-sized full
     outer join) with a TakeOrderedAndProject top-k instead of the
     final fold — never a global sort."""
-    from parquet_combiner_spark.functions.text import tokens
-
-    def vocab(df: DataFrame, side: str) -> DataFrame:
-        return (
-            df.select(
-                F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
-            )
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
-        )
-
-    joined = (
-        vocab(docs_a, "a")
-        .join(vocab(docs_b, "b"), "w", "full_outer")
-        .localCheckpoint(eager=True)
+    joined, totals, ca, cb, p, q, m = _drift_vocab_join(
+        docs_a, docs_b, text_col
     )
-    totals = joined.agg(
-        F.sum("c_a").cast("double").alias("__na"),
-        F.sum("c_b").cast("double").alias("__nb"),
-    )
-    ca = F.coalesce(F.col("c_a"), F.lit(0)).cast("double")
-    cb = F.coalesce(F.col("c_b"), F.lit(0)).cast("double")
-    p = ca / F.col("__na")
-    q = cb / F.col("__nb")
-    m = (p + q) / 2
     contrib = (
         F.coalesce(F.when(ca > 0, p * F.log(p / m)), F.lit(0.0))
         + F.coalesce(F.when(cb > 0, q * F.log(q / m)), F.lit(0.0))

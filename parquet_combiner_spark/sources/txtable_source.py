@@ -151,14 +151,28 @@ class TxTableDataSource(DataSource):
                 "txtable requires a table path: .start(path) or "
                 ".option('path', ...)"
             )
-        return TxTableStreamWriter(
-            path, self.options.get("query_id", "ingest"), schema
-        )
+        query_id = self.options.get("query_id")
+        if not query_id:
+            # exactly-once dedup keys on (query_id, epoch); a shared
+            # implicit default would make two DIFFERENT queries
+            # writing the same table silently drop each other's
+            # batches as replays (their batchIds both start at 0)
+            raise ValueError(
+                "txtable streaming writes require a UNIQUE "
+                ".option('query_id', ...) per logical query — it is "
+                "the exactly-once transaction key (Delta's txnAppId)"
+            )
+        return TxTableStreamWriter(path, query_id, schema)
 
 
 @dataclass
 class _StagedFiles(WriterCommitMessage):
     rels: list
+    # the CHECK set this task's rows were validated against (None for
+    # an empty partition that validated nothing) — the driver passes
+    # it to publish_files, which rejects the batch if the table's
+    # active set changed in flight
+    validated: dict | None = None
 
 
 class TxTableStreamWriter(DataSourceStreamWriter):
@@ -220,6 +234,7 @@ class TxTableStreamWriter(DataSourceStreamWriter):
         from parquet_combiner_spark.tools import txlog
 
         cons = txlog.constraints_of(self.table)
+        validated = dict(cons)
         if cons:
             import duckdb
 
@@ -242,7 +257,7 @@ class TxTableStreamWriter(DataSourceStreamWriter):
         full = os.path.join(self.table, rel)
         os.makedirs(os.path.dirname(full), exist_ok=True)
         pq.write_table(tbl, full, compression="snappy")
-        return _StagedFiles([rel])
+        return _StagedFiles([rel], validated)
 
     def commit(self, messages, batchId: int) -> None:
         from parquet_combiner_spark.tools import txlog
@@ -259,6 +274,19 @@ class TxTableStreamWriter(DataSourceStreamWriter):
         rels = [r for m in messages if m is not None for r in m.rels]
         if not rels:
             return
+        validated_sets = [
+            m.validated
+            for m in messages
+            if m is not None and m.validated is not None
+        ]
+        if any(v != validated_sets[0] for v in validated_sets[1:]):
+            # tasks saw different constraint sets (an ALTER landed
+            # mid-batch): nothing is publishable under a coherent
+            # validation claim — fail loudly, the restart re-validates
+            raise txlog.ConstraintViolation(
+                f"tasks of batch {batchId} validated against "
+                "different CHECK constraint sets; re-run the batch"
+            )
         txlog.publish_files(
             self.table,
             rels,
@@ -268,6 +296,12 @@ class TxTableStreamWriter(DataSourceStreamWriter):
                 "epoch": batchId,
                 "streaming": True,
             },
+            # publish_files re-checks this against the live head on
+            # every attempt: an add_constraint racing the batch forces
+            # re-validation instead of being rebased past
+            validated_constraints=(
+                validated_sets[0] if validated_sets else {}
+            ),
         )
         self._seen.add((self.query_id, batchId))
 

@@ -236,13 +236,16 @@ def _resolve_version(table: str, version: int | None) -> int:
 
 def _snapshot(
     table: str, version: int | None
-) -> tuple[list[str], str, dict]:
-    """ONE log replay → (data file paths, schema DDL, rel_path→stats)
-    as of ``version`` (None=latest). Pruned reads and the
-    copy-on-write DML kernels need files AND zone maps; resolving
-    both in a single pass keeps the hot metadata path at one dir
-    listing / one checkpoint read / one parse per commit instead of
-    two of each.
+) -> tuple[list[str], str, dict, dict]:
+    """ONE log replay → (data file paths, schema DDL, rel_path→stats,
+    rel_path→bytes) as of ``version`` (None=latest). Pruned reads and
+    the copy-on-write DML kernels need files AND zone maps, and the
+    maintenance verbs need byte sizes; resolving all of it in a
+    single pass keeps the hot metadata path at one dir listing / one
+    checkpoint read / one parse per commit instead of several of
+    each. Sizes come from the records' logged ``sizes`` (files from
+    records predating size logging are simply absent —
+    :func:`_fill_sizes` backfills with a stat call).
 
     Seeds from the newest checkpoint at-or-below the target when one
     exists, replaying only the commits after it — O(commits since
@@ -256,54 +259,51 @@ def _snapshot(
     files: list[str] = []
     schema = ""
     stats: dict = {}
+    sizes: dict = {}
     after = None
     ck = _checkpoint_at_or_below(table, version)
     if ck is not None:
         files = list(ck["files"])
         schema = ck["schema"]
         stats = {f: ck.get("stats", {}).get(f, {}) for f in ck["files"]}
+        ck_sizes = ck.get("sizes", {})
+        sizes = {f: ck_sizes[f] for f in ck["files"] if f in ck_sizes}
         after = ck["version"]
     for commit in _read_log(table, after=after, through=version):
         if commit["action"] == "overwrite":
             files = []
             stats = {}
+            sizes = {}
         elif commit["action"] == "replace":
             drop = set(commit.get("remove", []))
             files = [f for f in files if f not in drop]
             for f in drop:
                 stats.pop(f, None)
+                sizes.pop(f, None)
         files.extend(commit["add"])
         stats.update(
             {f: commit.get("stats", {}).get(f, {}) for f in commit["add"]}
         )
+        rec_sizes = commit.get("sizes", {})
+        sizes.update(
+            {f: rec_sizes[f] for f in commit["add"] if f in rec_sizes}
+        )
         schema = commit["schema"]
-    return [os.path.join(table, f) for f in files], schema, stats
+    return [os.path.join(table, f) for f in files], schema, stats, sizes
 
 
 def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
     """(data file paths, schema DDL) — see :func:`_snapshot`."""
-    files, schema, _ = _snapshot(table, version)
+    files, schema, _, _ = _snapshot(table, version)
     return files, schema
 
 
-def _sizes_for(
-    table: str, version: int | None, rels: Sequence[str]
-) -> dict:
-    """Byte sizes for snapshot files, resolved from the commit log's
-    per-file ``sizes`` (Delta's ``add.size``) — checkpoint-seeded like
-    :func:`_snapshot`, so maintenance ops (OPTIMIZE sizing, small-file
-    selection) cost O(commits since checkpoint) metadata instead of a
-    per-file stat/HEAD against the store. Files from records
-    predating size logging fall back to one ``os.path.getsize``."""
-    version = _resolve_version(table, version)
-    sizes: dict = {}
-    after = None
-    ck = _checkpoint_at_or_below(table, version)
-    if ck is not None:
-        sizes.update(ck.get("sizes", {}))
-        after = ck["version"]
-    for commit in _read_log(table, after=after, through=version):
-        sizes.update(commit.get("sizes", {}))
+def _fill_sizes(table: str, rels: Sequence[str], sizes: dict) -> dict:
+    """Complete a :func:`_snapshot`-resolved size map for ``rels``:
+    logged sizes (Delta's ``add.size``) come back as-is — resolved in
+    the SAME replay as the file list, no second metadata pass — and
+    files from records predating size logging backfill with one
+    ``os.path.getsize`` each."""
     return {
         r: sizes[r]
         if r in sizes
@@ -327,9 +327,13 @@ def _normalize_ddl(ddl: str) -> list[list[str]]:
     parts: list[str] = []
     depth, cur = 0, []
     for ch in ddl:
-        if ch == "<":
+        # BOTH bracket families nest commas: struct/array/map use <>,
+        # decimal(p,s) uses () — tracking only one would split
+        # decimal types at top level and let swapped scales compare
+        # equal as a scrambled multiset
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur).strip())
@@ -582,6 +586,7 @@ def publish_files(
     schema_ddl: str,
     meta: dict | None = None,
     max_retries: int = 3,
+    validated_constraints: dict | None = None,
 ) -> int:
     """Publish ALREADY-WRITTEN data files (paths relative to the
     table root) as the table's next ``append`` version — the
@@ -599,6 +604,23 @@ def publish_files(
     own session-less process): the append schema check compares
     simpleString DDLs via :func:`_normalize_ddl`.
 
+    ``validated_constraints`` is the CHECK set the caller validated
+    the staged rows against (pass ``{}`` after validating a
+    constraint-free table). Every publish attempt — including
+    conflict retries — compares it to the head's ACTIVE set and
+    raises :class:`ConstraintViolation` on any difference: a
+    concurrent ``add_constraint`` landing between validation and
+    publish must force re-validation, never be silently rebased past
+    (exactly the invariant commit()'s in-job Observation gets for
+    free). ``None`` skips the check (caller accepts the race).
+
+    When ``meta`` carries ``query_id`` + ``epoch``, the publish is
+    IDEMPOTENT on that pair inside the retry loop as well: if a
+    conflicting concurrent commit turns out to be the same epoch
+    (zombie driver of the same query — Delta's txnAppId/txnVersion
+    failover case), the existing version is returned instead of
+    double-publishing the batch.
+
     Losing every retry, or crashing before publish, leaves only
     unreferenced staged files — :func:`vacuum` garbage, never a torn
     table (the same story as commit's data-before-log ordering)."""
@@ -609,9 +631,33 @@ def publish_files(
     sizes = {
         rel: os.path.getsize(os.path.join(table, rel)) for rel in rels
     }
+    epoch_key = None
+    if meta and "epoch" in meta:
+        epoch_key = (meta.get("query_id"), meta["epoch"])
+    first_base: int | None = None
     for attempt in range(max(1, max_retries)):
         last = _last_commit(table)
         version = (last["version"] + 1) if last else 0
+        if first_base is None:
+            first_base = version
+        if epoch_key is not None and attempt > 0:
+            # a lost race may BE our own epoch (zombie driver):
+            # scan only the records that appeared since we started
+            for rec in _read_log(table, after=first_base - 1):
+                m = rec.get("meta", {})
+                if (m.get("query_id"), m.get("epoch")) == epoch_key:
+                    return rec["version"]
+        active = dict(last.get("constraints", {})) if last else {}
+        if (
+            validated_constraints is not None
+            and active != validated_constraints
+        ):
+            raise ConstraintViolation(
+                f"CHECK constraints on {table} changed since the "
+                f"staged rows were validated (validated against "
+                f"{sorted(validated_constraints)}, active "
+                f"{sorted(active)}); re-validate and retry"
+            )
         if last:
             want = _normalize_ddl(last["schema"])
             have = _normalize_ddl(schema_ddl)
@@ -777,7 +823,7 @@ def read_table_pruned(
     pushdown can only skip WITHIN files the planner already listed;
     this skips the listing. Files without recorded stats (older
     commits, evolved columns) are conservatively kept."""
-    files, schema, stats = _snapshot(table, version)
+    files, schema, stats, sizes = _snapshot(table, version)
     kept = [
         f
         for f in files
@@ -818,7 +864,7 @@ def read_table_pruned_multi(
     files), where a lexicographic sort only ever prunes its leading
     column. Files missing stats for a column are conservatively kept
     for that column (same rule as :func:`read_table_pruned`)."""
-    files, schema, stats = _snapshot(table, version)
+    files, schema, stats, sizes = _snapshot(table, version)
     kept = [
         f
         for f in files
@@ -855,7 +901,7 @@ def read_table_null_pruned(
     commits, stats-less writers) are conservatively kept; the
     predicate is ALSO applied row-level, so the result is exactly the
     filtered snapshot."""
-    files, schema, stats = _snapshot(table, version)
+    files, schema, stats, sizes = _snapshot(table, version)
     kept = [
         f
         for f in files
@@ -1042,7 +1088,7 @@ def optimize(
     """
     for attempt in range(max(1, max_retries)):
         base = current_version(table)
-        files, schema, snap_stats = _snapshot(
+        files, schema, snap_stats, snap_sizes = _snapshot(
             table, base if base >= 0 else None
         )
         if not files:
@@ -1065,7 +1111,7 @@ def optimize(
             action = "replace"
             remove = [os.path.relpath(f, table) for f in files]
         rels_in = [os.path.relpath(f, table) for f in files]
-        total = sum(_sizes_for(table, base, rels_in).values())
+        total = sum(_fill_sizes(table, rels_in, snap_sizes).values())
         n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         df = spark.read.schema(schema).parquet(*files)
         meta: dict = {"optimize": True}
@@ -1082,14 +1128,23 @@ def optimize(
             df = df.coalesce(int(n_files))
         if where is not None:
             meta["where"] = [where[0], _json_safe(where[1]), _json_safe(where[2])]
-        keep_stats = stats_cols or (list(zorder_by) if zorder_by else None)
-        if keep_stats is None and where is not None:
-            # a scoped rewrite keeps every stat column its input files
-            # had (same rule as compact_small_files) — at minimum the
-            # scoping column, or the next scoped run can't find them
-            keep_stats = sorted(
-                {c for r in remove for c in snap_stats.get(r, {})}
-            ) or [where[0]]
+        if stats_cols:
+            keep_stats = list(stats_cols)
+        else:
+            # never ERODE file-skipping metadata: rewritten files keep
+            # every stat column their inputs had, plus the zorder
+            # columns (the rewrite's whole point) and the scoping
+            # column (or next night's scoped run can't find its slice
+            # and degrades toward a full rewrite)
+            inferred = {
+                c
+                for f in files
+                for c in snap_stats.get(os.path.relpath(f, table), {})
+            }
+            inferred.update(zorder_by or [])
+            if where is not None:
+                inferred.add(where[0])
+            keep_stats = sorted(inferred) or None
         try:
             return commit(
                 df,
@@ -1146,9 +1201,9 @@ def compact_small_files(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats = _snapshot(table, base)
-        sizes = _sizes_for(
-            table, base, [os.path.relpath(f, table) for f in files]
+        files, schema, stats, sizes = _snapshot(table, base)
+        sizes = _fill_sizes(
+            table, [os.path.relpath(f, table) for f in files], sizes
         )
         small = [
             f
@@ -1224,7 +1279,7 @@ def delete_where(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats = _snapshot(table, base)
+        files, schema, stats, sizes = _snapshot(table, base)
         touched = [
             f
             for f in files
@@ -1300,7 +1355,7 @@ def update_where(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats = _snapshot(table, base)
+        files, schema, stats, sizes = _snapshot(table, base)
         cols = {f.name for f in spark.createDataFrame([], schema).schema}
         unknown = sorted(set(set_exprs) - cols)
         if unknown:
@@ -1423,7 +1478,7 @@ def merge_into(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats = _snapshot(table, base)
+        files, schema, stats, sizes = _snapshot(table, base)
         touched = [
             f
             for f in files
@@ -1528,14 +1583,14 @@ def checkpoint(table: str, version: int | None = None) -> int:
     the old state or the new, never a torn file. Returns the
     checkpointed version."""
     version = _resolve_version(table, version)
-    files, schema, stats = _snapshot(table, version)
+    files, schema, stats, sizes = _snapshot(table, version)
     rels = [os.path.relpath(f, table) for f in files]
     record = {
         "version": version,
         "files": rels,
         "schema": schema,
         "stats": {r: stats[r] for r in rels if stats.get(r)},
-        "sizes": _sizes_for(table, version, rels),
+        "sizes": _fill_sizes(table, rels, sizes),
     }
     d = _ckpt_dir(table)
     os.makedirs(d, exist_ok=True)
@@ -1692,7 +1747,7 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         )
     if keep_from == first:
         return []
-    files, schema, stats = _snapshot(table, keep_from)
+    files, schema, stats, sizes = _snapshot(table, keep_from)
     base_rec = next(c for c in log if c["version"] == keep_from)
     rels = [os.path.relpath(f, table) for f in files]
     record = {
@@ -1709,7 +1764,7 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         record["constraints"] = base_rec["constraints"]
     # resolved BEFORE the expired records are unlinked, so legacy
     # sizes survive the rebase instead of degrading to stat() calls
-    record["sizes"] = _sizes_for(table, keep_from, rels)
+    record["sizes"] = _fill_sizes(table, rels, sizes)
     # the rebase preserves the ORIGINAL commit instant, so TIMESTAMP
     # AS OF resolution is unchanged by expiry. A pre-'ts' record's
     # instant is its log file's mtime (_commit_ts fallback) — stamp
@@ -1807,7 +1862,7 @@ def restore(
         if last is None:
             raise FileNotFoundError(f"{table} has no transaction log")
         target = _resolve_version(table, version)
-        files, schema, stats = _snapshot(table, target)
+        files, schema, stats, sizes = _snapshot(table, target)
         rels = [os.path.relpath(f, table) for f in files]
         import time as _time
 
@@ -1826,7 +1881,7 @@ def restore(
         kept_stats = {r: stats[r] for r in rels if stats.get(r)}
         if kept_stats:
             record["stats"] = kept_stats
-        record["sizes"] = _sizes_for(table, target, rels)
+        record["sizes"] = _fill_sizes(table, rels, sizes)
         # the FULL target state comes back, CHECK constraints included
         # (a restore across an add_constraint must not keep enforcing
         # a rule the restored rows were never validated against — and
@@ -1867,7 +1922,7 @@ def _republish_head(
     snapshot's exact files with an updated constraint set — the
     ALTER TABLE commit shape. Raises :class:`CommitConflict` if the
     head moved (callers run the optimistic retry loop)."""
-    files, schema, stats = _snapshot(table, head["version"])
+    files, schema, stats, sizes = _snapshot(table, head["version"])
     rels = [os.path.relpath(f, table) for f in files]
     import time as _time
 
@@ -1886,7 +1941,7 @@ def _republish_head(
     kept_stats = {r: stats[r] for r in rels if stats.get(r)}
     if kept_stats:
         record["stats"] = kept_stats
-    record["sizes"] = _sizes_for(table, head["version"], rels)
+    record["sizes"] = _fill_sizes(table, rels, sizes)
     if constraints:
         record["constraints"] = constraints
     _DEFAULT_ARBITER.publish(
@@ -2078,11 +2133,9 @@ def main(argv: list[str] | None = None) -> int:
         if last is None:
             print("no transaction log")
             return 1
-        rels = [
-            os.path.relpath(f, args.table)
-            for f in _snapshot_files(args.table, None)[0]
-        ]
-        sizes = _sizes_for(args.table, None, rels)
+        files_, _, _, sizes_ = _snapshot(args.table, None)
+        rels = [os.path.relpath(f, args.table) for f in files_]
+        sizes = _fill_sizes(args.table, rels, sizes_)
         ptr = os.path.join(args.table, _LOG_DIR, "_last_checkpoint")
         ck = None
         if os.path.isfile(ptr):

@@ -1403,6 +1403,34 @@ def test_txtable_native_stream_writer_exactly_once(spark, tmp_path):
             table, [], "id bigint, wrong string", meta={}
         )
 
+    # missing query_id is rejected up front: a shared implicit
+    # default would let two different queries drop each other's
+    # batches as replays
+    with pytest.raises(Exception, match="query_id"):
+        (
+            spark.readStream.schema("id long, k long")
+            .parquet(src)
+            .writeStream.format("txtable")
+            .option("path", table)
+            .option(
+                "checkpointLocation", os.path.join(root, "ckpt3")
+            )
+            .trigger(availableNow=True)
+            .start()
+        ).awaitTermination()
+
+    # a constraint landing between validation and publish forces
+    # re-validation instead of being rebased past: publish_files
+    # compares the caller's validated set to the live head's
+    with pytest.raises(txlog.ConstraintViolation, match="changed"):
+        txlog.publish_files(
+            table,
+            [],
+            "id bigint, k bigint",
+            meta={"query_id": "t9", "epoch": 0},
+            validated_constraints={},  # caller saw no constraints...
+        )  # ...but id_small is active on the table now
+
 
 def test_normalize_ddl_nested_types():
     """The session-less DDL normalizer splits only TOP-LEVEL commas
@@ -1419,3 +1447,11 @@ def test_normalize_ddl_nested_types():
     assert a == b
     assert len(a) == 3
     assert _normalize_ddl("id bigint") != _normalize_ddl("id int")
+    # decimal's () nests a comma too: swapped scales must NOT compare
+    # equal (a <>-only splitter scrambles them into the same multiset)
+    assert _normalize_ddl("a decimal(10,2), b decimal(12,4)") != (
+        _normalize_ddl("a decimal(10,4), b decimal(12,2)")
+    )
+    assert _normalize_ddl("a decimal(10,2), b int") == (
+        _normalize_ddl("B INT, A DECIMAL(10,2)")
+    )
