@@ -3109,6 +3109,64 @@ def events_zorder_two_predicate_scan(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def purchases_txtable_pipe_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Versioned-table → versioned-table EXACTLY-ONCE pipeline in ONE
+    streaming query, composing BOTH custom Spark-4 Python
+    DataSources: ``format("txtable_changes")`` streams a txlog
+    table's commits as micro-batches (offsets ARE versions), a
+    stateless projection filters purchases, and
+    ``format("txtable")``'s native sink publishes each micro-batch as
+    one ``(query_id, epoch)``-stamped version of the DESTINATION
+    table — the medallion-style bronze→silver hop with exactly-once
+    on both ends and no user glue code. The destination's end state
+    must equal the plain batch filter over the raw events — the
+    oracle."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableChangesDataSource,
+        TxTableDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    for ds in (TxTableChangesDataSource, TxTableDataSource):
+        try:
+            spark.dataSource.register(ds)
+        except Exception:
+            pass  # already registered in this session
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-txpipe-")
+    src = f"{root}/bronze"
+    dst = f"{root}/silver"
+    ckpt = f"{root}/ckpt"
+    try:
+        # bronze: three append commits (deterministic split)
+        for m in range(3):
+            txlog.commit(ev.where(F.col("event_id") % 3 == m), src)
+        q = (
+            spark.readStream.format("txtable_changes")
+            .option("path", src)
+            .load()
+            .where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", F.round("value", 2).alias("v"))
+            .writeStream.format("txtable")
+            .option("path", dst)
+            .option("query_id", "bronze-to-silver")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return txlog.read_table(spark, dst).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def event_counts_native_sink_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3448,6 +3506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_counts_additive_merge": event_counts_additive_merge,
     "event_distinct_users_sketch_store": event_distinct_users_sketch_store,
     "event_counts_native_sink_stream": event_counts_native_sink_stream,
+    "purchases_txtable_pipe_stream": purchases_txtable_pipe_stream,
     "event_counts_stream_metric_store": event_counts_stream_metric_store,
     "orders_profile": orders_profile,
     "distinct_parts": distinct_parts,
@@ -3642,6 +3701,12 @@ ORACLE_SQL: dict[str, str] = {
     # same per-type counts (exactly-once on (query_id, epoch))
     "event_counts_native_sink_stream": """
         SELECT event_type, count(*) AS n FROM events GROUP BY 1
+    """,
+    # bronze -> silver through both Python DataSources converges to
+    # the plain batch filter (exactly-once on both ends)
+    "purchases_txtable_pipe_stream": """
+        SELECT event_id, user_id, round(value, 2) AS v
+        FROM events WHERE event_type = 'purchase'
     """,
     "distinct_parts": """
         SELECT count(DISTINCT l_partkey) AS n_distinct FROM lineitem
