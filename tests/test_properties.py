@@ -401,3 +401,85 @@ class TestMergeDeleteProperties:
         assert sorted(map(tuple, d2.collect())) == sorted(
             map(tuple, full.collect())
         )
+
+
+class TestBloomProperties:
+    """Hypothesis coverage for the Bloom machinery: membership has NO
+    false negatives at any bitmap size, and the session-less DDL
+    normalizer is order/case-insensitive but never conflates distinct
+    type parameterizations."""
+
+    @given(
+        members=st.sets(
+            st.text(
+                alphabet="abcdefgh ", min_size=1, max_size=12
+            ).filter(str.strip),
+            min_size=1,
+            max_size=30,
+        ),
+        num_bits=st.sampled_from([64, 256, 1 << 12]),
+        num_hashes=st.integers(1, 6),
+    )
+    @SETTINGS
+    def test_bloom_no_false_negatives(
+        self, spark, members, num_bits, num_hashes
+    ):
+        from pyspark.sql import functions as F
+
+        from parquet_combiner_spark.functions import quality
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(sorted(members))],
+            "doc_id long, text string",
+        )
+        bm = quality.ngram_bloom_bitmap(
+            docs, n=1, num_bits=num_bits, num_hashes=num_hashes
+        )
+        grams = quality._doc_ngrams(docs, 1, "text")
+        total = grams.count()
+        kept = grams.where(
+            quality.bloom_might_contain(F.col("gram"), bm, num_hashes)
+        ).count()
+        assert kept == total  # every member passes, always
+
+    @given(
+        fields=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", "d"]),
+                st.sampled_from(
+                    [
+                        "bigint",
+                        "int",
+                        "string",
+                        "decimal(10,2)",
+                        "decimal(12,4)",
+                        "array<string>",
+                        "struct<x:int,y:decimal(5,1)>",
+                        "map<string,int>",
+                    ]
+                ),
+            ),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda f: f[0],
+        )
+    )
+    @SETTINGS
+    def test_normalize_ddl_order_and_case_invariant(self, fields):
+        import random
+
+        from parquet_combiner_spark.tools.txlog import _normalize_ddl
+
+        ddl = ", ".join(f"{n} {t}" for n, t in fields)
+        shuffled = list(fields)
+        random.Random(0).shuffle(shuffled)
+        upper = ", ".join(f"{n.upper()} {t.upper()}" for n, t in shuffled)
+        assert _normalize_ddl(ddl) == _normalize_ddl(upper)
+        assert len(_normalize_ddl(ddl)) == len(fields)
+        # perturbing any ONE type breaks equality
+        n0, t0 = fields[0]
+        other = "int" if t0 != "int" else "bigint"
+        changed = ", ".join(
+            f"{n} {other if n == n0 else t}" for n, t in fields
+        )
+        assert _normalize_ddl(ddl) != _normalize_ddl(changed)
