@@ -138,6 +138,36 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_bm25_topk(_docs(spark, sf_dir), _BM25_QUERIES, k=_BM25_K)
 
 
+def q_doc_bm25_topk_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BM25 served from a PERSISTED index (text.bm25_build_index /
+    bm25_topk_from_index — the lexical twin of the persisted IVF
+    quantizer): the postings/doclen/termdf/stats state is committed
+    once as versioned tables, and the query workload runs against
+    the INDEX through the same scoring kernel — never re-tokenizing
+    the corpus. Same answer, same oracle as doc_bm25_topk."""
+    import shutil
+    import tempfile
+
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, q in sorted(_BM25_QUERIES.items())
+            for t in sorted(set(q.lower().split()))
+        ],
+        "query_id string, term string",
+    )
+    root = tempfile.mkdtemp(prefix="pcs-bm25idx-")
+    try:
+        text.bm25_build_index(_docs(spark, sf_dir), root)
+        return text.bm25_topk_from_index(
+            spark, root, qterms, k=_BM25_K
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _HYBRID_QUERY_IDS = (0, 1, 2)
 _HYBRID_POOL = 10
 _HYBRID_K = 5
@@ -1223,6 +1253,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage_report": q_split_leakage_report,
     "doc_split_cluster_safe": q_doc_split_cluster_safe,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "doc_bm25_topk_persisted": q_doc_bm25_topk_persisted,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "ann_lsh_recall_report": q_ann_lsh_recall_report,
     "embedding_semdedup": q_embedding_semdedup,
@@ -2338,6 +2369,13 @@ PIPELINE_ORACLE_SQL["doc_bm25_topk"] = f"""
             FROM scored
         ) WHERE rank <= {_BM25_K}
 """
+
+# served-from-index BM25 answers identically to rebuild-now (one
+# scoring kernel, one state definition) — same oracle
+PIPELINE_ORACLE_SQL["doc_bm25_topk_persisted"] = PIPELINE_ORACLE_SQL[
+    "doc_bm25_topk"
+]
+
 
 # hybrid RRF: the dense pool (exact cosine, same formulation as the
 # brute-force oracle), the sparse pool (BM25 with each query doc's

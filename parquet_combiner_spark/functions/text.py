@@ -370,8 +370,22 @@ def bm25_topk_terms(
     document's own distinct terms (``exclude_self`` then drops the
     trivial self-match by id equality). ``qterms`` must be small
     enough to broadcast (it is the query workload, not data)."""
-    from pyspark.sql import Window
+    tf, dl, df_, corpus = _bm25_frames(documents, text_col, id_col)
+    return _bm25_score_terms(
+        tf, dl, df_, corpus, qterms, k, k1, b, id_col, exclude_self
+    )
 
+
+def _bm25_frames(
+    documents: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The BM25 serving state as four frames: postings (id, term, tf),
+    doc lengths (id, dl), term document-frequencies (term, df), and
+    the 1-row corpus stats (__n, __avgdl). Derived in one pass over
+    the tokens (dl and df are re-aggregations of the postings);
+    ALSO the exact state :func:`bm25_build_index` persists — one
+    definition, so the rebuild-now and serve-from-index paths cannot
+    drift."""
     toks = documents.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
@@ -383,6 +397,26 @@ def bm25_topk_terms(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("dl").alias("__avgdl"),
     )
+    return tf, dl, df_, corpus
+
+
+def _bm25_score_terms(
+    tf: DataFrame,
+    dl: DataFrame,
+    df_: DataFrame,
+    corpus: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Scoring kernel over the BM25 state frames — shared by the
+    rebuild-now path (:func:`bm25_topk_terms`) and the persisted-index
+    path (:func:`bm25_topk_from_index`)."""
+    from pyspark.sql import Window
+
     idf = F.log(
         F.lit(1.0)
         + (F.col("__n") - F.col("df") + F.lit(0.5))
@@ -430,6 +464,75 @@ def bm25_topk_terms(
             "score",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def bm25_build_index(
+    documents: DataFrame,
+    index_root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Persist the BM25 serving state as VERSIONED tables under
+    ``index_root`` — the lexical twin of the persisted IVF quantizer
+    (`similarity.py`): ``postings`` (id, term, tf), ``doclen``,
+    ``termdf``, and the 1-row ``stats``, each a txlog table (zone
+    maps on the postings' term hash would be the next knob). Build
+    once per corpus version; query-time then touches the INDEX, never
+    the raw text — re-tokenizing 100 TB per query workload is the
+    cost this removes, and versioned commits mean index rebuilds are
+    time-travelable and exactly-once-publishable like any other
+    table. Returns {table_name: committed_version}."""
+    from parquet_combiner_spark.tools import txlog
+
+    tf, dl, df_, corpus = _bm25_frames(documents, text_col, id_col)
+    out = {}
+    for name, frame in (
+        ("postings", tf),
+        ("doclen", dl),
+        ("termdf", df_),
+        ("stats", corpus),
+    ):
+        # a REBUILD replaces the state (appending would double-count
+        # postings); every earlier index version stays time-travelable
+        out[name] = txlog.commit(
+            frame, f"{index_root}/{name}", action="overwrite"
+        )
+    return out
+
+
+def bm25_topk_from_index(
+    spark,
+    index_root: str,
+    qterms: DataFrame,
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    exclude_self: bool = False,
+    version: int | None = None,
+) -> DataFrame:
+    """Serve BM25 top-k from a :func:`bm25_build_index` layout —
+    snapshot reads of the four state tables (``version`` time-travels
+    all four in lockstep for point-in-time retrieval) through the
+    SAME scoring kernel as the rebuild-now path, so the two answers
+    are identical by construction (parity pytest)."""
+    from parquet_combiner_spark.tools import txlog
+
+    load = lambda n: txlog.read_table(  # noqa: E731
+        spark, f"{index_root}/{n}", version
+    )
+    return _bm25_score_terms(
+        load("postings"),
+        load("doclen"),
+        load("termdf"),
+        load("stats"),
+        qterms,
+        k,
+        k1,
+        b,
+        id_col,
+        exclude_self,
     )
 
 

@@ -2133,3 +2133,68 @@ def test_corpus_drift_report_hand_computed(spark):
         q[w] * math.log(q[w] / ((p[w] + q[w]) / 2)) for w in q
     )
     assert r["js_divergence"] == pytest.approx(round(js, 6), abs=1e-6)
+
+
+def test_bm25_persisted_index_parity_and_time_travel(spark, tmp_path):
+    """Served-from-index BM25 == rebuild-now BM25 row-for-row (one
+    scoring kernel over one state definition); versioning the index
+    gives point-in-time retrieval — after the corpus (and index)
+    grows, version=0 still answers from the ORIGINAL state."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="red apple pie with red sugar"),
+            Row(doc_id=2, text="green apple tart"),
+            Row(doc_id=3, text="red brick house"),
+        ]
+    )
+    queries = {"q0": "red apple", "q1": "house"}
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, q in sorted(queries.items())
+            for t in sorted(set(q.lower().split()))
+        ],
+        "query_id string, term string",
+    )
+    root = str(tmp_path / "idx")
+    versions = text.bm25_build_index(docs, root)
+    assert set(versions) == {"postings", "doclen", "termdf", "stats"}
+
+    now = sorted(
+        map(tuple, text.doc_bm25_topk(docs, queries, k=2).collect())
+    )
+    served = sorted(
+        map(
+            tuple,
+            text.bm25_topk_from_index(spark, root, qterms, k=2).collect(),
+        )
+    )
+    assert served == now
+
+    # corpus grows; index rebuilt as NEW versions of the same tables
+    docs2 = docs.unionAll(
+        spark.createDataFrame([Row(doc_id=4, text="red red red house")])
+    )
+    text.bm25_build_index(docs2, root)
+    v1 = sorted(
+        map(
+            tuple,
+            text.bm25_topk_from_index(spark, root, qterms, k=2).collect(),
+        )
+    )
+    assert v1 == sorted(
+        map(tuple, text.doc_bm25_topk(docs2, queries, k=2).collect())
+    )
+    assert v1 != served  # doc 4 changes the 'red'/'house' rankings
+    # point-in-time: version 0 still answers from the original state
+    v0 = sorted(
+        map(
+            tuple,
+            text.bm25_topk_from_index(
+                spark, root, qterms, k=2, version=0
+            ).collect(),
+        )
+    )
+    assert v0 == served
