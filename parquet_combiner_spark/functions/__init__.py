@@ -834,6 +834,14 @@ def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one schedule for the classifier family: the trainer query, the
+# inference query, and the inference ORACLE all derive from these,
+# so engine and oracle can never train on drifted hyperparameters
+_CLS_ITERS = 15
+_CLS_LR = 2.0
+_CLS_KEEP = 0.5
+
+
 def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the corpus quality classifier (GPT-3/CCNet shape:
     logistic regression, positive class = the curated slice — here
@@ -843,7 +851,9 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration loop and released after. Driver-resident iterative
     optimization is not SQL-expressible → rows-only; the gate is the
     numpy-reference parity pytest (same features, same schedule,
-    ~1e-9 agreement)."""
+    ~1e-9 agreement) — and the end-to-end chain IS hash-matched via
+    :func:`q_doc_quality_classifier_scores`, whose DuckDB oracle
+    re-trains the same schedule as a recursive CTE."""
     feats = quality.classifier_feature_frame(
         _docs(spark, sf_dir), label=(F.col("lang") == "en")
     ).persist()
@@ -851,7 +861,45 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 15 steps at lr 2: per-iteration cost is Spark job overhead,
         # not data, at sweep scale — fewer, larger steps, same
         # optimum direction (standardized features tolerate it)
-        return quality.logreg_train(feats, iters=15, lr=2.0)
+        return quality.logreg_train(feats, iters=_CLS_ITERS, lr=_CLS_LR)
+    finally:
+        feats.unpersist()
+
+
+def q_doc_quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The classifier chain users run at 100 TB: train → score →
+    threshold (VERDICT r9 order #2). Training is
+    :func:`q_doc_quality_classifier`'s exact schedule; the d+1
+    learned weights come back to the driver (they ARE driver state —
+    d+2 doubles) and scoring is :func:`quality.logreg_score`, a pure
+    plan-literal projection over the same feature frame. Output per
+    document: the sigmoid quality score (rounded to 6 dp so the
+    driver's 9-significant-digit hash is stable against float
+    summation-order drift between engines) and the ``keep`` verdict
+    at the ``_CLS_KEEP`` (0.5) threshold.
+
+    Hash-MATCH oracle: DuckDB re-trains the identical GD schedule as
+    a recursive CTE (LATERAL full-batch gradient per step) and scores
+    with ITS weights — both sides round the de-standardized weights
+    to 8 dp (inherited from logreg_train's contract), which snaps the
+    ~1e-12 cross-engine training drift onto the same grid."""
+    feats = quality.classifier_feature_frame(
+        _docs(spark, sf_dir), label=(F.col("lang") == "en")
+    ).persist()
+    try:
+        wrows = quality.logreg_train(
+            feats, iters=_CLS_ITERS, lr=_CLS_LR
+        ).collect()
+        weights = {r["feature"]: r["weight"] for r in wrows}
+        scored = quality.logreg_score(feats, weights)
+        s6 = F.round("score", 6)
+        return scored.select(
+            "doc_id",
+            s6.alias("score"),
+            (s6 >= F.lit(_CLS_KEEP)).alias("keep"),
+        )
     finally:
         feats.unpersist()
 
@@ -1234,6 +1282,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split": q_doc_split,
     "doc_epoch_shuffle": q_doc_epoch_shuffle,
     "doc_quality_classifier": q_doc_quality_classifier,
+    "doc_quality_classifier_scores": q_doc_quality_classifier_scores,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_binary_metadata": q_doc_binary_metadata,
     "doc_payload_features": q_doc_payload_features,
@@ -1406,6 +1455,118 @@ _MARKER_LISTS = ",\n".join(
     for lang, markers in text.LANG_MARKERS.items()
 )
 _EN_MARKERS = ", ".join(f"'{m}'" for m in text.LANG_MARKERS["en"])
+
+
+def _classifier_scores_oracle_sql() -> str:
+    """DuckDB oracle for ``doc_quality_classifier_scores``: re-train
+    the IDENTICAL full-batch logistic-GD schedule (zero init,
+    standardized features, ``_CLS_ITERS`` simultaneous-update steps at
+    ``_CLS_LR``) as a recursive CTE whose recursive term computes each
+    step's d+1 gradient sums in one LATERAL aggregation over the
+    standardized frame — the SQL rendering of logreg_train's
+    one-aggregation-per-step loop — then de-standardize, round the
+    weights to 8 dp (logreg_train's output contract; snaps ~1e-12
+    cross-engine training drift onto a shared grid) and score every
+    document. Generated, not hand-maintained: the feature SQL is the
+    one source of truth for both the gradient and the scoring
+    expressions."""
+    # classifier_feature_frame's five features, SQL-for-SQL:
+    # string_split(' ') == F.split(" "), list_filter mirrors F.filter,
+    # and every denominator carries the same greatest(_, 1) floor
+    feats = [
+        # stopword_ratio: whitespace tokens of lower(text), split ' '
+        f"""CAST(len(list_filter(string_split(lower(text), ' '),
+             w -> w IN ({_STOPWORD_LIST}))) AS DOUBLE)
+             / greatest(len(string_split(lower(text), ' ')), 1)""",
+        # punct_ratio over [.,!?;:]
+        """CAST(length(text)
+             - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+             AS DOUBLE) / greatest(length(text), 1)""",
+        # ascii_ratio
+        """CAST(length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g'))
+             AS DOUBLE) / greatest(length(text), 1)""",
+        # digit_ratio
+        """CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             AS DOUBLE) / greatest(length(text), 1)""",
+        # avg_word_len: non-whitespace chars / non-empty \\s+ words
+        """CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / greatest(len(list_filter(
+                 regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 w -> w <> '')), 1)""",
+    ]
+    d = len(feats)
+    idx = range(d)
+    feat_cols = ",\n           ".join(
+        f"{sql} AS f{i}" for i, sql in zip(idx, feats)
+    )
+    zexpr = "b + " + " + ".join(f"w{i}*z{i}" for i in idx)
+    sig = f"1.0/(1.0 + exp(-({zexpr})))"
+    score_z = "rb + " + " + ".join(f"rw{i}*f{i}" for i in idx)
+    score = f"round(1.0/(1.0 + exp(-({score_z}))), 6)"
+    return f"""
+        WITH RECURSIVE feats AS (
+            SELECT doc_id,
+                   CASE WHEN lang IS NULL THEN NULL
+                        WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label,
+                   {feat_cols}
+            FROM documents
+        ),
+        train AS (
+            SELECT * FROM feats
+            WHERE label IS NOT NULL
+              AND {" AND ".join(f"f{i} IS NOT NULL" for i in idx)}
+        ),
+        st AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   {", ".join(f"avg(f{i}) AS m{i}" for i in idx)},
+                   {", ".join(
+                       f"CASE WHEN coalesce(stddev_pop(f{i}), 0) = 0 "
+                       f"THEN 1.0 ELSE stddev_pop(f{i}) END AS s{i}"
+                       for i in idx
+                   )}
+            FROM train
+        ),
+        zs AS (
+            SELECT label,
+                   {", ".join(f"(f{i} - m{i})/s{i} AS z{i}" for i in idx)}
+            FROM train, st
+        ),
+        gd(it, {", ".join(f"w{i}" for i in idx)}, b) AS (
+            SELECT 0, {", ".join("CAST(0.0 AS DOUBLE)" for _ in idx)},
+                   CAST(0.0 AS DOUBLE)
+            UNION ALL
+            SELECT it + 1,
+                   {", ".join(
+                       f"w{i} - {_CLS_LR} * g.g{i} / g.n" for i in idx
+                   )},
+                   b - {_CLS_LR} * g.gb / g.n
+            FROM gd, LATERAL (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       {", ".join(
+                           f"sum(({sig} - label) * z{i}) AS g{i}"
+                           for i in idx
+                       )},
+                       sum({sig} - label) AS gb
+                FROM zs
+            ) g
+            WHERE it < {_CLS_ITERS}
+        ),
+        wf AS (
+            SELECT {", ".join(
+                       f"round(w{i} / s{i}, 8) AS rw{i}" for i in idx
+                   )},
+                   round(b - ({" + ".join(
+                       f"w{i}*m{i}/s{i}" for i in idx
+                   )}), 8) AS rb
+            FROM gd, st
+            WHERE it = {_CLS_ITERS}
+        )
+        SELECT f.doc_id,
+               {score} AS score,
+               {score} >= {_CLS_KEEP} AS keep
+        FROM feats f, wf
+    """
+
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
     # minhash/simhash/LSH queries intentionally absent: xxhash64-based,
@@ -1669,6 +1830,9 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "doc_fingerprints": """
         SELECT doc_id, md5(text) AS fp_md5 FROM documents
     """,
+    # train → score → threshold, re-trained in SQL (recursive CTE);
+    # see _classifier_scores_oracle_sql
+    "doc_quality_classifier_scores": _classifier_scores_oracle_sql(),
     # the naive global-window formulation of the distributed prefix
     # count: same md5-derived 32-bit key, same doc_id tie-break
     "doc_epoch_shuffle": f"""

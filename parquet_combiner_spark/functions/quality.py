@@ -657,3 +657,31 @@ def logreg_train(
     return feats.sparkSession.createDataFrame(
         rows, "feature string, weight double"
     )
+
+
+def logreg_score(
+    feats: DataFrame,
+    weights: dict,
+    feature_cols: tuple[str, ...] = CLASSIFIER_FEATURES,
+    score_col: str = "score",
+) -> DataFrame:
+    """Classifier INFERENCE — the half of the GPT-3/CCNet quality
+    pipeline users actually run corpus-wide: ``score = sigmoid(b +
+    w·x)`` over raw (un-standardized) features, with the trained
+    weights embedded as PLAN LITERALS (d+1 doubles). The whole scorer
+    is one narrow codegen'd projection: no model object on the
+    executors, no UDF, no shuffle — at 100 TB it runs at scan speed
+    and Catalyst prunes every column the caller doesn't keep.
+
+    ``weights`` is :func:`logreg_train`'s output as a dict
+    (``{feature: weight, "__bias__": b}``; a ``__loss__`` entry is
+    ignored). The weights are raw-unit (de-standardized), so the
+    score frame needs no stats pass. Unlike training there is no
+    complete-case guard: a row with a NULL feature scores NULL —
+    surfacing the gap beats silently classifying on a half-filled
+    vector."""
+    z: Column = F.lit(float(weights["__bias__"]))
+    for c in feature_cols:
+        z = z + F.lit(float(weights[c])) * F.col(c)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.withColumn(score_col, p)

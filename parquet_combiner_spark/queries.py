@@ -2405,6 +2405,35 @@ def events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE end-state (tools/txlog.py ``delete_where
+    (mode="dv")``): events land as 8 files with value zone maps, two
+    OVERLAPPING dv-deletes record position vectors — no data file is
+    rewritten (pinned in tests/test_deletion_vectors.py) — and the
+    read-back anti-filters the vectors at scan time. The oracle is
+    the surviving-rows predicate over the raw events table: the
+    vectors must behave exactly like the copy-on-write delete, row
+    for row (NULL values survive — not in any [lo, hi])."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-dv-")
+    table = f"{root}/events_dv"
+    try:
+        txlog.commit(ev.repartition(8), table, stats_cols=["value"])
+        txlog.delete_where(spark, table, "value", 20.0, 40.0, mode="dv")
+        # second, overlapping delete: the per-file vectors UNION
+        txlog.delete_where(spark, table, "value", 35.0, 55.0, mode="dv")
+        return txlog.read_table(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def current_user_state_with_deletes_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3569,6 +3598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_state_merge_into": user_state_merge_into,
     "event_state_restore": event_state_restore,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
+    "events_dv_delete_scan": events_dv_delete_scan,
     "events_zorder_two_predicate_scan": events_zorder_two_predicate_scan,
     "event_counts_cdf_stream": event_counts_cdf_stream,
     "current_user_state_with_deletes_stream": (
@@ -4974,6 +5004,14 @@ ORACLE_SQL["event_state_restore"] = """
 ORACLE_SQL["events_zorder_pruned_scan"] = """
     SELECT event_id, user_id, event_type, value
     FROM events WHERE value BETWEEN 20.0 AND 40.0
+"""
+
+# merge-on-read deletes must equal the logical predicate exactly;
+# NULL values are outside every [lo, hi] and survive
+ORACLE_SQL["events_dv_delete_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE value IS NULL OR NOT (value BETWEEN 20.0 AND 55.0)
 """
 
 # conjunctive pruning is still a pure superset optimization

@@ -44,6 +44,9 @@ from pyspark.sql.types import StructType
 @dataclass
 class _FilePartition(InputPartition):
     path: str
+    # deleted physical row positions (merge-on-read deletion vectors,
+    # txlog delete_where mode="dv") — None/empty = read the file whole
+    positions: tuple = ()
 
 
 @dataclass
@@ -75,19 +78,38 @@ def _read_file_as_arrow(path: str, target):
 
 
 class TxTableReader(DataSourceReader):
-    def __init__(self, schema: StructType, files: list[str]) -> None:
+    def __init__(
+        self,
+        schema: StructType,
+        files: list[str],
+        dvs: dict | None = None,
+    ) -> None:
         self._schema = schema
         self._files = files
+        self._dvs = dvs or {}
 
     def partitions(self):  # noqa: D102 — API contract
-        return [_FilePartition(p) for p in self._files]
+        return [
+            _FilePartition(p, tuple(self._dvs.get(p, ())))
+            for p in self._files
+        ]
 
     def read(self, partition: _FilePartition):  # noqa: D102
         # executor-side import: workers must not need the driver's state
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
-        yield from _read_file_as_arrow(partition.path, target).to_batches()
+        table = _read_file_as_arrow(partition.path, target)
+        if partition.positions:
+            # apply the deletion vector: positions index the file's
+            # physical row order — the same space pyarrow reads in
+            import numpy as np
+            import pyarrow as pa
+
+            keep = np.ones(table.num_rows, dtype=bool)
+            keep[list(partition.positions)] = False
+            table = table.filter(pa.array(keep))
+        yield from table.to_batches()
 
 
 class TxTableDataSource(DataSource):
@@ -125,18 +147,26 @@ class TxTableDataSource(DataSource):
             # TIMESTAMP AS OF: resolve through the canonical commit
             # instants (binary search over the log, txlog semantics)
             version = txlog.version_at_timestamp(path, float(ts))
-        self._snapshot = txlog._snapshot_files(
+        import os
+
+        files, ddl, _, _, rel_dvs = txlog._snapshot(
             path, int(version) if version is not None else None
         )
+        # deletion vectors keyed by the ABSOLUTE paths the partitions
+        # carry, so read() needs no table-root context
+        dvs = {
+            os.path.join(path, rel): pos for rel, pos in rel_dvs.items()
+        }
+        self._snapshot = (files, ddl, dvs)
         return self._snapshot
 
     def schema(self) -> str:
-        _, ddl = self._resolve()
+        _, ddl, _ = self._resolve()
         return ddl
 
     def reader(self, schema: StructType) -> TxTableReader:
-        files, _ = self._resolve()
-        return TxTableReader(schema, files)
+        files, _, dvs = self._resolve()
+        return TxTableReader(schema, files, dvs)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         if overwrite:
@@ -216,6 +246,11 @@ class TxTableStreamWriter(DataSourceStreamWriter):
             f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
         )
         self._seen: set | None = None
+        # the head version _seen covers: publish_files rescans the log
+        # BEYOND it on every publish attempt, so an epoch published by
+        # a zombie driver of the same query after the snapshot below
+        # is found instead of double-published (ADVICE r9, medium)
+        self._seen_through: int = -1
 
     def write(self, iterator) -> _StagedFiles:
         import os
@@ -263,12 +298,14 @@ class TxTableStreamWriter(DataSourceStreamWriter):
         from parquet_combiner_spark.tools import txlog
 
         if self._seen is None:
-            self._seen = {
-                (m.get("query_id"), m.get("epoch"))
-                for rec in txlog._read_log(self.table)
-                for m in [rec.get("meta", {})]
-                if "epoch" in m
-            }
+            self._seen = set()
+            for rec in txlog._read_log(self.table):
+                m = rec.get("meta", {})
+                if "epoch" in m:
+                    self._seen.add((m.get("query_id"), m.get("epoch")))
+                self._seen_through = max(
+                    self._seen_through, rec["version"]
+                )
         if (self.query_id, batchId) in self._seen:
             return  # replayed batch: staged files are vacuum garbage
         rels = [r for m in messages if m is not None for r in m.rels]
@@ -302,6 +339,7 @@ class TxTableStreamWriter(DataSourceStreamWriter):
             validated_constraints=(
                 validated_sets[0] if validated_sets else {}
             ),
+            seen_through=self._seen_through,
         )
         self._seen.add((self.query_id, batchId))
 
@@ -398,6 +436,22 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         # below them
         if self._cursor is None or end["version"] > self._cursor:
             self._cursor = end["version"]
+        if start["version"] < end["version"]:
+            # a checkpointed restart can ask for a range whose log
+            # records expire_versions has unlinked — _read_log would
+            # silently skip the missing files and the query would
+            # LOSE those versions' rows. Delta errors when the start
+            # offset predates retained history; so do we (ADVICE r9).
+            versions = txlog._log_versions(self._table)
+            first = versions[0] if versions else 0
+            if start["version"] + 1 < first:
+                raise ValueError(
+                    f"streaming offset {start['version'] + 1} of "
+                    f"{self._table} predates the first retained "
+                    f"version {first} (history expired); restart the "
+                    "query from a fresh checkpoint with from_version "
+                    f">= {first - 1}"
+                )
         parts: list[_ChangeFilePartition] = []
         # bounded parse: the filename encodes the version, so only the
         # in-range commit records are opened — O(batch), not O(table
@@ -406,15 +460,21 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             self._table, after=start["version"], through=end["version"]
         ):
             v = rec["version"]
-            rewrites = rec["action"] == "overwrite" or rec.get("remove")
+            rewrites = (
+                rec["action"] == "overwrite"
+                or rec.get("remove")
+                or rec.get("dv")
+            )
             if rewrites and not self._ignore_changes:
                 raise ValueError(
                     f"version {v} of {self._table} is a "
-                    f"{rec['action']} that rewrites data; streaming "
-                    "a table with non-append commits requires "
+                    f"{rec['action']} that rewrites data (or carries "
+                    "deletion vectors); streaming a table with "
+                    "non-append commits requires "
                     ".option('ignore_changes', 'true') (rewritten "
-                    "rows are then re-emitted — downstream must be "
-                    "idempotent per key)"
+                    "rows are then re-emitted and DV deletes are NOT "
+                    "propagated — downstream must be idempotent per "
+                    "key)"
                 )
             parts.extend(
                 _ChangeFilePartition(os.path.join(self._table, rel), v)

@@ -58,9 +58,13 @@ def txlog_append_batch(
     ``_seen`` (the sink's per-query (query_id, epoch) cache) makes the
     replay check O(1) amortized: the full log is parsed ONCE when the
     cache is cold (query start / restart-after-crash), then each batch
-    consults and updates the in-memory set — without it, a
+    refreshes it INCREMENTALLY — only commits beyond the head version
+    the cache already covers (tracked inside the set as a reserved
+    ``("__through__", v)`` pair) are parsed. Without the cache, a
     long-running stream re-parses every commit record per batch
-    (quadratic in versions over the stream's lifetime).
+    (quadratic in versions over the stream's lifetime); without the
+    per-batch refresh, a zombie driver's commit between two batches
+    would be double-published.
 
     ``checkpoint_every`` writes a LOG CHECKPOINT after every Nth
     version (Delta's every-10-commits default; None disables):
@@ -71,12 +75,36 @@ def txlog_append_batch(
     commit and checkpoint costs nothing but replay length."""
     if _seen is None:
         _seen = set()
-    if not _seen:
-        _seen.update(
-            (c["meta"].get("query_id", DEFAULT_QUERY_ID), c["meta"]["epoch"])
-            for c in txlog._read_log(table)
-            if "epoch" in c.get("meta", {})
+    # Incremental replay-cache refresh, run before EVERY publish
+    # attempt (not only when the cache is cold): a zombie driver of
+    # the same query can land this epoch between two of our batches
+    # without ever conflicting with us (commit() auto-rebases past
+    # it), so the cache must be brought up to the log head each time
+    # (ADVICE r9, medium — the publish_files twin of this path). The
+    # cache tracks the head version it covers as a reserved
+    # ("__through__", v) pair, so each refresh parses only the
+    # commits beyond it — amortized O(new commits), exactly the old
+    # cold-cache cost spread over the stream. query_id "__through__"
+    # is reserved.
+    def _refresh() -> None:
+        through = max(
+            (v for (k, v) in _seen if k == "__through__"), default=-1
         )
+        new_through = through
+        for c in txlog._read_log(table, after=through):
+            if "epoch" in c.get("meta", {}):
+                _seen.add(
+                    (
+                        c["meta"].get("query_id", DEFAULT_QUERY_ID),
+                        c["meta"]["epoch"],
+                    )
+                )
+            new_through = max(new_through, c["version"])
+        if new_through != through:
+            _seen.discard(("__through__", through))
+            _seen.add(("__through__", new_through))
+
+    _refresh()
     if (query_id, epoch_id) in _seen:
         return False
     # a CommitConflict here means a CONCURRENT writer (OPTIMIZE, a
@@ -94,12 +122,8 @@ def txlog_append_batch(
         except txlog.CommitConflict:
             # the winner might BE this epoch (two replayed instances
             # of the same query racing): re-check before republishing
-            if any(
-                c.get("meta", {}).get("epoch") == epoch_id
-                and c["meta"].get("query_id", DEFAULT_QUERY_ID) == query_id
-                for c in txlog._read_log(table)
-            ):
-                _seen.add((query_id, epoch_id))
+            _refresh()
+            if (query_id, epoch_id) in _seen:
                 return False
             if attempt == 4:
                 raise

@@ -236,16 +236,26 @@ def _resolve_version(table: str, version: int | None) -> int:
 
 def _snapshot(
     table: str, version: int | None
-) -> tuple[list[str], str, dict, dict]:
+) -> tuple[list[str], str, dict, dict, dict]:
     """ONE log replay → (data file paths, schema DDL, rel_path→stats,
-    rel_path→bytes) as of ``version`` (None=latest). Pruned reads and
-    the copy-on-write DML kernels need files AND zone maps, and the
-    maintenance verbs need byte sizes; resolving all of it in a
-    single pass keeps the hot metadata path at one dir listing / one
-    checkpoint read / one parse per commit instead of several of
-    each. Sizes come from the records' logged ``sizes`` (files from
-    records predating size logging are simply absent —
-    :func:`_fill_sizes` backfills with a stat call).
+    rel_path→bytes, rel_path→deleted positions) as of ``version``
+    (None=latest). Pruned reads and the copy-on-write DML kernels
+    need files AND zone maps, the maintenance verbs need byte sizes,
+    and every reader needs the DELETION VECTORS (merge-on-read
+    position deletes — see :func:`delete_where` ``mode="dv"``);
+    resolving all of it in a single pass keeps the hot metadata path
+    at one dir listing / one checkpoint read / one parse per commit
+    instead of several of each. Sizes come from the records' logged
+    ``sizes`` (files from records predating size logging are simply
+    absent — :func:`_fill_sizes` backfills with a stat call).
+
+    DV replay rule: any record may carry a ``dv`` map (rel →
+    sorted deleted positions); each entry SUPERSEDES the file's prior
+    vector (the newest record owns the full set — Delta's
+    one-DV-per-file model), applied after the record's add/remove so
+    a restore/rebase record can both re-reference files and restore
+    their vectors. Files removed by replace (or everything, on
+    overwrite) drop their vectors with them.
 
     Seeds from the newest checkpoint at-or-below the target when one
     exists, replaying only the commits after it — O(commits since
@@ -260,6 +270,7 @@ def _snapshot(
     schema = ""
     stats: dict = {}
     sizes: dict = {}
+    dvs: dict = {}
     after = None
     ck = _checkpoint_at_or_below(table, version)
     if ck is not None:
@@ -268,18 +279,22 @@ def _snapshot(
         stats = {f: ck.get("stats", {}).get(f, {}) for f in ck["files"]}
         ck_sizes = ck.get("sizes", {})
         sizes = {f: ck_sizes[f] for f in ck["files"] if f in ck_sizes}
+        ck_dv = ck.get("dv", {})
+        dvs = {f: list(ck_dv[f]) for f in ck["files"] if f in ck_dv}
         after = ck["version"]
     for commit in _read_log(table, after=after, through=version):
         if commit["action"] == "overwrite":
             files = []
             stats = {}
             sizes = {}
+            dvs = {}
         elif commit["action"] == "replace":
             drop = set(commit.get("remove", []))
             files = [f for f in files if f not in drop]
             for f in drop:
                 stats.pop(f, None)
                 sizes.pop(f, None)
+                dvs.pop(f, None)
         files.extend(commit["add"])
         stats.update(
             {f: commit.get("stats", {}).get(f, {}) for f in commit["add"]}
@@ -288,13 +303,25 @@ def _snapshot(
         sizes.update(
             {f: rec_sizes[f] for f in commit["add"] if f in rec_sizes}
         )
+        # deletion vectors: each entry supersedes the file's prior set
+        for rel, pos in commit.get("dv", {}).items():
+            dvs[rel] = list(pos)
         schema = commit["schema"]
-    return [os.path.join(table, f) for f in files], schema, stats, sizes
+    return (
+        [os.path.join(table, f) for f in files],
+        schema,
+        stats,
+        sizes,
+        dvs,
+    )
 
 
 def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
-    """(data file paths, schema DDL) — see :func:`_snapshot`."""
-    files, schema, _, _ = _snapshot(table, version)
+    """(data file paths, schema DDL) — see :func:`_snapshot`.
+    NOTE: DV-blind; callers that read DATA must use :func:`_scan`
+    (or read via :func:`read_table`) so deleted positions are
+    filtered."""
+    files, schema, _, _, _ = _snapshot(table, version)
     return files, schema
 
 
@@ -310,6 +337,85 @@ def _fill_sizes(table: str, rels: Sequence[str], sizes: dict) -> dict:
         else os.path.getsize(os.path.join(table, r))
         for r in rels
     }
+
+
+def _scan(
+    spark: SparkSession,
+    table: str,
+    files: Sequence[str],
+    schema: str,
+    dvs: dict,
+) -> DataFrame:
+    """THE data-reading primitive every snapshot consumer goes
+    through: schema-enforced parquet scan of ``files`` with the
+    snapshot's DELETION VECTORS applied (merge-on-read position
+    deletes, Delta/Iceberg's DV model).
+
+    Files without a vector — the overwhelming majority — take the
+    plain vectorized JVM scan untouched (full pushdown, zero
+    overhead). Files WITH a vector are read in one sibling scan and
+    anti-joined against a broadcast (file, position) frame on the
+    ``_metadata`` pseudo-columns (``file_path``, ``row_index`` —
+    stable parquet row order, the position space the vectors were
+    recorded in); the two branches union. At 100 TB the anti-join is
+    a broadcast hash probe riding the scan — no shuffle, no extra
+    pass — and its build side is bounded by the DV-size guard at
+    delete time.
+
+    The file-path keys for the broadcast frame are derived from a
+    one-row PROBE of one DV'd file (``_metadata.file_path`` is a URI
+    whose exact scheme/encoding belongs to Spark): the probe's path
+    minus its known rel-path suffix gives the table's URI prefix
+    exactly, with no fragile hand-parsing of URI formats. One
+    driver-side one-task job, only on scans that actually carry DVs.
+    """
+    from pyspark.sql import functions as F
+
+    if not files:
+        return spark.createDataFrame([], schema)
+    by_rel = {os.path.relpath(f, table): f for f in files}
+    dirty = {r: dvs[r] for r in by_rel if dvs.get(r)}
+    clean = [by_rel[r] for r in by_rel if r not in dirty]
+    parts: list[DataFrame] = []
+    if clean:
+        parts.append(spark.read.schema(schema).parquet(*clean))
+    if dirty:
+        probe_rel = next(iter(dirty))
+        probe = (
+            spark.read.parquet(by_rel[probe_rel])
+            .select(F.col("_metadata.file_path").alias("p"))
+            .first()
+        )
+        fp = probe["p"]
+        if not fp.endswith(probe_rel):
+            raise AssertionError(
+                f"_metadata.file_path {fp!r} does not end with the "
+                f"file's table-relative path {probe_rel!r}; cannot "
+                "key deletion vectors"
+            )
+        prefix = fp[: len(fp) - len(probe_rel)]
+        dv_rows = [
+            (prefix + rel, int(pos))
+            for rel, positions in dirty.items()
+            for pos in positions
+        ]
+        dv_df = spark.createDataFrame(
+            dv_rows, "__dv_path string, __dv_pos long"
+        )
+        scanned = spark.read.schema(schema).parquet(
+            *[by_rel[r] for r in dirty]
+        )
+        kept = scanned.join(
+            F.broadcast(dv_df),
+            (F.col("_metadata.file_path") == F.col("__dv_path"))
+            & (F.col("_metadata.row_index") == F.col("__dv_pos")),
+            "left_anti",
+        ).select(*[F.col(f.name) for f in scanned.schema.fields])
+        parts.append(kept)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _normalize_schema(df: DataFrame) -> list[list[str]]:
@@ -455,6 +561,15 @@ def commit(
                 f"{unknown}"
             )
     schema_ddl = _ddl(df)
+    if action == "replace":
+        # record the TABLE's schema verbatim, not the DataFrame's:
+        # the normalized equality check above is case- and order-
+        # insensitive, so a survivors frame with reordered or
+        # re-cased columns would otherwise rewrite the committed DDL
+        # — and the Arrow-side txtable reader matches names
+        # case-sensitively, silently null-filling every untouched
+        # file under the drifted casing (ADVICE r9, low).
+        schema_ddl = last["schema"]
     if action == "append" and last:
         current = last["schema"]
         spark = df.sparkSession
@@ -536,15 +651,7 @@ def commit(
     } if stats_cols else {}
 
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
-    import time as _time
-
-    # canonicalized commit time (what Delta does): strictly greater
-    # than the predecessor's even across a backward clock step, so
-    # TIMESTAMP AS OF resolution can binary-search the log instead of
-    # scanning it, and a later version never carries an earlier instant
-    commit_ts = _time.time()
-    if last is not None and last.get("ts") is not None:
-        commit_ts = max(commit_ts, last["ts"] + 1e-3)
+    commit_ts = _next_commit_ts(table, last)
     record = {
         "version": version,
         "action": action,
@@ -587,6 +694,7 @@ def publish_files(
     meta: dict | None = None,
     max_retries: int = 3,
     validated_constraints: dict | None = None,
+    seen_through: int | None = None,
 ) -> int:
     """Publish ALREADY-WRITTEN data files (paths relative to the
     table root) as the table's next ``append`` version — the
@@ -615,11 +723,16 @@ def publish_files(
     free). ``None`` skips the check (caller accepts the race).
 
     When ``meta`` carries ``query_id`` + ``epoch``, the publish is
-    IDEMPOTENT on that pair inside the retry loop as well: if a
-    conflicting concurrent commit turns out to be the same epoch
-    (zombie driver of the same query — Delta's txnAppId/txnVersion
-    failover case), the existing version is returned instead of
-    double-publishing the batch.
+    IDEMPOTENT on that pair across the WHOLE call, not just retries:
+    every attempt — including the first — rescans the log records
+    published after ``seen_through`` (the head version the caller's
+    own replay cache already covers; ``None`` = scan the whole log)
+    for the pair before publishing. A zombie driver of the same query
+    that lands the epoch after the caller snapshotted its cache but
+    before this publish is therefore found and its version returned
+    instead of double-publishing the batch — Delta's per-commit
+    txnAppId/txnVersion check (ADVICE r9, medium: the attempt>0-only
+    scan left exactly that window open).
 
     Losing every retry, or crashing before publish, leaves only
     unreferenced staged files — :func:`vacuum` garbage, never a torn
@@ -634,19 +747,22 @@ def publish_files(
     epoch_key = None
     if meta and "epoch" in meta:
         epoch_key = (meta.get("query_id"), meta["epoch"])
-    first_base: int | None = None
+    # everything at/below this version has been checked for the epoch
+    # key (by the caller's cache up to seen_through, then by our own
+    # scans) — each attempt re-scans only the records beyond it
+    scanned_through = seen_through if seen_through is not None else -1
     for attempt in range(max(1, max_retries)):
         last = _last_commit(table)
         version = (last["version"] + 1) if last else 0
-        if first_base is None:
-            first_base = version
-        if epoch_key is not None and attempt > 0:
-            # a lost race may BE our own epoch (zombie driver):
-            # scan only the records that appeared since we started
-            for rec in _read_log(table, after=first_base - 1):
+        if epoch_key is not None:
+            # EVERY attempt (including the first): a zombie driver of
+            # the same query may have published this epoch after the
+            # caller's cache snapshot — rescan the uncovered suffix
+            for rec in _read_log(table, after=scanned_through):
                 m = rec.get("meta", {})
                 if (m.get("query_id"), m.get("epoch")) == epoch_key:
                     return rec["version"]
+                scanned_through = max(scanned_through, rec["version"])
         active = dict(last.get("constraints", {})) if last else {}
         if (
             validated_constraints is not None
@@ -665,11 +781,7 @@ def publish_files(
                 raise TypeError(
                     f"staged schema {have} != table schema {want}"
                 )
-        import time as _time
-
-        commit_ts = _time.time()
-        if last is not None and last.get("ts") is not None:
-            commit_ts = max(commit_ts, last["ts"] + 1e-3)
+        commit_ts = _next_commit_ts(table, last)
         record = {
             "version": version,
             "action": "append",
@@ -693,6 +805,27 @@ def publish_files(
                 raise
             continue
     raise AssertionError("unreachable")
+
+
+def _next_commit_ts(table: str, last: dict | None) -> float:
+    """Canonicalized commit instant: strictly greater than the
+    predecessor's even across a backward clock step, so TIMESTAMP AS
+    OF resolution can binary-search the log (Delta's commit-time
+    monotonicity). A predecessor WITHOUT a ``ts`` field (pre-'ts'
+    table) resolves through the same fallback :func:`_commit_ts`
+    uses — its log file's mtime — so the first commit after an
+    upgrade can never carry an instant below the predecessor's
+    mtime-derived one (ADVICE r9, low)."""
+    import time as _time
+
+    ts = _time.time()
+    if last is None:
+        return ts
+    if last.get("ts") is not None:
+        prev = last["ts"]
+    else:
+        prev = os.path.getmtime(_log_path(table, last["version"]))
+    return max(ts, prev + 1e-3)
 
 
 def _ddl(df: DataFrame) -> str:
@@ -823,7 +956,7 @@ def read_table_pruned(
     pushdown can only skip WITHIN files the planner already listed;
     this skips the listing. Files without recorded stats (older
     commits, evolved columns) are conservatively kept."""
-    files, schema, stats, sizes = _snapshot(table, version)
+    files, schema, stats, sizes, dvs = _snapshot(table, version)
     kept = [
         f
         for f in files
@@ -833,15 +966,8 @@ def read_table_pruned(
     ]
     from pyspark.sql import functions as F
 
-    if not kept:
-        return (
-            spark.createDataFrame([], schema)
-            .where(F.col(col).between(lo, hi))
-        )
-    return (
-        spark.read.schema(schema)
-        .parquet(*kept)
-        .where(F.col(col).between(lo, hi))
+    return _scan(spark, table, kept, schema, dvs).where(
+        F.col(col).between(lo, hi)
     )
 
 
@@ -864,7 +990,7 @@ def read_table_pruned_multi(
     files), where a lexicographic sort only ever prunes its leading
     column. Files missing stats for a column are conservatively kept
     for that column (same rule as :func:`read_table_pruned`)."""
-    files, schema, stats, sizes = _snapshot(table, version)
+    files, schema, stats, sizes, dvs = _snapshot(table, version)
     kept = [
         f
         for f in files
@@ -880,9 +1006,7 @@ def read_table_pruned_multi(
     cond = F.lit(True)
     for c, (lo, hi) in predicates.items():
         cond = cond & F.col(c).between(lo, hi)
-    if not kept:
-        return spark.createDataFrame([], schema).where(cond)
-    return spark.read.schema(schema).parquet(*kept).where(cond)
+    return _scan(spark, table, kept, schema, dvs).where(cond)
 
 
 def read_table_null_pruned(
@@ -901,7 +1025,7 @@ def read_table_null_pruned(
     commits, stats-less writers) are conservatively kept; the
     predicate is ALSO applied row-level, so the result is exactly the
     filtered snapshot."""
-    files, schema, stats, sizes = _snapshot(table, version)
+    files, schema, stats, sizes, dvs = _snapshot(table, version)
     kept = [
         f
         for f in files
@@ -911,12 +1035,8 @@ def read_table_null_pruned(
     ]
     from pyspark.sql import functions as F
 
-    if not kept:
-        return spark.createDataFrame([], schema).where(F.col(col).isNull())
-    return (
-        spark.read.schema(schema)
-        .parquet(*kept)
-        .where(F.col(col).isNull())
+    return _scan(spark, table, kept, schema, dvs).where(
+        F.col(col).isNull()
     )
 
 
@@ -978,10 +1098,8 @@ def read_table(
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(table, timestamp)
-    files, schema = _snapshot_files(table, version)
-    if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    files, schema, _, _, dvs = _snapshot(table, version)
+    return _scan(spark, table, files, schema, dvs)
 
 
 def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 8):
@@ -1088,7 +1206,7 @@ def optimize(
     """
     for attempt in range(max(1, max_retries)):
         base = current_version(table)
-        files, schema, snap_stats, snap_sizes = _snapshot(
+        files, schema, snap_stats, snap_sizes, snap_dvs = _snapshot(
             table, base if base >= 0 else None
         )
         if not files:
@@ -1105,6 +1223,9 @@ def optimize(
                     lo,
                     hi,
                 )
+                # a DV'd file in scope is rewrite-worthy even if its
+                # zone map misses: rewriting it PURGES the vector
+                or os.path.relpath(f, table) in snap_dvs
             ]
             if not files:
                 return None
@@ -1113,7 +1234,10 @@ def optimize(
         rels_in = [os.path.relpath(f, table) for f in files]
         total = sum(_fill_sizes(table, rels_in, snap_sizes).values())
         n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
-        df = spark.read.schema(schema).parquet(*files)
+        # read THROUGH the deletion vectors: the rewrite materializes
+        # the logical rows, purging merge-on-read debt (Delta's
+        # OPTIMIZE-purges-DVs contract)
+        df = _scan(spark, table, files, schema, snap_dvs)
         meta: dict = {"optimize": True}
         if zorder_by:
             z = _zorder_column(df, zorder_by)
@@ -1201,16 +1325,24 @@ def compact_small_files(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats, sizes = _snapshot(table, base)
+        files, schema, stats, sizes, dvs = _snapshot(table, base)
         sizes = _fill_sizes(
             table, [os.path.relpath(f, table) for f in files], sizes
         )
+        # a file carrying a deletion vector is rewrite-worthy
+        # REGARDLESS of size: the cadenced compaction is merge-on-
+        # read's purge path (Delta's OPTIMIZE-purges-DVs, applied
+        # incrementally), so DV debt stays bounded without a full
+        # table rewrite
         small = [
             f
             for f in files
             if sizes[os.path.relpath(f, table)] < threshold
+            or os.path.relpath(f, table) in dvs
         ]
-        if len(small) < 2:
+        if len(small) < 2 and not any(
+            os.path.relpath(f, table) in dvs for f in small
+        ):
             return None
         rels = [os.path.relpath(f, table) for f in small]
         total = sum(sizes[r] for r in rels)
@@ -1218,7 +1350,7 @@ def compact_small_files(
         keep_stats = list(stats_cols) if stats_cols else sorted(
             {c for r in rels for c in stats.get(r, {})}
         )
-        df = spark.read.schema(schema).parquet(*small).coalesce(int(n_files))
+        df = _scan(spark, table, small, schema, dvs).coalesce(int(n_files))
         try:
             return commit(
                 df,
@@ -1236,6 +1368,96 @@ def compact_small_files(
     raise AssertionError("unreachable")
 
 
+def _delete_where_dv(
+    spark: SparkSession,
+    table: str,
+    base: int,
+    touched: list,
+    schema: str,
+    dvs: dict,
+    col: str,
+    lo,
+    hi,
+    max_dv_rows: int,
+) -> int:
+    """One merge-on-read DELETE attempt against the ``base`` snapshot
+    (see :func:`delete_where` ``mode="dv"``): resolve the matching
+    physical positions in the zone-map-``touched`` files, union them
+    into those files' vectors, and publish ONE metadata-only
+    ``action="dv"`` commit pinned at ``base + 1`` (raises
+    :class:`CommitConflict` for the caller's retry loop).
+
+    Positions are computed on the RAW files (``_metadata.row_index``
+    over the physical rows, already-deleted rows included) — the
+    union with the existing vector makes a replayed or overlapping
+    delete idempotent, and matching raw rows means the position space
+    never depends on any earlier vector's content. NULL predicate
+    values fall outside [lo, hi] (between() is NULL → filter drops),
+    so NULL rows survive — same contract as the copy-on-write path.
+    """
+    from pyspark.sql import functions as F
+
+    last = _last_commit(table)
+    hits_df = (
+        spark.read.schema(schema)
+        .parquet(*touched)
+        .where(F.col(col).between(lo, hi))
+        .select(
+            F.col("_metadata.file_path").alias("p"),
+            F.col("_metadata.row_index").alias("i"),
+        )
+    )
+    n = hits_df.count()
+    if n > max_dv_rows:
+        raise ValueError(
+            f"delete matches {n} rows > max_dv_rows={max_dv_rows}: a "
+            "deletion vector that size stops being metadata — use "
+            "mode='cow' (copy-on-write) for wide deletes"
+        )
+    rels = [os.path.relpath(f, table) for f in touched]
+    new_pos: dict[str, set] = {}
+    for row in hits_df.collect():
+        matches = [r for r in rels if row["p"].endswith(r)]
+        if len(matches) != 1:
+            raise AssertionError(
+                f"file path {row['p']!r} resolves to {matches} of the "
+                "touched rel paths; cannot key the deletion vector"
+            )
+        new_pos.setdefault(matches[0], set()).add(int(row["i"]))
+    dv_entries = {}
+    for rel, pos in new_pos.items():
+        merged = sorted(set(dvs.get(rel, [])) | pos)
+        if merged != list(dvs.get(rel, [])):
+            dv_entries[rel] = merged
+    if not dv_entries:
+        return base  # nothing newly deleted: publish no version
+    record = {
+        "version": base + 1,
+        "action": "dv",
+        "add": [],
+        "schema": last["schema"],
+        "commit_id": uuid.uuid4().hex,
+        "ts": _next_commit_ts(table, last),
+        "meta": {
+            "delete": {
+                "col": col,
+                "lo": _json_safe(lo),
+                "hi": _json_safe(hi),
+                "mode": "dv",
+                "rows": n,
+            }
+        },
+        "dv": dv_entries,
+        "sizes": {},
+    }
+    if last.get("constraints"):
+        record["constraints"] = last["constraints"]
+    _DEFAULT_ARBITER.publish(
+        _log_path(table, base + 1), json.dumps(record)
+    )
+    return base + 1
+
+
 def delete_where(
     spark: SparkSession,
     table: str,
@@ -1244,6 +1466,8 @@ def delete_where(
     hi,
     max_retries: int = 3,
     stats_cols: Sequence[str] | None = None,
+    mode: str = "cow",
+    max_dv_rows: int = 1_000_000,
 ) -> int:
     """Row-level DELETE of rows with ``col`` in [lo, hi] — the
     right-to-be-forgotten / retention-expiry mutation — as ONE atomic
@@ -1272,14 +1496,34 @@ def delete_where(
     Concurrency: the commit pins its snapshot (``expected_version``)
     and the whole prune-rewrite-commit retries on conflict, exactly
     like :func:`optimize`.
+
+    ``mode="dv"`` — MERGE-ON-READ deletion vectors (Delta/Iceberg
+    position deletes), the answer to copy-on-write's
+    write-amplification at 100 TB: a 10-row GDPR delete in a 1 GB
+    file must not rewrite the gigabyte. Instead of rewriting, the
+    matching (file, position) pairs are recorded in a metadata-only
+    commit (``action="dv"``; each file's entry carries its FULL
+    deleted-position set, union'd with any prior vector) and every
+    reader anti-filters them at scan time (:func:`_scan` — a
+    broadcast probe riding the scan, no extra pass). The vectors are
+    purged into real rewrites by :func:`optimize` /
+    :func:`compact_small_files` (which treat a DV'd file as
+    rewrite-worthy regardless of size); physical erasure is then the
+    same expire→vacuum discipline as copy-on-write. ``max_dv_rows``
+    bounds one call's vector growth — the records are JSON position
+    lists, metadata-sized only while deletes are narrow (production
+    DVs are roaring bitmaps; the guard keeps this representation
+    honest) — and a wider delete must use ``mode="cow"``.
     """
     from pyspark.sql import functions as F
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
     for attempt in range(max(1, max_retries)):
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats, sizes = _snapshot(table, base)
+        files, schema, stats, sizes, dvs = _snapshot(table, base)
         touched = [
             f
             for f in files
@@ -1289,14 +1533,24 @@ def delete_where(
         ]
         if not touched:
             return base
+        if mode == "dv":
+            try:
+                return _delete_where_dv(
+                    spark, table, base, touched, schema, dvs,
+                    col, lo, hi, max_dv_rows,
+                )
+            except CommitConflict:
+                if attempt == max(1, max_retries) - 1:
+                    raise
+                continue  # table advanced: re-prune and re-resolve
         # NULL-valued rows are NOT in [lo, hi] and must SURVIVE the
         # copy-on-write rewrite: a bare ~between() is NULL for them,
         # which a WHERE drops — silent physical deletion of every
-        # NULL row in any touched file (ADVICE r8, high).
-        survivors = (
-            spark.read.schema(schema)
-            .parquet(*touched)
-            .where(F.col(col).isNull() | ~F.col(col).between(lo, hi))
+        # NULL row in any touched file (ADVICE r8, high). The read
+        # goes through _scan so rows already deleted by a vector stay
+        # deleted in the rewritten files.
+        survivors = _scan(spark, table, touched, schema, dvs).where(
+            F.col(col).isNull() | ~F.col(col).between(lo, hi)
         )
         try:
             return commit(
@@ -1355,7 +1609,7 @@ def update_where(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats, sizes = _snapshot(table, base)
+        files, schema, stats, sizes, dvs = _snapshot(table, base)
         cols = {f.name for f in spark.createDataFrame([], schema).schema}
         unknown = sorted(set(set_exprs) - cols)
         if unknown:
@@ -1376,7 +1630,9 @@ def update_where(
         # their old value — already NULL-safe, unlike delete_where's
         # pre-fix filter.
         hit = F.col(col).between(lo, hi)
-        df = spark.read.schema(schema).parquet(*touched)
+        # through the deletion vectors: an UPDATE rewrite must not
+        # resurrect rows a DV already deleted from a touched file
+        df = _scan(spark, table, touched, schema, dvs)
         for name, expr in set_exprs.items():
             new = expr if isinstance(expr, Column) else F.expr(expr)
             # cast back so an expression cannot silently retype the
@@ -1478,7 +1734,7 @@ def merge_into(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats, sizes = _snapshot(table, base)
+        files, schema, stats, sizes, dvs = _snapshot(table, base)
         touched = [
             f
             for f in files
@@ -1489,10 +1745,9 @@ def merge_into(
                 bounds["hi"],
             )
         ]
-        if touched:
-            base_df = spark.read.schema(schema).parquet(*touched)
-        else:  # nothing can match: the merge is pure insert
-            base_df = spark.createDataFrame([], schema)
+        # through the deletion vectors: DV-deleted rows must not be
+        # merge bases nor reappear in the rewritten files
+        base_df = _scan(spark, table, touched, schema, dvs)
         merged = merge_upsert(
             base_df,
             updates,
@@ -1552,7 +1807,10 @@ def read_appends(
         schema = commit["schema"]
         if commit["version"] <= after_version:
             continue
-        if commit["action"] in ("overwrite", "replace"):
+        if commit["action"] in ("overwrite", "replace", "dv"):
+            # dv included: a deletion-vector commit changes data
+            # without adding files, so "the appended rows" would
+            # silently misrepresent the delta
             raise ValueError(
                 f"version {commit['version']} of {table} is an "
                 f"{commit['action']}: append-delta is undefined across "
@@ -1583,7 +1841,7 @@ def checkpoint(table: str, version: int | None = None) -> int:
     the old state or the new, never a torn file. Returns the
     checkpointed version."""
     version = _resolve_version(table, version)
-    files, schema, stats, sizes = _snapshot(table, version)
+    files, schema, stats, sizes, dvs = _snapshot(table, version)
     rels = [os.path.relpath(f, table) for f in files]
     record = {
         "version": version,
@@ -1592,6 +1850,10 @@ def checkpoint(table: str, version: int | None = None) -> int:
         "stats": {r: stats[r] for r in rels if stats.get(r)},
         "sizes": _fill_sizes(table, rels, sizes),
     }
+    if dvs:
+        # deletion vectors are snapshot state: a checkpoint-seeded
+        # read that lost them would resurrect deleted rows
+        record["dv"] = {r: dvs[r] for r in rels if dvs.get(r)}
     d = _ckpt_dir(table)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"{version:0{_VERSION_DIGITS}d}.json")
@@ -1619,11 +1881,18 @@ def fast_count(table: str, version: int | None = None) -> int:
     scan, no Spark job, O(files) footer reads (each a few KB). The
     count-star a 100 TB table answers in milliseconds; exactly what
     Spark's own aggregate pushdown does per file, lifted to the
-    snapshot's file list."""
+    snapshot's file list. Deletion-vector cardinalities subtract
+    straight off the footer counts — merge-on-read deletes keep the
+    metadata-only count exact (positions are unique per file by
+    construction)."""
     import pyarrow.parquet as pq
 
-    files, _ = _snapshot_files(table, version)
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    files, _, _, _, dvs = _snapshot(table, version)
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        - len(dvs.get(os.path.relpath(f, table), ()))
+        for f in files
+    )
 
 
 def table_changes(
@@ -1747,7 +2016,7 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         )
     if keep_from == first:
         return []
-    files, schema, stats, sizes = _snapshot(table, keep_from)
+    files, schema, stats, sizes, dvs = _snapshot(table, keep_from)
     base_rec = next(c for c in log if c["version"] == keep_from)
     rels = [os.path.relpath(f, table) for f in files]
     record = {
@@ -1778,6 +2047,11 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
     kept_stats = {r: stats[r] for r in rels if stats.get(r)}
     if kept_stats:
         record["stats"] = kept_stats
+    kept_dvs = {r: dvs[r] for r in rels if dvs.get(r)}
+    if kept_dvs:
+        # the rebase is the base snapshot's FULL state — losing the
+        # vectors here would resurrect merge-on-read deletes
+        record["dv"] = kept_dvs
     path = _log_path(table, keep_from)
     tmp = path + ".rebase"
     with open(tmp, "w") as f:
@@ -1862,25 +2136,25 @@ def restore(
         if last is None:
             raise FileNotFoundError(f"{table} has no transaction log")
         target = _resolve_version(table, version)
-        files, schema, stats, sizes = _snapshot(table, target)
+        files, schema, stats, sizes, dvs = _snapshot(table, target)
         rels = [os.path.relpath(f, table) for f in files]
-        import time as _time
-
-        commit_ts = _time.time()
-        if last.get("ts") is not None:
-            commit_ts = max(commit_ts, last["ts"] + 1e-3)
         record = {
             "version": last["version"] + 1,
             "action": "overwrite",
             "add": rels,
             "schema": schema,
             "commit_id": uuid.uuid4().hex,
-            "ts": commit_ts,
+            "ts": _next_commit_ts(table, last),
             "meta": {"restore_of": target},
         }
         kept_stats = {r: stats[r] for r in rels if stats.get(r)}
         if kept_stats:
             record["stats"] = kept_stats
+        kept_dvs = {r: dvs[r] for r in rels if dvs.get(r)}
+        if kept_dvs:
+            # restoring a version restores its deletion vectors too —
+            # the target's LOGICAL rows, not its physical files alone
+            record["dv"] = kept_dvs
         record["sizes"] = _fill_sizes(table, rels, sizes)
         # the FULL target state comes back, CHECK constraints included
         # (a restore across an add_constraint must not keep enforcing
@@ -1922,13 +2196,9 @@ def _republish_head(
     snapshot's exact files with an updated constraint set — the
     ALTER TABLE commit shape. Raises :class:`CommitConflict` if the
     head moved (callers run the optimistic retry loop)."""
-    files, schema, stats, sizes = _snapshot(table, head["version"])
+    files, schema, stats, sizes, dvs = _snapshot(table, head["version"])
     rels = [os.path.relpath(f, table) for f in files]
-    import time as _time
-
-    commit_ts = _time.time()
-    if head.get("ts") is not None:
-        commit_ts = max(commit_ts, head["ts"] + 1e-3)
+    commit_ts = _next_commit_ts(table, head)
     record = {
         "version": head["version"] + 1,
         "action": "overwrite",
@@ -1941,6 +2211,9 @@ def _republish_head(
     kept_stats = {r: stats[r] for r in rels if stats.get(r)}
     if kept_stats:
         record["stats"] = kept_stats
+    kept_dvs = {r: dvs[r] for r in rels if dvs.get(r)}
+    if kept_dvs:
+        record["dv"] = kept_dvs
     record["sizes"] = _fill_sizes(table, rels, sizes)
     if constraints:
         record["constraints"] = constraints
@@ -2133,7 +2406,7 @@ def main(argv: list[str] | None = None) -> int:
         if last is None:
             print("no transaction log")
             return 1
-        files_, _, _, sizes_ = _snapshot(args.table, None)
+        files_, _, _, sizes_, _ = _snapshot(args.table, None)
         rels = [os.path.relpath(f, args.table) for f in files_]
         sizes = _fill_sizes(args.table, rels, sizes_)
         ptr = os.path.join(args.table, _LOG_DIR, "_last_checkpoint")

@@ -102,13 +102,24 @@ def test_minhash_plan_no_cartesian(spark):
 
 
 def test_embedding_near_dup_plan_no_cartesian(spark):
+    import warnings
+
     embs = spark.createDataFrame(
         [(i, [float(i)] * 8, "x") for i in range(6)],
         "vec_id long, embedding array<double>, label string",
     )
-    assert_no_cartesian_product(
-        similarity.embedding_near_dup_pairs(embs, dim=8, num_tables=2)
-    )
+    # production LSH knobs against a 15-pair fixture trip the
+    # candidate-density guard BY DESIGN (the guard working on tiny
+    # data); silence it here so real warnings stay visible in the
+    # suite output (VERDICT r9 order #7)
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message=".*LSH candidate density.*",
+            category=RuntimeWarning,
+        )
+        assert_no_cartesian_product(
+            similarity.embedding_near_dup_pairs(embs, dim=8, num_tables=2)
+        )
 
 
 def test_lsh_topk_plan_no_cartesian(spark):

@@ -1902,7 +1902,7 @@ def test_txlog_compact_small_files_incremental(spark, tmp_path):
     assert rec["meta"]["optimize"] == "bin-pack"
     # the healthy file was NOT touched
     assert big not in rec["remove"]
-    files_after, _, stats_after, _ = txlog._snapshot(table, None)
+    files_after, _, stats_after, _, _ = txlog._snapshot(table, None)
     rels_after = [os.path.relpath(f, table) for f in files_after]
     assert big in rels_after
     # fewer files, same rows
@@ -1994,7 +1994,7 @@ def test_txlog_optimize_where_scoped_rewrite(spark, tmp_path):
         df.where("day >= 50").repartition(4), table, stats_cols=["day", "x"]
     )
     rows_before = sorted(map(tuple, txlog.read_table(spark, table).collect()))
-    files_before, _, stats_before, _ = txlog._snapshot(table, None)
+    files_before, _, stats_before, _, _ = txlog._snapshot(table, None)
     rels_before = [
         __import__("os").path.relpath(f, table) for f in files_before
     ]
@@ -2017,7 +2017,7 @@ def test_txlog_optimize_where_scoped_rewrite(spark, tmp_path):
     assert rec["meta"]["where"] == ["day", 0, 49]
     # out-of-scope files never touched: not removed, still in snapshot
     assert not set(cold) & set(rec["remove"])
-    files_after, _, stats_after, _ = txlog._snapshot(table, None)
+    files_after, _, stats_after, _, _ = txlog._snapshot(table, None)
     rels_after = [
         __import__("os").path.relpath(f, table) for f in files_after
     ]
@@ -2226,3 +2226,191 @@ def test_txlog_randomized_model_parity(spark, tmp_path, seed):
             )
             == rows
         ), f"version {ver} lost data to vacuum"
+
+
+def test_publish_files_zombie_epoch_not_double_published(spark, tmp_path):
+    """ADVICE r9 (medium): an epoch published by a zombie driver of
+    the same query AFTER the caller's replay-cache snapshot but
+    BEFORE this publish must be detected on the FIRST attempt (no
+    conflict fires — the zombie's commit is simply the new head and
+    an unpinned append would rebase past it)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    txlog.commit(spark.createDataFrame([Row(k=0)], "k int"), table)
+
+    def stage(val: int) -> str:
+        rel = os.path.join("data", f"staged-{val}", "part-0.parquet")
+        full = os.path.join(table, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        spark.createDataFrame([Row(k=val)], "k int").toPandas().to_parquet(
+            full
+        )
+        return rel
+
+    # the caller's cache covers version 0; the zombie lands epoch 5
+    # at version 1 — after the snapshot, before our publish
+    zombie_v = txlog.publish_files(
+        table, [stage(1)], "k int", meta={"query_id": "q", "epoch": 5}
+    )
+    assert zombie_v == 1
+    # our publish of the SAME epoch with seen_through=0 must return
+    # the zombie's version instead of double-publishing
+    got = txlog.publish_files(
+        table,
+        [stage(2)],
+        "k int",
+        meta={"query_id": "q", "epoch": 5},
+        seen_through=0,
+    )
+    assert got == zombie_v
+    assert txlog.current_version(table) == 1
+    # ...and with no seen_through at all (full-log scan) likewise
+    got = txlog.publish_files(
+        table, [stage(3)], "k int", meta={"query_id": "q", "epoch": 5}
+    )
+    assert got == zombie_v
+    assert txlog.current_version(table) == 1
+    # a genuinely new epoch still publishes
+    v2 = txlog.publish_files(
+        table,
+        [stage(4)],
+        "k int",
+        meta={"query_id": "q", "epoch": 6},
+        seen_through=0,
+    )
+    assert v2 == 2
+
+
+def test_txlog_append_batch_zombie_epoch_between_batches(spark, tmp_path):
+    """The foreachBatch sink twin of the zombie-epoch fix: a commit
+    by another driver instance of the same query landing BETWEEN two
+    of our batches is caught by the per-batch incremental cache
+    refresh, not just by the conflict path."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.streaming.txlog_sink import (
+        DEFAULT_QUERY_ID,
+        txlog_append_batch,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    seen: set = set()
+    assert txlog_append_batch(
+        spark.createDataFrame([Row(k=1)], "k int"), 0, table, seen
+    )
+    # zombie driver of the SAME query publishes epoch 1 out-of-band
+    txlog.commit(
+        spark.createDataFrame([Row(k=2)], "k int"),
+        table,
+        meta={"query_id": DEFAULT_QUERY_ID, "epoch": 1},
+    )
+    # our replay of epoch 1 must be a no-op (no conflict involved)
+    assert not txlog_append_batch(
+        spark.createDataFrame([Row(k=2)], "k int"), 1, table, seen
+    )
+    epochs = sorted(
+        c["meta"]["epoch"]
+        for c in txlog._read_log(table)
+        if "epoch" in c.get("meta", {})
+    )
+    assert epochs == [0, 1]
+    assert txlog.read_table(spark, table).count() == 2
+
+
+def test_replace_commit_records_table_schema_verbatim(spark, tmp_path):
+    """ADVICE r9 (low): a replace whose survivors frame reorders (or
+    re-cases) columns passes the normalized equality check but must
+    record the TABLE's schema string, not the frame's — the
+    Arrow-side reader matches names case-sensitively and the column
+    order is part of the table's public shape."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    txlog.commit(
+        spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")], "k int, v string"),
+        table,
+    )
+    ddl_before = txlog._last_commit(table)["schema"]
+    rec = txlog._read_log(table)[-1]
+    survivors = (
+        spark.read.schema(ddl_before)
+        .parquet(*[f"{table}/{r}" for r in rec["add"]])
+        .where(F.col("k") != 2)
+        .select("v", "k")  # reordered on purpose
+    )
+    txlog.commit(
+        survivors, table, action="replace", remove=list(rec["add"])
+    )
+    assert txlog._last_commit(table)["schema"] == ddl_before
+    assert txlog.read_table(spark, table).columns == ["k", "v"]
+
+
+def test_commit_ts_fallback_for_pre_ts_predecessor(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (low): the first commit after upgrading a pre-'ts'
+    table must canonicalize against the predecessor's log-file mtime
+    (the same instant _commit_ts resolves for it), so a backward
+    clock step at the upgrade boundary cannot break the binary-search
+    ordering."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    txlog.commit(spark.createDataFrame([Row(k=1)], "k int"), table)
+    # strip 'ts' (pre-upgrade record) and give the log file an mtime
+    # AHEAD of the (stepped-back) wall clock
+    p = txlog._log_path(table, 0)
+    rec = _json.load(open(p))
+    rec.pop("ts", None)
+    with open(p, "w") as f:
+        _json.dump(rec, f)
+    future = _time.time() + 100.0
+    _os.utime(p, (future, future))
+    txlog.commit(spark.createDataFrame([Row(k=2)], "k int"), table)
+    new_ts = txlog._last_commit(table)["ts"]
+    assert new_ts > future  # not bare time.time()
+    # resolver ordering holds: v0's instant (mtime) < v1's instant
+    assert txlog._commit_ts(table, 0) < new_ts
+    assert txlog.version_at_timestamp(table, new_ts) == 1
+
+
+def test_cdf_stream_range_below_retained_history_raises(spark, tmp_path):
+    """ADVICE r9 (low): a checkpointed replay range that begins below
+    the first retained version (history expired) must raise, not
+    silently skip the missing versions' rows — Delta's behavior when
+    the start offset predates retained history."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableChangesStreamReader,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    for i in range(4):
+        txlog.commit(spark.createDataFrame([Row(k=i)], "k int"), table)
+    txlog.expire_versions(table, keep_from=2)
+    reader = TxTableChangesStreamReader(
+        spark.createDataFrame([], "k int, _commit_version bigint").schema,
+        table,
+        from_version=-1,
+        ignore_changes=True,
+    )
+    with pytest.raises(ValueError, match="predates the first retained"):
+        reader.partitions({"version": -1}, {"version": 3})
+    # a range starting exactly at the retained base is fine (the
+    # rebased overwrite record re-emits under ignore_changes)
+    parts = reader.partitions({"version": 1}, {"version": 3})
+    assert parts  # versions 2..3 resolve
