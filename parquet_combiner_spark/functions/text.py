@@ -482,7 +482,24 @@ def bm25_build_index(
     the raw text — re-tokenizing 100 TB per query workload is the
     cost this removes, and versioned commits mean index rebuilds are
     time-travelable and exactly-once-publishable like any other
-    table. Returns {table_name: committed_version}."""
+    table. Returns {table_name: committed_version} including the
+    ``manifest`` entry.
+
+    ATOMICITY across the quadruple (VERDICT r9 order #4): the four
+    component commits are individually atomic but collectively not —
+    a reader racing a rebuild could otherwise pin postings@v4 against
+    termdf@v3. So the build finishes with ONE commit to a MANIFEST
+    table (rows = component → pinned version): readers resolve
+    component versions THROUGH the manifest head (or a given manifest
+    version for point-in-time retrieval), so they see the old
+    quadruple or the new one, never a mix — the manifest's O_EXCL
+    publish is the linearization point, exactly a multi-table
+    transaction log scoped to this index. A crash between component
+    commits and the manifest publish strands only unreferenced
+    component versions (the old manifest still pins a consistent
+    quadruple); component-commit races with a concurrent rebuild
+    retry like any optimistic writer, and the LAST manifest publish
+    wins with its own components pinned."""
     from parquet_combiner_spark.tools import txlog
 
     tf, dl, df_, corpus = _bm25_frames(documents, text_col, id_col)
@@ -495,10 +512,46 @@ def bm25_build_index(
     ):
         # a REBUILD replaces the state (appending would double-count
         # postings); every earlier index version stays time-travelable
-        out[name] = txlog.commit(
-            frame, f"{index_root}/{name}", action="overwrite"
-        )
+        for attempt in range(3):
+            try:
+                out[name] = txlog.commit(
+                    frame, f"{index_root}/{name}", action="overwrite"
+                )
+                break
+            except txlog.CommitConflict:
+                if attempt == 2:
+                    raise
+                continue  # concurrent rebuild took the version: next
+    manifest = documents.sparkSession.createDataFrame(
+        sorted(out.items()), "component string, version bigint"
+    )
+    for attempt in range(3):
+        try:
+            out["manifest"] = txlog.commit(
+                manifest, f"{index_root}/manifest", action="overwrite"
+            )
+            break
+        except txlog.CommitConflict:
+            if attempt == 2:
+                raise
+            continue
     return out
+
+
+def _bm25_manifest_pins(spark, index_root: str, version: int | None):
+    """Component version pins from the index MANIFEST at ``version``
+    (None = head). ``None`` return = pre-manifest index layout (built
+    before the manifest existed) — callers fall back to lockstep
+    component versioning, which is exactly what those builds did."""
+    from parquet_combiner_spark.tools import txlog
+
+    try:
+        rows = txlog.read_table(
+            spark, f"{index_root}/manifest", version
+        ).collect()
+    except FileNotFoundError:
+        return None
+    return {r["component"]: r["version"] for r in rows}
 
 
 def bm25_topk_from_index(
@@ -513,14 +566,24 @@ def bm25_topk_from_index(
     version: int | None = None,
 ) -> DataFrame:
     """Serve BM25 top-k from a :func:`bm25_build_index` layout —
-    snapshot reads of the four state tables (``version`` time-travels
-    all four in lockstep for point-in-time retrieval) through the
-    SAME scoring kernel as the rebuild-now path, so the two answers
-    are identical by construction (parity pytest)."""
+    snapshot reads of the four state tables through the SAME scoring
+    kernel as the rebuild-now path, so the two answers are identical
+    by construction (parity pytest).
+
+    ``version`` is the MANIFEST version (the index version): the
+    manifest resolves it to the component-version quadruple pinned by
+    that rebuild, so a reader racing a rebuild — or time-traveling —
+    always scores against a CONSISTENT index state, never
+    postings-from-one-build against termdf-from-another. Indexes
+    built before the manifest existed (no manifest table) fall back
+    to lockstep component versions — the layout those builds wrote."""
     from parquet_combiner_spark.tools import txlog
 
+    pins = _bm25_manifest_pins(spark, index_root, version)
     load = lambda n: txlog.read_table(  # noqa: E731
-        spark, f"{index_root}/{n}", version
+        spark,
+        f"{index_root}/{n}",
+        pins[n] if pins is not None else version,
     )
     return _bm25_score_terms(
         load("postings"),

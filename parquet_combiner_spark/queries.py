@@ -2405,6 +2405,37 @@ def events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive partition-column layout on the versioned table
+    (tools/txlog.py ``commit(partition_by=...)``): events land under
+    ``event_type=<v>/`` directories — the layout a 100 TB firehose
+    table uses for its date column — and the partition-pruned read
+    resolves the matching files from the LISTING alone (zero I/O
+    before the scan; file-set pinned in
+    tests/test_partitioned_tables.py). Partition values come back as
+    JVM expressions over ``_metadata.file_path`` (a txlog snapshot
+    spans many commit dirs, which Spark's own basePath discovery
+    rejects — the Delta custom-FileIndex problem solved at the
+    expression layer). The oracle is the plain equality filter."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-part-")
+    table = f"{root}/events_p"
+    try:
+        txlog.commit(ev, table, partition_by=["event_type"])
+        return txlog.read_table_partitioned(
+            spark, table, {"event_type": "purchase"}
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def events_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE end-state (tools/txlog.py ``delete_where
     (mode="dv")``): events land as 8 files with value zone maps, two
@@ -3599,6 +3630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_state_restore": event_state_restore,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
     "events_dv_delete_scan": events_dv_delete_scan,
+    "events_partitioned_scan": events_partitioned_scan,
     "events_zorder_two_predicate_scan": events_zorder_two_predicate_scan,
     "event_counts_cdf_stream": event_counts_cdf_stream,
     "current_user_state_with_deletes_stream": (
@@ -5004,6 +5036,13 @@ ORACLE_SQL["event_state_restore"] = """
 ORACLE_SQL["events_zorder_pruned_scan"] = """
     SELECT event_id, user_id, event_type, value
     FROM events WHERE value BETWEEN 20.0 AND 40.0
+"""
+
+# the partition-pruned read is a pure superset optimization over the
+# equality predicate
+ORACLE_SQL["events_partitioned_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_type = 'purchase'
 """
 
 # merge-on-read deletes must equal the logical predicate exactly;

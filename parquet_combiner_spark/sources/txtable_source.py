@@ -47,33 +47,49 @@ class _FilePartition(InputPartition):
     # deleted physical row positions (merge-on-read deletion vectors,
     # txlog delete_where mode="dv") — None/empty = read the file whole
     positions: tuple = ()
+    # Hive partition values parsed from the path (col → raw string),
+    # injected as typed constant columns at read time
+    path_values: tuple = ()
 
 
 @dataclass
 class _ChangeFilePartition(InputPartition):
     path: str
     version: int
+    path_values: tuple = ()
 
 
-def _read_file_as_arrow(path: str, target):
+def _read_file_as_arrow(path: str, target, path_values: dict | None = None):
     """One data file → Arrow table cast to the target schema, with
     schema-evolution null-fill (files written before a merge_schema
     append lack the added columns — same semantics as
-    txlog.read_table's schema-enforced scan). Executor-side only."""
+    txlog.read_table's schema-enforced scan) and Hive PARTITION
+    columns injected from ``path_values`` (col → raw directory
+    string, parsed driver-side): partitioned layouts keep those
+    columns out of the data files, so they materialize here as
+    constants cast to the declared type — what the JVM scan's
+    basePath discovery does, rendered in Arrow. Executor-side only."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    path_values = path_values or {}
     have = set(pq.ParquetFile(path).schema_arrow.names)
     present = [f.name for f in target if f.name in have]
     table = pq.read_table(path, columns=present)
-    cols = {
-        f.name: (
-            table.column(f.name)
-            if f.name in have
-            else pa.nulls(table.num_rows, type=f.type)
-        )
-        for f in target
-    }
+
+    def col_of(f):
+        if f.name in have:
+            return table.column(f.name)
+        if f.name in path_values:
+            raw = path_values[f.name]
+            if raw is None:
+                return pa.nulls(table.num_rows, type=f.type)
+            const = pc.cast(pa.array([raw] * table.num_rows), f.type)
+            return const
+        return pa.nulls(table.num_rows, type=f.type)
+
+    cols = {f.name: col_of(f) for f in target}
     return pa.table(cols).cast(target)
 
 
@@ -83,14 +99,32 @@ class TxTableReader(DataSourceReader):
         schema: StructType,
         files: list[str],
         dvs: dict | None = None,
+        base: str | None = None,
     ) -> None:
         self._schema = schema
         self._files = files
         self._dvs = dvs or {}
+        self._base = base
 
     def partitions(self):  # noqa: D102 — API contract
+        from parquet_combiner_spark.tools.txlog import _partition_values
+
+        import os
+
         return [
-            _FilePartition(p, tuple(self._dvs.get(p, ())))
+            _FilePartition(
+                p,
+                tuple(self._dvs.get(p, ())),
+                tuple(
+                    sorted(
+                        _partition_values(
+                            os.path.relpath(p, self._base)
+                        ).items()
+                    )
+                )
+                if self._base
+                else (),
+            )
             for p in self._files
         ]
 
@@ -99,7 +133,9 @@ class TxTableReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self._schema)
-        table = _read_file_as_arrow(partition.path, target)
+        table = _read_file_as_arrow(
+            partition.path, target, dict(partition.path_values)
+        )
         if partition.positions:
             # apply the deletion vector: positions index the file's
             # physical row order — the same space pyarrow reads in
@@ -166,7 +202,7 @@ class TxTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> TxTableReader:
         files, _, dvs = self._resolve()
-        return TxTableReader(schema, files, dvs)
+        return TxTableReader(schema, files, dvs, self.options.get("path"))
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         if overwrite:
@@ -192,7 +228,17 @@ class TxTableDataSource(DataSource):
                 ".option('query_id', ...) per logical query — it is "
                 "the exactly-once transaction key (Delta's txnAppId)"
             )
-        return TxTableStreamWriter(path, query_id, schema)
+        part = self.options.get("partition_by")
+        return TxTableStreamWriter(
+            path,
+            query_id,
+            schema,
+            partition_by=(
+                [c.strip() for c in part.split(",") if c.strip()]
+                if part
+                else None
+            ),
+        )
 
 
 @dataclass
@@ -238,10 +284,26 @@ class TxTableStreamWriter(DataSourceStreamWriter):
     parquet-on-disk the foreachBatch sink keeps the JVM writer; this
     is the API shape for Python-native sinks)."""
 
-    def __init__(self, table: str, query_id: str, schema: StructType):
+    def __init__(
+        self,
+        table: str,
+        query_id: str,
+        schema: StructType,
+        partition_by: list | None = None,
+    ):
         self.table = table
         self.query_id = query_id
         self.schema = schema
+        self.partition_by = list(partition_by or [])
+        missing = [
+            c for c in self.partition_by
+            if c not in {f.name for f in schema.fields}
+        ]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} not in the stream "
+                "schema"
+            )
         self.ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
         )
@@ -286,13 +348,53 @@ class TxTableStreamWriter(DataSourceStreamWriter):
                         f"CHECK constraint {name} ({expr}) on {bad} "
                         "row(s); nothing staged"
                     )
-        rel = os.path.join(
-            "data", f"stream-{_uuid.uuid4().hex}", "part-0.parquet"
+        commit_dir = f"stream-{_uuid.uuid4().hex}"
+        if not self.partition_by:
+            rel = os.path.join("data", commit_dir, "part-0.parquet")
+            full = os.path.join(self.table, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            pq.write_table(tbl, full, compression="snappy")
+            return _StagedFiles([rel], validated)
+        # Hive layout: one staged file per distinct partition value in
+        # this task's rows, partition columns in the PATH not the data
+        # file (what the JVM partitionBy writer does) — the date-
+        # partitioned events firehose is exactly this shape
+        from urllib.parse import quote
+
+        def hive_val(v) -> str:
+            if v is None:
+                return "__HIVE_DEFAULT_PARTITION__"
+            return quote(str(v), safe="")
+
+        data_schema = pa.schema(
+            [
+                f
+                for f in to_arrow_schema(self.schema)
+                if f.name not in self.partition_by
+            ]
         )
-        full = os.path.join(self.table, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        pq.write_table(tbl, full, compression="snappy")
-        return _StagedFiles([rel], validated)
+        groups: dict[tuple, list] = {}
+        for r in rows:
+            key = tuple(r[c] for c in self.partition_by)
+            groups.setdefault(key, []).append(
+                {k: v for k, v in r.items() if k not in self.partition_by}
+            )
+        rels = []
+        for key, grp in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            segs = [
+                f"{c}={hive_val(v)}"
+                for c, v in zip(self.partition_by, key)
+            ]
+            rel = os.path.join("data", commit_dir, *segs, "part-0.parquet")
+            full = os.path.join(self.table, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pylist(grp, schema=data_schema),
+                full,
+                compression="snappy",
+            )
+            rels.append(rel)
+        return _StagedFiles(rels, validated)
 
     def commit(self, messages, batchId: int) -> None:
         from parquet_combiner_spark.tools import txlog
@@ -340,6 +442,7 @@ class TxTableStreamWriter(DataSourceStreamWriter):
                 validated_sets[0] if validated_sets else {}
             ),
             seen_through=self._seen_through,
+            partition_by=self.partition_by or None,
         )
         self._seen.add((self.query_id, batchId))
 
@@ -476,8 +579,16 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                     "propagated — downstream must be idempotent per "
                     "key)"
                 )
+            from parquet_combiner_spark.tools.txlog import (
+                _partition_values,
+            )
+
             parts.extend(
-                _ChangeFilePartition(os.path.join(self._table, rel), v)
+                _ChangeFilePartition(
+                    os.path.join(self._table, rel),
+                    v,
+                    tuple(sorted(_partition_values(rel).items())),
+                )
                 for rel in rec["add"]
             )
         return parts
@@ -490,7 +601,9 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
         data_schema = pa.schema(
             [f for f in target if f.name != "_commit_version"]
         )
-        table = _read_file_as_arrow(partition.path, data_schema)
+        table = _read_file_as_arrow(
+            partition.path, data_schema, dict(partition.path_values)
+        )
         stamped = table.append_column(
             "_commit_version",
             # constant column without a num_rows-sized Python list of

@@ -374,11 +374,51 @@ def _scan(
     if not files:
         return spark.createDataFrame([], schema)
     by_rel = {os.path.relpath(f, table): f for f in files}
+    # Hive-layout partition columns live in the PATHS, not the data
+    # files. Spark's own directory discovery (basePath) rejects a
+    # snapshot spanning several commit-uuid directories as
+    # "conflicting structures" — the same reason Delta supplies
+    # partition values from its log through a custom FileIndex. The
+    # Python-reachable equivalent: one plain scan, partition columns
+    # materialized as JVM expressions over ``_metadata.file_path``
+    # (regexp_extract the col=value segment, url_decode, cast to the
+    # declared type) — codegen-friendly, no discovery, any layout.
+    struct = spark.createDataFrame([], schema).schema
+    names = struct.names
+    part_cols = sorted(
+        {
+            k
+            for rel in by_rel
+            for k in _partition_values(rel)
+            if k in set(names)
+        }
+    )
+
+    def _with_partition_cols(df: DataFrame) -> DataFrame:
+        for c in part_cols:
+            raw = F.regexp_extract(
+                F.col("_metadata.file_path"), f"/{c}=([^/]+)/", 1
+            )
+            df = df.withColumn(
+                c,
+                F.when(
+                    raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+                )
+                .otherwise(F.url_decode(raw))
+                .cast(struct[c].dataType),
+            )
+        return df
+
+    def _read(paths: list) -> DataFrame:
+        return _with_partition_cols(
+            spark.read.schema(schema).parquet(*paths)
+        )
+
     dirty = {r: dvs[r] for r in by_rel if dvs.get(r)}
     clean = [by_rel[r] for r in by_rel if r not in dirty]
     parts: list[DataFrame] = []
     if clean:
-        parts.append(spark.read.schema(schema).parquet(*clean))
+        parts.append(_read(clean).select(*names))
     if dirty:
         probe_rel = next(iter(dirty))
         probe = (
@@ -402,15 +442,13 @@ def _scan(
         dv_df = spark.createDataFrame(
             dv_rows, "__dv_path string, __dv_pos long"
         )
-        scanned = spark.read.schema(schema).parquet(
-            *[by_rel[r] for r in dirty]
-        )
+        scanned = _read([by_rel[r] for r in dirty])
         kept = scanned.join(
             F.broadcast(dv_df),
             (F.col("_metadata.file_path") == F.col("__dv_path"))
             & (F.col("_metadata.row_index") == F.col("__dv_pos")),
             "left_anti",
-        ).select(*[F.col(f.name) for f in scanned.schema.fields])
+        ).select(*names)
         parts.append(kept)
     out = parts[0]
     for p in parts[1:]:
@@ -466,6 +504,7 @@ def commit(
     arbiter: CommitArbiter | None = None,
     stats_cols: Sequence[str] | None = None,
     remove: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
@@ -500,6 +539,18 @@ def commit(
     patterns (e.g. dedup against a snapshot) NEED this; without it,
     commit() auto-rebases to the next free version and a concurrent
     writer's rows are never re-validated.
+
+    ``partition_by`` lays the data files out Hive-style
+    (``col=value/`` directories — what a 100 TB events table does
+    with its date column): reads prune whole partitions from the
+    PATHS before zone maps even load (:func:`read_table_partitioned`,
+    and path-derived zone maps make :func:`read_table_pruned` on a
+    numeric partition column automatic). The spec is TABLE METADATA
+    (recorded on every commit, like constraints): appends and
+    replaces inherit it — passing a DIFFERENT spec raises, because
+    Spark's partition discovery rejects mixed directory structures
+    loudly and a mixed table would be unreadable. Only ``overwrite``
+    may change the layout (it replaces every file).
     """
     if action not in ("append", "overwrite", "replace"):
         raise ValueError(
@@ -510,6 +561,27 @@ def commit(
             "remove is required for (and only for) action='replace'"
         )
     last = _last_commit(table)
+    # partition spec: table metadata with schema-like enforcement —
+    # appends/replaces inherit the active spec (a conflicting caller
+    # spec raises; None inherits silently, so the DML verbs need no
+    # threading); overwrite takes the caller's spec verbatim
+    active_spec = list(last.get("partition_by", [])) if last else []
+    if action == "overwrite" or last is None:
+        spec = list(partition_by) if partition_by else []
+    else:
+        spec = active_spec
+        if partition_by is not None and list(partition_by) != active_spec:
+            raise ValueError(
+                f"{table} is partitioned by {active_spec}; an "
+                f"{action} cannot change the layout to "
+                f"{list(partition_by)} (mixed directory structures "
+                "are unreadable) — use action='overwrite' to relayout"
+            )
+    missing_part = [c for c in spec if c not in df.columns]
+    if missing_part:
+        raise ValueError(
+            f"partition columns {missing_part} not in the DataFrame"
+        )
     # staleness fires FIRST: with a pinned base, a concurrent commit
     # must surface as CommitConflict (what the DML retry loops catch
     # and recover from), never as a downstream validation error — a
@@ -627,7 +699,10 @@ def commit(
     commit_id = uuid.uuid4().hex
     rel_dir = os.path.join("data", commit_id)
     out_dir = os.path.join(table, rel_dir)
-    df.write.mode("error").parquet(out_dir)
+    writer = df.write.mode("error")
+    if spec:
+        writer = writer.partitionBy(*spec)
+    writer.parquet(out_dir)
     if obs is not None:
         bad = {k: int(v) for k, v in obs.get.items() if v}
         if bad:
@@ -640,15 +715,44 @@ def commit(
                     for k, v in sorted(bad.items())
                 )
             )
-    added = sorted(
-        os.path.join(rel_dir, f)
-        for f in os.listdir(out_dir)
-        if f.endswith(".parquet")
-    )
-    stats = {
-        rel: _file_stats(os.path.join(table, rel), stats_cols)
-        for rel in added
-    } if stats_cols else {}
+    added = _list_added(table, rel_dir)
+    stats = {}
+    if stats_cols:
+        # partition columns never live in the data files: their zone
+        # map is the PATH value itself (min = max = the partition
+        # value, zero nulls) — footer stats would record them as
+        # all-NULL and a pruned read would wrongly skip every file
+        data_cols = [c for c in stats_cols if c not in spec]
+        path_cols = [c for c in stats_cols if c in spec]
+        for rel in added:
+            entry = _file_stats(os.path.join(table, rel), data_cols)
+            if path_cols:
+                pv = _partition_values(rel)
+                if entry:
+                    rows = next(iter(entry.values()))["rows"]
+                else:
+                    import pyarrow.parquet as pq
+
+                    rows = pq.ParquetFile(
+                        os.path.join(table, rel)
+                    ).metadata.num_rows
+                for c in path_cols:
+                    raw = pv.get(c)
+                    val = raw
+                    if raw is not None:
+                        for cast in (int, float):
+                            try:
+                                val = cast(raw)
+                                break
+                            except ValueError:
+                                continue
+                    entry[c] = {
+                        "min": _json_safe(val),
+                        "max": _json_safe(val),
+                        "nulls": rows if raw is None else 0,
+                        "rows": rows,
+                    }
+            stats[rel] = entry
 
     os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
     commit_ts = _next_commit_ts(table, last)
@@ -672,6 +776,11 @@ def commit(
         record["remove"] = sorted(remove)
     if stats:
         record["stats"] = stats
+    if spec:
+        # the active layout rides EVERY record (like constraints), so
+        # appends inherit it from one tail read and expiry rebases
+        # can never orphan it
+        record["partition_by"] = spec
     if constraints:
         # the active constraint set rides EVERY commit record, so
         # resolution is one _last_commit read and expire_versions'
@@ -695,6 +804,7 @@ def publish_files(
     max_retries: int = 3,
     validated_constraints: dict | None = None,
     seen_through: int | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Publish ALREADY-WRITTEN data files (paths relative to the
     table root) as the table's next ``append`` version — the
@@ -792,6 +902,35 @@ def publish_files(
             "meta": meta or {},
             "sizes": sizes,
         }
+        spec = (
+            list(last.get("partition_by", []))
+            if last
+            else list(partition_by or [])
+        )
+        if (
+            last
+            and partition_by is not None
+            and list(partition_by) != spec
+        ):
+            raise ValueError(
+                f"{table} is partitioned by {spec}; staged appends "
+                f"cannot change the layout to {list(partition_by)}"
+            )
+        if spec:
+            # staged files must follow the table's Hive layout — a
+            # flat file in a partitioned table makes the whole scan
+            # fail partition discovery
+            flat = [
+                rel
+                for rel in rels
+                if any(c not in _partition_values(rel) for c in spec)
+            ]
+            if flat:
+                raise ValueError(
+                    f"{table} is partitioned by {spec}; staged files "
+                    f"{flat} lack the col=value path segments"
+                )
+            record["partition_by"] = spec
         if last and last.get("constraints"):
             record["constraints"] = last["constraints"]
         os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
@@ -805,6 +944,50 @@ def publish_files(
                 raise
             continue
     raise AssertionError("unreachable")
+
+
+def _partition_values(rel: str) -> dict:
+    """Hive-style partition values parsed from a table-relative data
+    path (``data/<uuid>/day=3/part-0.parquet`` → ``{"day": "3"}``) —
+    the commit log never stores them separately because the layout IS
+    the record (what Spark/Hive readers already rely on). Values come
+    back as the RAW directory strings (URL-unescaped);
+    ``__HIVE_DEFAULT_PARTITION__`` maps to None (a NULL partition
+    value)."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            v = unquote(v)
+            out[unquote(k)] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            )
+    return out
+
+
+def _list_added(table: str, rel_dir: str) -> list[str]:
+    """Table-relative paths of every parquet file under a commit's
+    data directory, RECURSIVELY — partitioned writes nest
+    ``col=value`` directories below the commit dir."""
+    out: list[str] = []
+    root = os.path.join(table, rel_dir)
+    for dirpath, _, names in os.walk(root):
+        for name in names:
+            if name.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, name), table)
+                )
+    return sorted(out)
+
+
+def partition_by_of(table: str) -> list[str]:
+    """The table's active partition spec (Hive layout columns), [] for
+    an unpartitioned table — recorded on every commit like the
+    constraint set, so resolution is one tail read."""
+    last = _last_commit(table)
+    return list(last.get("partition_by", [])) if last else []
 
 
 def _next_commit_ts(table: str, last: dict | None) -> float:
@@ -1040,6 +1223,40 @@ def read_table_null_pruned(
     )
 
 
+def read_table_partitioned(
+    spark: SparkSession,
+    table: str,
+    equal: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with PARTITION pruning: only data files whose
+    Hive path values match every ``equal`` entry (column → value,
+    compared as the partition-directory string) enter the scan — the
+    coarse prune a 100 TB date-partitioned table runs before zone
+    maps even load, resolved from the file LIST alone (zero I/O, not
+    even footers). The predicate is re-applied row-level, so the
+    result is exactly the filtered snapshot; files without the
+    partition column in their path (pre-partitioning commits after an
+    overwrite relayout can't exist in one snapshot, but unpartitioned
+    tables can be queried too) are conservatively kept and rely on
+    the row-level filter."""
+    from pyspark.sql import functions as F
+
+    files, schema, stats, sizes, dvs = _snapshot(table, version)
+    want = {c: (None if v is None else str(v)) for c, v in equal.items()}
+    kept = []
+    for f in files:
+        pv = _partition_values(os.path.relpath(f, table))
+        if all(c not in pv or pv[c] == v for c, v in want.items()):
+            kept.append(f)
+    out = _scan(spark, table, kept, schema, dvs)
+    for c, v in equal.items():
+        out = out.where(
+            F.col(c).isNull() if v is None else F.col(c) == F.lit(v)
+        )
+    return out
+
+
 def _commit_ts(table: str, v: int) -> float:
     """One commit's instant: the record's canonicalized ``ts`` field,
     falling back to the log file's mtime for records predating the
@@ -1211,6 +1428,11 @@ def optimize(
         )
         if not files:
             raise FileNotFoundError(f"{table} has no data to optimize")
+        # a maintenance rewrite must PRESERVE the table's layout: its
+        # overwrite/replace would otherwise relayout a partitioned
+        # table to flat (commit's overwrite rule takes the caller's
+        # spec verbatim)
+        spec = partition_by_of(table)
         action = "overwrite"
         remove = None
         if where is not None:
@@ -1277,6 +1499,7 @@ def optimize(
                 meta=meta,
                 expected_version=base,
                 stats_cols=keep_stats,
+                partition_by=spec or None,
                 remove=remove,
             )
         except CommitConflict:
@@ -1452,6 +1675,8 @@ def _delete_where_dv(
     }
     if last.get("constraints"):
         record["constraints"] = last["constraints"]
+    if last.get("partition_by"):
+        record["partition_by"] = last["partition_by"]
     _DEFAULT_ARBITER.publish(
         _log_path(table, base + 1), json.dumps(record)
     )
@@ -2031,6 +2256,10 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         # CHECK constraints ride every record, so the rebase carries
         # the base's set — expiry never silently disarms enforcement
         record["constraints"] = base_rec["constraints"]
+    if base_rec.get("partition_by"):
+        # ...and so does the partition spec, or the next append would
+        # inherit "unpartitioned" and wedge the layout
+        record["partition_by"] = base_rec["partition_by"]
     # resolved BEFORE the expired records are unlinked, so legacy
     # sizes survive the rebase instead of degrading to stat() calls
     record["sizes"] = _fill_sizes(table, rels, sizes)
@@ -2163,6 +2392,11 @@ def restore(
         target_cons = _constraints_at(table, target)
         if target_cons:
             record["constraints"] = target_cons
+        target_rec = _read_log(table, after=target - 1, through=target)
+        if target_rec and target_rec[0].get("partition_by"):
+            # the restored snapshot's files follow ITS layout — the
+            # spec must come back with them
+            record["partition_by"] = target_rec[0]["partition_by"]
         try:
             _DEFAULT_ARBITER.publish(
                 _log_path(table, record["version"]), json.dumps(record)
@@ -2215,6 +2449,8 @@ def _republish_head(
     if kept_dvs:
         record["dv"] = kept_dvs
     record["sizes"] = _fill_sizes(table, rels, sizes)
+    if head.get("partition_by"):
+        record["partition_by"] = head["partition_by"]
     if constraints:
         record["constraints"] = constraints
     _DEFAULT_ARBITER.publish(
