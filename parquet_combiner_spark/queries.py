@@ -2436,6 +2436,48 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_renamed_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via column mapping (tools/txlog.py
+    ``rename_column`` — Delta's name-mapping mode): the events
+    txtable renames ``value`` → ``amount`` as one METADATA-ONLY
+    commit (zero files rewritten — pinned in
+    tests/test_column_mapping.py), then an APPEND arrives under the
+    new logical name and lands in files under the original physical
+    name, and the read resolves both eras through the
+    logical→physical map. The oracle is the same rows with the column
+    aliased — if mapping leaked nulls or dropped the appended rows,
+    the hash catches it."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-rename-")
+    table = f"{root}/events_r"
+    try:
+        txlog.commit(ev, table, stats_cols=["value"])
+        txlog.rename_column(table, "value", "amount")
+        txlog.commit(
+            ev.limit(0).select(
+                "event_id", "user_id", "event_type",
+                F.col("value").alias("amount"),
+            ).unionByName(
+                spark.createDataFrame(
+                    [(-1, -1, "synthetic", 123.5)],
+                    "event_id bigint, user_id bigint, "
+                    "event_type string, amount double",
+                )
+            ),
+            table,
+        )
+        return txlog.read_table(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def events_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE end-state (tools/txlog.py ``delete_where
     (mode="dv")``): events land as 8 files with value zone maps, two
@@ -3631,6 +3673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
     "events_dv_delete_scan": events_dv_delete_scan,
     "events_partitioned_scan": events_partitioned_scan,
+    "events_renamed_column_scan": events_renamed_column_scan,
     "events_zorder_two_predicate_scan": events_zorder_two_predicate_scan,
     "event_counts_cdf_stream": event_counts_cdf_stream,
     "current_user_state_with_deletes_stream": (
@@ -5036,6 +5079,14 @@ ORACLE_SQL["event_state_restore"] = """
 ORACLE_SQL["events_zorder_pruned_scan"] = """
     SELECT event_id, user_id, event_type, value
     FROM events WHERE value BETWEEN 20.0 AND 40.0
+"""
+
+# the rename is metadata-only: same rows, aliased column, plus the
+# one post-rename append
+ORACLE_SQL["events_renamed_column_scan"] = """
+    SELECT event_id, user_id, event_type, value AS amount FROM events
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), 'synthetic', 123.5
 """
 
 # the partition-pruned read is a pure superset optimization over the

@@ -57,32 +57,43 @@ class _ChangeFilePartition(InputPartition):
     path: str
     version: int
     path_values: tuple = ()
+    col_map: tuple = ()
 
 
-def _read_file_as_arrow(path: str, target, path_values: dict | None = None):
+def _read_file_as_arrow(
+    path: str,
+    target,
+    path_values: dict | None = None,
+    col_map: dict | None = None,
+):
     """One data file → Arrow table cast to the target schema, with
     schema-evolution null-fill (files written before a merge_schema
     append lack the added columns — same semantics as
-    txlog.read_table's schema-enforced scan) and Hive PARTITION
-    columns injected from ``path_values`` (col → raw directory
-    string, parsed driver-side): partitioned layouts keep those
-    columns out of the data files, so they materialize here as
-    constants cast to the declared type — what the JVM scan's
-    basePath discovery does, rendered in Arrow. Executor-side only."""
+    txlog.read_table's schema-enforced scan), Hive PARTITION columns
+    injected from ``path_values`` (col → raw directory string, parsed
+    driver-side; partitioned layouts keep those columns out of the
+    data files, so they materialize here as constants cast to the
+    declared type), and COLUMN MAPPING applied (``col_map``:
+    logical → physical name — renamed columns live in the files
+    under their original physical names; path_values are keyed
+    physical too). Executor-side only."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     path_values = path_values or {}
+    col_map = col_map or {}
     have = set(pq.ParquetFile(path).schema_arrow.names)
-    present = [f.name for f in target if f.name in have]
+    phys = {f.name: col_map.get(f.name, f.name) for f in target}
+    present = sorted({p for p in phys.values() if p in have})
     table = pq.read_table(path, columns=present)
 
     def col_of(f):
-        if f.name in have:
-            return table.column(f.name)
-        if f.name in path_values:
-            raw = path_values[f.name]
+        p = phys[f.name]
+        if p in have:
+            return table.column(p)
+        if p in path_values:
+            raw = path_values[p]
             if raw is None:
                 return pa.nulls(table.num_rows, type=f.type)
             const = pc.cast(pa.array([raw] * table.num_rows), f.type)
@@ -100,11 +111,13 @@ class TxTableReader(DataSourceReader):
         files: list[str],
         dvs: dict | None = None,
         base: str | None = None,
+        col_map: dict | None = None,
     ) -> None:
         self._schema = schema
         self._files = files
         self._dvs = dvs or {}
         self._base = base
+        self._col_map = col_map or {}
 
     def partitions(self):  # noqa: D102 — API contract
         from parquet_combiner_spark.tools.txlog import _partition_values
@@ -134,7 +147,10 @@ class TxTableReader(DataSourceReader):
 
         target = to_arrow_schema(self._schema)
         table = _read_file_as_arrow(
-            partition.path, target, dict(partition.path_values)
+            partition.path,
+            target,
+            dict(partition.path_values),
+            self._col_map,
         )
         if partition.positions:
             # apply the deletion vector: positions index the file's
@@ -185,7 +201,7 @@ class TxTableDataSource(DataSource):
             version = txlog.version_at_timestamp(path, float(ts))
         import os
 
-        files, ddl, _, _, rel_dvs = txlog._snapshot(
+        files, ddl, _, _, rel_dvs, mapping = txlog._snapshot(
             path, int(version) if version is not None else None
         )
         # deletion vectors keyed by the ABSOLUTE paths the partitions
@@ -193,16 +209,18 @@ class TxTableDataSource(DataSource):
         dvs = {
             os.path.join(path, rel): pos for rel, pos in rel_dvs.items()
         }
-        self._snapshot = (files, ddl, dvs)
+        self._snapshot = (files, ddl, dvs, mapping)
         return self._snapshot
 
     def schema(self) -> str:
-        _, ddl, _ = self._resolve()
+        _, ddl, _, _ = self._resolve()
         return ddl
 
     def reader(self, schema: StructType) -> TxTableReader:
-        files, _, dvs = self._resolve()
-        return TxTableReader(schema, files, dvs, self.options.get("path"))
+        files, _, dvs, mapping = self._resolve()
+        return TxTableReader(
+            schema, files, dvs, self.options.get("path"), mapping
+        )
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         if overwrite:
@@ -588,6 +606,9 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                     os.path.join(self._table, rel),
                     v,
                     tuple(sorted(_partition_values(rel).items())),
+                    tuple(
+                        sorted(rec.get("column_mapping", {}).items())
+                    ),
                 )
                 for rel in rec["add"]
             )
@@ -602,7 +623,10 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             [f for f in target if f.name != "_commit_version"]
         )
         table = _read_file_as_arrow(
-            partition.path, data_schema, dict(partition.path_values)
+            partition.path,
+            data_schema,
+            dict(partition.path_values),
+            dict(partition.col_map),
         )
         stamped = table.append_column(
             "_commit_version",

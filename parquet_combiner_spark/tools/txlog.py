@@ -236,18 +236,24 @@ def _resolve_version(table: str, version: int | None) -> int:
 
 def _snapshot(
     table: str, version: int | None
-) -> tuple[list[str], str, dict, dict, dict]:
+) -> tuple[list[str], str, dict, dict, dict, dict]:
     """ONE log replay → (data file paths, schema DDL, rel_path→stats,
-    rel_path→bytes, rel_path→deleted positions) as of ``version``
-    (None=latest). Pruned reads and the copy-on-write DML kernels
-    need files AND zone maps, the maintenance verbs need byte sizes,
-    and every reader needs the DELETION VECTORS (merge-on-read
-    position deletes — see :func:`delete_where` ``mode="dv"``);
-    resolving all of it in a single pass keeps the hot metadata path
-    at one dir listing / one checkpoint read / one parse per commit
-    instead of several of each. Sizes come from the records' logged
-    ``sizes`` (files from records predating size logging are simply
-    absent — :func:`_fill_sizes` backfills with a stat call).
+    rel_path→bytes, rel_path→deleted positions, COLUMN MAPPING) as of
+    ``version`` (None=latest). Pruned reads and the copy-on-write DML
+    kernels need files AND zone maps, the maintenance verbs need byte
+    sizes, every reader needs the DELETION VECTORS (merge-on-read
+    position deletes — see :func:`delete_where` ``mode="dv"``), and
+    mapped reads need the logical→physical column-name map
+    (:func:`rename_column` — Delta's column mapping: the schema DDL
+    carries LOGICAL names, data files keep their ORIGINAL physical
+    names forever, so a rename is one metadata commit and zero data
+    rewrites); resolving all of it in a single pass keeps the hot
+    metadata path at one dir listing / one checkpoint read / one
+    parse per commit instead of several of each. Sizes come from the
+    records' logged ``sizes`` (files from records predating size
+    logging are simply absent — :func:`_fill_sizes` backfills with a
+    stat call). Zone-map stats are keyed by PHYSICAL names (what the
+    footers hold); readers translate through the mapping.
 
     DV replay rule: any record may carry a ``dv`` map (rel →
     sorted deleted positions); each entry SUPERSEDES the file's prior
@@ -271,6 +277,7 @@ def _snapshot(
     stats: dict = {}
     sizes: dict = {}
     dvs: dict = {}
+    mapping: dict = {}
     after = None
     ck = _checkpoint_at_or_below(table, version)
     if ck is not None:
@@ -281,6 +288,7 @@ def _snapshot(
         sizes = {f: ck_sizes[f] for f in ck["files"] if f in ck_sizes}
         ck_dv = ck.get("dv", {})
         dvs = {f: list(ck_dv[f]) for f in ck["files"] if f in ck_dv}
+        mapping = dict(ck.get("column_mapping", {}))
         after = ck["version"]
     for commit in _read_log(table, after=after, through=version):
         if commit["action"] == "overwrite":
@@ -306,6 +314,9 @@ def _snapshot(
         # deletion vectors: each entry supersedes the file's prior set
         for rel, pos in commit.get("dv", {}).items():
             dvs[rel] = list(pos)
+        # the mapping rides every record (like constraints): the last
+        # record in range owns the whole logical→physical map
+        mapping = dict(commit.get("column_mapping", {}))
         schema = commit["schema"]
     return (
         [os.path.join(table, f) for f in files],
@@ -313,6 +324,7 @@ def _snapshot(
         stats,
         sizes,
         dvs,
+        mapping,
     )
 
 
@@ -321,7 +333,7 @@ def _snapshot_files(table: str, version: int | None) -> tuple[list[str], str]:
     NOTE: DV-blind; callers that read DATA must use :func:`_scan`
     (or read via :func:`read_table`) so deleted positions are
     filtered."""
-    files, schema, _, _, _ = _snapshot(table, version)
+    files, schema, _, _, _, _ = _snapshot(table, version)
     return files, schema
 
 
@@ -339,12 +351,78 @@ def _fill_sizes(table: str, rels: Sequence[str], sizes: dict) -> dict:
     }
 
 
+def _physical_reader(
+    spark: SparkSession,
+    table: str,
+    rels: Sequence[str],
+    schema: str,
+    mapping: dict,
+):
+    """The file-reading kernel under PHYSICAL column names, shared by
+    :func:`_scan` and the DV position resolver: returns
+    ``(read_fn(paths) -> DataFrame, logical→physical name map,
+    logical name order)``.
+
+    COLUMN MAPPING (rename evolution): the committed schema DDL holds
+    LOGICAL names; data files keep their original physical names
+    forever, so the parquet scan must declare the physical schema —
+    callers alias back to logical. Hive-layout PARTITION columns live
+    in the paths, not the data files, and Spark's own directory
+    discovery (basePath) rejects a snapshot spanning several
+    commit-uuid directories as "conflicting structures" — the same
+    reason Delta supplies partition values from its log through a
+    custom FileIndex. The Python-reachable equivalent: partition
+    columns materialize as JVM expressions over
+    ``_metadata.file_path`` (regexp_extract the col=value segment,
+    url_decode, cast to the declared type) — codegen-friendly, no
+    discovery, any layout. Path segments carry physical names."""
+    from pyspark.sql import functions as F
+
+    struct = spark.createDataFrame([], schema).schema
+    names = struct.names
+    phys_of = {n: mapping.get(n, n) for n in names}
+    phys_schema = ", ".join(
+        f"{phys_of[f.name]} {f.dataType.simpleString()}"
+        for f in struct.fields
+    )
+    phys_part = sorted(
+        {
+            k
+            for rel in rels
+            for k in _partition_values(rel)
+            if k in set(phys_of.values())
+        }
+    )
+
+    def _read(paths: list) -> DataFrame:
+        df = spark.read.schema(phys_schema).parquet(*paths)
+        for n in names:
+            p = phys_of[n]
+            if p not in phys_part:
+                continue
+            raw = F.regexp_extract(
+                F.col("_metadata.file_path"), f"/{p}=([^/]+)/", 1
+            )
+            df = df.withColumn(
+                p,
+                F.when(
+                    raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+                )
+                .otherwise(F.url_decode(raw))
+                .cast(struct[n].dataType),
+            )
+        return df
+
+    return _read, phys_of, names
+
+
 def _scan(
     spark: SparkSession,
     table: str,
     files: Sequence[str],
     schema: str,
     dvs: dict,
+    mapping: dict | None = None,
 ) -> DataFrame:
     """THE data-reading primitive every snapshot consumer goes
     through: schema-enforced parquet scan of ``files`` with the
@@ -371,54 +449,19 @@ def _scan(
     """
     from pyspark.sql import functions as F
 
+    mapping = mapping or {}
     if not files:
         return spark.createDataFrame([], schema)
     by_rel = {os.path.relpath(f, table): f for f in files}
-    # Hive-layout partition columns live in the PATHS, not the data
-    # files. Spark's own directory discovery (basePath) rejects a
-    # snapshot spanning several commit-uuid directories as
-    # "conflicting structures" — the same reason Delta supplies
-    # partition values from its log through a custom FileIndex. The
-    # Python-reachable equivalent: one plain scan, partition columns
-    # materialized as JVM expressions over ``_metadata.file_path``
-    # (regexp_extract the col=value segment, url_decode, cast to the
-    # declared type) — codegen-friendly, no discovery, any layout.
-    struct = spark.createDataFrame([], schema).schema
-    names = struct.names
-    part_cols = sorted(
-        {
-            k
-            for rel in by_rel
-            for k in _partition_values(rel)
-            if k in set(names)
-        }
+    _read, phys_of, names = _physical_reader(
+        spark, table, list(by_rel), schema, mapping
     )
-
-    def _with_partition_cols(df: DataFrame) -> DataFrame:
-        for c in part_cols:
-            raw = F.regexp_extract(
-                F.col("_metadata.file_path"), f"/{c}=([^/]+)/", 1
-            )
-            df = df.withColumn(
-                c,
-                F.when(
-                    raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
-                )
-                .otherwise(F.url_decode(raw))
-                .cast(struct[c].dataType),
-            )
-        return df
-
-    def _read(paths: list) -> DataFrame:
-        return _with_partition_cols(
-            spark.read.schema(schema).parquet(*paths)
-        )
-
     dirty = {r: dvs[r] for r in by_rel if dvs.get(r)}
     clean = [by_rel[r] for r in by_rel if r not in dirty]
     parts: list[DataFrame] = []
+    logical = [F.col(phys_of[n]).alias(n) for n in names]
     if clean:
-        parts.append(_read(clean).select(*names))
+        parts.append(_read(clean).select(*logical))
     if dirty:
         probe_rel = next(iter(dirty))
         probe = (
@@ -448,7 +491,7 @@ def _scan(
             (F.col("_metadata.file_path") == F.col("__dv_path"))
             & (F.col("_metadata.row_index") == F.col("__dv_pos")),
             "left_anti",
-        ).select(*names)
+        ).select(*logical)
         parts.append(kept)
     out = parts[0]
     for p in parts[1:]:
@@ -696,12 +739,29 @@ def commit(
                 for name, expr in sorted(constraints.items())
             ],
         )
+    # COLUMN MAPPING: data files always use PHYSICAL names (the
+    # original ones — renames are metadata-only), so appends and
+    # replaces translate before writing; an overwrite rewrites every
+    # file under the current logical names and RESETS the mapping
+    # (nothing left to translate — the same way it drops DVs).
+    cmap = (
+        dict(last.get("column_mapping", {}))
+        if last and action != "overwrite"
+        else {}
+    )
+    write_df = df
+    if cmap:
+        from pyspark.sql import functions as F
+
+        write_df = df.select(
+            *[F.col(c).alias(cmap.get(c, c)) for c in df.columns]
+        )
     commit_id = uuid.uuid4().hex
     rel_dir = os.path.join("data", commit_id)
     out_dir = os.path.join(table, rel_dir)
-    writer = df.write.mode("error")
+    writer = write_df.write.mode("error")
     if spec:
-        writer = writer.partitionBy(*spec)
+        writer = writer.partitionBy(*[cmap.get(c, c) for c in spec])
     writer.parquet(out_dir)
     if obs is not None:
         bad = {k: int(v) for k, v in obs.get.items() if v}
@@ -722,8 +782,10 @@ def commit(
         # map is the PATH value itself (min = max = the partition
         # value, zero nulls) — footer stats would record them as
         # all-NULL and a pruned read would wrongly skip every file
-        data_cols = [c for c in stats_cols if c not in spec]
-        path_cols = [c for c in stats_cols if c in spec]
+        # zone maps are keyed by PHYSICAL names (what footers and
+        # paths hold); pruned readers translate logical→physical
+        data_cols = [cmap.get(c, c) for c in stats_cols if c not in spec]
+        path_cols = [cmap.get(c, c) for c in stats_cols if c in spec]
         for rel in added:
             entry = _file_stats(os.path.join(table, rel), data_cols)
             if path_cols:
@@ -781,6 +843,8 @@ def commit(
         # appends inherit it from one tail read and expiry rebases
         # can never orphan it
         record["partition_by"] = spec
+    if cmap:
+        record["column_mapping"] = cmap
     if constraints:
         # the active constraint set rides EVERY commit record, so
         # resolution is one _last_commit read and expire_versions'
@@ -902,6 +966,18 @@ def publish_files(
             "meta": meta or {},
             "sizes": sizes,
         }
+        if last and last.get("column_mapping"):
+            # staged files are written by session-less tasks that
+            # know only the logical schema; under a live rename map
+            # their physical column names would drift from the
+            # table's — refuse rather than corrupt
+            raise ValueError(
+                f"{table} has renamed columns (column mapping "
+                f"{last['column_mapping']}); the streaming file "
+                "publisher cannot stage physical-name files — write "
+                "through commit(), or OPTIMIZE (overwrite) the table "
+                "to materialize the logical names first"
+            )
         spec = (
             list(last.get("partition_by", []))
             if last
@@ -1139,17 +1215,21 @@ def read_table_pruned(
     pushdown can only skip WITHIN files the planner already listed;
     this skips the listing. Files without recorded stats (older
     commits, evolved columns) are conservatively kept."""
-    files, schema, stats, sizes, dvs = _snapshot(table, version)
+    files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
     kept = [
         f
         for f in files
         if not _zone_disjoint(
-            stats.get(os.path.relpath(f, table), {}).get(col), lo, hi
+            stats.get(os.path.relpath(f, table), {}).get(
+                mapping.get(col, col)
+            ),
+            lo,
+            hi,
         )
     ]
     from pyspark.sql import functions as F
 
-    return _scan(spark, table, kept, schema, dvs).where(
+    return _scan(spark, table, kept, schema, dvs, mapping).where(
         F.col(col).between(lo, hi)
     )
 
@@ -1173,13 +1253,17 @@ def read_table_pruned_multi(
     files), where a lexicographic sort only ever prunes its leading
     column. Files missing stats for a column are conservatively kept
     for that column (same rule as :func:`read_table_pruned`)."""
-    files, schema, stats, sizes, dvs = _snapshot(table, version)
+    files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
     kept = [
         f
         for f in files
         if all(
             not _zone_disjoint(
-                stats.get(os.path.relpath(f, table), {}).get(c), lo, hi
+                stats.get(os.path.relpath(f, table), {}).get(
+                    mapping.get(c, c)
+                ),
+                lo,
+                hi,
             )
             for c, (lo, hi) in predicates.items()
         )
@@ -1189,7 +1273,7 @@ def read_table_pruned_multi(
     cond = F.lit(True)
     for c, (lo, hi) in predicates.items():
         cond = cond & F.col(c).between(lo, hi)
-    return _scan(spark, table, kept, schema, dvs).where(cond)
+    return _scan(spark, table, kept, schema, dvs, mapping).where(cond)
 
 
 def read_table_null_pruned(
@@ -1208,17 +1292,20 @@ def read_table_null_pruned(
     commits, stats-less writers) are conservatively kept; the
     predicate is ALSO applied row-level, so the result is exactly the
     filtered snapshot."""
-    files, schema, stats, sizes, dvs = _snapshot(table, version)
+    files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
     kept = [
         f
         for f in files
         if (
-            stats.get(os.path.relpath(f, table), {}).get(col) or {}
+            stats.get(os.path.relpath(f, table), {}).get(
+                mapping.get(col, col)
+            )
+            or {}
         ).get("nulls") != 0
     ]
     from pyspark.sql import functions as F
 
-    return _scan(spark, table, kept, schema, dvs).where(
+    return _scan(spark, table, kept, schema, dvs, mapping).where(
         F.col(col).isNull()
     )
 
@@ -1242,14 +1329,17 @@ def read_table_partitioned(
     the row-level filter."""
     from pyspark.sql import functions as F
 
-    files, schema, stats, sizes, dvs = _snapshot(table, version)
+    files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
     want = {c: (None if v is None else str(v)) for c, v in equal.items()}
     kept = []
     for f in files:
         pv = _partition_values(os.path.relpath(f, table))
-        if all(c not in pv or pv[c] == v for c, v in want.items()):
+        if all(
+            mapping.get(c, c) not in pv or pv[mapping.get(c, c)] == v
+            for c, v in want.items()
+        ):
             kept.append(f)
-    out = _scan(spark, table, kept, schema, dvs)
+    out = _scan(spark, table, kept, schema, dvs, mapping)
     for c, v in equal.items():
         out = out.where(
             F.col(c).isNull() if v is None else F.col(c) == F.lit(v)
@@ -1315,8 +1405,8 @@ def read_table(
         if version is not None:
             raise ValueError("pass version OR timestamp, not both")
         version = version_at_timestamp(table, timestamp)
-    files, schema, _, _, dvs = _snapshot(table, version)
-    return _scan(spark, table, files, schema, dvs)
+    files, schema, _, _, dvs, mapping = _snapshot(table, version)
+    return _scan(spark, table, files, schema, dvs, mapping)
 
 
 def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 8):
@@ -1423,7 +1513,7 @@ def optimize(
     """
     for attempt in range(max(1, max_retries)):
         base = current_version(table)
-        files, schema, snap_stats, snap_sizes, snap_dvs = _snapshot(
+        files, schema, snap_stats, snap_sizes, snap_dvs, snap_map = _snapshot(
             table, base if base >= 0 else None
         )
         if not files:
@@ -1441,7 +1531,9 @@ def optimize(
                 f
                 for f in files
                 if not _zone_disjoint(
-                    snap_stats.get(os.path.relpath(f, table), {}).get(col),
+                    snap_stats.get(os.path.relpath(f, table), {}).get(
+                        snap_map.get(col, col)
+                    ),
                     lo,
                     hi,
                 )
@@ -1459,7 +1551,7 @@ def optimize(
         # read THROUGH the deletion vectors: the rewrite materializes
         # the logical rows, purging merge-on-read debt (Delta's
         # OPTIMIZE-purges-DVs contract)
-        df = _scan(spark, table, files, schema, snap_dvs)
+        df = _scan(spark, table, files, schema, snap_dvs, snap_map)
         meta: dict = {"optimize": True}
         if zorder_by:
             z = _zorder_column(df, zorder_by)
@@ -1548,7 +1640,7 @@ def compact_small_files(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats, sizes, dvs = _snapshot(table, base)
+        files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
         sizes = _fill_sizes(
             table, [os.path.relpath(f, table) for f in files], sizes
         )
@@ -1573,7 +1665,7 @@ def compact_small_files(
         keep_stats = list(stats_cols) if stats_cols else sorted(
             {c for r in rels for c in stats.get(r, {})}
         )
-        df = _scan(spark, table, small, schema, dvs).coalesce(int(n_files))
+        df = _scan(spark, table, small, schema, dvs, mapping).coalesce(int(n_files))
         try:
             return commit(
                 df,
@@ -1598,6 +1690,7 @@ def _delete_where_dv(
     touched: list,
     schema: str,
     dvs: dict,
+    mapping: dict,
     col: str,
     lo,
     hi,
@@ -1621,10 +1714,13 @@ def _delete_where_dv(
     from pyspark.sql import functions as F
 
     last = _last_commit(table)
+    rels_in = [os.path.relpath(f, table) for f in touched]
+    read_fn, phys_of, _ = _physical_reader(
+        spark, table, rels_in, schema, mapping
+    )
     hits_df = (
-        spark.read.schema(schema)
-        .parquet(*touched)
-        .where(F.col(col).between(lo, hi))
+        read_fn(list(touched))
+        .where(F.col(phys_of.get(col, col)).between(lo, hi))
         .select(
             F.col("_metadata.file_path").alias("p"),
             F.col("_metadata.row_index").alias("i"),
@@ -1677,6 +1773,8 @@ def _delete_where_dv(
         record["constraints"] = last["constraints"]
     if last.get("partition_by"):
         record["partition_by"] = last["partition_by"]
+    if last.get("column_mapping"):
+        record["column_mapping"] = last["column_mapping"]
     _DEFAULT_ARBITER.publish(
         _log_path(table, base + 1), json.dumps(record)
     )
@@ -1748,12 +1846,16 @@ def delete_where(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats, sizes, dvs = _snapshot(table, base)
+        files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
         touched = [
             f
             for f in files
             if not _zone_disjoint(
-                stats.get(os.path.relpath(f, table), {}).get(col), lo, hi
+                stats.get(os.path.relpath(f, table), {}).get(
+                    mapping.get(col, col)
+                ),
+                lo,
+                hi,
             )
         ]
         if not touched:
@@ -1762,7 +1864,7 @@ def delete_where(
             try:
                 return _delete_where_dv(
                     spark, table, base, touched, schema, dvs,
-                    col, lo, hi, max_dv_rows,
+                    mapping, col, lo, hi, max_dv_rows,
                 )
             except CommitConflict:
                 if attempt == max(1, max_retries) - 1:
@@ -1774,7 +1876,7 @@ def delete_where(
         # NULL row in any touched file (ADVICE r8, high). The read
         # goes through _scan so rows already deleted by a vector stay
         # deleted in the rewritten files.
-        survivors = _scan(spark, table, touched, schema, dvs).where(
+        survivors = _scan(spark, table, touched, schema, dvs, mapping).where(
             F.col(col).isNull() | ~F.col(col).between(lo, hi)
         )
         try:
@@ -1834,7 +1936,7 @@ def update_where(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats, sizes, dvs = _snapshot(table, base)
+        files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
         cols = {f.name for f in spark.createDataFrame([], schema).schema}
         unknown = sorted(set(set_exprs) - cols)
         if unknown:
@@ -1845,7 +1947,11 @@ def update_where(
             f
             for f in files
             if not _zone_disjoint(
-                stats.get(os.path.relpath(f, table), {}).get(col), lo, hi
+                stats.get(os.path.relpath(f, table), {}).get(
+                    mapping.get(col, col)
+                ),
+                lo,
+                hi,
             )
         ]
         if not touched:
@@ -1857,7 +1963,7 @@ def update_where(
         hit = F.col(col).between(lo, hi)
         # through the deletion vectors: an UPDATE rewrite must not
         # resurrect rows a DV already deleted from a touched file
-        df = _scan(spark, table, touched, schema, dvs)
+        df = _scan(spark, table, touched, schema, dvs, mapping)
         for name, expr in set_exprs.items():
             new = expr if isinstance(expr, Column) else F.expr(expr)
             # cast back so an expression cannot silently retype the
@@ -1959,20 +2065,22 @@ def merge_into(
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
-        files, schema, stats, sizes, dvs = _snapshot(table, base)
+        files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
         touched = [
             f
             for f in files
             if not prunable
             or not _zone_disjoint(
-                stats.get(os.path.relpath(f, table), {}).get(prune_col),
+                stats.get(os.path.relpath(f, table), {}).get(
+                    mapping.get(prune_col, prune_col)
+                ),
                 bounds["lo"],
                 bounds["hi"],
             )
         ]
         # through the deletion vectors: DV-deleted rows must not be
         # merge bases nor reappear in the rewritten files
-        base_df = _scan(spark, table, touched, schema, dvs)
+        base_df = _scan(spark, table, touched, schema, dvs, mapping)
         merged = merge_upsert(
             base_df,
             updates,
@@ -2066,7 +2174,7 @@ def checkpoint(table: str, version: int | None = None) -> int:
     the old state or the new, never a torn file. Returns the
     checkpointed version."""
     version = _resolve_version(table, version)
-    files, schema, stats, sizes, dvs = _snapshot(table, version)
+    files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
     rels = [os.path.relpath(f, table) for f in files]
     record = {
         "version": version,
@@ -2079,6 +2187,8 @@ def checkpoint(table: str, version: int | None = None) -> int:
         # deletion vectors are snapshot state: a checkpoint-seeded
         # read that lost them would resurrect deleted rows
         record["dv"] = {r: dvs[r] for r in rels if dvs.get(r)}
+    if mapping:
+        record["column_mapping"] = mapping
     d = _ckpt_dir(table)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"{version:0{_VERSION_DIGITS}d}.json")
@@ -2112,7 +2222,7 @@ def fast_count(table: str, version: int | None = None) -> int:
     construction)."""
     import pyarrow.parquet as pq
 
-    files, _, _, _, dvs = _snapshot(table, version)
+    files, _, _, _, dvs, _ = _snapshot(table, version)
     return sum(
         pq.ParquetFile(f).metadata.num_rows
         - len(dvs.get(os.path.relpath(f, table), ()))
@@ -2241,7 +2351,7 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         )
     if keep_from == first:
         return []
-    files, schema, stats, sizes, dvs = _snapshot(table, keep_from)
+    files, schema, stats, sizes, dvs, mapping = _snapshot(table, keep_from)
     base_rec = next(c for c in log if c["version"] == keep_from)
     rels = [os.path.relpath(f, table) for f in files]
     record = {
@@ -2260,6 +2370,10 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
         # ...and so does the partition spec, or the next append would
         # inherit "unpartitioned" and wedge the layout
         record["partition_by"] = base_rec["partition_by"]
+    if mapping:
+        # the rebased files keep their physical names — the map that
+        # resolves them must survive with them
+        record["column_mapping"] = mapping
     # resolved BEFORE the expired records are unlinked, so legacy
     # sizes survive the rebase instead of degrading to stat() calls
     record["sizes"] = _fill_sizes(table, rels, sizes)
@@ -2365,7 +2479,7 @@ def restore(
         if last is None:
             raise FileNotFoundError(f"{table} has no transaction log")
         target = _resolve_version(table, version)
-        files, schema, stats, sizes, dvs = _snapshot(table, target)
+        files, schema, stats, sizes, dvs, mapping = _snapshot(table, target)
         rels = [os.path.relpath(f, table) for f in files]
         record = {
             "version": last["version"] + 1,
@@ -2397,6 +2511,9 @@ def restore(
             # the restored snapshot's files follow ITS layout — the
             # spec must come back with them
             record["partition_by"] = target_rec[0]["partition_by"]
+        if mapping:
+            # the restored files carry THEIR physical names
+            record["column_mapping"] = mapping
         try:
             _DEFAULT_ARBITER.publish(
                 _log_path(table, record["version"]), json.dumps(record)
@@ -2424,13 +2541,25 @@ def constraints_of(table: str) -> dict:
 
 
 def _republish_head(
-    table: str, head: dict, meta: dict, constraints: dict
+    table: str,
+    head: dict,
+    meta: dict,
+    constraints: dict,
+    schema_override: str | None = None,
+    mapping_override: dict | None = None,
 ) -> int:
     """Publish a METADATA-ONLY commit that re-references the head
     snapshot's exact files with an updated constraint set — the
-    ALTER TABLE commit shape. Raises :class:`CommitConflict` if the
-    head moved (callers run the optimistic retry loop)."""
-    files, schema, stats, sizes, dvs = _snapshot(table, head["version"])
+    ALTER TABLE commit shape; ``schema_override`` /
+    ``mapping_override`` are the RENAME/DROP COLUMN shape (new
+    logical schema, new logical→physical map, same files). Raises
+    :class:`CommitConflict` if the head moved (callers run the
+    optimistic retry loop)."""
+    files, schema, stats, sizes, dvs, mapping = _snapshot(table, head["version"])
+    if schema_override is not None:
+        schema = schema_override
+    if mapping_override is not None:
+        mapping = mapping_override
     rels = [os.path.relpath(f, table) for f in files]
     commit_ts = _next_commit_ts(table, head)
     record = {
@@ -2451,6 +2580,8 @@ def _republish_head(
     record["sizes"] = _fill_sizes(table, rels, sizes)
     if head.get("partition_by"):
         record["partition_by"] = head["partition_by"]
+    if mapping:
+        record["column_mapping"] = mapping
     if constraints:
         record["constraints"] = constraints
     _DEFAULT_ARBITER.publish(
@@ -2531,6 +2662,171 @@ def drop_constraint(table: str, name: str, max_retries: int = 3) -> int:
         try:
             return _republish_head(
                 table, head, {"drop_constraint": name}, cons
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue
+    raise AssertionError("unreachable")
+
+
+def _split_ddl(ddl: str) -> list[list[str]]:
+    """ORDERED, case-preserving (name, type) pairs from a
+    simpleString DDL — the mutation-friendly sibling of
+    :func:`_normalize_ddl` (which sorts and lowercases for
+    comparison). Depth-aware on both bracket families, same as the
+    normalizer."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    out = []
+    for field in parts:
+        name, _, typ = field.partition(" ")
+        out.append([name, typ.strip()])
+    return out
+
+
+def rename_column(
+    table: str, old: str, new: str, max_retries: int = 3
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — METADATA-ONLY via column
+    mapping (Delta's name-mapping mode): the committed schema gets
+    the new LOGICAL name, and the logical→physical map records that
+    the data files keep the column's ORIGINAL physical name forever —
+    zero data rewritten, and time travel still resolves old snapshots
+    with their own schema+mapping. Every reader goes through
+    :func:`_scan`, which declares the physical schema to the parquet
+    scan and aliases back; zone maps are keyed physical, so pruned
+    reads on the renamed column keep their file skipping.
+
+    Refused for PARTITION columns (their name is baked into the
+    col=value directory layout — renaming one is a physical relayout,
+    i.e. ``optimize`` after an overwrite) and for columns referenced
+    by a CHECK constraint (the stored expression would silently stop
+    binding — drop the constraint first, re-add against the new
+    name). Returns the commit version the rename landed in."""
+    import re as _re
+
+    if not new.isidentifier():
+        raise ValueError(f"new column name {new!r} is not an identifier")
+    for attempt in range(max(1, max_retries)):
+        head = _last_commit(table)
+        if head is None:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        fields = _split_ddl(head["schema"])
+        names = [n for n, _ in fields]
+        lower = [n.lower() for n in names]
+        if old.lower() not in lower:
+            raise ValueError(f"no column {old!r} in {table} ({names})")
+        if new.lower() in lower:
+            raise ValueError(f"column {new!r} already exists in {table}")
+        if old in head.get("partition_by", []):
+            raise ValueError(
+                f"{old!r} is a partition column of {table}: its name "
+                "is baked into the col=value directory layout — "
+                "relayout via action='overwrite' + optimize instead"
+            )
+        pat = _re.compile(rf"\b{_re.escape(old)}\b", _re.IGNORECASE)
+        bound = [
+            n
+            for n, expr in head.get("constraints", {}).items()
+            if pat.search(expr)
+        ]
+        if bound:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) "
+                f"{bound}; drop them first and re-add against the new "
+                "name"
+            )
+        mapping = dict(head.get("column_mapping", {}))
+        new_fields = []
+        for n, t in fields:
+            if n.lower() == old.lower():
+                # the physical name is wherever the chain started
+                physical = mapping.pop(n, n)
+                if physical != new:
+                    mapping[new] = physical
+                elif new in mapping:
+                    del mapping[new]
+                new_fields.append([new, t])
+            else:
+                new_fields.append([n, t])
+        ddl = ", ".join(f"{n} {t}" for n, t in new_fields)
+        try:
+            return _republish_head(
+                table,
+                head,
+                {"rename_column": [old, new]},
+                dict(head.get("constraints", {})),
+                schema_override=ddl,
+                mapping_override=mapping,
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue
+    raise AssertionError("unreachable")
+
+
+def drop_column(table: str, name: str, max_retries: int = 3) -> int:
+    """ALTER TABLE ... DROP COLUMN — METADATA-ONLY: the committed
+    schema loses the column; data files are untouched (readers simply
+    never select the physical column again), so the drop is O(1) and
+    time travel before it still shows the data. Refused for partition
+    columns and CHECK-referenced columns, same reasons as
+    :func:`rename_column`; the last column cannot be dropped."""
+    import re as _re
+
+    for attempt in range(max(1, max_retries)):
+        head = _last_commit(table)
+        if head is None:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        fields = _split_ddl(head["schema"])
+        if name.lower() not in [n.lower() for n, _ in fields]:
+            raise ValueError(f"no column {name!r} in {table}")
+        if len(fields) == 1:
+            raise ValueError(f"cannot drop the only column of {table}")
+        if name in head.get("partition_by", []):
+            raise ValueError(
+                f"{name!r} is a partition column of {table}; relayout "
+                "via action='overwrite' instead"
+            )
+        pat = _re.compile(rf"\b{_re.escape(name)}\b", _re.IGNORECASE)
+        bound = [
+            cn
+            for cn, expr in head.get("constraints", {}).items()
+            if pat.search(expr)
+        ]
+        if bound:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint(s) "
+                f"{bound}; drop them first"
+            )
+        mapping = dict(head.get("column_mapping", {}))
+        mapping.pop(name, None)
+        ddl = ", ".join(
+            f"{n} {t}" for n, t in fields if n.lower() != name.lower()
+        )
+        try:
+            return _republish_head(
+                table,
+                head,
+                {"drop_column": name},
+                dict(head.get("constraints", {})),
+                schema_override=ddl,
+                mapping_override=mapping,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
@@ -2642,7 +2938,7 @@ def main(argv: list[str] | None = None) -> int:
         if last is None:
             print("no transaction log")
             return 1
-        files_, _, _, sizes_, _ = _snapshot(args.table, None)
+        files_, _, _, sizes_, _, _ = _snapshot(args.table, None)
         rels = [os.path.relpath(f, args.table) for f in files_]
         sizes = _fill_sizes(args.table, rels, sizes_)
         ptr = os.path.join(args.table, _LOG_DIR, "_last_checkpoint")

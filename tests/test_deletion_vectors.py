@@ -29,7 +29,7 @@ def _mk_table(spark, path: str, rows_per_file=(1000, 10)) -> list[str]:
         ).coalesce(1)
         txlog.commit(df, path, stats_cols=["k"])
         off += n
-    files, _, _, _, _ = txlog._snapshot(path, None)
+    files = txlog._snapshot(path, None)[0]
     return [os.path.relpath(f, path) for f in files]
 
 
@@ -51,7 +51,7 @@ def test_dv_delete_does_not_rewrite_files(spark, tmp_path):
     v = txlog.delete_where(spark, table, "k", 100, 109, mode="dv")
     assert v == base + 1
     # no data file added, removed, or touched
-    files_after, _, _, _, dvs = txlog._snapshot(table, None)
+    files_after, _, _, _, dvs, _ = txlog._snapshot(table, None)
     assert sorted(os.path.relpath(f, table) for f in files_after) == sorted(
         rels
     )
@@ -109,7 +109,7 @@ def test_dv_deletes_accumulate_and_supersede(spark, tmp_path):
     rels = _mk_table(spark, table, rows_per_file=(100,))
     txlog.delete_where(spark, table, "k", 0, 9, mode="dv")
     txlog.delete_where(spark, table, "k", 5, 14, mode="dv")
-    _, _, _, _, dvs = txlog._snapshot(table, None)
+    _, _, _, _, dvs, _ = txlog._snapshot(table, None)
     assert len(dvs[rels[0]]) == 15
     assert txlog.read_table(spark, table).count() == 85
     assert txlog.fast_count(table) == 85
@@ -142,7 +142,7 @@ def test_optimize_purges_dvs_and_vacuum_erases(spark, tmp_path):
     rels = _mk_table(spark, table, rows_per_file=(500, 20))
     txlog.delete_where(spark, table, "k", 10, 19, mode="dv")
     v = txlog.optimize(spark, table, target_file_mb=128)
-    _, _, _, _, dvs = txlog._snapshot(table, None)
+    _, _, _, _, dvs, _ = txlog._snapshot(table, None)
     assert dvs == {}
     got = txlog.read_table(spark, table)
     assert got.count() == 510
@@ -165,7 +165,7 @@ def test_compact_small_files_rewrites_dv_files(spark, tmp_path):
     txlog.compact_small_files(
         spark, table, target_file_mb=128, small_file_mb=0.0001
     )
-    files, _, _, _, dvs = txlog._snapshot(table, None)
+    files, _, _, _, dvs, _ = txlog._snapshot(table, None)
     assert dvs == {}
     assert rels[0] not in {os.path.relpath(f, table) for f in files}
     assert txlog.read_table(spark, table).count() == 710

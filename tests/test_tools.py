@@ -1902,7 +1902,7 @@ def test_txlog_compact_small_files_incremental(spark, tmp_path):
     assert rec["meta"]["optimize"] == "bin-pack"
     # the healthy file was NOT touched
     assert big not in rec["remove"]
-    files_after, _, stats_after, _, _ = txlog._snapshot(table, None)
+    files_after, _, stats_after, _, _, _ = txlog._snapshot(table, None)
     rels_after = [os.path.relpath(f, table) for f in files_after]
     assert big in rels_after
     # fewer files, same rows
@@ -1994,7 +1994,7 @@ def test_txlog_optimize_where_scoped_rewrite(spark, tmp_path):
         df.where("day >= 50").repartition(4), table, stats_cols=["day", "x"]
     )
     rows_before = sorted(map(tuple, txlog.read_table(spark, table).collect()))
-    files_before, _, stats_before, _, _ = txlog._snapshot(table, None)
+    files_before, _, stats_before, _, _, _ = txlog._snapshot(table, None)
     rels_before = [
         __import__("os").path.relpath(f, table) for f in files_before
     ]
@@ -2017,7 +2017,7 @@ def test_txlog_optimize_where_scoped_rewrite(spark, tmp_path):
     assert rec["meta"]["where"] == ["day", 0, 49]
     # out-of-scope files never touched: not removed, still in snapshot
     assert not set(cold) & set(rec["remove"])
-    files_after, _, stats_after, _, _ = txlog._snapshot(table, None)
+    files_after, _, stats_after, _, _, _ = txlog._snapshot(table, None)
     rels_after = [
         __import__("os").path.relpath(f, table) for f in files_after
     ]
