@@ -138,6 +138,16 @@ HEADLINE = [
     "doc_decontaminate_bloom",
     "doc_bigram_logprob",
     "events_zorder_pruned_scan",
+    # round-10 additions: the classifier chain (15 GD aggregations to
+    # train, then a plan-literal scoring projection), merge-on-read
+    # DELETE (build + two DV commits + anti-filtered read — the line
+    # measures the lifecycle), the Hive-partitioned txtable
+    # (partition-pruned read over path-derived values), and the
+    # metadata-only RENAME (mapped read across both file eras)
+    "doc_quality_classifier_scores",
+    "events_dv_delete_scan",
+    "events_partitioned_scan",
+    "events_renamed_column_scan",
 ]
 
 RUNS = 3

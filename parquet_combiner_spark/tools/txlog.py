@@ -2838,6 +2838,8 @@ def drop_column(table: str, name: str, max_retries: int = 3) -> int:
 def main(argv: list[str] | None = None) -> int:
     """CLI: ``python -m parquet_combiner_spark.tools.txlog <table>
     [--history | --optimize | --restore VERSION | --expire KEEP_FROM |
+    --rename-column OLD NEW | --drop-column NAME |
+    --delete-where COL LO HI [--dv] |
     --vacuum [--min-age S] [--dry-run]]``."""
     import argparse
     import json as _json
@@ -2916,6 +2918,30 @@ def main(argv: list[str] | None = None) -> int:
         "--drop-constraint",
         metavar="NAME",
         help="stop enforcing this CHECK constraint (metadata-only)",
+    )
+    ap.add_argument(
+        "--rename-column",
+        nargs=2,
+        metavar=("OLD", "NEW"),
+        help="RENAME COLUMN via column mapping: metadata-only, zero "
+        "data rewritten, time travel resolves old snapshots",
+    )
+    ap.add_argument(
+        "--drop-column",
+        metavar="NAME",
+        help="DROP COLUMN: metadata-only; data files untouched",
+    )
+    ap.add_argument(
+        "--delete-where",
+        nargs=3,
+        metavar=("COL", "LO", "HI"),
+        help="row-level DELETE of COL in [LO, HI] (numeric); "
+        "--dv records deletion vectors instead of rewriting files",
+    )
+    ap.add_argument(
+        "--dv",
+        action="store_true",
+        help="with --delete-where: merge-on-read deletion vectors",
     )
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--min-age", type=float, default=3600.0)
@@ -3020,6 +3046,26 @@ def main(argv: list[str] | None = None) -> int:
     if args.drop_constraint:
         v = drop_constraint(args.table, args.drop_constraint)
         print(f"constraint {args.drop_constraint} dropped -> version {v}")
+    if args.rename_column:
+        old, new = args.rename_column
+        v = rename_column(args.table, old, new)
+        print(f"renamed {old} -> {new} at version {v}")
+    if args.drop_column:
+        v = drop_column(args.table, args.drop_column)
+        print(f"dropped {args.drop_column} -> version {v}")
+    if args.delete_where:
+        from parquet_combiner_spark.session import get_spark
+
+        c, lo, hi = args.delete_where
+        v = delete_where(
+            get_spark(app_name="txlog-delete"),
+            args.table,
+            c,
+            float(lo),
+            float(hi),
+            mode="dv" if args.dv else "cow",
+        )
+        print(f"deleted -> version {v}")
     if args.expire is not None:
         expired = expire_versions(args.table, args.expire)
         print(f"expired {len(expired)} version(s)")
@@ -3040,6 +3086,9 @@ def main(argv: list[str] | None = None) -> int:
         or args.restore is not None
         or args.add_constraint
         or args.drop_constraint
+        or args.rename_column
+        or args.drop_column
+        or args.delete_where
         or args.detail
         or args.compact_small
     ):
