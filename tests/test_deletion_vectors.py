@@ -281,3 +281,27 @@ def test_dv_guard_rejects_oversized_vectors(spark, tmp_path):
         txlog.delete_where(
             spark, table, "k", 0, 999, mode="dv", max_dv_rows=100
         )
+
+
+def test_dv_scan_plan_is_broadcast_anti_join(spark, tmp_path):
+    """Plan pin: the DV filter rides the scan as a BROADCAST hash
+    anti-join (build side = the metadata-sized position frame) — no
+    shuffle, no sort-merge; at 100 TB the clean files' branch stays a
+    plain vectorized scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    table = str(tmp_path / "t")
+    _mk_table(spark, table, rows_per_file=(200, 200))
+    txlog.delete_where(spark, table, "k", 0, 9, mode="dv")
+    df = txlog.read_table(spark, table)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly one exchange in the whole plan: the broadcast of the
+    # position frame (no full-data shuffle anywhere)
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan

@@ -2146,41 +2146,52 @@ def test_txlog_randomized_model_parity(spark, tmp_path, seed):
     model = batch(20)
     txlog.commit(to_df(model), table, stats_cols=["k"])
     history = {0: sorted(model)}  # version -> snapshot rows
+    # the k-column's LIVE logical name (rename_column flips it; a
+    # restore rolls it back to the target version's name) — the name
+    # is versioned state exactly like the rows
+    kname = {0: "k"}
+    kcol = "k"
+
+    def to_df_k(rows):
+        df = to_df(rows)
+        return df.withColumnRenamed("k", kcol) if kcol != "k" else df
 
     def snap():
         return sorted(
             map(tuple, txlog.read_table(spark, table).collect())
         )
 
-    for step in range(14):
+    for step in range(16):
         op = rng.choice(
-            ["append", "delete", "update", "restore", "optimize",
-             "compact", "overwrite"]
+            ["append", "delete", "dv_delete", "update", "restore",
+             "optimize", "compact", "overwrite", "rename"]
         )
         head_before = txlog.current_version(table)
         if op == "append":
             rows = batch(rng.randrange(1, 15))
-            v = txlog.commit(to_df(rows), table, stats_cols=["k"])
+            v = txlog.commit(to_df_k(rows), table, stats_cols=[kcol])
             model = model + rows
         elif op == "overwrite":
             rows = batch(rng.randrange(1, 15))
             v = txlog.commit(
-                to_df(rows), table, action="overwrite", stats_cols=["k"]
+                to_df_k(rows), table, action="overwrite",
+                stats_cols=[kcol],
             )
             model = rows
-        elif op == "delete":
+        elif op in ("delete", "dv_delete"):
             lo = rng.randrange(90)
             hi = lo + rng.randrange(1, 20)
             v = txlog.delete_where(
-                spark, table, "k", lo, hi, stats_cols=["k"]
+                spark, table, kcol, lo, hi, stats_cols=[kcol],
+                mode="dv" if op == "dv_delete" else "cow",
             )
             model = [r for r in model if not (lo <= r[1] <= hi)]
         elif op == "update":
             lo = rng.randrange(90)
             hi = lo + rng.randrange(1, 20)
             v = txlog.update_where(
-                spark, table, "k", lo, hi, {"v": "v + 1000"},
-                stats_cols=["k"],
+                spark, table, kcol, lo, hi, {"v": "v + 1000"},
+                stats_cols=[kcol],
             )
             model = [
                 (r[0], r[1], r[2] + 1000) if lo <= r[1] <= hi else r
@@ -2190,14 +2201,19 @@ def test_txlog_randomized_model_parity(spark, tmp_path, seed):
             target = rng.choice(sorted(history))
             v = txlog.restore(table, version=target)
             model = [tuple(r) for r in history[target]]
+            kcol = kname[target]
+        elif op == "rename":
+            new = "kk" if kcol == "k" else "k"
+            v = txlog.rename_column(table, kcol, new)
+            kcol = new
         elif op == "optimize":
             zo = rng.random() < 0.5
             v = txlog.optimize(
                 spark,
                 table,
                 target_file_mb=0.01,
-                zorder_by=["k", "v"] if zo else None,
-                stats_cols=["k"],
+                zorder_by=[kcol, "v"] if zo else None,
+                stats_cols=[kcol],
             )
         else:  # compact
             v = txlog.compact_small_files(
@@ -2208,7 +2224,11 @@ def test_txlog_randomized_model_parity(spark, tmp_path, seed):
         got = snap()
         assert got == sorted(model), f"step {step} op {op} diverged"
         assert txlog.fast_count(table) == len(model)
+        assert txlog.read_table(spark, table).columns == [
+            "id", kcol, "v"
+        ], f"step {step} op {op} schema drifted"
         history[txlog.current_version(table)] = got
+        kname[txlog.current_version(table)] = kcol
     # time travel: every remembered version still replays exactly
     for ver, rows in history.items():
         assert (
