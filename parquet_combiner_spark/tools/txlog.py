@@ -1310,6 +1310,47 @@ def read_table_null_pruned(
     )
 
 
+def read_table_pruned_in(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    values: Sequence,
+    version: int | None = None,
+) -> DataFrame:
+    """``WHERE col IN (...)`` snapshot read with METADATA file
+    skipping: a file survives only if AT LEAST ONE of the probe
+    values lies inside its committed [min, max] zone map — the
+    point-lookup batch (entity backfills, GDPR subject lists, CDC key
+    probes) a 100 TB key-clustered table answers by touching
+    O(matching files). Each value is a degenerate range [v, v]
+    through the same :func:`_zone_disjoint` conservatism (missing
+    stats / non-numeric values keep the file), and the IN predicate
+    is re-applied row-level so the result is exactly the filtered
+    snapshot. NULL probe values are dropped (SQL IN never matches
+    NULL)."""
+    from pyspark.sql import functions as F
+
+    vals = [v for v in values if v is not None]
+    if not vals:
+        files, schema, _, _, _, mapping = _snapshot(table, version)
+        return _scan(spark, table, [], schema, {}, mapping)
+    files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
+    phys = mapping.get(col, col)
+    kept = [
+        f
+        for f in files
+        if any(
+            not _zone_disjoint(
+                stats.get(os.path.relpath(f, table), {}).get(phys), v, v
+            )
+            for v in vals
+        )
+    ]
+    return _scan(spark, table, kept, schema, dvs, mapping).where(
+        F.col(col).isin(*vals)
+    )
+
+
 def read_table_partitioned(
     spark: SparkSession,
     table: str,

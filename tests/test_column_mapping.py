@@ -256,3 +256,40 @@ def test_cdf_consumers_get_loud_signal_at_rename_boundary(spark, tmp_path):
     assert tbl.num_rows == 10
     # values resolved through the mapping, not null-filled
     assert tbl.column("text").null_count == 0
+
+
+def test_merge_schema_add_column_after_rename(spark, tmp_path):
+    """Schema ADD (merge_schema) composes with the rename map: the
+    added column is identity-mapped, the renamed one keeps its
+    physical name, and reads reconcile all three file eras."""
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    txlog.rename_column(table, "v", "text")
+    txlog.commit(
+        spark.createDataFrame(
+            [(100, 0, "x", 1.5)],
+            "k int, grp int, text string, score double",
+        ),
+        table,
+        merge_schema=True,
+    )
+    got = txlog.read_table(spark, table)
+    assert got.columns == ["k", "grp", "text", "score"]
+    assert got.count() == 51
+    # old files null-fill the added column; renamed column resolves
+    assert got.where(F.col("score").isNotNull()).count() == 1
+    assert got.where(F.col("text").isNull()).count() == 0
+
+
+def test_table_changes_sees_dv_deletes(spark, tmp_path):
+    """The key-level CDF (two snapshot reads + hash diff) is DV-aware
+    for free because both sides read through _scan: rows deleted by a
+    vector classify as removed."""
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=20)
+    txlog.delete_where(spark, table, "k", 0, 4, mode="dv")
+    ch = txlog.table_changes(spark, table, from_version=0, keys=["k"])
+    removed = sorted(
+        r["k"] for r in ch.where(F.col("change") == "removed").collect()
+    )
+    assert removed == [0, 1, 2, 3, 4]

@@ -241,3 +241,45 @@ def test_null_and_string_partition_values(spark, tmp_path):
     assert vals == {1: "plain", 2: "with space", 3: None}
     pr = txlog.read_table_partitioned(spark, table, {"tag": None})
     assert [r["k"] for r in pr.collect()] == [3]
+
+
+def test_update_moves_rows_across_partitions(spark, tmp_path):
+    """SET on the partition column itself: rewritten rows must land
+    under their NEW col=value directories (the inherited partitionBy
+    write re-buckets them) and the moved rows read back with the new
+    value — a wrong layout would misreport every moved row."""
+    table = str(tmp_path / "t")
+    _mk(spark, table)
+    txlog.update_where(spark, table, "k", 0, 9, {"day": "9"})
+    got = txlog.read_table(spark, table)
+    assert got.count() == 40
+    assert got.where(F.col("day") == 9).count() == 10
+    # moved rows physically live under day=9
+    pr = txlog.read_table_partitioned(spark, table, {"day": 9})
+    assert pr.count() == 10
+    assert all("day=9" in f for f in pr.inputFiles())
+
+
+def test_in_list_pruned_read(spark, tmp_path):
+    """read_table_pruned_in: zone maps keep a file iff ANY probe
+    value intersects its [min,max]; the row-level IN keeps the answer
+    exact; NULL probes never match (SQL IN semantics)."""
+    table = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txlog.commit(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(50)],
+                "k int, v string",
+            ).coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+    all_files = txlog.read_table(spark, table).inputFiles()
+    got = txlog.read_table_pruned_in(spark, table, "k", [5, 205, None])
+    assert sorted(r["k"] for r in got.collect()) == [5, 205]
+    assert 0 < len(got.inputFiles()) < len(all_files)
+    # empty / all-NULL probe lists: empty result, zero files scanned
+    assert txlog.read_table_pruned_in(spark, table, "k", []).count() == 0
+    assert (
+        txlog.read_table_pruned_in(spark, table, "k", [None]).count() == 0
+    )
