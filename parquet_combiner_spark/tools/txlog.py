@@ -1767,16 +1767,20 @@ def _delete_where_dv(
             F.col("_metadata.row_index").alias("i"),
         )
     )
-    n = hits_df.count()
+    # ONE job resolves positions AND enforces the size guard: collect
+    # at most max+1 rows — the sentinel row proves the overflow
+    # without ever materializing an oversized vector on the driver
+    hits = hits_df.limit(max_dv_rows + 1).collect()
+    n = len(hits)
     if n > max_dv_rows:
         raise ValueError(
-            f"delete matches {n} rows > max_dv_rows={max_dv_rows}: a "
-            "deletion vector that size stops being metadata — use "
-            "mode='cow' (copy-on-write) for wide deletes"
+            f"delete matches more than max_dv_rows={max_dv_rows} "
+            "rows: a deletion vector that size stops being metadata — "
+            "use mode='cow' (copy-on-write) for wide deletes"
         )
     rels = [os.path.relpath(f, table) for f in touched]
     new_pos: dict[str, set] = {}
-    for row in hits_df.collect():
+    for row in hits:
         matches = [r for r in rels if row["p"].endswith(r)]
         if len(matches) != 1:
             raise AssertionError(
