@@ -48,6 +48,20 @@ from pyspark.sql import DataFrame, SparkSession
 _LOG_DIR = "_txlog"
 _VERSION_DIGITS = 20
 
+# exact-value-preserving type promotions (lowercased simpleString):
+# the widening lattice merge_schema appends may climb. Every pair is
+# upcast natively by the parquet reader (no file rewrites) and loses
+# no value: integers up the chain, float→double, and ≤32-bit integers
+# into double's 52-bit mantissa. bigint→double is LOSSY (>2^53) and
+# deliberately absent.
+_TYPE_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+}
+
 
 class CommitConflict(RuntimeError):
     """Another writer published this version first; re-read and retry."""
@@ -463,22 +477,27 @@ def _scan(
     if clean:
         parts.append(_read(clean).select(*logical))
     if dirty:
+        # keys are built from NORMALIZED absolute paths so rel paths
+        # that climb out of the table root (shallow clones reference
+        # the source's files via "../" rels) still key correctly —
+        # the JVM reports the resolved path, never the ".." form
         probe_rel = next(iter(dirty))
+        probe_abs = os.path.normpath(by_rel[probe_rel])
         probe = (
             spark.read.parquet(by_rel[probe_rel])
             .select(F.col("_metadata.file_path").alias("p"))
             .first()
         )
         fp = probe["p"]
-        if not fp.endswith(probe_rel):
+        if not fp.endswith(probe_abs):
             raise AssertionError(
                 f"_metadata.file_path {fp!r} does not end with the "
-                f"file's table-relative path {probe_rel!r}; cannot "
-                "key deletion vectors"
+                f"file's normalized path {probe_abs!r}; cannot key "
+                "deletion vectors"
             )
-        prefix = fp[: len(fp) - len(probe_rel)]
+        scheme = fp[: len(fp) - len(probe_abs)]
         dv_rows = [
-            (prefix + rel, int(pos))
+            (scheme + os.path.normpath(by_rel[rel]), int(pos))
             for rel, positions in dirty.items()
             for pos in positions
         ]
@@ -691,29 +710,57 @@ def commit(
         want = _normalize_schema(spark.createDataFrame([], current))
         have = _normalize_schema(df)
         if want != have:
-            missing = [f for f in want if f not in have]
-            want_names = {name for name, _ in want}
-            added_names = {
-                name for name, _ in have if name not in want_names
+            want_by = dict(want)
+            have_by = dict(have)
+            missing = [n for n in want_by if n not in have_by]
+            added_names = {n for n in have_by if n not in want_by}
+            widened = {
+                n: have_by[n]
+                for n in want_by
+                if n in have_by
+                and have_by[n] != want_by[n]
+                and (want_by[n], have_by[n]) in _TYPE_WIDENINGS
             }
-            if merge_schema and not missing:
-                # pure column addition: evolve to the union schema
-                # (existing fields first, new fields after — stable).
-                # Added columns keep the DataFrame's ORIGINAL casing:
-                # the normalized (lowercased) comparison names would
-                # mismatch the parquet files this very commit writes,
-                # and the Arrow-side txtable reader matches names
-                # case-sensitively — it would silently null-fill.
-                schema_ddl = current + ", " + ", ".join(
+            narrowed = [
+                n
+                for n in want_by
+                if n in have_by
+                and have_by[n] != want_by[n]
+                and n not in widened
+            ]
+            if merge_schema and not missing and not narrowed:
+                # schema evolution under merge_schema: (a) pure
+                # column ADDITION — existing fields first, new fields
+                # after (stable); added columns keep the DataFrame's
+                # ORIGINAL casing (the Arrow-side txtable reader
+                # matches names case-sensitively — lowercased names
+                # would silently null-fill); (b) type WIDENING along
+                # the exact-value-preserving lattice (byte→…→bigint,
+                # float→double, ≤int→double — Delta 3.x's widening):
+                # the committed schema takes the WIDER type and old
+                # narrow files upcast natively in the parquet reader
+                # (probed: Spark 4 reads int32 under a bigint/double
+                # declared schema), so no file is rewritten.
+                evolved = []
+                for n, t in _split_ddl(current):
+                    evolved.append(
+                        f"{n} {widened[n.lower()]}"
+                        if n.lower() in widened
+                        else f"{n} {t}"
+                    )
+                evolved.extend(
                     f"{f.name} {f.dataType.simpleString()}"
                     for f in df.schema.fields
                     if f.name.lower() in added_names
                 )
+                schema_ddl = ", ".join(evolved)
             else:
                 raise TypeError(
                     f"append schema {have} != table schema {want}; "
                     "use action='overwrite' to change the schema, or "
-                    "merge_schema=True to add columns"
+                    "merge_schema=True to add columns / widen types "
+                    "(narrowing and lossy changes always require "
+                    "overwrite)"
                 )
 
     constraints = dict(last.get("constraints", {})) if last else {}
@@ -1778,10 +1825,14 @@ def _delete_where_dv(
             "rows: a deletion vector that size stops being metadata — "
             "use mode='cow' (copy-on-write) for wide deletes"
         )
-    rels = [os.path.relpath(f, table) for f in touched]
+    # match reported paths against NORMALIZED absolutes (".."-climbing
+    # clone rels resolve before the comparison — see _scan)
+    by_norm = {
+        os.path.normpath(f): os.path.relpath(f, table) for f in touched
+    }
     new_pos: dict[str, set] = {}
     for row in hits:
-        matches = [r for r in rels if row["p"].endswith(r)]
+        matches = [r for n, r in by_norm.items() if row["p"].endswith(n)]
         if len(matches) != 1:
             raise AssertionError(
                 f"file path {row['p']!r} resolves to {matches} of the "
@@ -2715,6 +2766,89 @@ def drop_constraint(table: str, name: str, max_retries: int = 3) -> int:
     raise AssertionError("unreachable")
 
 
+def clone(
+    source: str,
+    target: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta's namesake): create ``target`` as a new
+    versioned table whose first commit RE-REFERENCES the source
+    snapshot's immutable data files — zero bytes copied, O(files)
+    metadata, done in milliseconds on a 100 TB table. The clone is a
+    full table from birth: it carries the source snapshot's schema,
+    zone maps, deletion vectors, partition spec, column mapping, and
+    CHECK constraints, and then EVOLVES INDEPENDENTLY — appends, DML,
+    OPTIMIZE and schema changes land under the clone's own root and
+    log, never touching the source (the experiment-branch /
+    dev-against-prod-data workflow).
+
+    File references cross roots as RELATIVE paths (``../source/...``),
+    so moving the pair together keeps the clone valid; the clone's
+    own ``vacuum`` walks only its root and can never collect source
+    files. The Delta caveat applies unchanged: ``vacuum`` or
+    ``expire_versions`` on the SOURCE can remove files the clone still
+    references — clones are for branches and experiments; run
+    ``optimize(clone)`` to materialize it into its own files when it
+    must outlive the source's retention.
+
+    ``version``/``timestamp`` clone a historical snapshot (both =
+    error, neither = latest). Raises ``FileExistsError`` if the
+    target already has a log."""
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    if timestamp is not None:
+        version = version_at_timestamp(source, timestamp)
+    if _log_versions(target):
+        raise FileExistsError(f"{target} already has a transaction log")
+    src_version = _resolve_version(source, version)
+    files, schema, stats, sizes, dvs, mapping = _snapshot(
+        source, src_version
+    )
+    os.makedirs(os.path.join(target, _LOG_DIR), exist_ok=True)
+    old_key = {f: os.path.relpath(f, source) for f in files}
+    new_key = {f: os.path.relpath(f, target) for f in files}
+    rels = [new_key[f] for f in files]
+    record = {
+        "version": 0,
+        "action": "append",
+        "add": sorted(rels),
+        "schema": schema,
+        "commit_id": uuid.uuid4().hex,
+        "ts": _next_commit_ts(target, None),
+        "meta": {
+            "clone_of": os.path.abspath(source),
+            "clone_version": src_version,
+        },
+        "sizes": {
+            new_key[f]: sizes[old_key[f]]
+            for f in files
+            if old_key[f] in sizes
+        },
+    }
+    kept_stats = {
+        new_key[f]: stats[old_key[f]]
+        for f in files
+        if stats.get(old_key[f])
+    }
+    if kept_stats:
+        record["stats"] = kept_stats
+    kept_dvs = {
+        new_key[f]: dvs[old_key[f]] for f in files if dvs.get(old_key[f])
+    }
+    if kept_dvs:
+        record["dv"] = kept_dvs
+    if mapping:
+        record["column_mapping"] = mapping
+    src_rec = _read_log(source, after=src_version - 1, through=src_version)
+    if src_rec and src_rec[0].get("partition_by"):
+        record["partition_by"] = src_rec[0]["partition_by"]
+    if src_rec and src_rec[0].get("constraints"):
+        record["constraints"] = src_rec[0]["constraints"]
+    _DEFAULT_ARBITER.publish(_log_path(target, 0), json.dumps(record))
+    return 0
+
+
 def _split_ddl(ddl: str) -> list[list[str]]:
     """ORDERED, case-preserving (name, type) pairs from a
     simpleString DDL — the mutation-friendly sibling of
@@ -2977,6 +3111,13 @@ def main(argv: list[str] | None = None) -> int:
         help="DROP COLUMN: metadata-only; data files untouched",
     )
     ap.add_argument(
+        "--clone-to",
+        metavar="TARGET",
+        help="SHALLOW CLONE this table's snapshot into TARGET: zero "
+        "data copied, independent evolution (optionally --clone-version)",
+    )
+    ap.add_argument("--clone-version", type=int, default=None)
+    ap.add_argument(
         "--delete-where",
         nargs=3,
         metavar=("COL", "LO", "HI"),
@@ -3098,6 +3239,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.drop_column:
         v = drop_column(args.table, args.drop_column)
         print(f"dropped {args.drop_column} -> version {v}")
+    if args.clone_to:
+        clone(args.table, args.clone_to, version=args.clone_version)
+        print(f"cloned {args.table} -> {args.clone_to} (zero-copy)")
     if args.delete_where:
         from parquet_combiner_spark.session import get_spark
 
@@ -3133,6 +3277,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.drop_constraint
         or args.rename_column
         or args.drop_column
+        or args.clone_to
         or args.delete_where
         or args.detail
         or args.compact_small

@@ -2434,3 +2434,172 @@ def test_cdf_stream_range_below_retained_history_raises(spark, tmp_path):
     # rebased overwrite record re-emits under ignore_changes)
     parts = reader.partitions({"version": 1}, {"version": 3})
     assert parts  # versions 2..3 resolve
+
+
+def test_merge_schema_type_widening(spark, tmp_path):
+    """merge_schema appends may WIDEN column types along the exact-
+    value-preserving lattice (int→bigint, float→double, ≤int→double):
+    the committed schema takes the wider type, old narrow files
+    upcast natively at read (zero rewrites), and zone maps keep
+    pruning across the eras. Narrowing and lossy changes still
+    raise."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    txlog.commit(
+        spark.createDataFrame(
+            [(1, 1.5), (2, 2.5)], "k int, x float"
+        ),
+        table,
+        stats_cols=["k"],
+    )
+    rels_before = set(txlog._read_log(table)[-1]["add"])
+    # widened append: k int->bigint, x float->double, plus a new col
+    txlog.commit(
+        spark.createDataFrame(
+            [(3_000_000_000, 3.25, "new")], "k bigint, x double, tag string"
+        ),
+        table,
+        merge_schema=True,
+        stats_cols=["k"],
+    )
+    rec = txlog._last_commit(table)
+    assert rec["schema"] == "k bigint, x double, tag string"
+    # the old files were NOT rewritten
+    assert rels_before < set(
+        r for c in txlog._read_log(table) for r in c["add"]
+    )
+    got = txlog.read_table(spark, table)
+    assert dict(got.dtypes) == {
+        "k": "bigint", "x": "double", "tag": "string"
+    }
+    assert got.count() == 3
+    assert got.where(F.col("k") == 3_000_000_000).count() == 1
+    assert got.where(F.col("x") == 1.5).count() == 1  # old row upcast
+    # zone maps from both eras still prune
+    pruned = txlog.read_table_pruned(spark, table, "k", 1, 1)
+    assert pruned.count() == 1
+    assert len(pruned.inputFiles()) < len(got.inputFiles())
+    # narrowing refused
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="widen|overwrite"):
+        txlog.commit(
+            spark.createDataFrame([(9, 1.0, "z")], "k int, x double, tag string"),
+            table,
+            merge_schema=True,
+        )
+    # lossy bigint->double refused
+    with _pytest.raises(TypeError):
+        txlog.commit(
+            spark.createDataFrame(
+                [(9.0, 1.0, "z")], "k double, x double, tag string"
+            ),
+            table,
+            merge_schema=True,
+        )
+    # the Python DataSource upcasts the narrow era too
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableDataSource,
+    )
+
+    spark.dataSource.register(TxTableDataSource)
+    ds = spark.read.format("txtable").option("path", table).load()
+    assert ds.count() == 3
+    assert dict(ds.dtypes)["k"] == "bigint"
+
+
+def test_shallow_clone_zero_copy_branching(spark, tmp_path):
+    """SHALLOW CLONE: the clone re-references the source snapshot's
+    files (zero data copied), carries its full state (zone maps, DVs,
+    constraints), reads identically, then evolves independently —
+    writes land under the clone's root and never touch the source;
+    OPTIMIZE materializes the clone into its own files."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.tools import txlog
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "branch")
+    txlog.commit(
+        spark.createDataFrame(
+            [(i, i % 5, f"v{i}") for i in range(100)],
+            "k int, grp int, v string",
+        ),
+        src,
+        stats_cols=["k"],
+    )
+    txlog.delete_where(spark, src, "k", 0, 9, mode="dv")
+    txlog.add_constraint(spark, src, "k_pos", "k >= 0")
+    src_rows = sorted(map(tuple, txlog.read_table(spark, src).collect()))
+
+    v = txlog.clone(src, tgt)
+    assert v == 0
+    # zero data files under the clone's own root
+    assert not _os.path.isdir(_os.path.join(tgt, "data"))
+    # read parity, DVs included (source rows 0..9 stay deleted)
+    got = sorted(map(tuple, txlog.read_table(spark, tgt).collect()))
+    assert got == src_rows
+    assert txlog.fast_count(tgt) == 90
+    # zone maps traveled: pruned read touches a strict file subset
+    pr = txlog.read_table_pruned(spark, tgt, "k", 50, 55)
+    assert pr.count() == 6
+    # constraints traveled: a violating append is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(txlog.ConstraintViolation, match="k_pos"):
+        txlog.commit(
+            spark.createDataFrame([(-1, 0, "bad")], "k int, grp int, v string"),
+            tgt,
+        )
+    # independent evolution: append + DML on the clone only
+    txlog.commit(
+        spark.createDataFrame([(200, 0, "clone-only")], "k int, grp int, v string"),
+        tgt,
+        stats_cols=["k"],
+    )
+    txlog.delete_where(spark, tgt, "k", 20, 29, mode="dv")
+    assert txlog.read_table(spark, tgt).count() == 81
+    assert txlog.read_table(spark, src).count() == 90  # untouched
+    assert txlog.current_version(src) == 2
+    # clone's vacuum collects ONLY clone-root garbage (here: the
+    # rejected append's staged files) — never source files
+    removed = txlog.vacuum(tgt, min_age_seconds=0)
+    assert all(not r.startswith("..") for r in removed)
+    assert txlog.read_table(spark, src).count() == 90
+    # materialize: OPTIMIZE rewrites into the clone's own files
+    txlog.optimize(spark, tgt, target_file_mb=128)
+    rec = txlog._last_commit(tgt)
+    assert all(not r.startswith("..") for r in rec["add"])
+    assert txlog.read_table(spark, tgt).count() == 81
+    assert (
+        txlog.read_table(spark, tgt)
+        .where(F.col("v") == "clone-only")
+        .count()
+        == 1
+    )
+    # cloning onto an existing table refuses
+    with _pytest.raises(FileExistsError):
+        txlog.clone(src, tgt)
+
+
+def test_clone_of_historical_version(spark, tmp_path):
+    """version= clones a snapshot from the source's history — the
+    branch-from-yesterday workflow."""
+    from parquet_combiner_spark.tools import txlog
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "old")
+    txlog.commit(
+        spark.createDataFrame([(1, "a")], "k int, v string"), src
+    )  # v0
+    txlog.commit(
+        spark.createDataFrame([(2, "b")], "k int, v string"), src
+    )  # v1
+    txlog.clone(src, tgt, version=0)
+    assert txlog.read_table(spark, tgt).count() == 1
+    assert txlog._last_commit(tgt)["meta"]["clone_version"] == 0
