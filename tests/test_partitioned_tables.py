@@ -283,3 +283,67 @@ def test_in_list_pruned_read(spark, tmp_path):
     assert (
         txlog.read_table_pruned_in(spark, table, "k", [None]).count() == 0
     )
+
+
+def test_scoped_optimize_of_one_partition(spark, tmp_path):
+    """OPTIMIZE ... WHERE on a partition column: the path-derived
+    zone maps (min=max=value) scope the rewrite to exactly that
+    partition's files — the nightly compact-yesterday's-partition
+    job; out-of-scope partitions keep their physical files."""
+    table = str(tmp_path / "t")
+    _mk(spark, table, n=80)
+    before = {
+        rel
+        for c in txlog._read_log(table)
+        for rel in c["add"]
+        if "day=2" not in rel
+    }
+    v = txlog.optimize(
+        spark, table, target_file_mb=128, where=("day", 2, 2)
+    )
+    rec = txlog._last_commit(table)
+    assert rec["action"] == "replace"
+    assert all("day=2" in rel for rel in rec["remove"])
+    assert all("day=" in rel for rel in rec["add"])  # layout kept
+    # out-of-scope files untouched and still referenced
+    files_now = {
+        os.path.relpath(f, table)
+        for f in txlog.read_table(spark, table).inputFiles()
+    }
+    # (inputFiles returns URIs; compare by suffix membership)
+    for rel in before:
+        assert any(f.endswith(rel) for f in
+                   txlog.read_table(spark, table).inputFiles())
+    assert txlog.read_table(spark, table).count() == 80
+    assert (
+        txlog.read_table(spark, table).where(F.col("day") == 2).count()
+        == 20
+    )
+
+
+def test_clone_of_partitioned_dv_table(spark, tmp_path):
+    """SHALLOW CLONE of a partitioned, DV-carrying table: partition
+    values resolve from the cross-root '../' paths, vectors apply,
+    and the clone's own DML keeps the inherited layout."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "branch")
+    _mk(spark, src, n=40)
+    txlog.delete_where(spark, src, "k", 0, 3, mode="dv")
+    txlog.clone(src, tgt)
+    got = txlog.read_table(spark, tgt)
+    assert got.count() == 36
+    assert got.where(F.col("day") != F.col("k") % 4).count() == 0
+    assert txlog.partition_by_of(tgt) == ["day"]
+    pr = txlog.read_table_partitioned(spark, tgt, {"day": 1})
+    assert pr.count() == 9  # k=1 deleted by the DV
+    # clone-side append inherits the layout under the clone's root
+    txlog.commit(
+        spark.createDataFrame(
+            [(100, 1, "x")], "k int, day int, v string"
+        ),
+        tgt,
+    )
+    rec = txlog._last_commit(tgt)
+    assert all("day=" in rel and not rel.startswith("..") for rel in rec["add"])
+    assert txlog.read_table(spark, tgt).count() == 37
+    assert txlog.read_table(spark, src).count() == 36
