@@ -419,13 +419,19 @@ class TxTableStreamWriter(DataSourceStreamWriter):
 
         if self._seen is None:
             self._seen = set()
-            for rec in txlog._read_log(self.table):
-                m = rec.get("meta", {})
-                if "epoch" in m:
-                    self._seen.add((m.get("query_id"), m.get("epoch")))
-                self._seen_through = max(
-                    self._seen_through, rec["version"]
-                )
+        # INCREMENTAL cache refresh (the txlog_sink '__through__'
+        # pattern): parse only the commits that landed since the last
+        # batch, then advance the watermark — without this, every
+        # batch's zombie-epoch scan inside publish_files re-parses the
+        # whole log since query start, quadratic over the stream's
+        # lifetime (ADVICE r10). Records at/below _seen_through are
+        # fully absorbed into _seen, so publish_files only needs to
+        # rescan the suffix beyond it.
+        for rec in txlog._read_log(self.table, after=self._seen_through):
+            m = rec.get("meta", {})
+            if "epoch" in m:
+                self._seen.add((m.get("query_id"), m.get("epoch")))
+            self._seen_through = max(self._seen_through, rec["version"])
         if (self.query_id, batchId) in self._seen:
             return  # replayed batch: staged files are vacuum garbage
         rels = [r for m in messages if m is not None for r in m.rels]

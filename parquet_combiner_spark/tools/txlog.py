@@ -422,7 +422,17 @@ def _physical_reader(
                 F.when(
                     raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
                 )
-                .otherwise(F.url_decode(raw))
+                # percent-decode ONLY: Spark's escapePathName never
+                # escapes '+' (it stays literal in the path), but
+                # F.url_decode is x-www-form-urlencoded and would turn
+                # it into a space. Pre-escaping literal '+' as %2B
+                # makes url_decode a pure %XX decoder — a literal '%'
+                # is always %25 in the path, so no double-decode is
+                # possible — and keeps the JVM scan consistent with
+                # the Python reader's urllib.unquote (ADVICE r10).
+                .otherwise(
+                    F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+                )
                 .cast(struct[n].dataType),
             )
         return df
@@ -567,9 +577,18 @@ def commit(
     stats_cols: Sequence[str] | None = None,
     remove: Sequence[str] | None = None,
     partition_by: Sequence[str] | None = None,
+    dv_entries: dict | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
+
+    ``action="dv"`` (requires ``dv_entries``: rel path → FULL sorted
+    deleted-position list, superseding each file's prior vector) is
+    the merge-on-read MUTATION record: ONE commit that both appends
+    ``df``'s rows and marks old positions deleted — Delta's DV-era
+    UPDATE shape (vector on the big file + append of the touched
+    rows, zero rewrites). Schema must match the table's exactly
+    (a row mutation, not an evolution).
 
     Raises :class:`CommitConflict` if a concurrent writer published
     the same version first (nothing is visible; the data directory is
@@ -614,13 +633,17 @@ def commit(
     loudly and a mixed table would be unreadable. Only ``overwrite``
     may change the layout (it replaces every file).
     """
-    if action not in ("append", "overwrite", "replace"):
+    if action not in ("append", "overwrite", "replace", "dv"):
         raise ValueError(
-            f"action must be append|overwrite|replace, got {action!r}"
+            f"action must be append|overwrite|replace|dv, got {action!r}"
         )
     if (remove is not None) != (action == "replace"):
         raise ValueError(
             "remove is required for (and only for) action='replace'"
+        )
+    if (dv_entries is not None) != (action == "dv"):
+        raise ValueError(
+            "dv_entries is required for (and only for) action='dv'"
         )
     last = _last_commit(table)
     # partition spec: table metadata with schema-like enforcement —
@@ -694,8 +717,31 @@ def commit(
                 f"replace removes files not in the current snapshot: "
                 f"{unknown}"
             )
+    if action == "dv":
+        # a DV mutation record needs an existing table and schema
+        # identity, same rule as replace (row mutation ≠ evolution)
+        if last is None:
+            raise FileNotFoundError(f"{table} has no table to mutate")
+        want = _normalize_schema(
+            df.sparkSession.createDataFrame([], last["schema"])
+        )
+        if want != _normalize_schema(df):
+            raise TypeError(
+                "a dv commit must keep the table schema; use "
+                "overwrite to change it"
+            )
+        snap = {
+            os.path.relpath(p, table)
+            for p in _snapshot_files(table, last["version"])[0]
+        }
+        ghost = sorted(set(dv_entries) - snap)
+        if ghost:
+            raise ValueError(
+                f"dv_entries reference files not in the current "
+                f"snapshot: {ghost}"
+            )
     schema_ddl = _ddl(df)
-    if action == "replace":
+    if action in ("replace", "dv"):
         # record the TABLE's schema verbatim, not the DataFrame's:
         # the normalized equality check above is case- and order-
         # insensitive, so a survivors frame with reordered or
@@ -883,6 +929,11 @@ def commit(
     }
     if action == "replace":
         record["remove"] = sorted(remove)
+    if dv_entries:
+        record["dv"] = {
+            rel: sorted(int(i) for i in pos)
+            for rel, pos in dv_entries.items()
+        }
     if stats:
         record["stats"] = stats
     if spec:
@@ -1088,6 +1139,44 @@ def _partition_values(rel: str) -> dict:
                 None if v == "__HIVE_DEFAULT_PARTITION__" else v
             )
     return out
+
+
+def _part_value_match(dir_val: str | None, want) -> bool | None:
+    """Compare a Hive directory value (raw unescaped string, None =
+    ``__HIVE_DEFAULT_PARTITION__``) against a Python predicate value
+    WITHOUT trusting ``str(want)`` to equal Spark's partition-path
+    rendering (bool renders 'true', Python prints 'True'; timestamps
+    escape their separators). Returns True/False only on a CONFIDENT
+    verdict; None means "can't compare safely" and callers must KEEP
+    the file and let the row-level predicate decide — the same
+    keep-on-uncertainty rule as :func:`_zone_disjoint` (ADVICE r10:
+    the old str()-equality prune silently dropped every matching file
+    for such types)."""
+    import datetime
+
+    if want is None:
+        return dir_val is None
+    if dir_val is None:
+        return False  # NULL partition only matches a None predicate
+    if isinstance(want, bool):  # before int: bool subclasses int
+        return dir_val.lower() == ("true" if want else "false")
+    if isinstance(want, int):
+        try:
+            return int(dir_val) == want
+        except ValueError:
+            return None
+    if isinstance(want, float):
+        try:
+            return float(dir_val) == want
+        except ValueError:
+            return None
+    if isinstance(want, str):
+        return dir_val == want
+    if isinstance(want, datetime.datetime):  # before date: subclass
+        return None  # path rendering escapes separators — row filter
+    if isinstance(want, datetime.date):
+        return dir_val == want.isoformat()
+    return None  # Decimal/exotic types: keep, row filter decides
 
 
 def _list_added(table: str, rel_dir: str) -> list[str]:
@@ -1398,6 +1487,134 @@ def read_table_pruned_in(
     )
 
 
+def _sql_conjunct_bands(spark: SparkSession, schema: str, predicate: str) -> dict:
+    """Best-effort per-column [lo, hi] bands IMPLIED by an arbitrary
+    SQL predicate, for zone-map file pruning — extracted from
+    Catalyst's ANALYZED expression tree (the real SQL parser, never a
+    regex over the string). Only top-level conjuncts whose shape
+    provably bounds a column contribute: ``col <op> literal`` (and
+    the flipped form), ``col IN (literals)``; everything else — OR
+    trees, LIKE, functions, subqueries, non-numeric literals — simply
+    contributes nothing, so the bands can only ever prune files the
+    predicate cannot match. The caller ALWAYS re-applies the full
+    predicate row-level; these bands are pure metadata skipping. Any
+    walking failure degrades to ``{}`` (prune nothing): an exotic
+    plan shape must never break DML.
+
+    Correctness argument: a file whose zone map is disjoint from a
+    conjunct's band has NO row satisfying that conjunct, so the AND
+    is false-or-NULL for every row — under DML's "mutate where TRUE"
+    semantics the file is untouched. Strict inequalities use their
+    inclusive closure (conservative); bands for the same column
+    intersect."""
+    try:
+        df = spark.createDataFrame([], schema).where(predicate)
+        plan = df._jdf.queryExecution().analyzed()
+        cond = plan.condition()
+    except Exception:
+        return {}
+    INF = float("inf")
+
+    def conjuncts(e):
+        if e.getClass().getSimpleName() == "And":
+            yield from conjuncts(e.children().apply(0))
+            yield from conjuncts(e.children().apply(1))
+        else:
+            yield e
+
+    def lit_of(e):
+        # foldable subtree (Literal, Cast(Literal), arithmetic on
+        # literals) → its Python value, numeric-only (zone maps only
+        # prune numerics; UTF8String etc. come back as py4j objects)
+        try:
+            if not e.foldable():
+                return None
+            v = e.eval(None)
+        except Exception:
+            return None
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        return v
+
+    def attr_of(e):
+        if e.getClass().getSimpleName() == "AttributeReference":
+            return e.name()
+        return None
+
+    bands: dict = {}
+
+    def narrow(name, lo, hi):
+        cur = bands.get(name, (-INF, INF))
+        bands[name] = (max(cur[0], lo), min(cur[1], hi))
+
+    try:
+        for c in conjuncts(cond):
+            cls = c.getClass().getSimpleName()
+            kids = [
+                c.children().apply(i) for i in range(c.children().size())
+            ]
+            if cls == "In" and len(kids) >= 2:
+                name = attr_of(kids[0])
+                vals = [lit_of(k) for k in kids[1:]]
+                if name and all(v is not None for v in vals):
+                    narrow(name, min(vals), max(vals))
+                continue
+            if cls not in (
+                "EqualTo",
+                "EqualNullSafe",
+                "LessThan",
+                "LessThanOrEqual",
+                "GreaterThan",
+                "GreaterThanOrEqual",
+            ) or len(kids) != 2:
+                continue
+            name, v = attr_of(kids[0]), lit_of(kids[1])
+            flipped = False
+            if name is None or v is None:
+                name, v = attr_of(kids[1]), lit_of(kids[0])
+                flipped = True
+            if name is None or v is None:
+                continue
+            if cls in ("EqualTo", "EqualNullSafe"):
+                narrow(name, v, v)
+            elif cls in ("LessThan", "LessThanOrEqual"):
+                # attr < v  |  v < attr (flipped)
+                narrow(name, v, INF) if flipped else narrow(name, -INF, v)
+            elif cls in ("GreaterThan", "GreaterThanOrEqual"):
+                narrow(name, -INF, v) if flipped else narrow(name, v, INF)
+    except Exception:
+        return {}
+    return bands
+
+
+def _band_touched(
+    table: str,
+    files: Sequence[str],
+    stats: dict,
+    mapping: dict,
+    bands: dict,
+) -> list:
+    """Files that can contain a row matching every band (zone-map
+    intersection on each banded column; files missing stats for a
+    column are conservatively kept for that column) — the shared
+    prune behind the DML verbs, identical logic to
+    :func:`read_table_pruned_multi`'s read side."""
+    return [
+        f
+        for f in files
+        if all(
+            not _zone_disjoint(
+                stats.get(os.path.relpath(f, table), {}).get(
+                    mapping.get(c, c)
+                ),
+                lo,
+                hi,
+            )
+            for c, (lo, hi) in bands.items()
+        )
+    ]
+
+
 def read_table_partitioned(
     spark: SparkSession,
     table: str,
@@ -1406,7 +1623,9 @@ def read_table_partitioned(
 ) -> DataFrame:
     """Snapshot read with PARTITION pruning: only data files whose
     Hive path values match every ``equal`` entry (column → value,
-    compared as the partition-directory string) enter the scan — the
+    compared type-aware via :func:`_part_value_match`, keeping any
+    file whose value can't be compared confidently) enter the scan
+    — the
     coarse prune a 100 TB date-partitioned table runs before zone
     maps even load, resolved from the file LIST alone (zero I/O, not
     even footers). The predicate is re-applied row-level, so the
@@ -1418,14 +1637,18 @@ def read_table_partitioned(
     from pyspark.sql import functions as F
 
     files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
-    want = {c: (None if v is None else str(v)) for c, v in equal.items()}
     kept = []
     for f in files:
         pv = _partition_values(os.path.relpath(f, table))
-        if all(
-            mapping.get(c, c) not in pv or pv[mapping.get(c, c)] == v
-            for c, v in want.items()
-        ):
+        drop = False
+        for c, v in equal.items():
+            p = mapping.get(c, c)
+            if p not in pv:
+                continue  # unpartitioned file: row filter decides
+            if _part_value_match(pv[p], v) is False:
+                drop = True
+                break
+        if not drop:
             kept.append(f)
     out = _scan(spark, table, kept, schema, dvs, mapping)
     for c, v in equal.items():
@@ -1625,9 +1848,12 @@ def optimize(
                     lo,
                     hi,
                 )
-                # a DV'd file in scope is rewrite-worthy even if its
-                # zone map misses: rewriting it PURGES the vector
-                or os.path.relpath(f, table) in snap_dvs
+                # out-of-scope files stay UNTOUCHED — including ones
+                # carrying deletion vectors (their vectors persist
+                # until a full OPTIMIZE purges them); in-scope DV'd
+                # files are already kept by the zone-map match and the
+                # rewrite purges their vectors (ADVICE r10: the old
+                # table-wide DV override broke the scoped contract)
             ]
             if not files:
                 return None
@@ -1771,6 +1997,40 @@ def compact_small_files(
     raise AssertionError("unreachable")
 
 
+def _raw_positions_df(
+    spark: SparkSession,
+    table: str,
+    touched: list,
+    schema: str,
+    mapping: dict,
+    cond,
+) -> DataFrame:
+    """(file_path, row_index) of every RAW row in ``touched`` files
+    matching ``cond`` — a Column over LOGICAL names (the physical
+    scan is aliased back through the column mapping before the filter
+    binds). Raw = ``_metadata.row_index`` over the physical rows,
+    already-deleted rows included: the position space never depends
+    on any earlier vector's content."""
+    from pyspark.sql import functions as F
+
+    rels_in = [os.path.relpath(f, table) for f in touched]
+    read_fn, phys_of, names = _physical_reader(
+        spark, table, rels_in, schema, mapping
+    )
+    return (
+        read_fn(list(touched))
+        .select(
+            *[F.col(phys_of.get(n, n)).alias(n) for n in names],
+            F.col("_metadata.file_path").alias("__pcs_p"),
+            F.col("_metadata.row_index").alias("__pcs_i"),
+        )
+        .where(cond)
+        .select(
+            F.col("__pcs_p").alias("p"), F.col("__pcs_i").alias("i")
+        )
+    )
+
+
 def _delete_where_dv(
     spark: SparkSession,
     table: str,
@@ -1779,40 +2039,26 @@ def _delete_where_dv(
     schema: str,
     dvs: dict,
     mapping: dict,
-    col: str,
-    lo,
-    hi,
+    cond,
+    meta_delete: dict,
     max_dv_rows: int,
 ) -> int:
     """One merge-on-read DELETE attempt against the ``base`` snapshot
-    (see :func:`delete_where` ``mode="dv"``): resolve the matching
-    physical positions in the zone-map-``touched`` files, union them
-    into those files' vectors, and publish ONE metadata-only
-    ``action="dv"`` commit pinned at ``base + 1`` (raises
-    :class:`CommitConflict` for the caller's retry loop).
+    (see :func:`delete_where` ``mode="dv"``): resolve the physical
+    positions matching ``cond`` (a Column over logical names — rows
+    are deleted exactly where it is TRUE; FALSE and NULL survive,
+    same contract as the copy-on-write path) in the pruned
+    ``touched`` files, union them into those files' vectors, and
+    publish ONE metadata-only ``action="dv"`` commit pinned at
+    ``base + 1`` (raises :class:`CommitConflict` for the caller's
+    retry loop).
 
-    Positions are computed on the RAW files (``_metadata.row_index``
-    over the physical rows, already-deleted rows included) — the
-    union with the existing vector makes a replayed or overlapping
-    delete idempotent, and matching raw rows means the position space
-    never depends on any earlier vector's content. NULL predicate
-    values fall outside [lo, hi] (between() is NULL → filter drops),
-    so NULL rows survive — same contract as the copy-on-write path.
-    """
-    from pyspark.sql import functions as F
-
+    Positions are computed on the RAW files (already-deleted rows
+    included) — the union with the existing vector makes a replayed
+    or overlapping delete idempotent."""
     last = _last_commit(table)
-    rels_in = [os.path.relpath(f, table) for f in touched]
-    read_fn, phys_of, _ = _physical_reader(
-        spark, table, rels_in, schema, mapping
-    )
-    hits_df = (
-        read_fn(list(touched))
-        .where(F.col(phys_of.get(col, col)).between(lo, hi))
-        .select(
-            F.col("_metadata.file_path").alias("p"),
-            F.col("_metadata.row_index").alias("i"),
-        )
+    hits_df = _raw_positions_df(
+        spark, table, touched, schema, mapping, cond
     )
     # ONE job resolves positions AND enforces the size guard: collect
     # at most max+1 rows — the sentinel row proves the overflow
@@ -1853,15 +2099,7 @@ def _delete_where_dv(
         "schema": last["schema"],
         "commit_id": uuid.uuid4().hex,
         "ts": _next_commit_ts(table, last),
-        "meta": {
-            "delete": {
-                "col": col,
-                "lo": _json_safe(lo),
-                "hi": _json_safe(hi),
-                "mode": "dv",
-                "rows": n,
-            }
-        },
+        "meta": {"delete": {**meta_delete, "mode": "dv", "rows": n}},
         "dv": dv_entries,
         "sizes": {},
     }
@@ -1959,8 +2197,10 @@ def delete_where(
         if mode == "dv":
             try:
                 return _delete_where_dv(
-                    spark, table, base, touched, schema, dvs,
-                    mapping, col, lo, hi, max_dv_rows,
+                    spark, table, base, touched, schema, dvs, mapping,
+                    F.col(col).between(lo, hi),
+                    {"col": col, "lo": _json_safe(lo), "hi": _json_safe(hi)},
+                    max_dv_rows,
                 )
             except CommitConflict:
                 if attempt == max(1, max_retries) - 1:
@@ -1998,6 +2238,281 @@ def delete_where(
     raise AssertionError("unreachable")
 
 
+def _resolve_where(spark: SparkSession, schema: str, where):
+    """Normalize a DML predicate into (prune bands, row Column, meta):
+    ``where`` is either a dict of conjunctive ``{col: (lo, hi)}``
+    bands — every band prunes via zone maps and the row condition is
+    their AND of ``between()``s — or an arbitrary SQL predicate
+    string (AND/OR/IN/LIKE/functions, anything Spark parses), whose
+    bands are best-effort extracted by :func:`_sql_conjunct_bands`
+    with a prune-NOTHING fallback. Either way the row-level condition
+    is exact; the bands only ever skip files the condition cannot
+    match."""
+    from pyspark.sql import functions as F
+
+    if isinstance(where, str):
+        cond = F.expr(where)
+        bands = _sql_conjunct_bands(spark, schema, where)
+        return bands, cond, {"predicate": where}
+    if isinstance(where, dict):
+        if not where:
+            raise ValueError("empty predicate: pass at least one band")
+        cond = F.lit(True)
+        for c, (lo, hi) in where.items():
+            cond = cond & F.col(c).between(lo, hi)
+        meta = {
+            "bands": {
+                c: [_json_safe(lo), _json_safe(hi)]
+                for c, (lo, hi) in where.items()
+            }
+        }
+        return dict(where), cond, meta
+    raise TypeError(
+        "where must be a SQL predicate string or a {col: (lo, hi)} "
+        f"dict of conjunctive bands, got {type(where).__name__}"
+    )
+
+
+def delete_where_expr(
+    spark: SparkSession,
+    table: str,
+    where,
+    max_retries: int = 3,
+    stats_cols: Sequence[str] | None = None,
+    mode: str = "cow",
+    max_dv_rows: int = 1_000_000,
+) -> int:
+    """Row-level DELETE under an EXPRESSION predicate — the verb a
+    user's first real delete needs (``country = 'de' AND ts <
+    1700000000``, OR/IN/LIKE, any SQL Spark parses), where
+    :func:`delete_where`'s single [lo, hi] band can't go. ``where``
+    is a SQL predicate string or a ``{col: (lo, hi)}`` dict of
+    conjunctive bands (see :func:`_resolve_where`).
+
+    Semantics: rows where the predicate is TRUE are deleted; FALSE
+    and NULL survive (SQL DELETE's WHERE contract — consistent with
+    :func:`delete_where`'s NULL-survives rule). Pruning: band dicts
+    intersect zone maps per column (multiplicative skipping on a
+    Z-ordered layout); SQL strings get best-effort conjunct bands
+    from Catalyst's analyzed tree, degrading conservatively to a
+    full-table rewrite scope when nothing is extractable — never to
+    a wrong answer. ``mode="cow"`` rewrites the touched files'
+    survivors as one atomic replace; ``mode="dv"`` records
+    merge-on-read deletion vectors (same guard rails as
+    :func:`delete_where`). Returns the new version, or the current
+    one when no file can match / nothing is newly deleted."""
+    from pyspark.sql import functions as F
+
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
+    for attempt in range(max(1, max_retries)):
+        base = current_version(table)
+        if base < 0:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
+        bands, cond, meta = _resolve_where(spark, schema, where)
+        touched = _band_touched(table, files, stats, mapping, bands)
+        if not touched:
+            return base
+        if mode == "dv":
+            try:
+                return _delete_where_dv(
+                    spark, table, base, touched, schema, dvs, mapping,
+                    cond, meta, max_dv_rows,
+                )
+            except CommitConflict:
+                if attempt == max(1, max_retries) - 1:
+                    raise
+                continue
+        # survivors = NOT coalesce(pred, false): FALSE and NULL rows
+        # stay — a bare ~pred would be NULL for NULL-predicate rows
+        # and the WHERE would silently drop them (the delete_where
+        # NULL lesson, generalized to arbitrary predicates)
+        survivors = _scan(
+            spark, table, touched, schema, dvs, mapping
+        ).where(~F.coalesce(cond, F.lit(False)))
+        try:
+            return commit(
+                survivors,
+                table,
+                action="replace",
+                remove=[os.path.relpath(f, table) for f in touched],
+                meta={"delete": meta},
+                expected_version=base,
+                stats_cols=stats_cols,
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue
+    raise AssertionError("unreachable")
+
+
+def _update_where_dv(
+    spark: SparkSession,
+    table: str,
+    base: int,
+    touched: list,
+    schema: str,
+    dvs: dict,
+    mapping: dict,
+    cond,
+    set_exprs: dict,
+    meta_update: dict,
+    max_dv_rows: int,
+    stats_cols,
+) -> int:
+    """One MERGE-ON-READ UPDATE attempt against the ``base`` snapshot
+    (Delta's DV-era UPDATE): ONE commit carrying a deletion vector on
+    each touched file (the matched rows' old positions) plus an
+    APPEND of the updated rows — a 10-row update in a 1 GB file
+    writes a 10-row file and a 10-position vector instead of
+    rewriting the gigabyte. Published via :func:`commit`
+    ``action="dv"`` pinned at ``base + 1`` (CommitConflict → caller
+    retries), so CHECK constraints ride the write job's Observation
+    and the partition layout / column mapping / stats machinery all
+    apply to the appended rows exactly as for any other write.
+
+    Already-DV-deleted rows are EXCLUDED (driver-side, after the
+    bounded position collect): an update must never resurrect a
+    deleted row through its append half. The appended-row frame reads
+    through :func:`_scan` with the same predicate, so the two halves
+    of the commit cover exactly the same live row set."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    hits = (
+        _raw_positions_df(spark, table, touched, schema, mapping, cond)
+        .limit(max_dv_rows + 1)
+        .collect()
+    )
+    if len(hits) > max_dv_rows:
+        raise ValueError(
+            f"update matches more than max_dv_rows={max_dv_rows} "
+            "rows: a deletion vector that size stops being metadata — "
+            "use mode='cow' (copy-on-write) for wide updates"
+        )
+    by_norm = {
+        os.path.normpath(f): os.path.relpath(f, table) for f in touched
+    }
+    matched: dict[str, set] = {}
+    for row in hits:
+        ms = [r for nn, r in by_norm.items() if row["p"].endswith(nn)]
+        if len(ms) != 1:
+            raise AssertionError(
+                f"file path {row['p']!r} resolves to {ms} of the "
+                "touched rel paths; cannot key the deletion vector"
+            )
+        matched.setdefault(ms[0], set()).add(int(row["i"]))
+    live = {
+        rel: pos - set(dvs.get(rel, []))
+        for rel, pos in matched.items()
+    }
+    live = {rel: pos for rel, pos in live.items() if pos}
+    n_live = sum(len(pos) for pos in live.values())
+    if n_live == 0:
+        return base  # every match already deleted: publish nothing
+    dv_entries = {
+        rel: sorted(set(dvs.get(rel, [])) | pos)
+        for rel, pos in live.items()
+    }
+    # the append half: the SAME live rows (scan is DV-filtered, same
+    # predicate, same files) with the SET expressions applied — no
+    # when() needed, every row here matched
+    upd = _scan(spark, table, touched, schema, dvs, mapping).where(cond)
+    for name, expr in set_exprs.items():
+        new = expr if isinstance(expr, Column) else F.expr(expr)
+        upd = upd.withColumn(name, new.cast(upd.schema[name].dataType))
+    return commit(
+        upd,
+        table,
+        action="dv",
+        dv_entries=dv_entries,
+        meta={"update": {**meta_update, "mode": "dv", "rows": n_live}},
+        expected_version=base,
+        stats_cols=stats_cols,
+    )
+
+
+def update_where_expr(
+    spark: SparkSession,
+    table: str,
+    where,
+    set_exprs: dict,
+    max_retries: int = 3,
+    stats_cols: Sequence[str] | None = None,
+    mode: str = "cow",
+    max_dv_rows: int = 1_000_000,
+) -> int:
+    """Row-level UPDATE under an EXPRESSION predicate (the
+    :func:`delete_where_expr` of the UPDATE verb): ``where`` is a SQL
+    predicate string or a ``{col: (lo, hi)}`` band dict; rows where
+    it is TRUE get each ``set_exprs`` column replaced (name → Column
+    or SQL string); FALSE and NULL rows keep their values. Pruning
+    and conservative fallbacks exactly as :func:`_resolve_where`.
+
+    ``mode="cow"`` rewrites touched files (non-matching rows copied
+    byte-equal); ``mode="dv"`` is merge-on-read — one commit with a
+    deletion vector over the old positions plus an append of the
+    updated rows (see :func:`_update_where_dv`). Returns the new
+    version, or the current one when nothing can match."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
+    for attempt in range(max(1, max_retries)):
+        base = current_version(table)
+        if base < 0:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
+        cols = {f.name for f in spark.createDataFrame([], schema).schema}
+        unknown = sorted(set(set_exprs) - cols)
+        if unknown:
+            raise ValueError(
+                f"SET targets columns not in the table: {unknown}"
+            )
+        bands, cond, meta = _resolve_where(spark, schema, where)
+        touched = _band_touched(table, files, stats, mapping, bands)
+        if not touched:
+            return base
+        meta = {**meta, "set": sorted(set_exprs)}
+        if mode == "dv":
+            try:
+                return _update_where_dv(
+                    spark, table, base, touched, schema, dvs, mapping,
+                    cond, set_exprs, meta, max_dv_rows, stats_cols,
+                )
+            except CommitConflict:
+                if attempt == max(1, max_retries) - 1:
+                    raise
+                continue
+        df = _scan(spark, table, touched, schema, dvs, mapping)
+        for name, expr in set_exprs.items():
+            new = expr if isinstance(expr, Column) else F.expr(expr)
+            new = new.cast(df.schema[name].dataType)
+            # when() treats a NULL predicate as false → NULL rows
+            # keep their old value, same as update_where
+            df = df.withColumn(
+                name, F.when(cond, new).otherwise(F.col(name))
+            )
+        try:
+            return commit(
+                df,
+                table,
+                action="replace",
+                remove=[os.path.relpath(f, table) for f in touched],
+                meta={"update": meta},
+                expected_version=base,
+                stats_cols=stats_cols,
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue
+    raise AssertionError("unreachable")
+
+
 def update_where(
     spark: SparkSession,
     table: str,
@@ -2007,6 +2522,8 @@ def update_where(
     set_exprs: dict,
     max_retries: int = 3,
     stats_cols: Sequence[str] | None = None,
+    mode: str = "cow",
+    max_dv_rows: int = 1_000_000,
 ) -> int:
     """Row-level UPDATE: rows with ``col`` in [lo, hi] get each
     ``set_exprs`` column replaced (name → Column or SQL string, e.g.
@@ -2024,10 +2541,18 @@ def update_where(
     reads correct. Existing columns only: SET cannot add or retype a
     column (that is schema evolution — ``merge_schema`` append or
     overwrite). Returns the new version, or the current one when no
-    file can match."""
+    file can match.
+
+    ``mode="dv"`` — MERGE-ON-READ update (Delta's DV-era UPDATE): one
+    commit carrying a deletion vector over the matched rows' old
+    positions plus an append of the updated rows, zero file rewrites
+    (see :func:`_update_where_dv`; ``max_dv_rows`` is the same
+    metadata-honesty guard as :func:`delete_where`'s)."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
     for attempt in range(max(1, max_retries)):
         base = current_version(table)
         if base < 0:
@@ -2052,6 +2577,23 @@ def update_where(
         ]
         if not touched:
             return base
+        if mode == "dv":
+            try:
+                return _update_where_dv(
+                    spark, table, base, touched, schema, dvs, mapping,
+                    F.col(col).between(lo, hi), set_exprs,
+                    {
+                        "col": col,
+                        "lo": _json_safe(lo),
+                        "hi": _json_safe(hi),
+                        "set": sorted(set_exprs),
+                    },
+                    max_dv_rows, stats_cols,
+                )
+            except CommitConflict:
+                if attempt == max(1, max_retries) - 1:
+                    raise
+                continue  # table advanced: re-prune and re-resolve
         # between() is NULL for NULL rows; when() treats NULL as
         # false, so NULL rows take the otherwise() branch and keep
         # their old value — already NULL-safe, unlike delete_where's
@@ -2911,7 +3453,9 @@ def rename_column(
             raise ValueError(f"no column {old!r} in {table} ({names})")
         if new.lower() in lower:
             raise ValueError(f"column {new!r} already exists in {table}")
-        if old in head.get("partition_by", []):
+        # case-insensitive, matching the schema lookup above — a
+        # case-variant name must not bypass the guard (ADVICE r10)
+        if old.lower() in {c.lower() for c in head.get("partition_by", [])}:
             raise ValueError(
                 f"{old!r} is a partition column of {table}: its name "
                 "is baked into the col=value directory layout — "
@@ -2977,7 +3521,7 @@ def drop_column(table: str, name: str, max_retries: int = 3) -> int:
             raise ValueError(f"no column {name!r} in {table}")
         if len(fields) == 1:
             raise ValueError(f"cannot drop the only column of {table}")
-        if name in head.get("partition_by", []):
+        if name.lower() in {c.lower() for c in head.get("partition_by", [])}:
             raise ValueError(
                 f"{name!r} is a partition column of {table}; relayout "
                 "via action='overwrite' instead"

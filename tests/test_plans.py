@@ -681,3 +681,31 @@ def test_epoch_shuffle_plan_single_exchange_no_global_window(spark):
     assert "SinglePartition" not in plan, plan
     win_spec = plan.split("Window [")[1].split("\n")[0]
     assert "[__bkt" in win_spec, plan
+
+
+def test_classifier_loop_frame_featurizes_at_scan_parallelism(spark):
+    """VERDICT r10 order #1: the GD-loop feature frame must NOT fold
+    a coalesce into the featurization stage (the old hard-coded
+    ``coalesce(4)`` ran the full five-regexp text pass in 4 tasks).
+    The packing must be a real RoundRobin exchange ABOVE the scan —
+    featurization keeps scan parallelism; only the narrow (id, label,
+    f0..f4) frame shuffles down — and the inference plan returned to
+    users must stay a pure projection: no Exchange, no Coalesce."""
+    from parquet_combiner_spark import functions as fx
+    from parquet_combiner_spark.plans import plan_text
+
+    sf = "/root/testdata/sf0.001"
+    feats = fx._classifier_train_feats(spark, sf)
+    try:
+        plan = plan_text(feats, mode="simple")
+        assert "Coalesce" not in plan, plan
+        assert "Exchange RoundRobinPartitioning" in plan, plan
+        # tiny corpus → the floor; the dial is rows/10M at scale
+        assert feats.rdd.getNumPartitions() == fx._CLS_MIN_LOOP_PARTS
+    finally:
+        feats.unpersist()
+    scores = fx.q_doc_quality_classifier_scores(spark, sf)
+    splan = plan_text(scores, mode="simple")
+    assert "Exchange" not in splan, splan
+    assert "Coalesce" not in splan, splan
+    assert "InMemoryTableScan" not in splan, splan  # no unpersisted-cache ref
