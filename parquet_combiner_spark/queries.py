@@ -2507,6 +2507,83 @@ def events_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_expr_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPRESSION-predicate DELETE end-state (tools/txlog.py
+    ``delete_where_expr`` — VERDICT r10 order #2): the first delete is
+    the user's-first-real-DELETE shape, a two-predicate conjunction
+    (``event_type = 'click' AND value BETWEEN ...``) whose value band
+    is extracted from Catalyst's analyzed tree and prunes the rewrite
+    set via zone maps (pinned in tests/test_expr_dml.py); the second
+    is an OR/modulo predicate no band can serve — prune-nothing
+    fallback, merge-on-read vectors — stacked on the survivor files.
+    The oracle applies both predicates with SQL DELETE NULL semantics
+    (NULL predicate rows survive) over the raw events table."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-exprdel-")
+    table = f"{root}/events_x"
+    try:
+        txlog.commit(ev.repartition(8), table, stats_cols=["value"])
+        txlog.delete_where_expr(
+            spark, table,
+            "event_type = 'click' AND value BETWEEN 20.0 AND 60.0",
+            stats_cols=["value"],
+        )
+        txlog.delete_where_expr(
+            spark, table,
+            "user_id % 10 = 0 OR value > 95.0",
+            mode="dv",
+        )
+        return txlog.read_table(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def events_dv_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE end-state (tools/txlog.py
+    ``update_where_expr(mode="dv")`` — VERDICT r10 order #3): one
+    commit carries a deletion vector over the matched rows' old
+    positions PLUS an append of the updated rows — zero data files
+    rewritten (mtime-pinned in tests/test_expr_dml.py). A follow-up
+    DV delete then lands partly on the update's own appended files,
+    proving vectors stack on merge-on-read appends. The oracle is
+    the same UPDATE-then-DELETE as plain SQL over raw events (CASE
+    evaluates both SET expressions against the pre-update row, which
+    the engine matches because the SET expressions are independent)."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-dvupd-")
+    table = f"{root}/events_u"
+    try:
+        txlog.commit(ev.repartition(8), table, stats_cols=["value"])
+        txlog.update_where_expr(
+            spark, table,
+            "event_type = 'view' AND value < 50.0",
+            {"value": "value + 1000", "event_type": "'view_adj'"},
+            mode="dv",
+        )
+        txlog.delete_where_expr(
+            spark, table,
+            "value BETWEEN 1030.0 AND 1040.0",
+            mode="dv",
+        )
+        return txlog.read_table(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def current_user_state_with_deletes_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3672,6 +3749,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_state_restore": event_state_restore,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
     "events_dv_delete_scan": events_dv_delete_scan,
+    "events_expr_delete_scan": events_expr_delete_scan,
+    "events_dv_update_scan": events_dv_update_scan,
     "events_partitioned_scan": events_partitioned_scan,
     "events_renamed_column_scan": events_renamed_column_scan,
     "events_zorder_two_predicate_scan": events_zorder_two_predicate_scan,
@@ -5102,6 +5181,32 @@ ORACLE_SQL["events_dv_delete_scan"] = """
     SELECT event_id, user_id, event_type, value
     FROM events
     WHERE value IS NULL OR NOT (value BETWEEN 20.0 AND 55.0)
+"""
+
+# two stacked expression deletes with SQL DELETE NULL semantics:
+# rows where a predicate is NULL or FALSE survive it
+ORACLE_SQL["events_expr_delete_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE NOT coalesce(
+            event_type = 'click' AND value BETWEEN 20.0 AND 60.0, false)
+      AND NOT coalesce(user_id % 10 = 0 OR value > 95.0, false)
+"""
+
+# UPDATE-then-DELETE as plain SQL: CASE evaluates both SET
+# expressions against the pre-update row (the engine's SET
+# expressions are independent, so sequential application agrees)
+ORACLE_SQL["events_dv_update_scan"] = """
+    WITH upd AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'view' AND value < 50.0
+                    THEN 'view_adj' ELSE event_type END AS event_type,
+               CASE WHEN event_type = 'view' AND value < 50.0
+                    THEN value + 1000 ELSE value END AS value
+        FROM events)
+    SELECT event_id, user_id, event_type, value
+    FROM upd
+    WHERE NOT coalesce(value BETWEEN 1030.0 AND 1040.0, false)
 """
 
 # conjunctive pruning is still a pure superset optimization
