@@ -148,6 +148,12 @@ HEADLINE = [
     "events_dv_delete_scan",
     "events_partitioned_scan",
     "events_renamed_column_scan",
+    # round-11 additions: expression-predicate DML (a conjunctive
+    # cow delete + an OR-predicate DV delete, lifecycle measured) and
+    # merge-on-read UPDATE (DV + append in one commit, then a DV
+    # delete landing on the update's own appended files)
+    "events_expr_delete_scan",
+    "events_dv_update_scan",
 ]
 
 RUNS = 3

@@ -248,6 +248,125 @@ def _resolve_version(table: str, version: int | None) -> int:
     return version
 
 
+_DV_DIR = "_dv"
+# vectors at or below this many positions stay inline JSON in the
+# commit record (a few KB worst case); above it they move to a
+# compact SIDECAR file and the record carries only a reference —
+# production DVs are roaring-bitmap sidecars for the same reason
+# (a 1M-position vector must never be 10 MB of JSON that every
+# uncheckpointed replay parses)
+_DV_INLINE_MAX = 512
+
+
+def _dv_encode(positions) -> bytes:
+    """Sorted-delta varint encoding of a deleted-position set, zlib
+    deflated: ~1-2 bytes per position raw, far less after deflate on
+    clustered deletes — the compact representation Delta/Iceberg use
+    bitmaps for, without a roaring dependency. Layout: magic
+    ``PCSDV1`` + zlib(varint(count), varint(pos0), varint(gap)...),
+    gaps ≥ 1 because positions are unique and sorted."""
+    import zlib
+
+    pos = sorted(int(p) for p in positions)
+    body = bytearray()
+
+    def put(v: int) -> None:
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                body.append(b | 0x80)
+            else:
+                body.append(b)
+                return
+
+    put(len(pos))
+    prev = None
+    for p in pos:
+        put(p if prev is None else p - prev)
+        prev = p
+    return b"PCSDV1" + zlib.compress(bytes(body), 6)
+
+
+def _dv_decode(blob: bytes) -> list[int]:
+    import zlib
+
+    if not blob.startswith(b"PCSDV1"):
+        raise ValueError("not a PCSDV1 deletion-vector sidecar")
+    body = zlib.decompress(blob[6:])
+    i = 0
+
+    def take() -> int:
+        nonlocal i
+        v, shift = 0, 0
+        while True:
+            b = body[i]
+            i += 1
+            v |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return v
+            shift += 7
+
+    n = take()
+    out: list[int] = []
+    cur = 0
+    for j in range(n):
+        cur = take() if j == 0 else cur + take()
+        out.append(cur)
+    return out
+
+
+def _encode_dv_entries(table: str, entries: dict) -> dict:
+    """Record-ready form of a rel→positions map: small vectors inline
+    (unchanged JSON lists), large ones written to a CONTENT-ADDRESSED
+    sidecar under ``<table>/_dv/`` with the record carrying only
+    ``{"sidecar": rel, "count": n}``. Content addressing (sha1 of the
+    encoded bytes) makes every metadata republish of the same vector
+    — checkpoint, restore, constraint edits, rename, expiry rebase —
+    a free no-op instead of a rewrite, and lets a cloned table
+    materialize its own tiny sidecars from the source's decoded
+    state. Entries already in ref form pass through untouched."""
+    import hashlib
+
+    out: dict = {}
+    for rel, pos in entries.items():
+        if isinstance(pos, dict):  # already a sidecar ref
+            out[rel] = pos
+            continue
+        pos = sorted(int(p) for p in pos)
+        if len(pos) <= _DV_INLINE_MAX:
+            out[rel] = pos
+            continue
+        blob = _dv_encode(pos)
+        name = os.path.join(
+            _DV_DIR, f"{hashlib.sha1(blob).hexdigest()}.dv"
+        )
+        path = os.path.join(table, name)
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+        out[rel] = {"sidecar": name, "count": len(pos)}
+    return out
+
+
+def _decode_dv_entry(table: str, val) -> list[int]:
+    """Materialize one record-form dv entry (inline list or sidecar
+    ref) into a position list."""
+    if isinstance(val, dict):
+        with open(os.path.join(table, val["sidecar"]), "rb") as f:
+            pos = _dv_decode(f.read())
+        if val.get("count") is not None and len(pos) != val["count"]:
+            raise ValueError(
+                f"deletion-vector sidecar {val['sidecar']} holds "
+                f"{len(pos)} positions, record says {val['count']}"
+            )
+        return pos
+    return list(val)
+
+
 def _snapshot(
     table: str, version: int | None
 ) -> tuple[list[str], str, dict, dict, dict, dict]:
@@ -301,7 +420,10 @@ def _snapshot(
         ck_sizes = ck.get("sizes", {})
         sizes = {f: ck_sizes[f] for f in ck["files"] if f in ck_sizes}
         ck_dv = ck.get("dv", {})
-        dvs = {f: list(ck_dv[f]) for f in ck["files"] if f in ck_dv}
+        # RAW record form (inline list or sidecar ref) during replay;
+        # only the surviving entries are materialized at the end, so
+        # superseded vectors never cost a sidecar read
+        dvs = {f: ck_dv[f] for f in ck["files"] if f in ck_dv}
         mapping = dict(ck.get("column_mapping", {}))
         after = ck["version"]
     for commit in _read_log(table, after=after, through=version):
@@ -327,7 +449,7 @@ def _snapshot(
         )
         # deletion vectors: each entry supersedes the file's prior set
         for rel, pos in commit.get("dv", {}).items():
-            dvs[rel] = list(pos)
+            dvs[rel] = pos
         # the mapping rides every record (like constraints): the last
         # record in range owns the whole logical→physical map
         mapping = dict(commit.get("column_mapping", {}))
@@ -337,7 +459,8 @@ def _snapshot(
         schema,
         stats,
         sizes,
-        dvs,
+        # materialize only the SURVIVING vectors (inline or sidecar)
+        {rel: _decode_dv_entry(table, v) for rel, v in dvs.items()},
         mapping,
     )
 
@@ -930,10 +1053,13 @@ def commit(
     if action == "replace":
         record["remove"] = sorted(remove)
     if dv_entries:
-        record["dv"] = {
-            rel: sorted(int(i) for i in pos)
-            for rel, pos in dv_entries.items()
-        }
+        record["dv"] = _encode_dv_entries(
+            table,
+            {
+                rel: sorted(int(i) for i in pos)
+                for rel, pos in dv_entries.items()
+            },
+        )
     if stats:
         record["stats"] = stats
     if spec:
@@ -2100,7 +2226,7 @@ def _delete_where_dv(
         "commit_id": uuid.uuid4().hex,
         "ts": _next_commit_ts(table, last),
         "meta": {"delete": {**meta_delete, "mode": "dv", "rows": n}},
-        "dv": dv_entries,
+        "dv": _encode_dv_entries(table, dv_entries),
         "sizes": {},
     }
     if last.get("constraints"):
@@ -2824,7 +2950,9 @@ def checkpoint(table: str, version: int | None = None) -> int:
     if dvs:
         # deletion vectors are snapshot state: a checkpoint-seeded
         # read that lost them would resurrect deleted rows
-        record["dv"] = {r: dvs[r] for r in rels if dvs.get(r)}
+        record["dv"] = _encode_dv_entries(
+            table, {r: dvs[r] for r in rels if dvs.get(r)}
+        )
     if mapping:
         record["column_mapping"] = mapping
     d = _ckpt_dir(table)
@@ -2943,14 +3071,51 @@ def vacuum(
     garbage: list[str] = []
     if os.path.isdir(data_root):
         for cdir in os.listdir(data_root):
-            for f in os.listdir(os.path.join(data_root, cdir)):
-                rel = os.path.join("data", cdir, f)
-                if (
-                    f.endswith(".parquet")
-                    and rel not in referenced
-                    and os.path.getmtime(os.path.join(table, rel)) <= cutoff
-                ):
-                    garbage.append(rel)
+            # partitioned commits nest col=value dirs below the
+            # commit dir — walk, don't listdir one level
+            for dirpath, _, names in os.walk(
+                os.path.join(data_root, cdir)
+            ):
+                for f in names:
+                    full = os.path.join(dirpath, f)
+                    rel = os.path.relpath(full, table)
+                    if (
+                        f.endswith(".parquet")
+                        and rel not in referenced
+                        and os.path.getmtime(full) <= cutoff
+                    ):
+                        garbage.append(rel)
+    # deletion-vector SIDECARS: referenced by any retained commit
+    # record or checkpoint → alive; otherwise (expired history,
+    # superseded vectors whose records were expired) → garbage, which
+    # is what makes a vacuumed merge-on-read delete physically erase
+    # the position data too
+    dv_refs: set = set()
+    sources: list[dict] = list(log)
+    ckdir = _ckpt_dir(table)
+    if os.path.isdir(ckdir):
+        for name in os.listdir(ckdir):
+            if name.endswith(".json"):
+                try:
+                    with open(os.path.join(ckdir, name)) as f:
+                        sources.append(json.load(f))
+                except (OSError, json.JSONDecodeError):
+                    continue
+    for rec in sources:
+        for v in rec.get("dv", {}).values():
+            if isinstance(v, dict) and "sidecar" in v:
+                dv_refs.add(v["sidecar"])
+    dv_root = os.path.join(table, _DV_DIR)
+    if os.path.isdir(dv_root):
+        for f in os.listdir(dv_root):
+            rel = os.path.join(_DV_DIR, f)
+            full = os.path.join(table, rel)
+            if (
+                f.endswith(".dv")
+                and rel not in dv_refs
+                and os.path.getmtime(full) <= cutoff
+            ):
+                garbage.append(rel)
     if not dry_run:
         for rel in garbage:
             os.remove(os.path.join(table, rel))
@@ -3032,7 +3197,7 @@ def expire_versions(table: str, keep_from: int) -> list[int]:
     if kept_dvs:
         # the rebase is the base snapshot's FULL state — losing the
         # vectors here would resurrect merge-on-read deletes
-        record["dv"] = kept_dvs
+        record["dv"] = _encode_dv_entries(table, kept_dvs)
     path = _log_path(table, keep_from)
     tmp = path + ".rebase"
     with open(tmp, "w") as f:
@@ -3135,7 +3300,7 @@ def restore(
         if kept_dvs:
             # restoring a version restores its deletion vectors too —
             # the target's LOGICAL rows, not its physical files alone
-            record["dv"] = kept_dvs
+            record["dv"] = _encode_dv_entries(table, kept_dvs)
         record["sizes"] = _fill_sizes(table, rels, sizes)
         # the FULL target state comes back, CHECK constraints included
         # (a restore across an add_constraint must not keep enforcing
@@ -3214,7 +3379,7 @@ def _republish_head(
         record["stats"] = kept_stats
     kept_dvs = {r: dvs[r] for r in rels if dvs.get(r)}
     if kept_dvs:
-        record["dv"] = kept_dvs
+        record["dv"] = _encode_dv_entries(table, kept_dvs)
     record["sizes"] = _fill_sizes(table, rels, sizes)
     if head.get("partition_by"):
         record["partition_by"] = head["partition_by"]
@@ -3379,7 +3544,7 @@ def clone(
         new_key[f]: dvs[old_key[f]] for f in files if dvs.get(old_key[f])
     }
     if kept_dvs:
-        record["dv"] = kept_dvs
+        record["dv"] = _encode_dv_entries(target, kept_dvs)
     if mapping:
         record["column_mapping"] = mapping
     src_rec = _read_log(source, after=src_version - 1, through=src_version)

@@ -305,3 +305,110 @@ def test_dv_scan_plan_is_broadcast_anti_join(spark, tmp_path):
     # exactly one exchange in the whole plan: the broadcast of the
     # position frame (no full-data shuffle anywhere)
     assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan
+
+
+# --- compact sidecar representation (VERDICT r10 order #5) -----------------
+
+
+def test_dv_varint_codec_roundtrip():
+    import random
+
+    rng = random.Random(7)
+    for n in (0, 1, 2, 513, 5000):
+        pos = sorted(rng.sample(range(10_000_000), n))
+        assert txlog._dv_decode(txlog._dv_encode(pos)) == pos
+    # unsorted input is normalized; huge positions survive
+    assert txlog._dv_decode(txlog._dv_encode([2**40, 5, 2**33])) == [
+        5, 2**33, 2**40,
+    ]
+    with pytest.raises(ValueError, match="PCSDV1"):
+        txlog._dv_decode(b"garbage")
+
+
+def test_large_dv_moves_to_sidecar_and_record_stays_small(
+    spark, tmp_path
+):
+    """The r10 concession made real: a ~1M-position vector must ride
+    the log as a few-hundred-byte sidecar REFERENCE, not megabytes of
+    JSON every uncheckpointed replay parses. Readers and the
+    metadata-only count stay exact."""
+    table = str(tmp_path / "t")
+    df = spark.range(1_000_000).select(
+        F.col("id").cast("int").alias("k")
+    )
+    txlog.commit(df.coalesce(1), table, stats_cols=["k"])
+    v = txlog.delete_where(spark, table, "k", 0, 999_997, mode="dv")
+    rec_path = txlog._log_path(table, v)
+    assert os.path.getsize(rec_path) < 4096  # the record is metadata
+    rec = txlog._last_commit(table)
+    (entry,) = rec["dv"].values()
+    assert isinstance(entry, dict) and entry["count"] == 999_998
+    side = os.path.join(table, entry["sidecar"])
+    assert os.path.isfile(side)
+    # ~1 byte/position after delta+deflate on a dense run
+    assert os.path.getsize(side) < 64 * 1024
+    got = txlog.read_table(spark, table)
+    assert got.count() == 2
+    assert sorted(r["k"] for r in got.collect()) == [999_998, 999_999]
+    assert txlog.fast_count(table) == 2
+
+
+def test_small_dv_stays_inline(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _mk_table(spark, table, rows_per_file=(100,))
+    txlog.delete_where(spark, table, "k", 0, 9, mode="dv")
+    (entry,) = txlog._last_commit(table)["dv"].values()
+    assert isinstance(entry, list) and len(entry) == 10
+
+
+def test_dv_sidecar_checkpoint_restore_and_clone_carry(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.range(5000).select(F.col("id").cast("int").alias("k"))
+    txlog.commit(df.coalesce(1), table, stats_cols=["k"])
+    txlog.delete_where(spark, table, "k", 1000, 3999, mode="dv")
+    want = sorted(r["k"] for r in txlog.read_table(spark, table).collect())
+    assert len(want) == 2000
+    # checkpoint re-publishes the vector: content-addressed, so the
+    # SAME sidecar is referenced, nothing duplicated
+    txlog.checkpoint(table)
+    ck = txlog._checkpoint_at_or_below(table, txlog.current_version(table))
+    (ck_entry,) = ck["dv"].values()
+    assert isinstance(ck_entry, dict)
+    assert (
+        sorted(r["k"] for r in txlog.read_table(spark, table).collect())
+        == want
+    )
+    # clone materializes its OWN sidecar under the clone root
+    target = str(tmp_path / "c")
+    txlog.clone(table, target)
+    (cl_entry,) = txlog._last_commit(target)["dv"].values()
+    assert isinstance(cl_entry, dict)
+    assert os.path.isfile(os.path.join(target, cl_entry["sidecar"]))
+    assert (
+        sorted(r["k"] for r in txlog.read_table(spark, target).collect())
+        == want
+    )
+    # restore across the vector still resolves it
+    pre = 0
+    txlog.restore(table, pre)
+    assert txlog.read_table(spark, table).count() == 5000
+
+
+def test_dv_sidecar_vacuum_lifecycle(spark, tmp_path):
+    """Referenced sidecars survive vacuum; after OPTIMIZE purges the
+    vector and expiry drops the referencing history, vacuum erases
+    the sidecar — merge-on-read deletion becomes PHYSICAL for the
+    position data too, same discipline as the data files."""
+    table = str(tmp_path / "t")
+    df = spark.range(5000).select(F.col("id").cast("int").alias("k"))
+    txlog.commit(df.coalesce(1), table, stats_cols=["k"])
+    txlog.delete_where(spark, table, "k", 0, 999, mode="dv")
+    (entry,) = txlog._last_commit(table)["dv"].values()
+    side_rel = entry["sidecar"]
+    assert txlog.vacuum(table, min_age_seconds=0) == []  # referenced
+    v = txlog.optimize(spark, table, target_file_mb=64)
+    txlog.expire_versions(table, keep_from=v)
+    gone = txlog.vacuum(table, min_age_seconds=0)
+    assert side_rel in gone
+    assert not os.path.exists(os.path.join(table, side_rel))
+    assert txlog.read_table(spark, table).count() == 4000

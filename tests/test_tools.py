@@ -2110,20 +2110,46 @@ def test_txlog_sink_rejects_constraint_violating_batch(spark, tmp_path):
     assert txlog.read_table(spark, table).where("v < 0").count() == 0
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
-def test_txlog_randomized_model_parity(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,arb",
+    [
+        (11, "fs"),
+        (23, "fs"),
+        (47, "fs"),
+        # the SAME fuzz under the object-store arbiters: every verb's
+        # publish goes through conditional-PUT / lock-lease semantics
+        # instead of O_EXCL (VERDICT r10 order #4 — the concurrency
+        # story must be portable to S3-class stores, not POSIX-only)
+        (11, "condput"),
+        (23, "lease"),
+    ],
+)
+def test_txlog_randomized_model_parity(spark, tmp_path, seed, arb, request):
     """Model-based fuzz of the whole versioned-table verb set: a
     random interleaving of append / overwrite / delete_where /
-    update_where / restore / optimize(+zorder) / compact_small_files
-    must keep the table equal to a plain Python reference model at
-    EVERY step, and every historical version must replay to the
-    model's remembered snapshot (time travel is part of the
-    contract, not just the head)."""
+    update_where (cow + merge-on-read dv) / delete_where_expr /
+    restore / optimize(+zorder) / compact_small_files must keep the
+    table equal to a plain Python reference model at EVERY step, and
+    every historical version must replay to the model's remembered
+    snapshot (time travel is part of the contract, not just the
+    head)."""
     import random
 
     from pyspark.sql import functions as F
 
     from parquet_combiner_spark.tools import txlog
+
+    if arb != "fs":
+        from parquet_combiner_spark.tools import object_store as obs
+
+        store = obs.MockObjectStore()
+        new = (
+            obs.ConditionalPutArbiter(store)
+            if arb == "condput"
+            else obs.LockLeaseArbiter(store, obs.LeaseLockService())
+        )
+        prev = txlog.set_arbiter(new)
+        request.addfinalizer(lambda: txlog.set_arbiter(prev))
 
     rng = random.Random(seed)
     table = str(tmp_path / f"fuzz{seed}")
@@ -2163,8 +2189,9 @@ def test_txlog_randomized_model_parity(spark, tmp_path, seed):
 
     for step in range(16):
         op = rng.choice(
-            ["append", "delete", "dv_delete", "update", "restore",
-             "optimize", "compact", "overwrite", "rename"]
+            ["append", "delete", "dv_delete", "update", "dv_update",
+             "expr_delete", "restore", "optimize", "compact",
+             "overwrite", "rename"]
         )
         head_before = txlog.current_version(table)
         if op == "append":
@@ -2186,16 +2213,32 @@ def test_txlog_randomized_model_parity(spark, tmp_path, seed):
                 mode="dv" if op == "dv_delete" else "cow",
             )
             model = [r for r in model if not (lo <= r[1] <= hi)]
-        elif op == "update":
+        elif op in ("update", "dv_update"):
             lo = rng.randrange(90)
             hi = lo + rng.randrange(1, 20)
             v = txlog.update_where(
                 spark, table, kcol, lo, hi, {"v": "v + 1000"},
                 stats_cols=[kcol],
+                mode="dv" if op == "dv_update" else "cow",
             )
             model = [
                 (r[0], r[1], r[2] + 1000) if lo <= r[1] <= hi else r
                 for r in model
+            ]
+        elif op == "expr_delete":
+            lo = rng.randrange(90)
+            hi = lo + rng.randrange(1, 20)
+            parity = rng.randrange(2)
+            v = txlog.delete_where_expr(
+                spark, table,
+                f"{kcol} BETWEEN {lo} AND {hi} AND id % 2 = {parity}",
+                stats_cols=[kcol],
+                mode=rng.choice(["cow", "dv"]),
+            )
+            model = [
+                r
+                for r in model
+                if not (lo <= r[1] <= hi and r[0] % 2 == parity)
             ]
         elif op == "restore":
             target = rng.choice(sorted(history))
