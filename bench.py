@@ -154,6 +154,9 @@ HEADLINE = [
     # delete landing on the update's own appended files)
     "events_expr_delete_scan",
     "events_dv_update_scan",
+    # partition spec evolution: flat era + evolved Hive era, read
+    # back through a listing-pruned partitioned scan
+    "events_spec_evolution_scan",
 ]
 
 RUNS = 3

@@ -2584,6 +2584,43 @@ def events_dv_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION end-state (tools/txlog.py
+    ``set_partition_spec`` — Iceberg-style): even event_ids land FLAT,
+    one metadata-only commit evolves the layout to
+    ``partition_by=['event_type']``, odd event_ids land Hive-
+    partitioned — zero files rewritten (mtime-pinned in
+    tests/test_partition_evolution.py). The read resolves
+    ``event_type`` PER FILE (from the path in the new era, from the
+    data in the old) and a listing-pruned partitioned read then
+    filters one type across both eras. The oracle is the same
+    filter over raw events — any per-file era confusion (null-filled
+    old rows, misdecoded path values) breaks the hash."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-specevo-")
+    table = f"{root}/events_pe"
+    try:
+        txlog.commit(
+            ev.where(F.col("event_id") % 2 == 0).repartition(4), table
+        )
+        txlog.set_partition_spec(table, ["event_type"])
+        txlog.commit(
+            ev.where(F.col("event_id") % 2 == 1).repartition(4), table
+        )
+        return txlog.read_table_partitioned(
+            spark, table, {"event_type": "purchase"}
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def current_user_state_with_deletes_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3751,6 +3788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dv_delete_scan": events_dv_delete_scan,
     "events_expr_delete_scan": events_expr_delete_scan,
     "events_dv_update_scan": events_dv_update_scan,
+    "events_spec_evolution_scan": events_spec_evolution_scan,
     "events_partitioned_scan": events_partitioned_scan,
     "events_renamed_column_scan": events_renamed_column_scan,
     "events_zorder_two_predicate_scan": events_zorder_two_predicate_scan,
@@ -5191,6 +5229,13 @@ ORACLE_SQL["events_expr_delete_scan"] = """
     WHERE NOT coalesce(
             event_type = 'click' AND value BETWEEN 20.0 AND 60.0, false)
       AND NOT coalesce(user_id % 10 = 0 OR value > 95.0, false)
+"""
+
+# one type filtered across both layout eras — pure row filter in SQL
+ORACLE_SQL["events_spec_evolution_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'purchase'
 """
 
 # UPDATE-then-DELETE as plain SQL: CASE evaluates both SET

@@ -540,8 +540,7 @@ def _physical_reader(
             raw = F.regexp_extract(
                 F.col("_metadata.file_path"), f"/{p}=([^/]+)/", 1
             )
-            df = df.withColumn(
-                p,
+            decoded = (
                 F.when(
                     raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
                 )
@@ -556,7 +555,17 @@ def _physical_reader(
                 .otherwise(
                     F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
                 )
-                .cast(struct[n].dataType),
+                .cast(struct[n].dataType)
+            )
+            # PER-FILE era resolution (partition spec evolution): a
+            # file whose path lacks the col=value segment predates
+            # this column's spec membership and stores the column IN
+            # the data — fall back to it (the schema-enforced scan
+            # null-fills it for partitioned-era files, and Spark
+            # writes empty-string partition values as the HIVE
+            # DEFAULT token, so raw == '' can only mean "no segment")
+            df = df.withColumn(
+                p, F.when(raw == F.lit(""), F.col(p)).otherwise(decoded)
             )
         return df
 
@@ -3350,14 +3359,17 @@ def _republish_head(
     constraints: dict,
     schema_override: str | None = None,
     mapping_override: dict | None = None,
+    partition_override: "Sequence[str] | None" = None,
 ) -> int:
     """Publish a METADATA-ONLY commit that re-references the head
     snapshot's exact files with an updated constraint set — the
     ALTER TABLE commit shape; ``schema_override`` /
     ``mapping_override`` are the RENAME/DROP COLUMN shape (new
-    logical schema, new logical→physical map, same files). Raises
-    :class:`CommitConflict` if the head moved (callers run the
-    optimistic retry loop)."""
+    logical schema, new logical→physical map, same files);
+    ``partition_override`` is the SET PARTITION SPEC shape (new
+    active layout for future writes, same files — pass ``[]`` to
+    revert to flat). Raises :class:`CommitConflict` if the head
+    moved (callers run the optimistic retry loop)."""
     files, schema, stats, sizes, dvs, mapping = _snapshot(table, head["version"])
     if schema_override is not None:
         schema = schema_override
@@ -3381,7 +3393,10 @@ def _republish_head(
     if kept_dvs:
         record["dv"] = _encode_dv_entries(table, kept_dvs)
     record["sizes"] = _fill_sizes(table, rels, sizes)
-    if head.get("partition_by"):
+    if partition_override is not None:
+        if partition_override:
+            record["partition_by"] = list(partition_override)
+    elif head.get("partition_by"):
         record["partition_by"] = head["partition_by"]
     if mapping:
         record["column_mapping"] = mapping
@@ -3391,6 +3406,58 @@ def _republish_head(
         _log_path(table, record["version"]), json.dumps(record)
     )
     return record["version"]
+
+
+def set_partition_spec(
+    table: str, spec: Sequence[str], max_retries: int = 3
+) -> int:
+    """ALTER TABLE ... SET PARTITION SPEC — Iceberg-style PARTITION
+    SPEC EVOLUTION: one metadata-only commit changes the layout for
+    FUTURE writes; existing files stay exactly where they are and
+    keep serving reads under the layout they were written with. No
+    relayout, no rewrite — the evolution a 100 TB table can afford
+    (an overwrite relayout is the alternative this verb exists to
+    avoid; ``optimize`` migrates old files into the new spec
+    incrementally, since every rewrite follows the active spec).
+
+    Mixed-era snapshots read correctly because partition resolution
+    is PER-FILE everywhere in this layer: each scan derives a
+    partition column from the file's own path when the ``col=value``
+    segment is present and falls back to the column stored IN the
+    file otherwise (:func:`_physical_reader`), and
+    :func:`read_table_partitioned` prunes from each file's own path
+    segments, conservatively keeping files from eras that don't
+    encode the column. Pass ``spec=[]`` to revert to flat. Returns
+    the commit version the new spec lands in."""
+    spec = list(spec or [])
+    for attempt in range(max(1, max_retries)):
+        head = _last_commit(table)
+        if head is None:
+            raise FileNotFoundError(f"{table} has no transaction log")
+        lower = {n.lower() for n, _ in _split_ddl(head["schema"])}
+        unknown = [c for c in spec if c.lower() not in lower]
+        if unknown:
+            raise ValueError(
+                f"partition spec columns {unknown} not in {table}'s "
+                "schema"
+            )
+        if len({c.lower() for c in spec}) != len(spec):
+            raise ValueError(f"duplicate columns in spec {spec}")
+        if list(head.get("partition_by", [])) == spec:
+            return head["version"]  # no-op: spec already active
+        try:
+            return _republish_head(
+                table,
+                head,
+                {"set_partition_spec": spec},
+                dict(head.get("constraints", {})),
+                partition_override=spec,
+            )
+        except CommitConflict:
+            if attempt == max(1, max_retries) - 1:
+                raise
+            continue
+    raise AssertionError("unreachable")
 
 
 def add_constraint(
@@ -3836,7 +3903,29 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--dv",
         action="store_true",
-        help="with --delete-where: merge-on-read deletion vectors",
+        help="with --delete-where/--delete-where-sql/--update-where-sql:"
+        " merge-on-read deletion vectors instead of rewriting files",
+    )
+    ap.add_argument(
+        "--delete-where-sql",
+        metavar="PREDICATE",
+        help="row-level DELETE under an arbitrary SQL predicate "
+        "(AND/OR/IN/LIKE...); conjunct bands are extracted for "
+        "zone-map pruning, the predicate is exact row-level",
+    )
+    ap.add_argument(
+        "--update-where-sql",
+        nargs=3,
+        metavar=("PREDICATE", "COL", "EXPR"),
+        help="row-level UPDATE: SET COL = EXPR where PREDICATE; with "
+        "--dv one commit carries a deletion vector + the updated rows",
+    )
+    ap.add_argument(
+        "--set-partition-spec",
+        metavar="COLS",
+        help="partition spec EVOLUTION: comma-separated columns (or "
+        "'' for flat) applied to FUTURE writes only — one metadata "
+        "commit, existing files untouched and still readable",
     )
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--min-age", type=float, default=3600.0)
@@ -3964,6 +4053,36 @@ def main(argv: list[str] | None = None) -> int:
             mode="dv" if args.dv else "cow",
         )
         print(f"deleted -> version {v}")
+    if args.delete_where_sql:
+        from parquet_combiner_spark.session import get_spark
+
+        v = delete_where_expr(
+            get_spark(app_name="txlog-delete"),
+            args.table,
+            args.delete_where_sql,
+            mode="dv" if args.dv else "cow",
+        )
+        print(f"deleted -> version {v}")
+    if args.update_where_sql:
+        from parquet_combiner_spark.session import get_spark
+
+        pred, col, expr = args.update_where_sql
+        v = update_where_expr(
+            get_spark(app_name="txlog-update"),
+            args.table,
+            pred,
+            {col: expr},
+            mode="dv" if args.dv else "cow",
+        )
+        print(f"updated -> version {v}")
+    if args.set_partition_spec is not None:
+        spec = [
+            c.strip()
+            for c in args.set_partition_spec.split(",")
+            if c.strip()
+        ]
+        v = set_partition_spec(args.table, spec)
+        print(f"partition spec -> {spec or 'flat'} at version {v}")
     if args.expire is not None:
         expired = expire_versions(args.table, args.expire)
         print(f"expired {len(expired)} version(s)")
@@ -3988,6 +4107,9 @@ def main(argv: list[str] | None = None) -> int:
         or args.drop_column
         or args.clone_to
         or args.delete_where
+        or args.delete_where_sql
+        or args.update_where_sql
+        or args.set_partition_spec is not None
         or args.detail
         or args.compact_small
     ):

@@ -2646,3 +2646,56 @@ def test_clone_of_historical_version(spark, tmp_path):
     txlog.clone(src, tgt, version=0)
     assert txlog.read_table(spark, tgt).count() == 1
     assert txlog._last_commit(tgt)["meta"]["clone_version"] == 0
+
+
+def test_stream_writer_seen_cache_refreshes_incrementally(
+    spark, tmp_path
+):
+    """ADVICE r10 (low): the txtable stream writer's replay cache
+    must advance its log watermark EACH batch (parsing only the
+    commits that landed since the previous one — no quadratic
+    re-parsing over the stream's lifetime) while still catching both
+    a zombie-published epoch and a replayed own batch."""
+    import os
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableStreamWriter,
+        _StagedFiles,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    txlog.commit(spark.createDataFrame([Row(k=0)], "k int"), table)
+
+    def stage(val: int) -> str:
+        rel = os.path.join("data", f"staged-{val}", "part-0.parquet")
+        full = os.path.join(table, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        spark.createDataFrame(
+            [Row(k=val)], "k int"
+        ).toPandas().to_parquet(full)
+        return rel
+
+    w = TxTableStreamWriter(
+        table, "q", spark.createDataFrame([], "k int").schema
+    )
+    w.commit([_StagedFiles([stage(1)], {})], 0)
+    after_b0 = w._seen_through
+    assert after_b0 >= 0  # watermark advanced past cold init (-1)
+    # a zombie driver of the same query lands epoch 1 between batches
+    zv = txlog.publish_files(
+        table, [stage(9)], "k int",
+        meta={"query_id": "q", "epoch": 1},
+    )
+    # our epoch 1 must be absorbed by the refresh, not double-published
+    w.commit([_StagedFiles([stage(2)], {})], 1)
+    assert txlog.current_version(table) == zv
+    assert w._seen_through > after_b0  # incremental advance
+    # a replayed earlier batch is skipped via the cache
+    w.commit([_StagedFiles([stage(3)], {})], 0)
+    assert txlog.current_version(table) == zv
+    # a fresh epoch still publishes normally
+    w.commit([_StagedFiles([stage(4)], {})], 2)
+    assert txlog.current_version(table) == zv + 1
