@@ -540,21 +540,27 @@ def _physical_reader(
             raw = F.regexp_extract(
                 F.col("_metadata.file_path"), f"/{p}=([^/]+)/", 1
             )
+            # TWO percent-decodes, both '+'-safe: ``_metadata.
+            # file_path`` is a URI, so the ON-DISK directory name
+            # (itself Hive-escapePathName-encoded: ':' → %3A) is
+            # URI-escaped again ('%' → %25; 'p:q' stores as p%3Aq
+            # and reads back p%253Aq). Decode the URI layer, then
+            # the Hive layer. Each decode pre-escapes literal '+'
+            # as %2B because neither encoder ever escapes '+' but
+            # F.url_decode is x-www-form-urlencoded and would turn
+            # it into a space (ADVICE r10) — this keeps the JVM
+            # scan consistent with the Python reader's single
+            # urllib.unquote over the on-disk name.
+            def _pct(col):
+                return F.url_decode(
+                    F.regexp_replace(col, r"\+", "%2B")
+                )
+
             decoded = (
                 F.when(
                     raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
                 )
-                # percent-decode ONLY: Spark's escapePathName never
-                # escapes '+' (it stays literal in the path), but
-                # F.url_decode is x-www-form-urlencoded and would turn
-                # it into a space. Pre-escaping literal '+' as %2B
-                # makes url_decode a pure %XX decoder — a literal '%'
-                # is always %25 in the path, so no double-decode is
-                # possible — and keeps the JVM scan consistent with
-                # the Python reader's urllib.unquote (ADVICE r10).
-                .otherwise(
-                    F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
-                )
+                .otherwise(_pct(_pct(raw)))
                 .cast(struct[n].dataType)
             )
             # PER-FILE era resolution (partition spec evolution): a
