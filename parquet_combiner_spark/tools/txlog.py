@@ -629,6 +629,8 @@ def _scan(
         # that climb out of the table root (shallow clones reference
         # the source's files via "../" rels) still key correctly —
         # the JVM reports the resolved path, never the ".." form
+        from urllib.parse import unquote
+
         probe_rel = next(iter(dirty))
         probe_abs = os.path.normpath(by_rel[probe_rel])
         probe = (
@@ -636,12 +638,16 @@ def _scan(
             .select(F.col("_metadata.file_path").alias("p"))
             .first()
         )
-        fp = probe["p"]
+        # file_path is a URI: the ON-DISK name (which may itself hold
+        # Hive-escaped %XX from partition values) is percent-escaped
+        # once more, so exactly ONE unquote recovers the on-disk path
+        # — matching raw would break for any escaped directory
+        fp = unquote(probe["p"])
         if not fp.endswith(probe_abs):
             raise AssertionError(
-                f"_metadata.file_path {fp!r} does not end with the "
-                f"file's normalized path {probe_abs!r}; cannot key "
-                "deletion vectors"
+                f"_metadata.file_path {probe['p']!r} (decoded {fp!r}) "
+                f"does not end with the file's normalized path "
+                f"{probe_abs!r}; cannot key deletion vectors"
             )
         scheme = fp[: len(fp) - len(probe_abs)]
         dv_rows = [
@@ -653,9 +659,17 @@ def _scan(
             dv_rows, "__dv_path string, __dv_pos long"
         )
         scanned = _read([by_rel[r] for r in dirty])
+        # decode the URI layer JVM-side the same '+'-safe way the
+        # partition-value derivation does (url_decode is form
+        # decoding; literal '+' must survive)
+        jvm_path = F.url_decode(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), r"\+", "%2B"
+            )
+        )
         kept = scanned.join(
             F.broadcast(dv_df),
-            (F.col("_metadata.file_path") == F.col("__dv_path"))
+            (jvm_path == F.col("__dv_path"))
             & (F.col("_metadata.row_index") == F.col("__dv_pos")),
             "left_anti",
         ).select(*logical)
@@ -2172,6 +2186,44 @@ def _raw_positions_df(
     )
 
 
+def _dv_positions_by_rel(
+    table: str, touched: list, hits: list
+) -> dict:
+    """Key collected (file_path, row_index) hits by table-relative
+    path: ``file_path`` is a URI whose single percent-decode is the
+    ON-DISK path (Hive-escaped partition dirs survive, because the
+    URI layer escaped their '%'), and after one linear probe
+    establishes the URI prefix, every row resolves with ONE dict
+    lookup — O(hits), not O(hits × touched files). Normalized
+    absolutes handle clones' \"..\"-climbing rel paths (same rule as
+    :func:`_scan`)."""
+    from urllib.parse import unquote
+
+    by_norm = {
+        os.path.normpath(f): os.path.relpath(f, table) for f in touched
+    }
+    out: dict = {}
+    prefix = None
+    for row in hits:
+        p = unquote(row["p"])
+        if (
+            prefix is None
+            or not p.startswith(prefix)
+            or p[len(prefix):] not in by_norm
+        ):
+            ms = [n for n in by_norm if p.endswith(n)]
+            if len(ms) != 1:
+                raise AssertionError(
+                    f"file path {row['p']!r} resolves to {ms} of the "
+                    "touched rel paths; cannot key the deletion vector"
+                )
+            prefix = p[: len(p) - len(ms[0])]
+        out.setdefault(by_norm[p[len(prefix):]], set()).add(
+            int(row["i"])
+        )
+    return out
+
+
 def _delete_where_dv(
     spark: SparkSession,
     table: str,
@@ -2212,20 +2264,7 @@ def _delete_where_dv(
             "rows: a deletion vector that size stops being metadata — "
             "use mode='cow' (copy-on-write) for wide deletes"
         )
-    # match reported paths against NORMALIZED absolutes (".."-climbing
-    # clone rels resolve before the comparison — see _scan)
-    by_norm = {
-        os.path.normpath(f): os.path.relpath(f, table) for f in touched
-    }
-    new_pos: dict[str, set] = {}
-    for row in hits:
-        matches = [r for n, r in by_norm.items() if row["p"].endswith(n)]
-        if len(matches) != 1:
-            raise AssertionError(
-                f"file path {row['p']!r} resolves to {matches} of the "
-                "touched rel paths; cannot key the deletion vector"
-            )
-        new_pos.setdefault(matches[0], set()).add(int(row["i"]))
+    new_pos = _dv_positions_by_rel(table, touched, hits)
     dv_entries = {}
     for rel, pos in new_pos.items():
         merged = sorted(set(dvs.get(rel, [])) | pos)
@@ -2533,18 +2572,7 @@ def _update_where_dv(
             "rows: a deletion vector that size stops being metadata — "
             "use mode='cow' (copy-on-write) for wide updates"
         )
-    by_norm = {
-        os.path.normpath(f): os.path.relpath(f, table) for f in touched
-    }
-    matched: dict[str, set] = {}
-    for row in hits:
-        ms = [r for nn, r in by_norm.items() if row["p"].endswith(nn)]
-        if len(ms) != 1:
-            raise AssertionError(
-                f"file path {row['p']!r} resolves to {ms} of the "
-                "touched rel paths; cannot key the deletion vector"
-            )
-        matched.setdefault(ms[0], set()).add(int(row["i"]))
+    matched = _dv_positions_by_rel(table, touched, hits)
     live = {
         rel: pos - set(dvs.get(rel, []))
         for rel, pos in matched.items()

@@ -386,3 +386,32 @@ def test_scoped_optimize_leaves_out_of_scope_dv_files_alone(
     got = txlog.read_table(spark, table)
     assert got.where("k BETWEEN 150 AND 159").count() == 0
     assert got.count() == 201 - 10  # 200 k-rows + NULL row, minus 10
+
+
+def test_dv_dml_on_escaped_partition_dirs(spark, tmp_path):
+    """Deletion-vector keying must survive partition directories the
+    URI layer re-escapes ('p:q' is tag=p%3Aq on disk, tag=p%253Aq in
+    _metadata.file_path): DV delete, DV update, and the anti-filtered
+    read all key files through the decoded on-disk path."""
+    table = str(tmp_path / "t")
+    vals = ["p:q", "a+b", "x%y"]
+    df = spark.createDataFrame(
+        [Row(k=i, tag=vals[i % 3]) for i in range(30)],
+        "k int, tag string",
+    )
+    txlog.commit(df, table, partition_by=["tag"], stats_cols=["k"])
+    txlog.delete_where(spark, table, "k", 0, 5, mode="dv")
+    got = txlog.read_table(spark, table)
+    assert got.count() == 24
+    assert got.where("k <= 5").count() == 0
+    txlog.update_where_expr(
+        spark, table, "tag = 'a+b' AND k >= 20", {"k": "k + 100"},
+        mode="dv",
+    )
+    got = txlog.read_table(spark, table)
+    assert got.count() == 24
+    assert (
+        got.where("tag = 'a+b' AND k >= 120").count()
+        == sum(1 for i in range(30) if i % 3 == 1 and 20 <= i)
+    )
+    assert txlog.fast_count(table) == 24
