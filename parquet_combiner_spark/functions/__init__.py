@@ -844,9 +844,12 @@ _CLS_KEEP = 0.5
 # (id, label, f0..f4) frame — big enough that the 15 scheduler-bound
 # iteration jobs stay cheap, derived from the corpus size instead of
 # a constant (VERDICT r10: a hard-coded coalesce(4) folded into the
-# scan stage and ran the FULL text featurization in 4 tasks)
+# scan stage and ran the FULL text featurization in 4 tasks). Floor
+# of 1: a sweep-scale corpus packs to ONE partition, so each GD job
+# is a single task — minimum scheduler cost, exactly what the
+# measured 2.2x win was
 _CLS_ROWS_PER_PART = 10_000_000
-_CLS_MIN_LOOP_PARTS = 4
+_CLS_MIN_LOOP_PARTS = 1
 
 
 def _classifier_train_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,16 +857,22 @@ def _classifier_train_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     featurization (five regexp passes over every document) runs at
     SCAN parallelism, and only the resulting narrow frame — d+2
     doubles per row, ~1e-4 of corpus bytes — is shuffled down to
-    ``max(4, ceil(n / 10M))`` partitions for the iteration loop. The
+    ``max(1, ceil(n / 10M))`` partitions for the iteration loop. The
     ``repartition`` is a real exchange, so it can never fold into the
     scan stage the way ``coalesce`` did; the tiny shuffle buys the
     loop its few-partitions scheduler win (measured 2.2× at sf0.1)
-    without capping the expensive stage. The row count comes from a
-    zero-column scan of the corpus (row-group counts, no text
-    decode). Caller owns persist lifecycle (frame returned
-    persisted)."""
+    without capping the expensive stage. The row count comes from
+    parquet FOOTER metadata (driver-side pyarrow, O(files) and no
+    Spark job — the fast_count story), falling back to a zero-column
+    Spark count if the dataset isn't footer-countable. Caller owns
+    persist lifecycle (frame returned persisted)."""
     docs = _docs(spark, sf_dir)
-    n = docs.count()
+    try:
+        import pyarrow.dataset as _ds
+
+        n = _ds.dataset(table_path(sf_dir, "documents")).count_rows()
+    except Exception:
+        n = docs.count()
     k = max(_CLS_MIN_LOOP_PARTS, -(-n // _CLS_ROWS_PER_PART))
     return (
         quality.classifier_feature_frame(

@@ -699,8 +699,14 @@ def test_classifier_loop_frame_featurizes_at_scan_parallelism(spark):
     try:
         plan = plan_text(feats, mode="simple")
         assert "Coalesce" not in plan, plan
-        assert "Exchange RoundRobinPartitioning" in plan, plan
-        # tiny corpus → the floor; the dial is rows/10M at scale
+        # a REAL exchange above the featurization Project (k=1 renders
+        # as SinglePartition, k>1 as RoundRobinPartitioning — both are
+        # REPARTITION_BY_NUM, neither can fold into the scan stage)
+        assert "REPARTITION_BY_NUM" in plan, plan
+        head, _, below = plan.partition("Exchange")
+        assert "regexp_replace" not in head  # featurize BELOW it
+        assert "regexp_replace" in below
+        # tiny corpus → the floor (1); the dial is rows/10M at scale
         assert feats.rdd.getNumPartitions() == fx._CLS_MIN_LOOP_PARTS
     finally:
         feats.unpersist()
