@@ -157,6 +157,9 @@ HEADLINE = [
     # partition spec evolution: flat era + evolved Hive era, read
     # back through a listing-pruned partitioned scan
     "events_spec_evolution_scan",
+    # string zone maps: lexicographic listing-prune on a
+    # range-clustered string column
+    "events_string_pruned_scan",
 ]
 
 RUNS = 3

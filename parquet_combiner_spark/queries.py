@@ -2584,6 +2584,38 @@ def events_dv_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING zone-map pruning (tools/txlog.py ``_zone_disjoint``
+    lexicographic bounds — the ``country = 'de'`` shape): events land
+    range-clustered by ``event_type`` so each file covers a narrow
+    string range, and a pruned equality read skips every file whose
+    [min, max] excludes the value from the LISTING (inputFiles-pinned
+    in tests/test_expr_dml.py). The oracle is the plain equality
+    filter — lexicographic pruning must be a pure superset
+    optimization, row for row."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-strz-")
+    table = f"{root}/events_s"
+    try:
+        txlog.commit(
+            ev.repartitionByRange(6, "event_type"),
+            table,
+            stats_cols=["event_type"],
+        )
+        return txlog.read_table_pruned(
+            spark, table, "event_type", "purchase", "purchase"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def events_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITION SPEC EVOLUTION end-state (tools/txlog.py
     ``set_partition_spec`` — Iceberg-style): even event_ids land FLAT,
@@ -3789,6 +3821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_expr_delete_scan": events_expr_delete_scan,
     "events_dv_update_scan": events_dv_update_scan,
     "events_spec_evolution_scan": events_spec_evolution_scan,
+    "events_string_pruned_scan": events_string_pruned_scan,
     "events_partitioned_scan": events_partitioned_scan,
     "events_renamed_column_scan": events_renamed_column_scan,
     "events_zorder_two_predicate_scan": events_zorder_two_predicate_scan,
@@ -5229,6 +5262,13 @@ ORACLE_SQL["events_expr_delete_scan"] = """
     WHERE NOT coalesce(
             event_type = 'click' AND value BETWEEN 20.0 AND 60.0, false)
       AND NOT coalesce(user_id % 10 = 0 OR value > 95.0, false)
+"""
+
+# lexicographic pruning is a pure superset optimization
+ORACLE_SQL["events_string_pruned_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type BETWEEN 'purchase' AND 'purchase'
 """
 
 # one type filtered across both layout eras — pure row filter in SQL

@@ -1424,8 +1424,19 @@ def _file_stats(path: str, cols: Sequence[str]) -> dict:
                     nulls = None
                     break
                 if st.has_min_max:
-                    lo = st.min if lo is None or st.min < lo else lo
-                    hi = st.max if hi is None or st.max > hi else hi
+                    if isinstance(st.min, bytes) or isinstance(
+                        st.max, bytes
+                    ):
+                        # raw-binary bounds would stringify as
+                        # "b'...'" in the JSON record and compare in
+                        # repr order, not byte order — a string
+                        # predicate could then WRONGLY prune; record
+                        # no bounds instead (binary zone maps have no
+                        # sound cross-type comparison anyway)
+                        ok = False
+                    else:
+                        lo = st.min if lo is None or st.min < lo else lo
+                        hi = st.max if hi is None or st.max > hi else hi
                 else:
                     ok = False
                 if nulls is not None and st.null_count is not None:
@@ -1463,8 +1474,17 @@ def _zone_disjoint(s: dict | None, lo, hi) -> bool:
     comparing those against a caller's datetime raises TypeError (or
     worse, compares lexicographically against an int's str). Pruning
     is an optimization; a type it can't compare must degrade to a
-    full-predicate read, never to a wrong skip. Practical upshot:
-    ``stats_cols`` buy file skipping for numeric columns only."""
+    full-predicate read, never to a wrong skip.
+
+    Two comparable families: NUMERIC bounds vs numeric predicate
+    values, and STRING bounds vs string predicate values
+    (lexicographic — sound because parquet min/max are BOUNDS by
+    spec even when truncated, and :func:`_file_stats` refuses to
+    record bytes-typed bounds whose stringification would garble the
+    order). A string predicate against a stringified
+    timestamp/date zone map stays chronologically consistent (ISO
+    renderings order lexicographically); a datetime OBJECT predicate
+    is not a str and degrades conservative."""
     if s is None:
         return False
     # every value NULL (or an empty file): no row can satisfy a range
@@ -1482,9 +1502,14 @@ def _zone_disjoint(s: dict | None, lo, hi) -> bool:
     def _num(v):
         return isinstance(v, (int, float)) and not isinstance(v, bool)
 
-    if not (_num(s["min"]) and _num(s["max"]) and _num(lo) and _num(hi)):
-        return False
-    return hi < s["min"] or lo > s["max"]
+    def _str(v):
+        return isinstance(v, str)
+
+    if (_num(s["min"]) and _num(s["max"]) and _num(lo) and _num(hi)) or (
+        _str(s["min"]) and _str(s["max"]) and _str(lo) and _str(hi)
+    ):
+        return hi < s["min"] or lo > s["max"]
+    return False
 
 
 def read_table_pruned(
@@ -1648,10 +1673,12 @@ def _sql_conjunct_bands(spark: SparkSession, schema: str, predicate: str) -> dic
     Catalyst's ANALYZED expression tree (the real SQL parser, never a
     regex over the string). Only top-level conjuncts whose shape
     provably bounds a column contribute: ``col <op> literal`` (and
-    the flipped form), ``col IN (literals)``; everything else — OR
-    trees, LIKE, functions, subqueries, non-numeric literals — simply
-    contributes nothing, so the bands can only ever prune files the
-    predicate cannot match. The caller ALWAYS re-applies the full
+    the flipped form) for numerics, ``col = literal`` / ``col IN
+    (literals)`` additionally for strings (string zone maps prune
+    lexicographically); everything else — OR trees, LIKE, functions,
+    subqueries, open-ended string ranges — simply contributes
+    nothing, so the bands can only ever prune files the predicate
+    cannot match. The caller ALWAYS re-applies the full
     predicate row-level; these bands are pure metadata skipping. Any
     walking failure degrades to ``{}`` (prune nothing): an exotic
     plan shape must never break DML.
@@ -1679,17 +1706,30 @@ def _sql_conjunct_bands(spark: SparkSession, schema: str, predicate: str) -> dic
 
     def lit_of(e):
         # foldable subtree (Literal, Cast(Literal), arithmetic on
-        # literals) → its Python value, numeric-only (zone maps only
-        # prune numerics; UTF8String etc. come back as py4j objects)
+        # literals) → its Python value: numerics pass through py4j
+        # directly; string literals come back as UTF8String JavaObjects
+        # and unwrap via toString() (string zone maps prune
+        # lexicographically — see _zone_disjoint). Date/timestamp
+        # literals eval to their INTERNAL int representation, which
+        # can never wrongly prune: those columns' zone maps are
+        # stringified, so the numeric-vs-string compare degrades
+        # conservative.
         try:
             if not e.foldable():
                 return None
             v = e.eval(None)
         except Exception:
             return None
-        if isinstance(v, bool) or not isinstance(v, (int, float)):
+        if isinstance(v, bool):
             return None
-        return v
+        if isinstance(v, (int, float)):
+            return v
+        try:
+            if v.getClass().getSimpleName() == "UTF8String":
+                return str(v.toString())
+        except Exception:
+            return None
+        return None
 
     def attr_of(e):
         if e.getClass().getSimpleName() == "AttributeReference":
@@ -1697,10 +1737,22 @@ def _sql_conjunct_bands(spark: SparkSession, schema: str, predicate: str) -> dic
         return None
 
     bands: dict = {}
+    poisoned: set = set()
 
     def narrow(name, lo, hi):
-        cur = bands.get(name, (-INF, INF))
-        bands[name] = (max(cur[0], lo), min(cur[1], hi))
+        if name in poisoned:
+            return
+        cur = bands.get(name)
+        if cur is None:
+            bands[name] = (lo, hi)
+            return
+        try:
+            bands[name] = (max(cur[0], lo), min(cur[1], hi))
+        except TypeError:
+            # mixed-type conjuncts on one column (k = 5 AND k = 'x'):
+            # no sound intersection — stop pruning on that column
+            poisoned.add(name)
+            bands.pop(name, None)
 
     try:
         for c in conjuncts(cond):
@@ -1711,7 +1763,11 @@ def _sql_conjunct_bands(spark: SparkSession, schema: str, predicate: str) -> dic
             if cls == "In" and len(kids) >= 2:
                 name = attr_of(kids[0])
                 vals = [lit_of(k) for k in kids[1:]]
-                if name and all(v is not None for v in vals):
+                if (
+                    name
+                    and all(v is not None for v in vals)
+                    and len({isinstance(v, str) for v in vals}) == 1
+                ):
                     narrow(name, min(vals), max(vals))
                 continue
             if cls not in (
@@ -1732,6 +1788,11 @@ def _sql_conjunct_bands(spark: SparkSession, schema: str, predicate: str) -> dic
                 continue
             if cls in ("EqualTo", "EqualNullSafe"):
                 narrow(name, v, v)
+            elif isinstance(v, str):
+                # open-ended string ranges have no representable
+                # band (±inf is numeric); equality/IN cover the
+                # selective string shapes — skip, conservative
+                continue
             elif cls in ("LessThan", "LessThanOrEqual"):
                 # attr < v  |  v < attr (flipped)
                 narrow(name, v, INF) if flipped else narrow(name, -INF, v)

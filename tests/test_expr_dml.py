@@ -61,23 +61,24 @@ def test_sql_conjunct_bands_extraction(spark):
     assert txlog._sql_conjunct_bands(spark, schema, "k IN (7, 3, 9)")[
         "k"
     ] == (3, 9)
-    # OR / LIKE / string equality / functions contribute NOTHING —
-    # conservative, the row predicate stays exact
+    # OR / LIKE / functions contribute NOTHING — conservative,
+    # the row predicate stays exact
     assert (
         txlog._sql_conjunct_bands(
             spark, schema, "(k = 1 OR ts = 2) AND name LIKE 'x%'"
         )
         == {}
     )
-    assert (
-        txlog._sql_conjunct_bands(spark, schema, "name = 'de'") == {}
-    )
+    # string EQUALITY does band (lexicographic zone maps)
+    assert txlog._sql_conjunct_bands(
+        spark, schema, "name = 'de'"
+    ) == {"name": ("de", "de")}
     assert txlog._sql_conjunct_bands(spark, schema, "abs(k) < 3") == {}
-    # a mixed conjunction keeps the extractable part only
+    # a mixed conjunction keeps the extractable parts only
     got = txlog._sql_conjunct_bands(
         spark, schema, "name = 'de' AND ts < 50 AND (k = 1 OR k = 2)"
     )
-    assert got == {"ts": (-inf, 50)}
+    assert got == {"ts": (-inf, 50), "name": ("de", "de")}
     # garbage predicate → {} (prune nothing), never a raise
     assert txlog._sql_conjunct_bands(spark, schema, "no_such + ") == {}
 
@@ -415,3 +416,69 @@ def test_dv_dml_on_escaped_partition_dirs(spark, tmp_path):
         == sum(1 for i in range(30) if i % 3 == 1 and 20 <= i)
     )
     assert txlog.fast_count(table) == 24
+
+
+# --- string zone maps -------------------------------------------------------
+
+
+def test_string_zone_maps_prune_reads_and_dml(spark, tmp_path):
+    """String min/max bounds prune lexicographically (parquet footer
+    min/max are BOUNDS by spec even when truncated): pruned reads
+    skip files from the LISTING, and a string-equality DELETE
+    predicate bounds the rewrite set — the `country = 'de'` shape
+    that previously pruned nothing."""
+    table = str(tmp_path / "t")
+    for grp in (
+        ["apple", "avocado"], ["mango", "melon"], ["zebra", "zucchini"],
+    ):
+        df = spark.createDataFrame(
+            [Row(k=i, name=n) for i, n in enumerate(grp * 10)],
+            "k int, name string",
+        ).coalesce(1)
+        txlog.commit(df, table, stats_cols=["name", "k"])
+    rels = [
+        os.path.relpath(f, table) for f in txlog._snapshot(table, None)[0]
+    ]
+    pr = txlog.read_table_pruned(spark, table, "name", "mango", "melon")
+    assert len(pr.inputFiles()) == 1 and pr.count() == 20
+    # equality + IN extract string bands; open ranges stay conservative
+    schema = "k int, name string"
+    assert txlog._sql_conjunct_bands(
+        spark, schema, "name = 'mango' AND k < 5"
+    ) == {"name": ("mango", "mango"), "k": (-float("inf"), 5)}
+    assert txlog._sql_conjunct_bands(
+        spark, schema, "name IN ('mango', 'melon')"
+    ) == {"name": ("mango", "melon")}
+    assert "name" not in txlog._sql_conjunct_bands(
+        spark, schema, "name > 'm'"
+    )
+    # the string-equality DELETE rewrites ONLY the file that can match
+    txlog.delete_where_expr(
+        spark, table, "name = 'zebra' AND k >= 0",
+        stats_cols=["name", "k"],
+    )
+    snap = {
+        os.path.relpath(f, table) for f in txlog._snapshot(table, None)[0]
+    }
+    assert rels[0] in snap and rels[1] in snap and rels[2] not in snap
+    got = txlog.read_table(spark, table)
+    assert got.where("name = 'zebra'").count() == 0
+    assert got.count() == 50
+
+
+def test_binary_columns_record_no_zone_bounds(spark, tmp_path):
+    """Bytes-typed footer bounds would stringify in repr order — the
+    writer refuses them, so a string predicate can never wrongly
+    prune a binary column (conservative full scope instead)."""
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(k=1, blob=bytearray(b"de"))], "k int, blob binary"
+    ).coalesce(1)
+    txlog.commit(df, table, stats_cols=["blob", "k"])
+    (rel,) = [
+        os.path.relpath(f, table) for f in txlog._snapshot(table, None)[0]
+    ]
+    entry = txlog._snapshot(table, None)[2][rel]["blob"]
+    assert entry["min"] is None and entry["max"] is None
+    # a (nonsense) string band over the binary column keeps the file
+    assert not txlog._zone_disjoint(entry, "x", "x")
