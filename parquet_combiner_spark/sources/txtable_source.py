@@ -592,6 +592,17 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                 or rec.get("remove")
                 or rec.get("dv")
             )
+            if rewrites:
+                from parquet_combiner_spark.tools import txlog
+
+                if txlog._is_metadata_only_republish(self._table, rec):
+                    # ALTER-shaped re-reference (CHECK constraints,
+                    # partition spec evolution): no data moved — emit
+                    # nothing and keep streaming, with or without
+                    # ignore_changes (re-emitting the whole table for
+                    # a constraint edit would be a correctness bug
+                    # under ignore_changes, not just a cost)
+                    continue
             if rewrites and not self._ignore_changes:
                 raise ValueError(
                     f"version {v} of {self._table} is a "

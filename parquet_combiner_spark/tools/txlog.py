@@ -2017,9 +2017,14 @@ def optimize(
     the rewritten files so a compaction doesn't silently discard the
     file-skipping metadata the table was committed with.
 
-    ``where=(col, lo, hi)`` is Delta's OPTIMIZE ... WHERE — the scoped
-    rewrite a 100 TB table actually runs: only files whose zone map
-    for ``col`` intersects [lo, hi] are rewritten (file granularity —
+    ``where`` is Delta's OPTIMIZE ... WHERE — the scoped rewrite a
+    100 TB table actually runs — accepting the same predicate shapes
+    as the DML verbs: a legacy ``(col, lo, hi)`` band, a
+    ``{col: (lo, hi)}`` conjunctive band dict, or an arbitrary SQL
+    predicate string whose conjunct bands Catalyst extracts (an
+    unextractable predicate scopes EVERY file — a full rewrite,
+    loudly costly but never a stranded slice). Only files whose zone
+    maps intersect every band are rewritten (file granularity —
     every row in a selected file is preserved verbatim), published as
     one atomic ``replace`` commit; the rest of the snapshot is never
     read. Z-ordering the hot time-slice nightly is
@@ -2053,24 +2058,28 @@ def optimize(
         action = "overwrite"
         remove = None
         if where is not None:
-            col, lo, hi = where
-            files = [
-                f
-                for f in files
-                if not _zone_disjoint(
-                    snap_stats.get(os.path.relpath(f, table), {}).get(
-                        snap_map.get(col, col)
-                    ),
-                    lo,
-                    hi,
+            # three accepted shapes, same scope semantics as the DML
+            # verbs: (col, lo, hi) legacy band, {col: (lo, hi)} band
+            # dict, or a SQL predicate string (Catalyst conjunct
+            # extraction; unextractable shapes scope EVERYTHING —
+            # a full rewrite, never a missed file). Out-of-scope
+            # files stay UNTOUCHED — including ones carrying deletion
+            # vectors (their vectors persist until a full OPTIMIZE
+            # purges them); in-scope DV'd files are kept by the
+            # zone-map match and the rewrite purges their vectors
+            # (ADVICE r10: the old table-wide DV override broke the
+            # scoped contract).
+            if isinstance(where, tuple):
+                col, lo, hi = where
+                bands = {col: (lo, hi)}
+                meta_where = [col, _json_safe(lo), _json_safe(hi)]
+            else:
+                bands, _cond, meta_where = _resolve_where(
+                    spark, schema, where
                 )
-                # out-of-scope files stay UNTOUCHED — including ones
-                # carrying deletion vectors (their vectors persist
-                # until a full OPTIMIZE purges them); in-scope DV'd
-                # files are already kept by the zone-map match and the
-                # rewrite purges their vectors (ADVICE r10: the old
-                # table-wide DV override broke the scoped contract)
-            ]
+            files = _band_touched(
+                table, files, snap_stats, snap_map, bands
+            )
             if not files:
                 return None
             action = "replace"
@@ -2095,7 +2104,7 @@ def optimize(
         else:
             df = df.coalesce(int(n_files))
         if where is not None:
-            meta["where"] = [where[0], _json_safe(where[1]), _json_safe(where[2])]
+            meta["where"] = meta_where
         if stats_cols:
             keep_stats = list(stats_cols)
         else:
@@ -2111,7 +2120,7 @@ def optimize(
             }
             inferred.update(zorder_by or [])
             if where is not None:
-                inferred.add(where[0])
+                inferred.update(bands)
             keep_stats = sorted(inferred) or None
         try:
             return commit(
@@ -2982,6 +2991,41 @@ def merge_into(
     raise AssertionError("unreachable")
 
 
+def _is_metadata_only_republish(table: str, rec: dict) -> bool:
+    """True when an ``overwrite`` record merely RE-REFERENCES the
+    immediately preceding version's exact file list, schema
+    (normalized), and deletion vectors — the ALTER TABLE commit shape
+    published by ``_republish_head`` (CHECK constraint edits,
+    ``set_partition_spec``). Such a commit moves no data and changes
+    nothing a row-consumer can see, so incremental readers
+    (:func:`read_appends`, the ``txtable_changes`` streaming source)
+    ride through it instead of refusing — an ALTER must not kill
+    every streaming consumer of a table. RESTORE and real overwrites
+    change the file list, RENAME changes the logical schema: all
+    classify False and keep their refusal semantics. Cost: one
+    snapshot resolve of the preceding version, only for
+    overwrite-shaped candidates (ALTERs are rare)."""
+    if rec.get("action") != "overwrite" or rec.get("remove"):
+        return False
+    v = rec.get("version", 0)
+    if v <= 0:
+        return False
+    try:
+        files, schema, _, _, dvs, _ = _snapshot(table, v - 1)
+    except Exception:
+        return False
+    prev_rels = sorted(os.path.relpath(f, table) for f in files)
+    if sorted(rec.get("add", [])) != prev_rels:
+        return False
+    if _normalize_ddl(rec["schema"]) != _normalize_ddl(schema):
+        return False
+    rec_dvs = {
+        rel: _decode_dv_entry(table, val)
+        for rel, val in rec.get("dv", {}).items()
+    }
+    return rec_dvs == {rel: pos for rel, pos in dvs.items() if pos}
+
+
 def read_appends(
     spark: SparkSession,
     table: str,
@@ -3009,6 +3053,10 @@ def read_appends(
         if commit["version"] <= after_version:
             continue
         if commit["action"] in ("overwrite", "replace", "dv"):
+            if _is_metadata_only_republish(table, commit):
+                # ALTER-shaped re-reference (constraints, partition
+                # spec): zero rows appended, delta well-defined
+                continue
             # dv included: a deletion-vector commit changes data
             # without adding files, so "the appended rows" would
             # silently misrepresent the delta

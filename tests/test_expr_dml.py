@@ -482,3 +482,28 @@ def test_binary_columns_record_no_zone_bounds(spark, tmp_path):
     assert entry["min"] is None and entry["max"] is None
     # a (nonsense) string band over the binary column keeps the file
     assert not txlog._zone_disjoint(entry, "x", "x")
+
+
+def test_scoped_optimize_accepts_expression_predicates(spark, tmp_path):
+    """OPTIMIZE ... WHERE takes the same predicate shapes as the DML
+    verbs: a SQL string's extracted bands scope the rewrite to
+    intersecting files; out-of-scope files keep their snapshot
+    entries untouched."""
+    table = str(tmp_path / "t")
+    rels = _mk_banded(spark, table)
+    v = txlog.optimize(
+        spark, table, where="k >= 210 AND k < 260 AND v LIKE 'v2%'",
+        target_file_mb=64,
+    )
+    assert v == 3
+    snap = {
+        os.path.relpath(f, table) for f in txlog._snapshot(table, None)[0]
+    }
+    assert rels[0] in snap and rels[1] in snap  # out of scope
+    assert rels[2] not in snap  # compacted
+    got = txlog.read_table(spark, table)
+    assert got.count() == 301  # a rewrite never changes rows
+    # band dict form + no-op scope returns None
+    assert txlog.optimize(
+        spark, table, where={"k": (9000, 9999)}
+    ) is None

@@ -1455,3 +1455,78 @@ def test_normalize_ddl_nested_types():
     assert _normalize_ddl("a decimal(10,2), b int") == (
         _normalize_ddl("B INT, A DECIMAL(10,2)")
     )
+
+
+def test_txtable_changes_stream_rides_through_metadata_only_alters(
+    spark, tmp_path
+):
+    """An ALTER must not kill every streaming consumer of a table:
+    CHECK-constraint and partition-spec commits re-reference the same
+    files under the same schema, so the source emits nothing for them
+    and keeps draining — while RESTORE (a real file-list change)
+    still refuses without ignore_changes."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableChangesDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    try:
+        spark.dataSource.register(TxTableChangesDataSource)
+    except Exception:
+        pass
+    table = str(tmp_path / "alter_src")
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, day=i % 2) for i in range(4)], "k int, day int"
+        ).coalesce(1),
+        table,
+    )
+    batches: list[list] = []
+
+    def sink(df, eid):
+        rows = sorted(tuple(r)[:2] for r in df.collect())
+        if rows:
+            batches.append(rows)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("txtable_changes")
+            .option("path", table)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert len(batches) == 1 and len(batches[0]) == 4
+    # two ALTERs land mid-stream, then a real append
+    txlog.add_constraint(spark, table, "k_pos", "k >= 0")
+    txlog.set_partition_spec(table, ["day"])
+    txlog.commit(
+        spark.createDataFrame([Row(k=100, day=0)], "k int, day int"),
+        table,
+    )
+    batches.clear()
+    drain()  # no refusal, ALTER versions contribute nothing
+    assert batches == [[(100, 0)]]
+    # RESTORE is a real change: refuse without ignore_changes
+    txlog.restore(table, 0)
+    batches.clear()
+    q = (
+        spark.readStream.format("txtable_changes")
+        .option("path", table)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignore_changes"):
+        q.awaitTermination()

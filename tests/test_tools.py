@@ -2699,3 +2699,43 @@ def test_stream_writer_seen_cache_refreshes_incrementally(
     # a fresh epoch still publishes normally
     w.commit([_StagedFiles([stage(4)], {})], 2)
     assert txlog.current_version(table) == zv + 1
+
+
+def test_read_appends_rides_through_metadata_only_alters(
+    spark, tmp_path
+):
+    """ALTER-shaped commits (CHECK constraint edits, partition spec
+    evolution) re-reference the same files under the same schema:
+    append-delta is perfectly defined across them (zero rows) and
+    must not force consumers into a full recompute. RESTORE and
+    RENAME keep their refusals (file list / logical schema change)."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, day=i % 2) for i in range(6)], "k int, day int"
+        ).coalesce(1),
+        table,
+    )
+    txlog.add_constraint(spark, table, "k_pos", "k >= 0")
+    txlog.set_partition_spec(table, ["day"])
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=100, day=1)], "k int, day int"
+        ),
+        table,
+    )
+    out = txlog.read_appends(spark, table, after_version=0)
+    assert [r["k"] for r in out.collect()] == [100]
+    pre = txlog.current_version(table)
+    txlog.restore(table, 0)
+    with pytest.raises(ValueError, match="overwrite"):
+        txlog.read_appends(spark, table, after_version=pre)
+    txlog.rename_column(table, "k", "kk")
+    with pytest.raises(ValueError, match="overwrite"):
+        txlog.read_appends(
+            spark, table, after_version=txlog.current_version(table) - 1
+        )
