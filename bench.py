@@ -160,6 +160,9 @@ HEADLINE = [
     # string zone maps: lexicographic listing-prune on a
     # range-clustered string column
     "events_string_pruned_scan",
+    # change data feed: cow delete + merge-on-read update with
+    # recorded change files, then the O(changed rows) feed read
+    "events_cdf_feed",
 ]
 
 RUNS = 3

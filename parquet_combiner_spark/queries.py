@@ -2584,6 +2584,47 @@ def events_dv_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED from recorded change files (tools/txlog.py
+    ``table_changes_cdf`` — Delta's CDF): a cow DELETE and a
+    merge-on-read UPDATE run with ``cdf=True``, and the feed returns
+    their row-level deltas — delete preimages, update pre/post
+    images, each stamped with its commit version — by reading
+    O(changed rows) of change files, never diffing snapshots. The
+    oracle reconstructs the same feed in SQL: delete preimages from
+    the raw table, update images from the post-delete state (the
+    sequential-DML semantics the engine executed)."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-cdf-")
+    table = f"{root}/events_c"
+    try:
+        txlog.commit(ev.repartition(8), table, stats_cols=["value"])
+        txlog.delete_where_expr(
+            spark, table,
+            "event_type = 'click' AND value < 30.0",
+            cdf=True,
+        )
+        txlog.update_where_expr(
+            spark, table,
+            "event_type = 'view' AND value > 80.0",
+            {"value": "value + 1"},
+            mode="dv",
+            cdf=True,
+        )
+        return txlog.table_changes_cdf(
+            spark, table, after_version=0
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def events_string_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRING zone-map pruning (tools/txlog.py ``_zone_disjoint``
     lexicographic bounds — the ``country = 'de'`` shape): events land
@@ -3822,6 +3863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dv_update_scan": events_dv_update_scan,
     "events_spec_evolution_scan": events_spec_evolution_scan,
     "events_string_pruned_scan": events_string_pruned_scan,
+    "events_cdf_feed": events_cdf_feed,
     "events_partitioned_scan": events_partitioned_scan,
     "events_renamed_column_scan": events_renamed_column_scan,
     "events_zorder_two_predicate_scan": events_zorder_two_predicate_scan,
@@ -5262,6 +5304,31 @@ ORACLE_SQL["events_expr_delete_scan"] = """
     WHERE NOT coalesce(
             event_type = 'click' AND value BETWEEN 20.0 AND 60.0, false)
       AND NOT coalesce(user_id % 10 = 0 OR value > 95.0, false)
+"""
+
+# the CDF feed reconstructed as SQL: delete preimages from the raw
+# table, update pre/post images from the post-delete state
+ORACLE_SQL["events_cdf_feed"] = """
+    WITH after_del AS (
+        SELECT * FROM events
+        WHERE NOT coalesce(
+            event_type = 'click' AND value < 30.0, false)
+    )
+    SELECT event_id, user_id, event_type, value,
+           'delete' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM events
+    WHERE coalesce(event_type = 'click' AND value < 30.0, false)
+    UNION ALL
+    SELECT event_id, user_id, event_type, value,
+           'update_preimage', CAST(2 AS BIGINT)
+    FROM after_del
+    WHERE coalesce(event_type = 'view' AND value > 80.0, false)
+    UNION ALL
+    SELECT event_id, user_id, event_type, value + 1,
+           'update_postimage', CAST(2 AS BIGINT)
+    FROM after_del
+    WHERE coalesce(event_type = 'view' AND value > 80.0, false)
 """
 
 # lexicographic pruning is a pure superset optimization

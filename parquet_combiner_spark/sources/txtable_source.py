@@ -595,6 +595,13 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
             if rewrites:
                 from parquet_combiner_spark.tools import txlog
 
+                if rec.get("data_change") is False:
+                    # OPTIMIZE/compaction (Delta dataChange=false):
+                    # logical rows rearranged, none changed — emit
+                    # nothing, keep streaming (no ignore_changes
+                    # needed for maintenance, and no re-feed of the
+                    # whole table under it)
+                    continue
                 if txlog._is_metadata_only_republish(self._table, rec):
                     # ALTER-shaped re-reference (CHECK constraints,
                     # partition spec evolution): no data moved — emit

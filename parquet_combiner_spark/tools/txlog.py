@@ -730,9 +730,20 @@ def commit(
     remove: Sequence[str] | None = None,
     partition_by: Sequence[str] | None = None,
     dv_entries: dict | None = None,
+    data_change: bool = True,
+    change_files: Sequence[str] | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
+
+    ``data_change=False`` (Delta's ``AddFile.dataChange`` flag) marks
+    a commit whose files REARRANGE existing logical rows without
+    adding, removing, or modifying any — the OPTIMIZE / compaction
+    shape. Incremental consumers (:func:`read_appends`, the
+    ``txtable_changes`` streaming source) skip such commits entirely
+    instead of refusing: a nightly compaction must not kill or
+    re-feed every streaming reader of the table. The writer owns the
+    claim's truth; only the maintenance verbs in this module set it.
 
     ``action="dv"`` (requires ``dv_entries``: rel path → FULL sorted
     deleted-position list, superseding each file's prior vector) is
@@ -1081,6 +1092,13 @@ def commit(
     }
     if action == "replace":
         record["remove"] = sorted(remove)
+    if not data_change:
+        record["data_change"] = False
+    if change_files:
+        # CDF: already-written change-data files (rows+_change_type)
+        # ride the record so table_changes_cdf serves row-level
+        # deltas without snapshot diffs (and vacuum keeps them alive)
+        record["change_files"] = sorted(change_files)
     if dv_entries:
         record["dv"] = _encode_dv_entries(
             table,
@@ -2089,7 +2107,8 @@ def optimize(
         n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         # read THROUGH the deletion vectors: the rewrite materializes
         # the logical rows, purging merge-on-read debt (Delta's
-        # OPTIMIZE-purges-DVs contract)
+        # OPTIMIZE-purges-DVs contract) — still data_change=False:
+        # those rows were already logically deleted at their dv commit
         df = _scan(spark, table, files, schema, snap_dvs, snap_map)
         meta: dict = {"optimize": True}
         if zorder_by:
@@ -2132,6 +2151,7 @@ def optimize(
                 stats_cols=keep_stats,
                 partition_by=spec or None,
                 remove=remove,
+                data_change=False,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
@@ -2214,6 +2234,7 @@ def compact_small_files(
                 meta={"optimize": "bin-pack", "compacted": len(rels)},
                 expected_version=base,
                 stats_cols=keep_stats or None,
+                data_change=False,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
@@ -2305,6 +2326,7 @@ def _delete_where_dv(
     cond,
     meta_delete: dict,
     max_dv_rows: int,
+    cdf: bool = False,
 ) -> int:
     """One merge-on-read DELETE attempt against the ``base`` snapshot
     (see :func:`delete_where` ``mode="dv"``): resolve the physical
@@ -2342,6 +2364,17 @@ def _delete_where_dv(
             dv_entries[rel] = merged
     if not dv_entries:
         return base  # nothing newly deleted: publish no version
+    change_rels = None
+    if cdf:
+        from pyspark.sql import functions as F
+
+        change_rels = _write_change_files(
+            table,
+            _scan(spark, table, touched, schema, dvs, mapping)
+            .where(cond)
+            .withColumn("_change_type", F.lit("delete")),
+            mapping,
+        )
     record = {
         "version": base + 1,
         "action": "dv",
@@ -2353,6 +2386,8 @@ def _delete_where_dv(
         "dv": _encode_dv_entries(table, dv_entries),
         "sizes": {},
     }
+    if change_rels:
+        record["change_files"] = sorted(change_rels)
     if last.get("constraints"):
         record["constraints"] = last["constraints"]
     if last.get("partition_by"):
@@ -2375,6 +2410,7 @@ def delete_where(
     stats_cols: Sequence[str] | None = None,
     mode: str = "cow",
     max_dv_rows: int = 1_000_000,
+    cdf: bool = False,
 ) -> int:
     """Row-level DELETE of rows with ``col`` in [lo, hi] — the
     right-to-be-forgotten / retention-expiry mutation — as ONE atomic
@@ -2450,12 +2486,21 @@ def delete_where(
                     spark, table, base, touched, schema, dvs, mapping,
                     F.col(col).between(lo, hi),
                     {"col": col, "lo": _json_safe(lo), "hi": _json_safe(hi)},
-                    max_dv_rows,
+                    max_dv_rows, cdf=cdf,
                 )
             except CommitConflict:
                 if attempt == max(1, max_retries) - 1:
                     raise
                 continue  # table advanced: re-prune and re-resolve
+        change_rels = None
+        if cdf:
+            change_rels = _write_change_files(
+                table,
+                _scan(spark, table, touched, schema, dvs, mapping)
+                .where(F.col(col).between(lo, hi))
+                .withColumn("_change_type", F.lit("delete")),
+                mapping,
+            )
         # NULL-valued rows are NOT in [lo, hi] and must SURVIVE the
         # copy-on-write rewrite: a bare ~between() is NULL for them,
         # which a WHERE drops — silent physical deletion of every
@@ -2480,12 +2525,146 @@ def delete_where(
                 },
                 expected_version=base,
                 stats_cols=stats_cols,
+                change_files=change_rels,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
                 raise
             continue  # table advanced: re-prune against the new snapshot
     raise AssertionError("unreachable")
+
+
+_CHANGE_DIR = "changes"
+
+
+def _write_change_files(
+    table: str, change_df: DataFrame, mapping: dict
+) -> list[str]:
+    """Materialize a DML commit's CHANGE DATA (rows + ``_change_type``
+    — Delta's CDF ``_change_data`` files): written under
+    ``<table>/changes/<uuid>/`` BEFORE the commit record publishes
+    (losers/crashes leave only vacuum garbage, the same
+    data-before-log story as every other write), under PHYSICAL
+    column names so readers resolve them through the same column
+    mapping as data files. Returns the table-relative paths for the
+    record's ``change_files`` field. Cost: one extra write of
+    O(changed rows) — the price Delta's CDF pays for giving
+    consumers row-level deltas without snapshot diffs."""
+    from pyspark.sql import functions as F
+
+    if mapping:
+        change_df = change_df.select(
+            *[
+                F.col(c).alias(mapping.get(c, c))
+                for c in change_df.columns
+            ]
+        )
+    rel_dir = os.path.join(_CHANGE_DIR, uuid.uuid4().hex)
+    change_df.write.mode("error").parquet(os.path.join(table, rel_dir))
+    return _list_added(table, rel_dir)
+
+
+def table_changes_cdf(
+    spark: SparkSession,
+    table: str,
+    after_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED from recorded change files (Delta's
+    ``table_changes`` with CDF enabled): row-level deltas for commits
+    in (after_version, to_version], each stamped ``_change_type``
+    (``insert`` / ``delete`` / ``update_preimage`` /
+    ``update_postimage``) and ``_commit_version`` — WITHOUT the
+    snapshot diff :func:`table_changes` runs (which reads two full
+    snapshots; this reads O(changed rows), the difference between a
+    CDC consumer that scales and one that rescans 100 TB nightly).
+
+    Per commit: appends contribute their added rows as ``insert``;
+    DML commits contribute their recorded ``change_files`` (written
+    by the verbs when called with ``cdf=True``); maintenance
+    rewrites (``data_change=False``) and ALTER-shaped republishes
+    contribute nothing. A data-changing commit WITHOUT change files
+    raises — the consumer must fall back to :func:`table_changes` or
+    the table must run its DML with ``cdf=True`` (exactly Delta's
+    "change data was not recorded" error)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    log = _read_log(table)
+    if not log:
+        raise FileNotFoundError(f"{table} has no transaction log")
+    if to_version is None:
+        to_version = log[-1]["version"]
+    frames: list[DataFrame] = []
+    empty_schema = None
+    for rec in log:
+        v = rec["version"]
+        if v > to_version:
+            break
+        empty_schema = rec["schema"]
+        if v <= after_version:
+            continue
+        if rec.get("data_change") is False:
+            continue  # compaction: rows rearranged, none changed
+        mapping = dict(rec.get("column_mapping", {}))
+        if rec["action"] == "append":
+            if not rec["add"]:
+                continue
+            read_fn, phys_of, names = _physical_reader(
+                spark, table, rec["add"], rec["schema"], mapping
+            )
+            frames.append(
+                read_fn([os.path.join(table, r) for r in rec["add"]])
+                .select(
+                    *[F.col(phys_of[n]).alias(n) for n in names]
+                )
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+            continue
+        if rec.get("change_files"):
+            struct = spark.createDataFrame([], rec["schema"]).schema
+            phys_ddl = ", ".join(
+                f"{mapping.get(f.name, f.name)} "
+                f"{f.dataType.simpleString()}"
+                for f in struct.fields
+            )
+            df = spark.read.schema(
+                f"{phys_ddl}, _change_type string"
+            ).parquet(
+                *[os.path.join(table, r) for r in rec["change_files"]]
+            )
+            frames.append(
+                df.select(
+                    *[
+                        F.col(mapping.get(f.name, f.name)).alias(f.name)
+                        for f in struct.fields
+                    ],
+                    "_change_type",
+                )
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            continue
+        if _is_metadata_only_republish(table, rec):
+            continue
+        raise ValueError(
+            f"version {v} of {table} is a {rec['action']} with no "
+            "recorded change data; run DML with cdf=True, or fall "
+            "back to table_changes (snapshot diff)"
+        )
+    if not frames:
+        base = spark.createDataFrame([], empty_schema or "x int")
+        return (
+            base.withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
 
 
 def _resolve_where(spark: SparkSession, schema: str, where):
@@ -2531,6 +2710,7 @@ def delete_where_expr(
     stats_cols: Sequence[str] | None = None,
     mode: str = "cow",
     max_dv_rows: int = 1_000_000,
+    cdf: bool = False,
 ) -> int:
     """Row-level DELETE under an EXPRESSION predicate — the verb a
     user's first real delete needs (``country = 'de' AND ts <
@@ -2568,12 +2748,21 @@ def delete_where_expr(
             try:
                 return _delete_where_dv(
                     spark, table, base, touched, schema, dvs, mapping,
-                    cond, meta, max_dv_rows,
+                    cond, meta, max_dv_rows, cdf=cdf,
                 )
             except CommitConflict:
                 if attempt == max(1, max_retries) - 1:
                     raise
                 continue
+        change_rels = None
+        if cdf:
+            change_rels = _write_change_files(
+                table,
+                _scan(spark, table, touched, schema, dvs, mapping)
+                .where(cond)
+                .withColumn("_change_type", F.lit("delete")),
+                mapping,
+            )
         # survivors = NOT coalesce(pred, false): FALSE and NULL rows
         # stay — a bare ~pred would be NULL for NULL-predicate rows
         # and the WHERE would silently drop them (the delete_where
@@ -2590,6 +2779,7 @@ def delete_where_expr(
                 meta={"delete": meta},
                 expected_version=base,
                 stats_cols=stats_cols,
+                change_files=change_rels,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
@@ -2611,6 +2801,7 @@ def _update_where_dv(
     meta_update: dict,
     max_dv_rows: int,
     stats_cols,
+    cdf: bool = False,
 ) -> int:
     """One MERGE-ON-READ UPDATE attempt against the ``base`` snapshot
     (Delta's DV-era UPDATE): ONE commit carrying a deletion vector on
@@ -2658,10 +2849,24 @@ def _update_where_dv(
     # the append half: the SAME live rows (scan is DV-filtered, same
     # predicate, same files) with the SET expressions applied — no
     # when() needed, every row here matched
-    upd = _scan(spark, table, touched, schema, dvs, mapping).where(cond)
+    pre = _scan(spark, table, touched, schema, dvs, mapping).where(cond)
+    upd = pre
     for name, expr in set_exprs.items():
         new = expr if isinstance(expr, Column) else F.expr(expr)
         upd = upd.withColumn(name, new.cast(upd.schema[name].dataType))
+    change_rels = None
+    if cdf:
+        change_rels = _write_change_files(
+            table,
+            pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                upd.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            ),
+            mapping,
+        )
     return commit(
         upd,
         table,
@@ -2670,6 +2875,7 @@ def _update_where_dv(
         meta={"update": {**meta_update, "mode": "dv", "rows": n_live}},
         expected_version=base,
         stats_cols=stats_cols,
+        change_files=change_rels,
     )
 
 
@@ -2682,6 +2888,7 @@ def update_where_expr(
     stats_cols: Sequence[str] | None = None,
     mode: str = "cow",
     max_dv_rows: int = 1_000_000,
+    cdf: bool = False,
 ) -> int:
     """Row-level UPDATE under an EXPRESSION predicate (the
     :func:`delete_where_expr` of the UPDATE verb): ``where`` is a SQL
@@ -2721,11 +2928,34 @@ def update_where_expr(
                 return _update_where_dv(
                     spark, table, base, touched, schema, dvs, mapping,
                     cond, set_exprs, meta, max_dv_rows, stats_cols,
+                    cdf=cdf,
                 )
             except CommitConflict:
                 if attempt == max(1, max_retries) - 1:
                     raise
                 continue
+        change_rels = None
+        if cdf:
+            pre = _scan(
+                spark, table, touched, schema, dvs, mapping
+            ).where(cond)
+            post = pre
+            for name, expr in set_exprs.items():
+                new = expr if isinstance(expr, Column) else F.expr(expr)
+                post = post.withColumn(
+                    name, new.cast(post.schema[name].dataType)
+                )
+            change_rels = _write_change_files(
+                table,
+                pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                ),
+                mapping,
+            )
         df = _scan(spark, table, touched, schema, dvs, mapping)
         for name, expr in set_exprs.items():
             new = expr if isinstance(expr, Column) else F.expr(expr)
@@ -2744,6 +2974,7 @@ def update_where_expr(
                 meta={"update": meta},
                 expected_version=base,
                 stats_cols=stats_cols,
+                change_files=change_rels,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
@@ -2763,6 +2994,7 @@ def update_where(
     stats_cols: Sequence[str] | None = None,
     mode: str = "cow",
     max_dv_rows: int = 1_000_000,
+    cdf: bool = False,
 ) -> int:
     """Row-level UPDATE: rows with ``col`` in [lo, hi] get each
     ``set_exprs`` column replaced (name → Column or SQL string, e.g.
@@ -2827,12 +3059,34 @@ def update_where(
                         "hi": _json_safe(hi),
                         "set": sorted(set_exprs),
                     },
-                    max_dv_rows, stats_cols,
+                    max_dv_rows, stats_cols, cdf=cdf,
                 )
             except CommitConflict:
                 if attempt == max(1, max_retries) - 1:
                     raise
                 continue  # table advanced: re-prune and re-resolve
+        change_rels = None
+        if cdf:
+            pre = _scan(
+                spark, table, touched, schema, dvs, mapping
+            ).where(F.col(col).between(lo, hi))
+            post = pre
+            for name, expr in set_exprs.items():
+                new = expr if isinstance(expr, Column) else F.expr(expr)
+                post = post.withColumn(
+                    name, new.cast(post.schema[name].dataType)
+                )
+            change_rels = _write_change_files(
+                table,
+                pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                ),
+                mapping,
+            )
         # between() is NULL for NULL rows; when() treats NULL as
         # false, so NULL rows take the otherwise() branch and keep
         # their old value — already NULL-safe, unlike delete_where's
@@ -2864,6 +3118,7 @@ def update_where(
                 },
                 expected_version=base,
                 stats_cols=stats_cols,
+                change_files=change_rels,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
@@ -3053,6 +3308,11 @@ def read_appends(
         if commit["version"] <= after_version:
             continue
         if commit["action"] in ("overwrite", "replace", "dv"):
+            if commit.get("data_change") is False:
+                # OPTIMIZE/compaction: existing logical rows
+                # rearranged, none added — appended-rows delta is
+                # untouched by it (Delta's dataChange=false rule)
+                continue
             if _is_metadata_only_republish(table, commit):
                 # ALTER-shaped re-reference (constraints, partition
                 # spec): zero rows appended, delta well-defined
@@ -3218,6 +3478,9 @@ def vacuum(
 
     log = _read_log(table)
     referenced = {f for c in log for f in c["add"]}
+    referenced |= {
+        f for c in log for f in c.get("change_files", [])
+    }
     data_root = os.path.join(table, "data")
     cutoff = _time.time() - min_age_seconds
     garbage: list[str] = []
@@ -3257,6 +3520,21 @@ def vacuum(
         for v in rec.get("dv", {}).values():
             if isinstance(v, dict) and "sidecar" in v:
                 dv_refs.add(v["sidecar"])
+    # CDF change files live under changes/<uuid>/ with the same
+    # data-before-log story: unreferenced (crashed/raced DML, expired
+    # history) → garbage; referenced → the feed stays replayable
+    ch_root = os.path.join(table, _CHANGE_DIR)
+    if os.path.isdir(ch_root):
+        for dirpath, _, names in os.walk(ch_root):
+            for f in names:
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, table)
+                if (
+                    f.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(full) <= cutoff
+                ):
+                    garbage.append(rel)
     dv_root = os.path.join(table, _DV_DIR)
     if os.path.isdir(dv_root):
         for f in os.listdir(dv_root):

@@ -1530,3 +1530,60 @@ def test_txtable_changes_stream_rides_through_metadata_only_alters(
     )
     with pytest.raises(Exception, match="ignore_changes"):
         q.awaitTermination()
+
+
+def test_txtable_changes_stream_rides_through_compaction(spark, tmp_path):
+    """dataChange=false commits (OPTIMIZE / compaction) emit nothing
+    and never require ignore_changes: the stream keeps draining real
+    appends across a maintenance rewrite, with no re-feed of the
+    rearranged rows."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableChangesDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    try:
+        spark.dataSource.register(TxTableChangesDataSource)
+    except Exception:
+        pass
+    table = str(tmp_path / "opt_src")
+    for v in range(2):
+        txlog.commit(
+            spark.createDataFrame(
+                [Row(k=v * 10 + j) for j in range(3)], "k int"
+            ).coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+    batches: list[list] = []
+
+    def sink(df, eid):
+        rows = sorted(r["k"] for r in df.collect())
+        if rows:
+            batches.append(rows)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("txtable_changes")
+            .option("path", table)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert batches == [[0, 1, 2, 10, 11, 12]]
+    txlog.optimize(spark, table, target_file_mb=64)
+    txlog.commit(
+        spark.createDataFrame([Row(k=77)], "k int"), table
+    )
+    batches.clear()
+    drain()  # no refusal, no re-emission of compacted rows
+    assert batches == [[77]]

@@ -2739,3 +2739,51 @@ def test_read_appends_rides_through_metadata_only_alters(
         txlog.read_appends(
             spark, table, after_version=txlog.current_version(table) - 1
         )
+
+
+def test_data_change_false_maintenance_rides_through(spark, tmp_path):
+    """Delta's AddFile.dataChange=false, on the commit record:
+    OPTIMIZE and incremental compaction rearrange existing logical
+    rows, so append-delta consumers skip them instead of refusing —
+    a nightly compaction must not force every reader into a full
+    recompute. DML replaces (real row changes) still refuse."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    for v in range(2):
+        txlog.commit(
+            spark.createDataFrame(
+                [Row(k=v * 10 + j) for j in range(4)], "k int"
+            ).coalesce(1),
+            table,
+            stats_cols=["k"],
+        )
+    ov = txlog.optimize(spark, table, target_file_mb=64)
+    rec = txlog._last_commit(table)
+    assert rec["version"] == ov and rec["data_change"] is False
+    txlog.commit(
+        spark.createDataFrame([Row(k=99)], "k int"), table
+    )
+    out = txlog.read_appends(spark, table, after_version=1)
+    assert [r["k"] for r in out.collect()] == [99]
+    # incremental compaction likewise
+    for v in range(3):
+        txlog.commit(
+            spark.createDataFrame([Row(k=200 + v)], "k int").coalesce(1),
+            table,
+        )
+    base = txlog.current_version(table)
+    cv = txlog.compact_small_files(
+        spark, table, target_file_mb=1, small_file_mb=0.5
+    )
+    assert cv is not None
+    assert txlog._last_commit(table)["data_change"] is False
+    txlog.commit(spark.createDataFrame([Row(k=300)], "k int"), table)
+    out2 = txlog.read_appends(spark, table, after_version=base)
+    assert [r["k"] for r in out2.collect()] == [300]
+    # a DML replace is a real data change: still refused
+    txlog.delete_where(spark, table, "k", 99, 99)
+    with pytest.raises(ValueError, match="replace"):
+        txlog.read_appends(spark, table, after_version=base)
