@@ -4215,7 +4215,9 @@ def main(argv: list[str] | None = None) -> int:
     """CLI: ``python -m parquet_combiner_spark.tools.txlog <table>
     [--history | --optimize | --restore VERSION | --expire KEEP_FROM |
     --rename-column OLD NEW | --drop-column NAME |
-    --delete-where COL LO HI [--dv] |
+    --delete-where COL LO HI [--dv] [--cdf] |
+    --delete-where-sql PRED | --update-where-sql PRED COL EXPR |
+    --set-partition-spec COLS | --changes-since VERSION |
     --vacuum [--min-age S] [--dry-run]]``."""
     import argparse
     import json as _json
@@ -4348,6 +4350,19 @@ def main(argv: list[str] | None = None) -> int:
         "'' for flat) applied to FUTURE writes only — one metadata "
         "commit, existing files untouched and still readable",
     )
+    ap.add_argument(
+        "--changes-since",
+        type=int,
+        metavar="VERSION",
+        help="print the change data feed (insert/delete/update "
+        "images from recorded CDF files) for commits after VERSION",
+    )
+    ap.add_argument(
+        "--cdf",
+        action="store_true",
+        help="with --delete-where*/--update-where-sql: record change "
+        "files so --changes-since can serve row-level deltas",
+    )
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--min-age", type=float, default=3600.0)
     ap.add_argument("--dry-run", action="store_true")
@@ -4472,6 +4487,7 @@ def main(argv: list[str] | None = None) -> int:
             float(lo),
             float(hi),
             mode="dv" if args.dv else "cow",
+            cdf=args.cdf,
         )
         print(f"deleted -> version {v}")
     if args.delete_where_sql:
@@ -4482,6 +4498,7 @@ def main(argv: list[str] | None = None) -> int:
             args.table,
             args.delete_where_sql,
             mode="dv" if args.dv else "cow",
+            cdf=args.cdf,
         )
         print(f"deleted -> version {v}")
     if args.update_where_sql:
@@ -4494,8 +4511,19 @@ def main(argv: list[str] | None = None) -> int:
             pred,
             {col: expr},
             mode="dv" if args.dv else "cow",
+            cdf=args.cdf,
         )
         print(f"updated -> version {v}")
+    if args.changes_since is not None:
+        from parquet_combiner_spark.session import get_spark
+
+        feed = table_changes_cdf(
+            get_spark(app_name="txlog-cdf"),
+            args.table,
+            args.changes_since,
+        )
+        for row in feed.orderBy("_commit_version", "_change_type").collect():
+            print(_json.dumps(row.asDict(), default=str))
     if args.set_partition_spec is not None:
         spec = [
             c.strip()
@@ -4531,6 +4559,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.delete_where_sql
         or args.update_where_sql
         or args.set_partition_spec is not None
+        or args.changes_since is not None
         or args.detail
         or args.compact_small
     ):
