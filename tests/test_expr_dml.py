@@ -507,3 +507,63 @@ def test_scoped_optimize_accepts_expression_predicates(spark, tmp_path):
     assert txlog.optimize(
         spark, table, where={"k": (9000, 9999)}
     ) is None
+
+
+def test_conjunct_bands_are_implied_by_the_predicate(spark):
+    """Soundness property, randomized: every row SATISFYING a random
+    conjunctive predicate must lie inside every extracted band — the
+    invariant that makes band-pruning safe for DML (a file outside a
+    band provably holds no matching row). Atoms span extractable
+    shapes (numeric/string comparisons, IN) and non-extractable ones
+    (OR pairs, LIKE, functions) that must simply contribute
+    nothing."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (
+            rng.randrange(-50, 50) if rng.random() > 0.1 else None,
+            rng.choice(list("abcdef")) * rng.randrange(1, 3)
+            if rng.random() > 0.1
+            else None,
+            round(rng.uniform(-5, 5), 2),
+        )
+        for _ in range(300)
+    ]
+    schema = "k int, name string, x double"
+    df = spark.createDataFrame(rows, schema)
+
+    def atom():
+        shape = rng.randrange(8)
+        if shape == 0:
+            return f"k {rng.choice(['<', '<=', '>', '>=', '='])} {rng.randrange(-40, 40)}"
+        if shape == 1:
+            c = round(rng.uniform(-4, 4), 2)
+            return f"{c} {rng.choice(['<', '<='])} x"
+        if shape == 2:
+            vals = ", ".join(
+                str(rng.randrange(-40, 40)) for _ in range(3)
+            )
+            return f"k IN ({vals})"
+        if shape == 3:
+            return f"name = '{rng.choice('abcdef') * rng.randrange(1, 3)}'"
+        if shape == 4:
+            return (
+                f"name IN ('{rng.choice('abc')}', "
+                f"'{rng.choice('def') * 2}')"
+            )
+        if shape == 5:
+            return f"(k = {rng.randrange(10)} OR x < {rng.randrange(3)})"
+        if shape == 6:
+            return f"name LIKE '{rng.choice('abc')}%'"
+        return f"abs(x) < {rng.randrange(1, 6)}"
+
+    for _ in range(15):
+        pred = " AND ".join(atom() for _ in range(rng.randrange(1, 5)))
+        bands = txlog._sql_conjunct_bands(spark, schema, pred)
+        for r in df.where(pred).collect():
+            for col, (lo, hi) in bands.items():
+                v = r[col]
+                assert v is not None and lo <= v <= hi, (
+                    pred, bands, col, tuple(r),
+                )

@@ -2234,6 +2234,10 @@ def test_txlog_randomized_model_parity(spark, tmp_path, seed, arb, request):
                 f"{kcol} BETWEEN {lo} AND {hi} AND id % 2 = {parity}",
                 stats_cols=[kcol],
                 mode=rng.choice(["cow", "dv"]),
+                # randomly record CDF change files: the feed machinery
+                # (write + vacuum references) must never perturb the
+                # table state the model checks
+                cdf=rng.random() < 0.5,
             )
             model = [
                 r
