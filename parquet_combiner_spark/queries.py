@@ -2584,6 +2584,55 @@ def events_dv_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_preimage_update_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQL PRE-IMAGE UPDATE semantics end-to-end (tools/txlog.py
+    ``_apply_set_preimage`` — the VERDICT r11 confirmed-bug fix): the
+    first UPDATE's predicate references a SET column AND its second
+    SET expression reads the pre-update ``value`` (``value < 40``
+    drives both ``value + 1000`` and a '_lo'/'_mid' suffix computed
+    from the ORIGINAL value — sequential withColumn would tag every
+    matched row '_mid' and, in cow mode, skip the suffix entirely);
+    the second UPDATE swaps two SET columns (``event_id`` ↔
+    ``user_id``), the canonical dependent-SET shape. DuckDB's UPDATE
+    has pre-image semantics natively, so the oracle's stacked CASE
+    projections are exactly what SQL would commit."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-preimg-")
+    table = f"{root}/events_p"
+    try:
+        txlog.commit(ev.repartition(8), table, stats_cols=["value"])
+        txlog.update_where_expr(
+            spark, table,
+            "value < 40.0",
+            {
+                "value": "value + 1000",
+                "event_type": (
+                    "concat(event_type, case when value < 20.0 "
+                    "then '_lo' else '_mid' end)"
+                ),
+            },
+            mode="cow",
+        )
+        txlog.update_where_expr(
+            spark, table,
+            "event_type = 'purchase' AND value >= 80.0",
+            {"event_id": "user_id", "user_id": "event_id"},
+            mode="dv",
+        )
+        return txlog.read_table(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def events_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED from recorded change files (tools/txlog.py
     ``table_changes_cdf`` — Delta's CDF): a cow DELETE and a
@@ -3861,6 +3910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dv_delete_scan": events_dv_delete_scan,
     "events_expr_delete_scan": events_expr_delete_scan,
     "events_dv_update_scan": events_dv_update_scan,
+    "events_preimage_update_scan": events_preimage_update_scan,
     "events_spec_evolution_scan": events_spec_evolution_scan,
     "events_string_pruned_scan": events_string_pruned_scan,
     "events_cdf_feed": events_cdf_feed,
@@ -5359,6 +5409,28 @@ ORACLE_SQL["events_dv_update_scan"] = """
     SELECT event_id, user_id, event_type, value
     FROM upd
     WHERE NOT coalesce(value BETWEEN 1030.0 AND 1040.0, false)
+"""
+
+# pre-image UPDATE semantics: every SET (and the predicate) against
+# the row as it was BEFORE the update — stacked CASE projections are
+# exactly what SQL UPDATE commits
+ORACLE_SQL["events_preimage_update_scan"] = """
+    WITH u1 AS (
+        SELECT event_id, user_id,
+               CASE WHEN value < 40.0
+                    THEN event_type ||
+                         (CASE WHEN value < 20.0
+                               THEN '_lo' ELSE '_mid' END)
+                    ELSE event_type END AS event_type,
+               CASE WHEN value < 40.0
+                    THEN value + 1000 ELSE value END AS value
+        FROM events)
+    SELECT CASE WHEN event_type = 'purchase' AND value >= 80.0
+                THEN user_id ELSE event_id END AS event_id,
+           CASE WHEN event_type = 'purchase' AND value >= 80.0
+                THEN event_id ELSE user_id END AS user_id,
+           event_type, value
+    FROM u1
 """
 
 # conjunctive pruning is still a pure superset optimization

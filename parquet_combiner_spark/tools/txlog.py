@@ -2788,6 +2788,44 @@ def delete_where_expr(
     raise AssertionError("unreachable")
 
 
+def _apply_set_preimage(df: DataFrame, cond, set_exprs: dict) -> DataFrame:
+    """Apply UPDATE ``set_exprs`` with SQL/Delta PRE-IMAGE semantics:
+    the predicate and EVERY SET expression are evaluated against the
+    row as it was BEFORE the update, in ONE ``select`` projection —
+    so ``SET a = b, b = a`` swaps, and a predicate that references a
+    SET column (``SET v = v + 1000, tag = 'adj' WHERE v < 50``)
+    matches the same rows for every SET column. Chained
+    ``withColumn`` calls get both wrong (each rewrite feeds the
+    next), which is why this helper exists and is the ONLY way the
+    UPDATE verbs build their projections.
+
+    ``cond`` gates per row (``when(cond, new).otherwise(old)``; NULL
+    predicate rows keep their value, per SQL); ``cond=None`` applies
+    unconditionally (the merge-on-read append half and the CDF
+    postimage frame, where the input is already predicate-filtered).
+    Each expression is cast back to the column's type so SET cannot
+    silently retype a column."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    news = {}
+    for name, expr in set_exprs.items():
+        new = expr if isinstance(expr, Column) else F.expr(expr)
+        news[name] = new.cast(df.schema[name].dataType)
+    out = []
+    for c in df.columns:
+        if c in news:
+            col = (
+                news[c]
+                if cond is None
+                else F.when(cond, news[c]).otherwise(F.col(c))
+            )
+            out.append(col.alias(c))
+        else:
+            out.append(F.col(c))
+    return df.select(*out)
+
+
 def _update_where_dv(
     spark: SparkSession,
     table: str,
@@ -2819,7 +2857,6 @@ def _update_where_dv(
     deleted row through its append half. The appended-row frame reads
     through :func:`_scan` with the same predicate, so the two halves
     of the commit cover exactly the same live row set."""
-    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
     hits = (
@@ -2848,12 +2885,10 @@ def _update_where_dv(
     }
     # the append half: the SAME live rows (scan is DV-filtered, same
     # predicate, same files) with the SET expressions applied — no
-    # when() needed, every row here matched
+    # when() needed, every row here matched; one pre-image select so
+    # dependent SETs (SET a=b, b=a) swap like SQL
     pre = _scan(spark, table, touched, schema, dvs, mapping).where(cond)
-    upd = pre
-    for name, expr in set_exprs.items():
-        new = expr if isinstance(expr, Column) else F.expr(expr)
-        upd = upd.withColumn(name, new.cast(upd.schema[name].dataType))
+    upd = _apply_set_preimage(pre, None, set_exprs)
     change_rels = None
     if cdf:
         change_rels = _write_change_files(
@@ -2902,7 +2937,6 @@ def update_where_expr(
     deletion vector over the old positions plus an append of the
     updated rows (see :func:`_update_where_dv`). Returns the new
     version, or the current one when nothing can match."""
-    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
     if mode not in ("cow", "dv"):
@@ -2939,12 +2973,7 @@ def update_where_expr(
             pre = _scan(
                 spark, table, touched, schema, dvs, mapping
             ).where(cond)
-            post = pre
-            for name, expr in set_exprs.items():
-                new = expr if isinstance(expr, Column) else F.expr(expr)
-                post = post.withColumn(
-                    name, new.cast(post.schema[name].dataType)
-                )
+            post = _apply_set_preimage(pre, None, set_exprs)
             change_rels = _write_change_files(
                 table,
                 pre.withColumn(
@@ -2956,15 +2985,11 @@ def update_where_expr(
                 ),
                 mapping,
             )
-        df = _scan(spark, table, touched, schema, dvs, mapping)
-        for name, expr in set_exprs.items():
-            new = expr if isinstance(expr, Column) else F.expr(expr)
-            new = new.cast(df.schema[name].dataType)
-            # when() treats a NULL predicate as false → NULL rows
-            # keep their old value, same as update_where
-            df = df.withColumn(
-                name, F.when(cond, new).otherwise(F.col(name))
-            )
+        df = _apply_set_preimage(
+            _scan(spark, table, touched, schema, dvs, mapping),
+            cond,
+            set_exprs,
+        )
         try:
             return commit(
                 df,
@@ -3019,7 +3044,6 @@ def update_where(
     positions plus an append of the updated rows, zero file rewrites
     (see :func:`_update_where_dv`; ``max_dv_rows`` is the same
     metadata-honesty guard as :func:`delete_where`'s)."""
-    from pyspark.sql import Column
     from pyspark.sql import functions as F
 
     if mode not in ("cow", "dv"):
@@ -3070,12 +3094,7 @@ def update_where(
             pre = _scan(
                 spark, table, touched, schema, dvs, mapping
             ).where(F.col(col).between(lo, hi))
-            post = pre
-            for name, expr in set_exprs.items():
-                new = expr if isinstance(expr, Column) else F.expr(expr)
-                post = post.withColumn(
-                    name, new.cast(post.schema[name].dataType)
-                )
+            post = _apply_set_preimage(pre, None, set_exprs)
             change_rels = _write_change_files(
                 table,
                 pre.withColumn(
@@ -3089,19 +3108,16 @@ def update_where(
             )
         # between() is NULL for NULL rows; when() treats NULL as
         # false, so NULL rows take the otherwise() branch and keep
-        # their old value — already NULL-safe, unlike delete_where's
-        # pre-fix filter.
-        hit = F.col(col).between(lo, hi)
+        # their old value. Pre-image projection: every SET expression
+        # reads the ORIGINAL columns (one select), so dependent SETs
+        # swap and a predicate on a SET column matches consistently.
         # through the deletion vectors: an UPDATE rewrite must not
         # resurrect rows a DV already deleted from a touched file
-        df = _scan(spark, table, touched, schema, dvs, mapping)
-        for name, expr in set_exprs.items():
-            new = expr if isinstance(expr, Column) else F.expr(expr)
-            # cast back so an expression cannot silently retype the
-            # column (replace enforces schema identity anyway — this
-            # makes the common int-literal-into-double case just work)
-            new = new.cast(df.schema[name].dataType)
-            df = df.withColumn(name, F.when(hit, new).otherwise(F.col(name)))
+        df = _apply_set_preimage(
+            _scan(spark, table, touched, schema, dvs, mapping),
+            F.col(col).between(lo, hi),
+            set_exprs,
+        )
         try:
             return commit(
                 df,
