@@ -293,6 +293,42 @@ def main() -> None:
             }
         )
     )
+    # The full line above has grown past the driver's 2000-char tail
+    # capture (BENCH_r11 recorded parsed=null because the line's head
+    # scrolled out). Persist the per-query dict to a file for humans
+    # and judges, then emit a compact headline — same metric/value, a
+    # line-count instead of the per-query dict — as the FINAL stdout
+    # line so any tail window parses it.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_full.json"),
+            "w",
+        ) as fh:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                },
+                fh,
+                indent=1,
+            )
+    except OSError:
+        pass  # read-only checkout: stdout already has the full line
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
     spark.stop()
 
 

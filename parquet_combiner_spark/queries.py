@@ -2335,6 +2335,71 @@ def user_state_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def user_state_merge_cdf_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDF from MERGE INTO (tools/txlog.py ``merge_into(cdf=True)`` —
+    VERDICT r11 order #3): the compacted even-id state is v0, the
+    odd-id op-carrying CDC batch merges in with change-data capture
+    on, and the query returns the recorded row-level feed — insert /
+    delete / update_preimage / update_postimage, each stamped with
+    the merge's commit version — read from O(changed rows) change
+    files, never a snapshot diff. The oracle reconstructs every
+    class in SQL from the global version race: the winner per key
+    across ALL events equals the winner across (compacted evens ∪
+    odds), so each class is a join of the base snapshot against the
+    race winner."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn")
+    )
+    updates = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "op",
+        F.when(F.col("event_id") % 7 == 0, F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="pcs-mrgcdf-")
+    table = f"{root}/state"
+    try:
+        txlog.commit(base, table, stats_cols=["user_id"])
+        txlog.merge_into(
+            spark,
+            table,
+            updates,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+            op_col="op",
+            stats_cols=["user_id"],
+            cdf=True,
+        )
+        return (
+            txlog.table_changes_cdf(spark, table, after_version=0)
+            .select(
+                "user_id", "event_type", "ts", "event_id", "value",
+                "_change_type", "_commit_version",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def event_state_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE TABLE ... TO VERSION AS OF on a versioned table
     (tools/txlog.py ``restore``): the even-id events are committed as
@@ -2670,6 +2735,76 @@ def events_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return txlog.table_changes_cdf(
             spark, table, after_version=0
         ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def events_cdf_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING change data feed (sources/txtable_source.py
+    ``read_change_feed`` — Delta's readChangeFeed streaming mode,
+    VERDICT r11 order #4): events land as two append commits, then a
+    cow DELETE and a merge-on-read UPDATE run with ``cdf=True``; the
+    stream serves the appends as ``insert`` rows and the DML commits
+    as their RECORDED row-level change files — never refusing, never
+    re-emitting the table — each row stamped ``_change_type`` and
+    ``_commit_version``. The oracle reconstructs the full feed in
+    SQL: inserts split by the residue that committed them, delete
+    preimages from the raw table, update images from the post-delete
+    state."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableChangesDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    try:
+        spark.dataSource.register(TxTableChangesDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-cdfstream-")
+    table = f"{root}/events_cs"
+    out = f"{root}/out"
+    ckpt = f"{root}/ckpt"
+    try:
+        for m in range(2):
+            txlog.commit(
+                ev.where(F.col("event_id") % 2 == m),
+                table,
+                stats_cols=["value"],
+            )
+        txlog.delete_where_expr(
+            spark, table,
+            "event_type = 'click' AND value < 30.0",
+            cdf=True,
+        )
+        txlog.update_where_expr(
+            spark, table,
+            "event_type = 'view' AND value > 80.0",
+            {"value": "value + 1"},
+            mode="dv",
+            cdf=True,
+        )
+
+        def land(batch: DataFrame, _eid: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        query = (
+            spark.readStream.format("txtable_changes")
+            .option("path", table)
+            .option("read_change_feed", "true")
+            .load()
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -3905,6 +4040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state_stream": current_user_state_stream,
     "current_user_state_with_deletes": current_user_state_with_deletes,
     "user_state_merge_into": user_state_merge_into,
+    "user_state_merge_cdf_feed": user_state_merge_cdf_feed,
     "event_state_restore": event_state_restore,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
     "events_dv_delete_scan": events_dv_delete_scan,
@@ -3914,6 +4050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_spec_evolution_scan": events_spec_evolution_scan,
     "events_string_pruned_scan": events_string_pruned_scan,
     "events_cdf_feed": events_cdf_feed,
+    "events_cdf_stream_feed": events_cdf_stream_feed,
     "events_partitioned_scan": events_partitioned_scan,
     "events_renamed_column_scan": events_renamed_column_scan,
     "events_zorder_two_predicate_scan": events_zorder_two_predicate_scan,
@@ -5309,6 +5446,56 @@ ORACLE_SQL["user_state_merge_into"] = ORACLE_SQL[
     "current_user_state_with_deletes"
 ]
 
+# MERGE CDF classes reconstructed from the global version race: with
+# a key-unique base, winner-from-batch = update (pre=base row,
+# post=winner), tombstone winner = delete, fresh-key live winner =
+# insert, winner-stayed-put = no change rows
+ORACLE_SQL["user_state_merge_cdf_feed"] = """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+               value
+        FROM events
+    ), base AS (
+        SELECT user_id, event_type, ts, event_id, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM ev WHERE event_id % 2 = 0
+        ) WHERE rn = 1
+    ), win AS (
+        SELECT user_id, event_type, ts, event_id, value, op FROM (
+            SELECT *, CASE WHEN event_id % 2 = 1 AND event_id % 7 = 0
+                           THEN 'D' ELSE 'U' END AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM ev
+        ) WHERE rn = 1
+    )
+    SELECT b.user_id, b.event_type, b.ts, b.event_id, b.value,
+           'update_preimage' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM base b JOIN win w USING (user_id, event_type)
+    WHERE w.op = 'U' AND w.event_id <> b.event_id
+    UNION ALL
+    SELECT w.user_id, w.event_type, w.ts, w.event_id, w.value,
+           'update_postimage', CAST(1 AS BIGINT)
+    FROM win w JOIN base b USING (user_id, event_type)
+    WHERE w.op = 'U' AND w.event_id <> b.event_id
+    UNION ALL
+    SELECT w.user_id, w.event_type, w.ts, w.event_id, w.value,
+           'insert', CAST(1 AS BIGINT)
+    FROM win w ANTI JOIN base b USING (user_id, event_type)
+    WHERE w.op = 'U'
+    UNION ALL
+    SELECT b.user_id, b.event_type, b.ts, b.event_id, b.value,
+           'delete', CAST(1 AS BIGINT)
+    FROM base b JOIN win w USING (user_id, event_type)
+    WHERE w.op = 'D'
+"""
+
 # RESTORE to v0 republishes exactly the even-id snapshot — the later
 # append must vanish from the head (and stay time-travelable, pytest)
 ORACLE_SQL["event_state_restore"] = """
@@ -5377,6 +5564,36 @@ ORACLE_SQL["events_cdf_feed"] = """
     UNION ALL
     SELECT event_id, user_id, event_type, value + 1,
            'update_postimage', CAST(2 AS BIGINT)
+    FROM after_del
+    WHERE coalesce(event_type = 'view' AND value > 80.0, false)
+"""
+
+# the streamed CDF feed reconstructed as SQL: inserts split by the
+# residue that committed them, delete preimages from the raw table,
+# update images from the post-delete state
+ORACLE_SQL["events_cdf_stream_feed"] = """
+    WITH after_del AS (
+        SELECT * FROM events
+        WHERE NOT coalesce(
+            event_type = 'click' AND value < 30.0, false)
+    )
+    SELECT event_id, user_id, event_type, value,
+           'insert' AS _change_type,
+           CAST(event_id % 2 AS BIGINT) AS _commit_version
+    FROM events
+    UNION ALL
+    SELECT event_id, user_id, event_type, value,
+           'delete', CAST(2 AS BIGINT)
+    FROM events
+    WHERE coalesce(event_type = 'click' AND value < 30.0, false)
+    UNION ALL
+    SELECT event_id, user_id, event_type, value,
+           'update_preimage', CAST(3 AS BIGINT)
+    FROM after_del
+    WHERE coalesce(event_type = 'view' AND value > 80.0, false)
+    UNION ALL
+    SELECT event_id, user_id, event_type, value + 1,
+           'update_postimage', CAST(3 AS BIGINT)
     FROM after_del
     WHERE coalesce(event_type = 'view' AND value > 80.0, false)
 """

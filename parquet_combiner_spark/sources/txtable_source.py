@@ -491,6 +491,13 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
       added files are re-emitted whole and downstream must be
       idempotent per key — exactly Delta's ``ignoreChanges``
       semantics (a compaction's rewritten rows reappear);
+    * ``read_change_feed`` (Delta's ``readChangeFeed`` streaming
+      mode): the schema gains ``_change_type``, appends stream as
+      ``insert`` rows, and DML commits stream their RECORDED change
+      files — the O(changed rows) row-level delta written by
+      ``cdf=True`` verbs — instead of refusing or re-emitting the
+      table; a data-changing commit with no recorded change data
+      still refuses (Delta's "change data was not recorded");
     * scale: the driver touches only the log (O(commits) JSON); file
       reads happen on executors, one task per added file.
     """
@@ -498,12 +505,14 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
     def __init__(
         self, schema: StructType, table: str, from_version: int,
         ignore_changes: bool, max_versions_per_trigger: int | None = None,
+        read_change_feed: bool = False,
     ) -> None:
         self._schema = schema
         self._table = table
         self._from = from_version
         self._ignore_changes = ignore_changes
         self._max_per_trigger = max_versions_per_trigger
+        self._read_change_feed = read_change_feed
         # Rate-limit position. None = "this reader instance has not
         # yet learned where the query is" — on a checkpointed RESTART
         # Spark never calls initialOffset, so until partitions() hands
@@ -610,6 +619,65 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                     # a constraint edit would be a correctness bug
                     # under ignore_changes, not just a cost)
                     continue
+            from parquet_combiner_spark.tools.txlog import (
+                _partition_values,
+            )
+
+            cmap = tuple(sorted(rec.get("column_mapping", {}).items()))
+            if self._read_change_feed:
+                if (
+                    rewrites
+                    and v == 0
+                    and rec["action"] == "overwrite"
+                    and not rec.get("remove")
+                    and not rec.get("dv")
+                ):
+                    # table-creation overwrite: nothing precedes it,
+                    # so its rows ARE the delta (Delta serves the
+                    # initial version as inserts under readChangeFeed)
+                    rewrites = False
+                if rewrites:
+                    if rec.get("change_files") is None:
+                        raise ValueError(
+                            f"version {v} of {self._table} is a "
+                            f"{rec['action']} with no recorded change "
+                            "data; a read_change_feed stream needs "
+                            "the table's DML run with cdf=True "
+                            "(Delta's 'change data was not recorded' "
+                            "rule)"
+                        )
+                    # serve the commit's recorded row-level delta —
+                    # the change files carry their own _change_type
+                    # column; an empty list is a zero-delta commit
+                    parts.extend(
+                        _ChangeFilePartition(
+                            os.path.join(self._table, rel),
+                            v,
+                            (),  # changes/ dirs carry no hive values
+                            cmap,
+                        )
+                        for rel in rec["change_files"]
+                    )
+                    continue
+                # plain append: added rows are the delta, stamped
+                # insert via the constant-injection path
+                parts.extend(
+                    _ChangeFilePartition(
+                        os.path.join(self._table, rel),
+                        v,
+                        tuple(
+                            sorted(
+                                {
+                                    **_partition_values(rel),
+                                    "_change_type": "insert",
+                                }.items()
+                            )
+                        ),
+                        cmap,
+                    )
+                    for rel in rec["add"]
+                )
+                continue
             if rewrites and not self._ignore_changes:
                 raise ValueError(
                     f"version {v} of {self._table} is a "
@@ -619,20 +687,15 @@ class TxTableChangesStreamReader(DataSourceStreamReader):
                     ".option('ignore_changes', 'true') (rewritten "
                     "rows are then re-emitted and DV deletes are NOT "
                     "propagated — downstream must be idempotent per "
-                    "key)"
+                    "key) or .option('read_change_feed', 'true') on "
+                    "a table whose DML runs with cdf=True"
                 )
-            from parquet_combiner_spark.tools.txlog import (
-                _partition_values,
-            )
-
             parts.extend(
                 _ChangeFilePartition(
                     os.path.join(self._table, rel),
                     v,
                     tuple(sorted(_partition_values(rel).items())),
-                    tuple(
-                        sorted(rec.get("column_mapping", {}).items())
-                    ),
+                    cmap,
                 )
                 for rel in rec["add"]
             )
@@ -673,8 +736,10 @@ class TxTableChangesDataSource(DataSource):
     .option("path", t).load()``). Options: ``path``; ``from_version``
     (last already-consumed version, default -1 = everything);
     ``ignore_changes`` ('true' to accept replace/overwrite commits,
-    re-emitting their rewritten files). Output schema = the table's
-    schema + ``_commit_version bigint``. Pair with
+    re-emitting their rewritten files); ``read_change_feed`` ('true'
+    for Delta's readChangeFeed mode — adds ``_change_type string``,
+    serves cdf=True DML commits' recorded row-level deltas). Output
+    schema = the table's schema + ``_commit_version bigint``. Pair with
     ``streaming/txlog_sink.py`` keyed on (query_id, epoch) for an
     exactly-once versioned-table → versioned-table pipeline."""
 
@@ -691,10 +756,19 @@ class TxTableChangesDataSource(DataSource):
             )
         return path
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("read_change_feed", "false")).lower()
+            == "true"
+        )
+
     def schema(self) -> str:
         from parquet_combiner_spark.tools import txlog
 
         _, ddl = txlog._snapshot_files(self._table(), None)
+        if self._cdf():
+            # Delta's readChangeFeed schema: every row classed
+            return f"{ddl}, _change_type string, _commit_version bigint"
         return f"{ddl}, _commit_version bigint"
 
     def streamReader(self, schema: StructType) -> TxTableChangesStreamReader:
@@ -706,4 +780,5 @@ class TxTableChangesDataSource(DataSource):
             str(self.options.get("ignore_changes", "false")).lower()
             == "true",
             int(mvpt) if mvpt is not None else None,
+            read_change_feed=self._cdf(),
         )

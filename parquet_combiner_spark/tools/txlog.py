@@ -1094,10 +1094,13 @@ def commit(
         record["remove"] = sorted(remove)
     if not data_change:
         record["data_change"] = False
-    if change_files:
+    if change_files is not None:
         # CDF: already-written change-data files (rows+_change_type)
         # ride the record so table_changes_cdf serves row-level
-        # deltas without snapshot diffs (and vacuum keeps them alive)
+        # deltas without snapshot diffs (and vacuum keeps them alive).
+        # An explicit EMPTY list is recorded too: it means "this DML
+        # ran with cdf=True and changed zero rows" — a zero-delta
+        # commit the feed rides through, not missing change data.
         record["change_files"] = sorted(change_files)
     if dv_entries:
         record["dv"] = _encode_dv_entries(
@@ -2386,7 +2389,7 @@ def _delete_where_dv(
         "dv": _encode_dv_entries(table, dv_entries),
         "sizes": {},
     }
-    if change_rels:
+    if change_rels is not None:
         record["change_files"] = sorted(change_rels)
     if last.get("constraints"):
         record["constraints"] = last["constraints"]
@@ -2625,7 +2628,12 @@ def table_changes_cdf(
                 )
             )
             continue
-        if rec.get("change_files"):
+        if rec.get("change_files") is not None:
+            if not rec["change_files"]:
+                # explicit empty list: DML ran with cdf=True but
+                # changed zero rows (zone-map touch, no matches) —
+                # a zero-delta commit, not missing change data
+                continue
             struct = spark.createDataFrame([], rec["schema"]).schema
             phys_ddl = ", ".join(
                 f"{mapping.get(f.name, f.name)} "
@@ -3143,6 +3151,105 @@ def update_where(
     raise AssertionError("unreachable")
 
 
+def _merge_change_frame(
+    base_df: DataFrame,
+    merged: DataFrame,
+    keys: Sequence[str],
+    version_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level CHANGE classification for a MERGE commit (Delta's
+    CDF classes): diff the merge's INPUT state against its OUTPUT —
+    both already restricted to the zone-map-touched files plus the
+    batch, so the diff is O(merge scope), never a snapshot diff.
+
+    Exact replay invariant: ``base − deletes − update_preimages +
+    update_postimages + inserts == merged`` as multisets. Rows that
+    LEAVE the state (present in base, absent verbatim from the
+    output) pair with the arriving winner of their key as
+    update_preimage/update_postimage; a key whose winner vanished
+    (tombstone) or whose extra duplicate rows leave while the winner
+    stays put yields plain deletes; a winner on a key with no
+    preimage is an insert. On the key-unique base every state table
+    maintains (merge's own output is one row per key), this reduces
+    to exactly Delta MERGE's insert/delete/update classes."""
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = list(base_df.columns)
+    # merged derives from base_df, so every cross-reference below is
+    # a self-join; renaming one side through alias projections mints
+    # fresh attribute ids and sidesteps ambiguous-self-join analysis
+    old = base_df.select(*[F.col(c).alias(f"__old_{c}") for c in cols])
+
+    def row_eq(a: DataFrame) -> object:
+        return reduce(
+            and_, [a[c].eqNullSafe(old[f"__old_{c}"]) for c in cols]
+        )
+
+    def key_eq(a: DataFrame, b: DataFrame, b_pfx: str = "") -> object:
+        return reduce(
+            and_,
+            [a[k].eqNullSafe(b[f"{b_pfx}{k}"]) for k in keys],
+        )
+
+    # arriving = winners not present verbatim in the input state
+    arr = merged.join(old, row_eq(merged), "left_anti")
+    # leaving = input rows not present verbatim in the output
+    lv = old.join(
+        merged,
+        reduce(
+            and_,
+            [old[f"__old_{c}"].eqNullSafe(merged[c]) for c in cols],
+        ),
+        "left_anti",
+    )
+    # arriving rows split: key had a preimage → update_postimage,
+    # fresh key → insert
+    old_keys = old.select(*[f"__old_{k}" for k in keys]).distinct()
+    post = arr.join(old_keys, key_eq(arr, old_keys, "__old_"), "left_semi")
+    ins = arr.join(old_keys, key_eq(arr, old_keys, "__old_"), "left_anti")
+    # leaving rows split: keys with an arriving winner pair their
+    # LATEST-versioned row as the preimage (extra duplicate-key rows
+    # are deletes); keys with no arriving winner are deletes
+    arr_keys = arr.select(*keys).distinct()
+    lv_on = reduce(
+        and_,
+        [lv[f"__old_{k}"].eqNullSafe(arr_keys[k]) for k in keys],
+    )
+    lv_upd = lv.join(arr_keys, lv_on, "left_semi")
+    lv_del = lv.join(arr_keys, lv_on, "left_anti")
+    rn = F.row_number().over(
+        Window.partitionBy(*[f"__old_{k}" for k in keys]).orderBy(
+            *[
+                F.col(f"__old_{c}").desc_nulls_last()
+                for c in version_cols
+            ]
+        )
+    )
+    lv_upd = lv_upd.withColumn("__rn", rn)
+    pre = lv_upd.where(F.col("__rn") == 1)
+    dup_del = lv_upd.where(F.col("__rn") > 1)
+
+    def tag_old(df: DataFrame, t: str) -> DataFrame:
+        return df.select(
+            *[F.col(f"__old_{c}").alias(c) for c in cols]
+        ).withColumn("_change_type", F.lit(t))
+
+    def tag_new(df: DataFrame, t: str) -> DataFrame:
+        return df.select(*cols).withColumn("_change_type", F.lit(t))
+
+    return (
+        tag_old(pre, "update_preimage")
+        .unionByName(tag_new(post, "update_postimage"))
+        .unionByName(tag_new(ins, "insert"))
+        .unionByName(tag_old(lv_del, "delete"))
+        .unionByName(tag_old(dup_del, "delete"))
+    )
+
+
 def merge_into(
     spark: SparkSession,
     table: str,
@@ -3154,6 +3261,7 @@ def merge_into(
     prune_col: str | None = None,
     max_retries: int = 3,
     stats_cols: Sequence[str] | None = None,
+    cdf: bool = False,
 ) -> int:
     """Table-level MERGE INTO — Delta's last DML verb, composed from
     the pieces this module and ``operators/merge.py`` already own:
@@ -3184,6 +3292,14 @@ def merge_into(
     overlap). Replaying the SAME batch is a no-op by the kernel's
     replay-idempotence (version ties go to the update, which equals
     the already-applied row).
+
+    ``cdf=True`` records row-level change files (Delta's CDF on
+    MERGE): :func:`_merge_change_frame` diffs the merge's input
+    against its output — O(touched files + batch), never a snapshot
+    diff — into insert / delete / update_preimage /
+    update_postimage rows served by :func:`table_changes_cdf`, so
+    the most common CDC driver feeds downstream consumers without
+    full-table rescans.
     """
     if prune_col is None:
         prune_col = keys[0]
@@ -3237,6 +3353,15 @@ def merge_into(
             op_col=op_col,
             delete_op=delete_op,
         )
+        change_rels = None
+        if cdf:
+            # row-level diff of the merge's input vs output, both
+            # bounded to the touched files + batch (O(merge scope))
+            change_rels = _write_change_files(
+                table,
+                _merge_change_frame(base_df, merged, keys, version_cols),
+                mapping,
+            )
         try:
             return commit(
                 merged,
@@ -3254,6 +3379,7 @@ def merge_into(
                 },
                 expected_version=base,
                 stats_cols=stats_cols,
+                change_files=change_rels,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
@@ -3294,7 +3420,17 @@ def _is_metadata_only_republish(table: str, rec: dict) -> bool:
         rel: _decode_dv_entry(table, val)
         for rel, val in rec.get("dv", {}).items()
     }
-    return rec_dvs == {rel: pos for rel, pos in dvs.items() if pos}
+    # compare only over the record's own file list: _snapshot can
+    # retain a stale dv entry for a file a replace later removed,
+    # while _republish_head filters kept_dvs to current rels — the
+    # stale entry must not make a genuine ALTER classify False (which
+    # would needlessly kill every incremental consumer of the table)
+    prev_set = set(prev_rels)
+    return rec_dvs == {
+        rel: pos
+        for rel, pos in dvs.items()
+        if pos and rel in prev_set
+    }
 
 
 def read_appends(
@@ -4379,6 +4515,15 @@ def main(argv: list[str] | None = None) -> int:
         help="with --delete-where*/--update-where-sql: record change "
         "files so --changes-since can serve row-level deltas",
     )
+    ap.add_argument(
+        "--limit",
+        type=int,
+        default=10_000,
+        metavar="N",
+        help="max rows --changes-since prints (0 = unbounded); the "
+        "feed streams through toLocalIterator either way, so the "
+        "driver never holds the whole delta",
+    )
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--min-age", type=float, default=3600.0)
     ap.add_argument("--dry-run", action="store_true")
@@ -4537,9 +4682,22 @@ def main(argv: list[str] | None = None) -> int:
             get_spark(app_name="txlog-cdf"),
             args.table,
             args.changes_since,
-        )
-        for row in feed.orderBy("_commit_version", "_change_type").collect():
+        ).orderBy("_commit_version", "_change_type")
+        if args.limit:
+            feed = feed.limit(args.limit)
+        # toLocalIterator: one partition in driver memory at a time —
+        # a feed over a wide version range must never OOM the driver
+        printed = 0
+        for row in feed.toLocalIterator():
             print(_json.dumps(row.asDict(), default=str))
+            printed += 1
+        if args.limit and printed == args.limit:
+            import sys as _sys
+
+            print(
+                f"# output truncated at --limit {args.limit}",
+                file=_sys.stderr,
+            )
     if args.set_partition_spec is not None:
         spec = [
             c.strip()

@@ -171,3 +171,165 @@ def test_cdf_change_files_survive_vacuum_until_expiry(spark, tmp_path):
     gone = txlog.vacuum(table, min_age_seconds=0)
     assert ch in gone
     assert not os.path.exists(os.path.join(table, ch))
+
+
+def test_cdf_zero_row_dml_records_empty_delta(spark, tmp_path):
+    """A cow DML run with cdf=True that zone-map-touches files but
+    matches ZERO rows must still record its (empty) change data —
+    the feed treats it as a zero-delta commit, not as missing change
+    data (which would poison every later table_changes_cdf over the
+    range even though the table always ran DML with cdf=True)."""
+    t = str(tmp_path / "t")
+    _base(spark, t)
+    v = txlog.update_where_expr(
+        spark, t, "k = 5 AND v = 'nope'", {"v": "'never'"}, cdf=True
+    )
+    assert v == 1  # cow rewrite committed (byte-equal copy)
+    rec = txlog._last_commit(t)
+    assert rec["action"] == "replace"
+    assert "change_files" in rec  # possibly [] — but RECORDED
+    txlog.delete_where_expr(spark, t, "k >= 18", cdf=True)
+    feed = _feed(spark, t)
+    # zero rows from the no-op update, two deletes from the delete
+    assert [x for x in feed if x[3] == 1] == []
+    assert [(x[0], x[2]) for x in feed if x[3] == 2] == [
+        (18, "delete"),
+        (19, "delete"),
+    ]
+
+
+def test_republish_classifier_ignores_stale_dv_entries(spark, tmp_path):
+    """_is_metadata_only_republish must compare deletion vectors only
+    over the record's own file list: the snapshot can retain a stale
+    dv entry for a file a later replace removed, while
+    _republish_head filters kept_dvs to current rels — the ALTER
+    must still classify metadata-only so incremental readers ride
+    through it."""
+    t = str(tmp_path / "t")
+    _base(spark, t)  # v0: one file
+    # v1: DV-delete two rows (dv entry on file A)
+    txlog.delete_where(spark, t, "k", 0, 1, mode="dv")
+    # v2: cow rewrite removes file A (its dv entry may linger in
+    # stale snapshot paths) and adds file B
+    txlog.delete_where(spark, t, "k", 2, 3, mode="cow")
+    # v3: ALTER-shaped republish (constraint add)
+    txlog.add_constraint(spark, t, "k_nonneg", "k >= 0")
+    rec = txlog._last_commit(t)
+    assert txlog._is_metadata_only_republish(t, rec)
+    # incremental consumer rides through the ALTER
+    got = txlog.read_appends(spark, t, after_version=2)
+    assert got.count() == 0
+
+
+def _apply_feed(spark, base_rows, feed_df, key_cols, all_cols):
+    """Replay a CDF feed onto a base snapshot: drop delete /
+    update_preimage rows, add insert / update_postimage rows."""
+    drop = {
+        tuple(r[c] for c in all_cols)
+        for r in feed_df.where(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).collect()
+    }
+    add = [
+        tuple(r[c] for c in all_cols)
+        for r in feed_df.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).collect()
+    ]
+    kept = [t for t in base_rows if t not in drop]
+    return sorted(kept + add)
+
+
+def test_merge_into_cdf_classes_and_replay(spark, tmp_path):
+    """merge_into(cdf=True): the recorded feed carries Delta's four
+    classes, and replaying it onto the base snapshot reconstructs
+    the committed end state exactly — the CDC chain is replayable
+    from change files alone, no snapshot diff."""
+    t = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [Row(k=1, v="a", ver=1), Row(k=2, v="b", ver=1),
+         Row(k=3, v="c", ver=1)],
+        "k int, v string, ver int",
+    ).coalesce(1)
+    txlog.commit(base, t, stats_cols=["k"])
+    upd = spark.createDataFrame(
+        [Row(k=1, v="a2", ver=2, op="U"),   # newer: update
+         Row(k=2, v="stale", ver=0, op="U"),  # older: loses, no change
+         Row(k=3, v=None, ver=2, op="D"),   # tombstone: delete
+         Row(k=4, v="d", ver=1, op="U")],   # fresh key: insert
+        "k int, v string, ver int, op string",
+    )
+    txlog.merge_into(
+        spark, t, upd, keys=["k"], version_cols=["ver"],
+        op_col="op", cdf=True,
+    )
+    feed = txlog.table_changes_cdf(spark, t, after_version=0)
+    got = sorted(
+        (r.k, r.v, r.ver, r._change_type) for r in feed.collect()
+    )
+    assert got == [
+        (1, "a", 1, "update_preimage"),
+        (1, "a2", 2, "update_postimage"),
+        (3, "c", 1, "delete"),
+        (4, "d", 1, "insert"),
+    ]
+    cols = ["k", "v", "ver"]
+    replayed = _apply_feed(
+        spark,
+        [tuple(r[c] for c in cols) for r in base.collect()],
+        feed,
+        ["k"],
+        cols,
+    )
+    now = sorted(
+        tuple(r[c] for c in cols)
+        for r in txlog.read_table(spark, t).collect()
+    )
+    assert replayed == now == [(1, "a2", 2), (2, "b", 1), (4, "d", 1)]
+
+
+def test_merge_into_cdf_duplicate_key_base_still_replays(
+    spark, tmp_path
+):
+    """A base with duplicate keys (not the state invariant, but
+    reachable) still yields a feed whose replay reconstructs the end
+    state: the latest-versioned leaving row is the update_preimage,
+    the extra duplicates are plain deletes."""
+    t = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [Row(k=1, v="old1", ver=1), Row(k=1, v="old2", ver=2),
+         Row(k=2, v="b", ver=1)],
+        "k int, v string, ver int",
+    ).coalesce(1)
+    txlog.commit(base, t, stats_cols=["k"])
+    upd = spark.createDataFrame(
+        [Row(k=1, v="new", ver=5, op="U")],
+        "k int, v string, ver int, op string",
+    )
+    txlog.merge_into(
+        spark, t, upd, keys=["k"], version_cols=["ver"],
+        op_col="op", cdf=True,
+    )
+    feed = txlog.table_changes_cdf(spark, t, after_version=0)
+    got = sorted(
+        (r.k, r.v, r.ver, r._change_type) for r in feed.collect()
+    )
+    # latest duplicate (ver=2) is the preimage; ver=1 dupe deletes
+    assert got == [
+        (1, "new", 5, "update_postimage"),
+        (1, "old1", 1, "delete"),
+        (1, "old2", 2, "update_preimage"),
+    ]
+    cols = ["k", "v", "ver"]
+    replayed = _apply_feed(
+        spark,
+        [tuple(r[c] for c in cols) for r in base.collect()],
+        feed,
+        ["k"],
+        cols,
+    )
+    now = sorted(
+        tuple(r[c] for c in cols)
+        for r in txlog.read_table(spark, t).collect()
+    )
+    assert replayed == now == [(1, "new", 5), (2, "b", 1)]

@@ -136,3 +136,49 @@ def test_commit_round_trip_under_conditional_put(spark, tmp_path):
         assert store.conditional_puts == 3
     finally:
         txlog.set_arbiter(prev)
+
+
+def test_lease_expiry_never_loses_a_published_commit(tmp_path):
+    """The ADVICE r11 scenario: writer A claims the key then STALLS
+    past its TTL (GC pause); writer B recovers. A's already-staged
+    commit must be the one published — and A's late, unconditional
+    PUT must rewrite identical bytes, never replace a competing
+    writer's record. B loses with CommitConflict."""
+    store = MockObjectStore()
+    locks = LeaseLockService()
+    key = str(tmp_path / "00000005.json")
+    a = LockLeaseArbiter(store, locks, ttl=0.05)
+    b = LockLeaseArbiter(store, locks, ttl=0.05)
+    # A runs steps 1-2 (stage + claim) then stalls
+    a_tmp = f"{key}.staged-{a._owner}"
+    store.put(a_tmp, "payload-A")
+    assert locks.claim(key, a._owner, a_tmp, a.ttl) == ("won", None)
+    time.sleep(0.08)  # A's lease lapses mid-publish
+    # B arrives: must RECOVER A's commit, not publish its own
+    with pytest.raises(txlog.CommitConflict, match="recovered"):
+        b.publish(key, "payload-B")
+    assert open(key).read() == "payload-A"
+    # A wakes up and finishes: same bytes, reported as SUCCESS
+    # (its commit DID win — a conflict would make its caller retry
+    # and double-apply)
+    a._finish(key, "payload-A")
+    assert open(key).read() == "payload-A"
+    # the version is settled: any later writer conflicts
+    c = LockLeaseArbiter(store, locks, ttl=10.0)
+    with pytest.raises(txlog.CommitConflict, match="complete"):
+        c.publish(key, "payload-C")
+
+
+def test_lease_takeover_when_staged_payload_vanished(tmp_path):
+    """If the expired claimant's staged payload is gone (vacuumed),
+    the key must not livelock: the next writer CAS-steals the claim
+    and publishes its own commit."""
+    store = MockObjectStore()
+    locks = LeaseLockService()
+    key = str(tmp_path / "00000006.json")
+    ghost_tmp = f"{key}.staged-ghost"
+    assert locks.claim(key, "ghost", ghost_tmp, 0.01) == ("won", None)
+    time.sleep(0.03)
+    b = LockLeaseArbiter(store, locks, ttl=10.0)
+    b.publish(key, "payload-B")  # steals, publishes, succeeds
+    assert open(key).read() == "payload-B"

@@ -1587,3 +1587,104 @@ def test_txtable_changes_stream_rides_through_compaction(spark, tmp_path):
     batches.clear()
     drain()  # no refusal, no re-emission of compacted rows
     assert batches == [[77]]
+
+
+def test_txtable_changes_read_change_feed_mode(spark, tmp_path):
+    """Delta's readChangeFeed streaming mode (VERDICT r11 order #4):
+    with read_change_feed, appends stream as ``insert`` rows, a
+    cdf=True cow DELETE and dv UPDATE flow through as their RECORDED
+    row-level change files (delete / update_preimage /
+    update_postimage, stamped with the committing version), and a
+    data-changing commit with NO recorded change data still refuses.
+    Replaying the feed reconstructs the table's end state exactly."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableChangesDataSource,
+    )
+    from parquet_combiner_spark.tools import txlog
+
+    try:
+        spark.dataSource.register(TxTableChangesDataSource)
+    except Exception:
+        pass
+    table = str(tmp_path / "cdf_src")
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, v=float(i)) for i in range(10)], "k int, v double"
+        ).coalesce(1),
+        table,
+        stats_cols=["k"],
+    )
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, v=float(i)) for i in range(10, 20)],
+            "k int, v double",
+        ).coalesce(1),
+        table,
+        stats_cols=["k"],
+    )
+    txlog.delete_where_expr(spark, table, "k < 3", cdf=True)
+    txlog.update_where_expr(
+        spark, table, "k >= 18", {"v": "v + 100"}, mode="dv", cdf=True
+    )
+
+    rows: list = []
+
+    def sink(df, _eid):
+        rows.extend(
+            (r.k, r.v, r._change_type, r._commit_version)
+            for r in df.collect()
+        )
+
+    q = (
+        spark.readStream.format("txtable_changes")
+        .option("path", table)
+        .option("read_change_feed", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r[2], []).append(r)
+    assert len(by_type["insert"]) == 20
+    assert sorted(x[0] for x in by_type["delete"]) == [0, 1, 2]
+    assert all(x[3] == 2 for x in by_type["delete"])
+    assert sorted(x[0] for x in by_type["update_preimage"]) == [18, 19]
+    assert sorted((x[0], x[1]) for x in by_type["update_postimage"]) == [
+        (18, 118.0),
+        (19, 119.0),
+    ]
+    # feed replay == committed end state
+    ins = {(x[0], x[1]) for x in by_type["insert"]}
+    dead = {
+        (x[0], x[1])
+        for t in ("delete", "update_preimage")
+        for x in by_type[t]
+    }
+    state = sorted(
+        (ins - dead) | {(x[0], x[1]) for x in by_type["update_postimage"]}
+    )
+    now = sorted(
+        (r.k, r.v) for r in txlog.read_table(spark, table).collect()
+    )
+    assert state == now
+
+    # non-CDF DML (no recorded change data) refuses in CDF mode too
+    txlog.delete_where_expr(spark, table, "k = 5")  # no cdf=True
+    q2 = (
+        spark.readStream.format("txtable_changes")
+        .option("path", table)
+        .option("read_change_feed", "true")
+        .load()
+        .writeStream.foreachBatch(lambda d, e: None)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="no recorded change data"):
+        q2.awaitTermination()

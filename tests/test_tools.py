@@ -2791,3 +2791,36 @@ def test_data_change_false_maintenance_rides_through(spark, tmp_path):
     txlog.delete_where(spark, table, "k", 99, 99)
     with pytest.raises(ValueError, match="replace"):
         txlog.read_appends(spark, table, after_version=base)
+
+
+def test_cli_changes_since_bounded_drain(spark, tmp_path, capsys):
+    """--changes-since streams the feed through toLocalIterator and
+    bounds output with --limit (default 10k) — a feed over a wide
+    version range must never collect() into driver memory."""
+    import json
+
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "tbl")
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, v=f"v{i}") for i in range(8)], "k int, v string"
+        ).coalesce(1),
+        table,
+        stats_cols=["k"],
+    )
+    txlog.delete_where_expr(spark, table, "k < 4", cdf=True)
+    assert txlog.main([table, "--changes-since", "0"]) == 0
+    out = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [r["k"] for r in out] == [0, 1, 2, 3]
+    assert all(r["_change_type"] == "delete" for r in out)
+    # --limit truncates
+    assert txlog.main([table, "--changes-since", "0", "--limit", "2"]) == 0
+    cap = capsys.readouterr()
+    assert len(cap.out.strip().splitlines()) == 2
+    assert "truncated" in cap.err
