@@ -925,6 +925,10 @@ def commit(
     (``col=value/`` directories — what a 100 TB events table does
     with its date column): reads prune whole partitions from the
     PATHS before zone maps even load (:func:`read_table_partitioned`,
+    entries may also be Iceberg-style transforms —
+    ``bucket(N, col)`` / ``truncate(W, col)`` / ``days(col)``, see
+    :func:`_parse_partition_field` — whose derived values ride the
+    path while the source column stays in the data files,
     and path-derived zone maps make :func:`read_table_pruned` on a
     numeric partition column automatic). The spec is TABLE METADATA
     (recorded on every commit, like constraints): appends and
@@ -1164,9 +1168,27 @@ def commit(
     commit_id = uuid.uuid4().hex
     rel_dir = os.path.join("data", commit_id)
     out_dir = os.path.join(table, rel_dir)
-    writer = write_df.write.mode("error")
     if spec:
-        writer = writer.partitionBy(*[cmap.get(c, c) for c in spec])
+        from pyspark.sql import functions as F
+
+        part_cols = []
+        for kind, param, src, derived in spec_fields:
+            phys = cmap.get(src, src)
+            if kind == "identity":
+                part_cols.append(phys)
+                continue
+            # transform partitioning (Iceberg-style): the DERIVED
+            # value rides the path only; the source column stays IN
+            # the data file (identity is the only spec shape that
+            # moves a column out of the files)
+            write_df = write_df.withColumn(
+                derived,
+                _transform_expr(kind, param, phys, df.schema[src].dataType),
+            )
+            part_cols.append(derived)
+        writer = write_df.write.mode("error").partitionBy(*part_cols)
+    else:
+        writer = write_df.write.mode("error")
     writer.parquet(out_dir)
     if obs is not None:
         bad = {k: int(v) for k, v in obs.get.items() if v}
@@ -2125,10 +2147,29 @@ def read_table_partitioned(
         drop = False
         for c, v in equal.items():
             p = mapping.get(c, c)
-            if p not in pv:
-                continue  # unpartitioned file: row filter decides
-            if _part_value_match(pv[p], v) is False:
-                drop = True
+            if p in pv:
+                if _part_value_match(pv[p], v) is False:
+                    drop = True
+                    break
+                continue
+            # TRANSFORM-era files: probe derived segments
+            # (col_bucketN / col_truncW / col_day) — the parameter is
+            # read from the segment NAME, so each file answers with
+            # its own era's arithmetic even after the spec evolved
+            # (bucket(8) → bucket(16) mints a new segment name).
+            # An uncomputable transform keeps the file (row filter
+            # decides), never a wrong skip.
+            for seg, raw in pv.items():
+                probe = _derived_probe(seg, p)
+                if probe is None:
+                    continue
+                want = _transform_value(probe[0], probe[1], v)
+                if want is not None and _part_value_match(
+                    raw, want
+                ) is False:
+                    drop = True
+                    break
+            if drop:
                 break
         if not drop:
             kept.append(f)
@@ -4348,21 +4389,49 @@ def set_partition_spec(
     :func:`read_table_partitioned` prunes from each file's own path
     segments, conservatively keeping files from eras that don't
     encode the column. Pass ``spec=[]`` to revert to flat. Returns
-    the commit version the new spec lands in."""
+    the commit version the new spec lands in.
+
+    Spec entries are identity column names OR Iceberg-style PARTITION
+    TRANSFORMS (see :func:`_parse_partition_field`):
+    ``"bucket(N, col)"`` (high-cardinality columns — N directories,
+    not one per distinct value), ``"truncate(W, col)"`` (string
+    prefix / numeric floor-to-multiple), ``"days(col)"``
+    (timestamp → ``yyyy-MM-dd``). Transform source columns STAY in
+    the data files (only the derived value rides the path), so reads,
+    zone maps, and DML on the source work unchanged across eras; the
+    derived directory name embeds the parameter
+    (``user_id_bucket8``), so re-bucketing mints a new segment name
+    and cross-era prunes stay conservative instead of wrong."""
     spec = list(spec or [])
     for attempt in range(max(1, max_retries)):
         head = _last_commit(table)
         if head is None:
             raise FileNotFoundError(f"{table} has no transaction log")
         lower = {n.lower() for n, _ in _split_ddl(head["schema"])}
-        unknown = [c for c in spec if c.lower() not in lower]
+        fields = [_parse_partition_field(e) for e in spec]
+        unknown = [
+            src for _, _, src, _ in fields if src.lower() not in lower
+        ]
         if unknown:
             raise ValueError(
                 f"partition spec columns {unknown} not in {table}'s "
                 "schema"
             )
-        if len({c.lower() for c in spec}) != len(spec):
+        derived = [d for _, _, _, d in fields]
+        if len({d.lower() for d in derived}) != len(derived):
             raise ValueError(f"duplicate columns in spec {spec}")
+        collide = [
+            d
+            for kind, _, _, d in fields
+            if kind != "identity" and d.lower() in lower
+        ]
+        if collide:
+            # a data column named like a derived segment would make
+            # path parsing ambiguous — refuse loudly
+            raise ValueError(
+                f"derived partition names {collide} collide with "
+                f"{table}'s schema columns"
+            )
         if list(head.get("partition_by", [])) == spec:
             return head["version"]  # no-op: spec already active
         try:
@@ -4606,8 +4675,13 @@ def rename_column(
         if new.lower() in lower:
             raise ValueError(f"column {new!r} already exists in {table}")
         # case-insensitive, matching the schema lookup above — a
-        # case-variant name must not bypass the guard (ADVICE r10)
-        if old.lower() in {c.lower() for c in head.get("partition_by", [])}:
+        # case-variant name must not bypass the guard (ADVICE r10).
+        # Transform SOURCES count too: bucket(8, user_id) bakes
+        # user_id into the derived segment name.
+        if old.lower() in {
+            _parse_partition_field(c)[2].lower()
+            for c in head.get("partition_by", [])
+        }:
             raise ValueError(
                 f"{old!r} is a partition column of {table}: its name "
                 "is baked into the col=value directory layout — "
@@ -4673,7 +4747,10 @@ def drop_column(table: str, name: str, max_retries: int = 3) -> int:
             raise ValueError(f"no column {name!r} in {table}")
         if len(fields) == 1:
             raise ValueError(f"cannot drop the only column of {table}")
-        if name.lower() in {c.lower() for c in head.get("partition_by", [])}:
+        if name.lower() in {
+            _parse_partition_field(c)[2].lower()
+            for c in head.get("partition_by", [])
+        }:
             raise ValueError(
                 f"{name!r} is a partition column of {table}; relayout "
                 "via action='overwrite' instead"
@@ -4845,9 +4922,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--set-partition-spec",
         metavar="COLS",
-        help="partition spec EVOLUTION: comma-separated columns (or "
-        "'' for flat) applied to FUTURE writes only — one metadata "
-        "commit, existing files untouched and still readable",
+        help="partition spec EVOLUTION: comma-separated columns or "
+        "transforms — 'bucket(N, col)', 'truncate(W, col)', "
+        "'days(col)' — (or '' for flat) applied to FUTURE writes "
+        "only: one metadata commit, existing files untouched and "
+        "still readable",
     )
     ap.add_argument(
         "--changes-since",
@@ -5046,11 +5125,22 @@ def main(argv: list[str] | None = None) -> int:
                 file=_sys.stderr,
             )
     if args.set_partition_spec is not None:
-        spec = [
-            c.strip()
-            for c in args.set_partition_spec.split(",")
-            if c.strip()
-        ]
+        # paren-aware split: 'bucket(4, user_id), days(ts)' is two
+        # entries, not three
+        spec, cur, depth = [], [], 0
+        for ch in args.set_partition_spec:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                if "".join(cur).strip():
+                    spec.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            spec.append("".join(cur).strip())
         v = set_partition_spec(args.table, spec)
         print(f"partition spec -> {spec or 'flat'} at version {v}")
     if args.expire is not None:

@@ -139,3 +139,177 @@ def test_set_partition_spec_guards(spark, tmp_path):
         txlog.set_partition_spec(table, ["day", "DAY"])
     with pytest.raises(FileNotFoundError):
         txlog.set_partition_spec(str(tmp_path / "ghost"), ["day"])
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-style partition TRANSFORMS (VERDICT r11 'What's missing' #5):
+# bucket(N, col) / truncate(W, col) / days(col) as spec entries — the
+# shapes a 100 TB table actually partitions by (identity on a
+# high-cardinality column is one directory per value).
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_transform_layout_and_pruned_read(spark, tmp_path):
+    """bucket(4, user_id): 4 directories regardless of user
+    cardinality; the source column STAYS in the data files; the
+    listing prune recomputes the bucket in Python and keeps only the
+    matching directory; the row filter makes the result exact."""
+    import zlib
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(user_id=i, v=i * 10) for i in range(200)],
+        "user_id long, v long",
+    )
+    txlog.commit(df, table, partition_by=["bucket(4, user_id)"])
+    rec = txlog._last_commit(table)
+    assert rec["partition_by"] == ["bucket(4, user_id)"]
+    buckets = {rel.split("user_id_bucket4=")[1].split("/")[0]
+               for rel in rec["add"]}
+    assert buckets <= {"0", "1", "2", "3"}
+    # JVM bucket == Python bucket, bit for bit
+    got = txlog.read_table_partitioned(spark, table, {"user_id": 77})
+    assert [(r["user_id"], r["v"]) for r in got.collect()] == [(77, 770)]
+    want_bucket = zlib.crc32(b"77") % 4
+    kept_dirs = {
+        rel.split("user_id_bucket4=")[1].split("/")[0]
+        for rel in rec["add"]
+        if not txlog._part_value_match(  # reuse: which dirs survive?
+            rel.split("user_id_bucket4=")[1].split("/")[0],
+            want_bucket,
+        ) is False
+    }
+    assert kept_dirs == {str(want_bucket)}
+    # the pruned plan reads ONLY the matching bucket's files
+    files = got.inputFiles()
+    assert files and all(
+        f"user_id_bucket4={want_bucket}" in f for f in files
+    )
+
+
+def test_truncate_and_days_transforms(spark, tmp_path):
+    """truncate(3, country) prefixes strings; days(ts) formats
+    timestamps to yyyy-MM-dd — and both prune from the listing."""
+    import datetime
+
+    table = str(tmp_path / "t")
+    rows = [
+        Row(
+            country=c,
+            ts=datetime.datetime(2024, 1, d, 12, 0, 0),
+            v=i,
+        )
+        for i, (c, d) in enumerate(
+            [("germany", 1), ("georgia", 1), ("france", 2),
+             ("finland", 2), ("germany", 3)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "country string, ts timestamp, v int"
+    )
+    txlog.commit(
+        df, table, partition_by=["truncate(3, country)", "days(ts)"]
+    )
+    rec = txlog._last_commit(table)
+    assert any("country_trunc3=ger" in rel for rel in rec["add"])
+    assert any("ts_day=2024-01-02" in rel for rel in rec["add"])
+    # source columns are IN the files: a plain snapshot read has them
+    got = txlog.read_table(spark, table)
+    assert got.count() == 5
+    assert {r["country"] for r in got.collect()} == {
+        "germany", "georgia", "france", "finland"
+    }
+    # listing prune on the string source
+    fr = txlog.read_table_partitioned(spark, table, {"country": "france"})
+    assert fr.count() == 1
+    assert all("country_trunc3=fra" in f for f in fr.inputFiles())
+    # listing prune on the timestamp source
+    d2 = txlog.read_table_partitioned(
+        spark, table, {"ts": datetime.datetime(2024, 1, 2, 12, 0, 0)}
+    )
+    assert d2.count() == 2
+    assert all("ts_day=2024-01-02" in f for f in d2.inputFiles())
+
+
+def test_transform_evolution_reparameterized_bucket_stays_sound(
+    spark, tmp_path
+):
+    """bucket(2) era → bucket(4) era: the derived segment name embeds
+    the parameter, so the old era answers probes with mod-2 and the
+    new with mod-4 — reads stay exact across the boundary and each
+    era prunes with its own arithmetic."""
+    import zlib
+
+    table = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [Row(user_id=i, v=i) for i in range(0, 50)],
+        "user_id long, v long",
+    )
+    txlog.commit(df1, table, partition_by=["bucket(2, user_id)"])
+    txlog.set_partition_spec(table, ["bucket(4, user_id)"])
+    df2 = spark.createDataFrame(
+        [Row(user_id=i, v=i) for i in range(50, 100)],
+        "user_id long, v long",
+    )
+    txlog.commit(df2, table)
+    got = txlog.read_table(spark, table)
+    assert got.count() == 100
+    # probe a value from EACH era: result exact, and the kept files
+    # from each era live in that era's matching directory
+    for probe in (7, 93):
+        pr = txlog.read_table_partitioned(
+            spark, table, {"user_id": probe}
+        )
+        assert [r["user_id"] for r in pr.collect()] == [probe]
+        files = pr.inputFiles()
+        b2 = zlib.crc32(str(probe).encode()) % 2
+        b4 = zlib.crc32(str(probe).encode()) % 4
+        for f in files:
+            if "user_id_bucket2=" in f:
+                assert f"user_id_bucket2={b2}" in f
+            if "user_id_bucket4=" in f:
+                assert f"user_id_bucket4={b4}" in f
+
+
+def test_transform_spec_guards_and_dml(spark, tmp_path):
+    table = str(tmp_path / "t")
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(user_id=i, user_id_bucket4=i, v=i) for i in range(3)],
+            "user_id long, user_id_bucket4 long, v long",
+        ),
+        table,
+    )
+    # derived name collides with a real column → refuse
+    with pytest.raises(ValueError, match="collide"):
+        txlog.set_partition_spec(table, ["bucket(4, user_id)"])
+    # unknown source inside a transform → refuse
+    with pytest.raises(ValueError, match="not in"):
+        txlog.set_partition_spec(table, ["bucket(4, nope)"])
+
+    table2 = str(tmp_path / "t2")
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(user_id=i, v=float(i)) for i in range(40)],
+            "user_id long, v double",
+        ),
+        table2,
+        partition_by=["bucket(4, user_id)"],
+        stats_cols=["v"],
+    )
+    # renaming/dropping a transform SOURCE is refused (name is baked
+    # into the derived segment grammar)
+    with pytest.raises(ValueError, match="partition column"):
+        txlog.rename_column(table2, "user_id", "uid")
+    with pytest.raises(ValueError, match="partition column"):
+        txlog.drop_column(table2, "user_id")
+    # DML on a transform-partitioned table: replace inherits the spec
+    txlog.update_where(
+        spark, table2, "v", 10.0, 19.0, {"v": "v + 100"},
+        stats_cols=["v"],
+    )
+    got = txlog.read_table(spark, table2)
+    assert got.where("v >= 110 and v <= 119").count() == 10
+    assert got.count() == 40
+    rec = txlog._last_commit(table2)
+    assert all("user_id_bucket4=" in rel for rel in rec["add"])
