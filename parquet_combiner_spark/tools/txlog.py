@@ -853,7 +853,7 @@ def commit(
     dv_entries: dict | None = None,
     data_change: bool = True,
     change_files: Sequence[str] | None = None,
-    rebase_bands: dict | None = None,
+    rebase_bands: dict | str | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
@@ -920,6 +920,9 @@ def commit(
     last). Anything unprovable (non-append commit, schema evolution,
     missing zone maps, empty bands) raises :class:`CommitConflict`
     exactly as before, and the caller's retry loop re-executes.
+    Pass :data:`ROW_PRESERVING` instead of a band dict for commits
+    that rearrange rows without changing any (compaction, scoped
+    OPTIMIZE): those rebase past ANY pure append, no band proof.
 
     ``partition_by`` lays the data files out Hive-style
     (``col=value/`` directories — what a 100 TB events table does
@@ -2068,8 +2071,16 @@ def _band_touched(
     ]
 
 
+# rebase_bands sentinel for ROW-PRESERVING commits (compaction,
+# scoped OPTIMIZE): the staged replace rearranges existing rows
+# without changing any, so a concurrent pure append is benign even
+# when its rows would match the scope — no band proof needed, only
+# pure-append-ness and schema stability.
+ROW_PRESERVING = "row-preserving"
+
+
 def _appends_disjoint(
-    table: str, after: int, through: int, bands: dict
+    table: str, after: int, through: int, bands
 ) -> bool:
     """True iff every commit in (``after``, ``through``] is a PURE
     APPEND that provably cannot interact with a DML commit staged
@@ -2097,8 +2108,14 @@ def _appends_disjoint(
       stats for the band columns, an unextractable predicate (empty
       ``bands``), or an expired base record all degrade to False:
       the caller re-executes, never silently anomalizes.
+
+    ``bands=ROW_PRESERVING`` waives the third proof: a commit that
+    REARRANGES rows without changing any (compaction, scoped
+    OPTIMIZE — ``data_change=False`` replaces) is benign against ANY
+    pure append, matching or not; the appended files simply wait for
+    the next maintenance cadence.
     """
-    if not bands:
+    if bands is not ROW_PRESERVING and not bands:
         return False
     recs = _read_log(table, after=after - 1, through=through)
     if not recs or recs[0]["version"] != after:
@@ -2107,6 +2124,8 @@ def _appends_disjoint(
     for rec in recs[1:]:
         if rec["action"] != "append" or rec["schema"] != base_schema:
             return False
+        if bands is ROW_PRESERVING:
+            continue
         touched = _band_touched(
             table,
             [os.path.join(table, r) for r in rec["add"]],
@@ -2490,9 +2509,9 @@ def optimize(
                 inferred.update(bands)
             keep_stats = sorted(inferred) or None
         try:
-            # a SCOPED rewrite can rebase past benign appends (its
-            # replace preserves every in-scope row; a disjoint append
-            # just stays uncompacted this round); an unscoped
+            # a SCOPED rewrite is ROW-PRESERVING: it can rebase past
+            # ANY pure append (matching or not — the appended files
+            # just stay uncompacted this round); an unscoped
             # overwrite replaces EVERYTHING and must re-read instead
             return commit(
                 df,
@@ -2504,7 +2523,9 @@ def optimize(
                 partition_by=spec or None,
                 remove=remove,
                 data_change=False,
-                rebase_bands=bands if where is not None else None,
+                rebase_bands=(
+                    ROW_PRESERVING if where is not None else None
+                ),
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
@@ -2588,6 +2609,10 @@ def compact_small_files(
                 expected_version=base,
                 stats_cols=keep_stats or None,
                 data_change=False,
+                # row-preserving: rebase past any pure append instead
+                # of re-packing — the streaming sink appending every
+                # few seconds must not starve its own compaction
+                rebase_bands=ROW_PRESERVING,
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:

@@ -387,3 +387,61 @@ def test_fuzz_dml_under_concurrent_appender(
         assert _rows(spark, table) == sorted(model), f"step {step} diverged"
     # the appender really fired: the log holds more commits than verbs
     assert txlog.current_version(table) > 8
+
+
+def test_compaction_rebases_past_any_append(
+    spark, tmp_path, arbiter_guard
+):
+    """compact_small_files is ROW-PRESERVING: it rebases past a
+    concurrent append even when the appended rows would have been in
+    its scope (they just wait for the next cadence) — the streaming
+    sink appending every few seconds must not starve its own
+    compaction into N re-packs."""
+    table = str(tmp_path / "t")
+    # several small files → compactable
+    for i in range(3):
+        txlog.commit(
+            _df(spark, [(10 * i + j, j, j) for j in range(3)]), table
+        )
+
+    def inject():
+        txlog.commit(_df(spark, [(900, 1, 1)]), table)  # tiny, in-scope
+
+    arbiter_guard(InjectingArbiter(inject))
+    v = txlog.compact_small_files(
+        spark, table, target_file_mb=1, small_file_mb=0.5
+    )
+    head = txlog.current_version(table)
+    assert v == head  # the compaction IS the head: rebased, not lost
+    rec = json.load(open(txlog._log_path(table, head)))
+    assert rec["action"] == "replace"
+    assert rec.get("data_change") is False
+    # every row present exactly once: 9 originals + the injected one
+    rows = _rows(spark, table)
+    assert len(rows) == 10 and (900, 1, 1) in rows
+    # data dirs: 3 bases + 1 injected append + 1 staged compaction —
+    # no orphaned re-pack directory
+    assert len(_data_dirs(table)) == 5
+
+
+def test_scoped_optimize_rebases_past_matching_append(
+    spark, tmp_path, arbiter_guard
+):
+    """Scoped OPTIMIZE uses the row-preserving proof: an append whose
+    rows MATCH the scope band still rebases (nothing those appends
+    hold is changed by the rewrite)."""
+    table = str(tmp_path / "t")
+    txlog.commit(_df(spark, BASE), table, stats_cols=["k"])
+
+    def inject():
+        txlog.commit(_df(spark, MATCHING), table, stats_cols=["k"])
+
+    arbiter_guard(InjectingArbiter(inject))
+    v = txlog.optimize(
+        spark, table, target_file_mb=64, where=("k", 0, 10),
+        stats_cols=["k"],
+    )
+    assert v == txlog.current_version(table)
+    rows = _rows(spark, table)
+    assert len(rows) == len(BASE) + len(MATCHING)
+    assert len(_data_dirs(table)) == 3  # base + append + one rewrite
