@@ -3793,6 +3793,17 @@ def merge_into(
                 expected_version=base,
                 stats_cols=stats_cols,
                 change_files=change_rels,
+                # benign-conflict rebase: an append whose files are
+                # provably outside the batch's key band holds no row
+                # this merge could match OR collide with (inserts
+                # included — every batch key lies in [lo, hi] on
+                # prune_col), so the staged merge re-targets the new
+                # head instead of re-merging
+                rebase_bands=(
+                    {prune_col: (bounds["lo"], bounds["hi"])}
+                    if prunable
+                    else None
+                ),
             )
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:

@@ -445,3 +445,86 @@ def test_scoped_optimize_rebases_past_matching_append(
     rows = _rows(spark, table)
     assert len(rows) == len(BASE) + len(MATCHING)
     assert len(_data_dirs(table)) == 3  # base + append + one rewrite
+
+
+def test_merge_into_rebases_past_key_disjoint_append(
+    spark, tmp_path, arbiter_guard
+):
+    """MERGE INTO rebases when the concurrent append's files are
+    provably outside the batch's key band: no appended row can be a
+    match base OR collide with an inserted key (every batch key lies
+    inside [lo, hi] on prune_col)."""
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [Row(k=i, ver=1, v=f"a{i}") for i in range(10)],
+        "k long, ver int, v string",
+    )
+    txlog.commit(base, table, stats_cols=["k"])
+
+    def inject():
+        txlog.commit(
+            spark.createDataFrame(
+                [Row(k=500, ver=1, v="late")],
+                "k long, ver int, v string",
+            ),
+            table,
+            stats_cols=["k"],
+        )
+
+    arbiter_guard(InjectingArbiter(inject))
+    batch = spark.createDataFrame(
+        [Row(k=3, ver=2, v="upd"), Row(k=20, ver=1, v="ins")],
+        "k long, ver int, v string",
+    )
+    v = txlog.merge_into(
+        spark, table, batch, keys=["k"], version_cols=["ver"],
+        stats_cols=["k"],
+    )
+    assert v == 2  # staged at 1, lost to the append, rebased to 2
+    # base + injected append + ONE staged merge write (no re-merge)
+    assert len(_data_dirs(table)) == 3
+    rows = {(r["k"], r["v"]) for r in txlog.read_table(spark, table).collect()}
+    assert (3, "upd") in rows and (20, "ins") in rows
+    assert (500, "late") in rows
+    assert len(rows) == 12
+
+
+def test_merge_into_rerun_when_append_keys_overlap(
+    spark, tmp_path, arbiter_guard
+):
+    """An append INSIDE the batch's key band forces the re-merge: the
+    appended row must participate in latest-wins, not ride past it."""
+    table = str(tmp_path / "t")
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, ver=1, v=f"a{i}") for i in range(10)],
+            "k long, ver int, v string",
+        ),
+        table,
+        stats_cols=["k"],
+    )
+
+    def inject():
+        txlog.commit(
+            spark.createDataFrame(
+                [Row(k=3, ver=3, v="newer")],
+                "k long, ver int, v string",
+            ),
+            table,
+            stats_cols=["k"],
+        )
+
+    arbiter_guard(InjectingArbiter(inject))
+    batch = spark.createDataFrame(
+        [Row(k=3, ver=2, v="upd")], "k long, ver int, v string"
+    )
+    txlog.merge_into(
+        spark, table, batch, keys=["k"], version_cols=["ver"],
+        stats_cols=["k"],
+    )
+    rows = {(r["k"], r["v"]) for r in txlog.read_table(spark, table).collect()}
+    # latest-wins saw BOTH: the appended ver=3 row beats the batch's
+    # ver=2 — a rebase here would have produced (3, 'upd') + a
+    # duplicate key
+    assert (3, "newer") in rows and (3, "upd") not in rows
+    assert len([k for k, _ in rows if k == 3]) == 1
