@@ -721,8 +721,19 @@ def _normalize_ddl(ddl: str) -> list[list[str]]:
 
 _TRANSFORM_RE = re.compile(
     r"^\s*(?:(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_]\w*)\s*\)"
-    r"|(days)\s*\(\s*([A-Za-z_]\w*)\s*\))\s*$"
+    r"|(days|hours|months|years)\s*\(\s*([A-Za-z_]\w*)\s*\))\s*$"
 )
+
+# time-transform grammar shared by the JVM and Python twins: the
+# derived value is a chronologically-ordered string prefix, so path
+# sorts ARE time sorts and coarser transforms are literal prefixes of
+# finer ones (years ⊂ months ⊂ days ⊂ hours)
+_TIME_FORMATS = {
+    "days": ("yyyy-MM-dd", "%Y-%m-%d", "_day"),
+    "hours": ("yyyy-MM-dd-HH", "%Y-%m-%d-%H", "_hour"),
+    "months": ("yyyy-MM", "%Y-%m", "_month"),
+    "years": ("yyyy", "%Y", "_year"),
+}
 
 
 def _parse_partition_field(entry: str):
@@ -744,7 +755,10 @@ def _parse_partition_field(entry: str):
       for strings, floor-to-multiple-of-W for numerics (pmod/floor
       semantics, so negatives truncate DOWN — Iceberg's contract).
     * ``"days(col)"`` → ``col_day=yyyy-MM-dd`` of a
-      timestamp/date — the classic event-time layout.
+      timestamp/date — the classic event-time layout; ``hours`` /
+      ``months`` / ``years`` are the finer/coarser grains
+      (``col_hour=yyyy-MM-dd-HH``, ``col_month=yyyy-MM``,
+      ``col_year=yyyy``).
 
     The derived directory NAME embeds the parameter
     (``user_id_bucket8``), so evolving ``bucket(8)`` → ``bucket(16)``
@@ -756,9 +770,9 @@ def _parse_partition_field(entry: str):
     m = _TRANSFORM_RE.match(entry)
     if not m:
         return ("identity", None, entry, entry)
-    if m.group(4):  # days(col)
-        src = m.group(5)
-        return ("days", None, src, f"{src}_day")
+    if m.group(4):  # days/hours/months/years(col)
+        kind, src = m.group(4), m.group(5)
+        return (kind, None, src, f"{src}{_TIME_FORMATS[kind][2]}")
     kind, param, src = m.group(1), int(m.group(2)), m.group(3)
     if param <= 0:
         raise ValueError(f"partition transform {entry!r}: width/count "
@@ -781,8 +795,8 @@ def _transform_expr(kind: str, param, source_phys: str, dtype):
         if isinstance(dtype, T.StringType):
             return F.substring(col, 1, param)
         return (col - F.pmod(col, F.lit(param))).cast(dtype)
-    if kind == "days":
-        return F.date_format(col, "yyyy-MM-dd")
+    if kind in _TIME_FORMATS:
+        return F.date_format(col, _TIME_FORMATS[kind][0])
     raise AssertionError(kind)
 
 
@@ -812,13 +826,16 @@ def _transform_value(kind: str, param, v):
         if isinstance(v, int):
             return v - (v % param)  # Python % floors, like pmod
         return None
-    if kind == "days":
-        if isinstance(v, _dt.datetime):
-            return v.strftime("%Y-%m-%d")
-        if isinstance(v, _dt.date):
-            return v.isoformat()
-        if isinstance(v, str) and len(v) >= 10:
-            return v[:10]
+    if kind in _TIME_FORMATS:
+        fmt = _TIME_FORMATS[kind][1]
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.strftime(fmt)  # date renders %H as 00, like SQL
+        if isinstance(v, str):
+            # ISO renderings are positional: the transform is a
+            # prefix reshape ("2024-01-02 13:45" → "2024-01-02-13")
+            want = len(fmt) + fmt.count("%Y") * 2  # %Y is 4 digits
+            iso = v.replace(" ", "-").replace("T", "-")
+            return iso[:want] if len(iso) >= want else None
         return None
     raise AssertionError(kind)
 
@@ -834,8 +851,9 @@ def _derived_probe(segment_name: str, source_phys: str):
         pre = f"{source_phys}{suffix}"
         if segment_name.startswith(pre) and segment_name[len(pre):].isdigit():
             return (kind, int(segment_name[len(pre):]))
-    if segment_name == f"{source_phys}_day":
-        return ("days", None)
+    for kind, (_, _, suffix) in _TIME_FORMATS.items():
+        if segment_name == f"{source_phys}{suffix}":
+            return (kind, None)
     return None
 
 
@@ -4960,9 +4978,9 @@ def main(argv: list[str] | None = None) -> int:
         metavar="COLS",
         help="partition spec EVOLUTION: comma-separated columns or "
         "transforms — 'bucket(N, col)', 'truncate(W, col)', "
-        "'days(col)' — (or '' for flat) applied to FUTURE writes "
-        "only: one metadata commit, existing files untouched and "
-        "still readable",
+        "'days(col)' / 'hours' / 'months' / 'years' — (or '' for "
+        "flat) applied to FUTURE writes only: one metadata commit, "
+        "existing files untouched and still readable",
     )
     ap.add_argument(
         "--changes-since",

@@ -313,3 +313,43 @@ def test_transform_spec_guards_and_dml(spark, tmp_path):
     assert got.count() == 40
     rec = txlog._last_commit(table2)
     assert all("user_id_bucket4=" in rel for rel in rec["add"])
+
+
+def test_time_transform_grains(spark, tmp_path):
+    """hours/months/years complete the Iceberg time-transform family:
+    chronologically-ordered string segments, each a prefix of the
+    finer grain, each pruning from the listing via the Python twin."""
+    import datetime
+
+    rows = [
+        Row(ts=datetime.datetime(2023, 12, 31, 23, 5), v=1),
+        Row(ts=datetime.datetime(2024, 1, 2, 13, 45), v=2),
+        Row(ts=datetime.datetime(2024, 1, 2, 14, 10), v=3),
+        Row(ts=datetime.datetime(2024, 3, 9, 8, 0), v=4),
+    ]
+    for grain, seg, probe_files in (
+        ("hours(ts)", "ts_hour=2024-01-02-13", 1),
+        ("months(ts)", "ts_month=2024-01", 2),
+        ("years(ts)", "ts_year=2024", 3),
+    ):
+        table = str(tmp_path / grain.split("(")[0])
+        txlog.commit(
+            spark.createDataFrame(rows, "ts timestamp, v int"),
+            table,
+            partition_by=[grain],
+        )
+        rec = txlog._last_commit(table)
+        assert any(seg in rel for rel in rec["add"]), (grain, rec["add"])
+        pr = txlog.read_table_partitioned(
+            spark, table,
+            {"ts": datetime.datetime(2024, 1, 2, 13, 45)},
+        )
+        assert [r["v"] for r in pr.collect()] == [2]
+        files = pr.inputFiles()
+        # listing prune kept only the probe's grain-matching files
+        assert files and all(seg.split("=")[0] + "=" in f for f in files)
+        got_dirs = {
+            f.split(seg.split("=")[0] + "=")[1].split("/")[0]
+            for f in files
+        }
+        assert got_dirs == {seg.split("=")[1]}, (grain, got_dirs)
