@@ -163,6 +163,21 @@ HEADLINE = [
     # change data feed: cow delete + merge-on-read update with
     # recorded change files, then the O(changed rows) feed read
     "events_cdf_feed",
+    # round-12 additions: pre-image UPDATE (dependent SETs in one
+    # select — cow lifecycle), CDF from MERGE INTO (merge + the
+    # reconstructed feed), the streaming CDF source riding a
+    # mid-stream cdf DELETE, the benign-conflict rebase lifecycle
+    # (DML losing its race to an injected disjoint append and
+    # republishing with zero re-run jobs), string-led Z-order
+    # (byte-prefix proxy clustering + lexicographic pruned read),
+    # and bucket-transform partitioning (crc32 bucket dirs + the
+    # Python-twin listing-pruned point read)
+    "events_preimage_update_scan",
+    "user_state_merge_cdf_feed",
+    "events_cdf_stream_feed",
+    "events_rebased_dml_scan",
+    "events_zorder_string_scan",
+    "events_bucket_transform_scan",
 ]
 
 RUNS = 3

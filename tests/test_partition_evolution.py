@@ -353,3 +353,47 @@ def test_time_transform_grains(spark, tmp_path):
             for f in files
         }
         assert got_dirs == {seg.split("=")[1]}, (grain, got_dirs)
+
+
+def test_txtable_source_reads_transform_partitioned_table(
+    spark, tmp_path
+):
+    """The Arrow-side Python DataSource reads a transform-partitioned
+    table identically to the fast path: transform SOURCE columns live
+    in the data files (nothing to resolve from paths), the derived
+    segment dirs are just path levels."""
+    import datetime
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(
+                user_id=i,
+                ts=datetime.datetime(2024, 1, 1 + i % 3, 8),
+                v=i,
+            )
+            for i in range(30)
+        ],
+        "user_id long, ts timestamp, v int",
+    )
+    txlog.commit(
+        df, table, partition_by=["bucket(4, user_id)", "days(ts)"]
+    )
+    fast = sorted(
+        map(tuple, txlog.read_table(spark, table).collect())
+    )
+    from parquet_combiner_spark.sources.txtable_source import (
+        TxTableDataSource,
+    )
+
+    spark.dataSource.register(TxTableDataSource)
+    via_source = sorted(
+        map(
+            tuple,
+            spark.read.format("txtable")
+            .option("path", table)
+            .load()
+            .collect(),
+        )
+    )
+    assert via_source == fast and len(fast) == 30
