@@ -435,19 +435,6 @@ def load_tables(
     return out
 
 
-def _morton_spread16(c):
-    """Spread a 16-bit value's bits to even positions (classic Morton
-    interleave step chain) — pure JVM bitwise expressions."""
-    from pyspark.sql import functions as F
-
-    x = c.bitwiseAND(F.lit(0xFFFF))
-    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
-    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
-    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
-    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
-    return x
-
-
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -456,48 +443,33 @@ def write_zordered(
     mode: str = "overwrite",
     compression: str = "snappy",
 ) -> None:
-    """Z-order (Morton-curve) clustered parquet sink for TWO numeric
-    columns — multi-dimensional :func:`write_sorted`.
+    """Z-order (Morton-curve) clustered parquet sink — the raw-parquet
+    twin of ``tools/txlog.optimize(zorder_by=...)``, sharing its rank
+    machinery.
 
     A 1-D sort makes row-group min/max stats narrow on ONE column;
     filters on a second column still touch every file. Interleaving
-    the bits of both columns' 16-bit quantized ranks orders rows
-    along a space-filling curve, so every file covers a small
-    RECTANGLE of the 2-D domain — predicates on EITHER column (or
-    both) skip most files. This is the layout move warehouses call
-    Z-ORDER/clustering, built here from pure JVM bitwise expressions
-    (no UDF) plus the range-partition + sort write.
+    the bits of each column's quantile-rank buckets orders rows along
+    a space-filling curve, so every file covers a small
+    hyper-rectangle of the domain — predicates on ANY listed column
+    skip most files. This is the layout move warehouses call
+    Z-ORDER/clustering, built from pure JVM expressions (no UDF) plus
+    the range-partition + sort write.
 
-    Quantization is min/max-normalized per column from one tiny
-    aggregate pass; heavy skew would want rank-based binning instead
-    (the curve only needs a monotone per-column mapping).
+    Quantization is rank-based (approx-quantile cut points, one
+    multi-column pass), so heavy value skew still spreads across the
+    curve — the upgrade over min/max linear scaling this docstring
+    used to promise. Columns may be numeric, string, binary, date, or
+    timestamp (non-numerics cluster through the order-preserving
+    proxies of ``tools/txlog._zorder_proxy``); two or more columns.
     """
-    from pyspark.sql import functions as F
+    from parquet_combiner_spark.tools.txlog import _zorder_with_key
 
-    if len(cols) != 2:
-        raise ValueError(f"write_zordered interleaves exactly 2 columns, got {cols}")
-    a, b = cols
-    bounds = df.agg(
-        F.min(a).alias("amin"), F.max(a).alias("amax"),
-        F.min(b).alias("bmin"), F.max(b).alias("bmax"),
-    ).head()
-    if bounds["amin"] is None:
-        df.write.mode(mode).option("compression", compression).parquet(path)
-        return
-
-    def rank16(col, lo, hi):
-        span = float(hi - lo) or 1.0
-        return F.floor(
-            (F.col(col).cast("double") - F.lit(float(lo)))
-            / F.lit(span) * F.lit(65535.0)
-        ).cast("long")
-
-    z = _morton_spread16(rank16(a, bounds["amin"], bounds["amax"])).bitwiseOR(
-        F.shiftleft(
-            _morton_spread16(rank16(b, bounds["bmin"], bounds["bmax"])), 1
+    if len(cols) < 2:
+        raise ValueError(
+            f"write_zordered interleaves 2+ columns, got {cols}"
         )
-    )
-    tagged = df.withColumn("__z", z)
+    tagged = _zorder_with_key(df, cols)
     parted = (
         tagged.repartitionByRange(num_files, "__z")
         if num_files is not None
