@@ -327,14 +327,18 @@ def test_rebased_dml_rides_cdf_and_time_travel(
     assert _rows(spark, table, 1) == sorted(BASE + DISJOINT)
 
 
+@pytest.mark.parametrize("arb_kind", ["fs", "condput", "lease"])
 def test_fuzz_dml_under_concurrent_appender(
-    spark, tmp_path, arbiter_guard
+    spark, tmp_path, arbiter_guard, arb_kind
 ):
     """Model fuzz arm (VERDICT r11 order #5): random DML verbs racing
     a concurrent appender that fires inside the publish window. Every
     injected append is band-disjoint (k >= 500 vs bands < 200), so
     rebases and re-runs must BOTH converge to the same model state at
-    every step."""
+    every step. Parametrized over the commit arbiters: the rebase
+    loop's loss-then-republish must behave identically under POSIX
+    O_EXCL, S3-style conditional PUT, and the lock-lease claim
+    table."""
     import random
 
     rng = random.Random(7)
@@ -351,6 +355,15 @@ def test_fuzz_dml_under_concurrent_appender(
         model = model + rows
 
     arb = arbiter_guard(InjectingArbiter(inject, times=0))
+    if arb_kind != "fs":
+        from parquet_combiner_spark.tools import object_store as obs
+
+        store = obs.MockObjectStore()
+        arb.inner = (
+            obs.ConditionalPutArbiter(store)
+            if arb_kind == "condput"
+            else obs.LockLeaseArbiter(store, obs.LeaseLockService())
+        )
     for step in range(8):
         # 0–2 appender firings inside this verb's publish window (a
         # real sink has a cadence; an appender that races EVERY
