@@ -178,6 +178,9 @@ HEADLINE = [
     "events_rebased_dml_scan",
     "events_zorder_string_scan",
     "events_bucket_transform_scan",
+    # parquet bloom filter table property: build with per-row-group
+    # bloom pages on the unclustered event_id, then a point-IN read
+    "events_bloom_point_scan",
 ]
 
 RUNS = 3

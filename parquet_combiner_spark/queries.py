@@ -2970,6 +2970,41 @@ def events_bucket_transform_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_bloom_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARQUET BLOOM FILTER point lookup (tools/txlog.py
+    ``commit(bloom_cols=...)`` — Delta's bloom filter index as a
+    table property): the events txtable embeds per-row-group bloom
+    pages for ``event_id`` — a high-cardinality UNCLUSTERED column
+    whose min/max zone maps span every file, the shape where range
+    skipping is useless — and the point read lets the parquet reader
+    skip row groups whose bloom answers "definitely absent",
+    executor-side. Property inheritance and real-bytes pins live in
+    tests/test_tools.py; the oracle is the plain equality filter
+    (blooms are pure skipping — row for row identical)."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-bloom-")
+    table = f"{root}/events_bl"
+    try:
+        txlog.commit(
+            ev.repartition(4), table,
+            bloom_cols={"event_id": 200_000},
+        )
+        return (
+            txlog.read_table(spark, table)
+            .where(F.col("event_id").isin(77, 777, 3141))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def events_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARTITION SPEC EVOLUTION end-state (tools/txlog.py
     ``set_partition_spec`` — Iceberg-style): even event_ids land FLAT,
@@ -4181,6 +4216,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zorder_string_scan": events_zorder_string_scan,
     "events_rebased_dml_scan": events_rebased_dml_scan,
     "events_bucket_transform_scan": events_bucket_transform_scan,
+    "events_bloom_point_scan": events_bloom_point_scan,
     "events_cdf_feed": events_cdf_feed,
     "events_cdf_stream_feed": events_cdf_stream_feed,
     "events_partitioned_scan": events_partitioned_scan,
@@ -5764,6 +5800,14 @@ ORACLE_SQL["events_bucket_transform_scan"] = """
     SELECT event_id, user_id, event_type, value
     FROM events
     WHERE user_id = 42
+"""
+
+# bloom pages are pure row-group skipping: the point-IN read must
+# equal the plain filter
+ORACLE_SQL["events_bloom_point_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id IN (77, 777, 3141)
 """
 
 # one type filtered across both layout eras — pure row filter in SQL

@@ -872,6 +872,7 @@ def commit(
     data_change: bool = True,
     change_files: Sequence[str] | None = None,
     rebase_bands: dict | str | None = None,
+    bloom_cols: dict | None = None,
 ) -> int:
     """Write ``df``'s rows as new immutable data files and publish
     them as the table's next version. Returns the committed version.
@@ -941,6 +942,21 @@ def commit(
     Pass :data:`ROW_PRESERVING` instead of a band dict for commits
     that rearrange rows without changing any (compaction, scoped
     OPTIMIZE): those rebase past ANY pure append, no band proof.
+
+    ``bloom_cols`` ({column: expected distinct values}) is a TABLE
+    PROPERTY (Delta's per-column bloom filter index): every data file
+    written by this and subsequent commits embeds a PARQUET BLOOM
+    FILTER for those columns, so point lookups (``col = value``) on
+    high-cardinality UNCLUSTERED columns — the shape min/max zone
+    maps cannot prune (a uuid-ish key spans every file's range) —
+    skip row groups inside the scan, executor-side, at any scale.
+    ``None`` inherits the active set from the previous commit (like
+    constraints and the partition spec); ``{}`` explicitly clears
+    it. The expected-NDV sizes the filter (~1.2 bytes/value at the
+    parquet default FPP); identity partition columns are skipped
+    (they never live in data files). Maintenance rewrites (OPTIMIZE,
+    compaction) and DML replaces inherit automatically, so the index
+    never silently erodes.
 
     ``partition_by`` lays the data files out Hive-style
     (``col=value/`` directories — what a 100 TB events table does
@@ -1147,6 +1163,12 @@ def commit(
                 )
 
     constraints = dict(last.get("constraints", {})) if last else {}
+    # bloom columns: table metadata with constraint-like inheritance
+    # (None inherits, {} clears, a dict replaces)
+    if bloom_cols is None:
+        active_bloom = dict(last.get("bloom_cols", {})) if last else {}
+    else:
+        active_bloom = dict(bloom_cols)
     obs = None
     if constraints:
         from pyspark.sql import Observation
@@ -1210,6 +1232,19 @@ def commit(
         writer = write_df.write.mode("error").partitionBy(*part_cols)
     else:
         writer = write_df.write.mode("error")
+    if active_bloom:
+        ident = {
+            src for kind, _, src, _ in spec_fields if kind == "identity"
+        }
+        for c, ndv in sorted(active_bloom.items()):
+            if c in ident or c not in df.columns:
+                continue  # path-only or absent column: nothing to index
+            phys = cmap.get(c, c)
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{phys}", "true"
+            ).option(
+                f"parquet.bloom.filter.expected.ndv#{phys}", str(int(ndv))
+            )
     writer.parquet(out_dir)
     if obs is not None:
         bad = {k: int(v) for k, v in obs.get.items() if v}
@@ -1316,6 +1351,10 @@ def commit(
         # resolution is one _last_commit read and expire_versions'
         # rebase can never orphan it
         record["constraints"] = constraints
+    if active_bloom:
+        record["bloom_cols"] = {
+            c: int(v) for c, v in active_bloom.items()
+        }
     # publish, rebasing past benign (pure-append, band-disjoint)
     # losses when the caller allows it: each rebase re-points the SAME
     # staged record — data files already written, zero extra Spark
@@ -1500,6 +1539,13 @@ def publish_files(
             record["partition_by"] = spec
         if last and last.get("constraints"):
             record["constraints"] = last["constraints"]
+        if last and last.get("bloom_cols"):
+            # table property rides through (the native sink's staged
+            # files predate the option threading — only FUTURE
+            # commit()-written files embed the bloom pages, which is
+            # the same files-written-before-the-property story as
+            # Delta's bloom index)
+            record["bloom_cols"] = last["bloom_cols"]
         os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
         try:
             _DEFAULT_ARBITER.publish(
@@ -2802,6 +2848,8 @@ def _delete_where_dv(
         record["partition_by"] = last["partition_by"]
     if last.get("column_mapping"):
         record["column_mapping"] = last["column_mapping"]
+    if last.get("bloom_cols"):
+        record["bloom_cols"] = last["bloom_cols"]
     # metadata-only publish with benign-conflict rebase: a concurrent
     # pure append disjoint from the delete's bands re-points this same
     # record (positions were computed on the base files, which appends
@@ -4378,6 +4426,14 @@ def constraints_of(table: str) -> dict:
     return dict(last.get("constraints", {})) if last else {}
 
 
+def bloom_cols_of(table: str) -> dict:
+    """The table's active bloom-indexed columns, ``{col: expected
+    ndv}`` — the Delta-style bloom filter table property every write
+    applies (see :func:`commit` ``bloom_cols``)."""
+    last = _last_commit(table)
+    return dict(last.get("bloom_cols", {})) if last else {}
+
+
 def _republish_head(
     table: str,
     head: dict,
@@ -4428,6 +4484,8 @@ def _republish_head(
         record["column_mapping"] = mapping
     if constraints:
         record["constraints"] = constraints
+    if head.get("bloom_cols"):
+        record["bloom_cols"] = head["bloom_cols"]
     _DEFAULT_ARBITER.publish(
         _log_path(table, record["version"]), json.dumps(record)
     )

@@ -2955,3 +2955,103 @@ def test_cli_changes_since_bounded_drain(spark, tmp_path, capsys):
     cap = capsys.readouterr()
     assert len(cap.out.strip().splitlines()) == 2
     assert "truncated" in cap.err
+
+
+def test_txlog_bloom_cols_property_and_inheritance(spark, tmp_path):
+    """Delta-style bloom filter table property: commit(bloom_cols=...)
+    embeds parquet bloom pages for unclustered point-lookup columns,
+    and the property INHERITS across appends, DML replaces, OPTIMIZE,
+    and metadata republishes — the index never silently erodes."""
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "b")
+    plain = str(tmp_path / "p")
+    df = spark.range(120000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("user_id"),
+        (F.col("id") % 50).alias("k"),
+    ).coalesce(1)
+    txlog.commit(
+        df, table, stats_cols=["k"],
+        bloom_cols={"user_id": 120_000},
+    )
+    txlog.commit(df, plain, stats_cols=["k"])
+    assert txlog.bloom_cols_of(table) == {"user_id": 120000}
+
+    def bytes_of(t, version=None):
+        import os as _os
+
+        rec = txlog._read_log(t)[-1 if version is None else version]
+        return sum(rec["sizes"].values())
+
+    # bloom pages are REAL bytes in the data files
+    assert bytes_of(table) > bytes_of(plain) * 1.05
+
+    # appends inherit (no bloom_cols passed) and stay bloom-sized
+    txlog.commit(df, table)
+    txlog.commit(df, plain)
+    assert bytes_of(table) > bytes_of(plain) * 1.05
+    assert txlog.bloom_cols_of(table) == {"user_id": 120000}
+
+    # DML replace and OPTIMIZE inherit through the property
+    txlog.delete_where(spark, table, "k", 0, 4, stats_cols=["k"])
+    assert txlog.bloom_cols_of(table) == {"user_id": 120000}
+    txlog.optimize(spark, table, target_file_mb=64)
+    assert txlog.bloom_cols_of(table) == {"user_id": 120000}
+    rec = txlog._last_commit(table)
+    # the optimize rewrite re-embedded the bloom (compare against an
+    # equal-row plain rewrite)
+    txlog.delete_where(spark, plain, "k", 0, 4, stats_cols=["k"])
+    txlog.optimize(spark, plain, target_file_mb=64)
+    assert sum(rec["sizes"].values()) > sum(
+        txlog._last_commit(plain)["sizes"].values()
+    ) * 1.05
+
+    # metadata republish (ALTER) carries the property
+    txlog.add_constraint(spark, table, "k_nonneg", "k >= 0")
+    assert txlog.bloom_cols_of(table) == {"user_id": 120000}
+
+    # point lookup through the bloomed table stays exact
+    got = (
+        txlog.read_table(spark, table)
+        .where(F.col("user_id") == 42)
+        .count()
+    )
+    want = (
+        txlog.read_table(spark, plain)
+        .where(F.col("user_id") == 42)
+        .count()
+    )
+    assert got == want
+
+    # explicit {} clears the property for future writes
+    txlog.commit(df, table, bloom_cols={})
+    assert txlog.bloom_cols_of(table) == {}
+
+
+def test_write_sorted_bloom_filter_cols(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.sources.io import write_sorted
+
+    df = spark.range(100000).select(
+        (F.col("id") % 100).alias("day"),
+        (F.col("id") * 2654435761 % 1000003).alias("user_id"),
+    )
+    pb = str(tmp_path / "bloom")
+    pn = str(tmp_path / "plain")
+    write_sorted(df, pb, ["day"], num_files=2,
+                 bloom_filter_cols={"user_id": 100_000})
+    write_sorted(df, pn, ["day"], num_files=2)
+    import os
+
+    size = lambda p: sum(
+        os.path.getsize(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    )
+    assert size(pb) > size(pn) * 1.05
+    got = spark.read.parquet(pb).where("user_id = 77").collect()
+    want = spark.read.parquet(pn).where("user_id = 77").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
