@@ -735,6 +735,18 @@ _TIME_FORMATS = {
     "years": ("yyyy", "%Y", "_year"),
 }
 
+# zero-padded positional grammar each grain's derived value obeys —
+# the validator reshaped string probes must pass before pruning
+_TIME_GRAMMARS = {
+    kind: re.compile(
+        fmt.replace("%Y", r"\d{4}")
+        .replace("%m", r"\d{2}")
+        .replace("%d", r"\d{2}")
+        .replace("%H", r"\d{2}")
+    )
+    for kind, (_, fmt, _) in _TIME_FORMATS.items()
+}
+
 
 def _parse_partition_field(entry: str):
     """One partition-spec entry → ``(kind, param, source, derived)``
@@ -828,14 +840,31 @@ def _transform_value(kind: str, param, v):
         return None
     if kind in _TIME_FORMATS:
         fmt = _TIME_FORMATS[kind][1]
+        # zero-padded positional grammar of the derived value — any
+        # reshaped probe must match it exactly, or the prune is
+        # comparing against a rendering the writer never produced
+        grammar = _TIME_GRAMMARS[kind]
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            # the path value was rendered by date_format in the
+            # WRITER session's timezone; strftime renders in the
+            # probe's own tz — the two can differ by a day at
+            # midnight boundaries, a confidently WRONG skip
+            # (ADVICE r12, medium). Keep the file, row filter decides.
+            return None
         if isinstance(v, (_dt.datetime, _dt.date)):
             return v.strftime(fmt)  # date renders %H as 00, like SQL
         if isinstance(v, str):
             # ISO renderings are positional: the transform is a
-            # prefix reshape ("2024-01-02 13:45" → "2024-01-02-13")
+            # prefix reshape ("2024-01-02 13:45" → "2024-01-02-13").
+            # Non-zero-padded inputs ('2024-01-02 9:45') reshape to
+            # values the zero-padded writer grammar never mints —
+            # validate before trusting the prefix (ADVICE r12).
             want = len(fmt) + fmt.count("%Y") * 2  # %Y is 4 digits
             iso = v.replace(" ", "-").replace("T", "-")
-            return iso[:want] if len(iso) >= want else None
+            if len(iso) < want:
+                return None
+            out = iso[:want]
+            return out if grammar.fullmatch(out) else None
         return None
     raise AssertionError(kind)
 
@@ -986,6 +1015,16 @@ def commit(
         raise ValueError(
             "dv_entries is required for (and only for) action='dv'"
         )
+    if rebase_bands is not None and not (
+        isinstance(rebase_bands, dict) or rebase_bands == ROW_PRESERVING
+    ):
+        # fail BEFORE any data file is written: a malformed value
+        # (non-dict, mistyped sentinel) would otherwise surface as an
+        # AttributeError mid-publish, after the write (ADVICE r12, low)
+        raise ValueError(
+            "rebase_bands must be a {column: (lo, hi)} dict or "
+            f"ROW_PRESERVING ({ROW_PRESERVING!r}), got {rebase_bands!r}"
+        )
     last = _last_commit(table)
     # partition spec: table metadata with schema-like enforcement —
     # appends/replaces inherit the active spec (a conflicting caller
@@ -1010,6 +1049,27 @@ def commit(
     if missing_part:
         raise ValueError(
             f"partition columns {missing_part} not in the DataFrame"
+        )
+    # the same derived-name guards set_partition_spec enforces, for
+    # specs arriving directly through commit(partition_by=...): a
+    # duplicate derived name is an ambiguous layout, and a DATA column
+    # literally named like a derived segment (``x_bucket8``) would be
+    # silently overwritten by the transform withColumn below and moved
+    # into the path — data loss (ADVICE r12, low)
+    derived_names = [d for _, _, _, d in spec_fields]
+    if len({d.lower() for d in derived_names}) != len(derived_names):
+        raise ValueError(f"duplicate columns in partition spec {spec}")
+    df_lower = {c.lower() for c in df.columns}
+    collide = [
+        d
+        for kind, _, _, d in spec_fields
+        if kind != "identity" and d.lower() in df_lower
+    ]
+    if collide:
+        raise ValueError(
+            f"derived partition names {collide} collide with data "
+            f"columns of the DataFrame — rename the column or the "
+            "transform source"
         )
     # staleness fires FIRST: with a pinned base, a concurrent commit
     # must surface as CommitConflict (what the DML retry loops catch
@@ -2179,7 +2239,13 @@ def _appends_disjoint(
     pure append, matching or not; the appended files simply wait for
     the next maintenance cadence.
     """
-    if bands is not ROW_PRESERVING and not bands:
+    # equality, not identity: the documented sentinel VALUE
+    # ('row-preserving', e.g. round-tripped through config) must
+    # behave like the module constant (ADVICE r12, low)
+    row_preserving = isinstance(bands, str) and bands == ROW_PRESERVING
+    if not row_preserving and not isinstance(bands, dict):
+        return False  # malformed caller value: refuse, never crash
+    if not row_preserving and not bands:
         return False
     recs = _read_log(table, after=after - 1, through=through)
     if not recs or recs[0]["version"] != after:
@@ -2188,7 +2254,7 @@ def _appends_disjoint(
     for rec in recs[1:]:
         if rec["action"] != "append" or rec["schema"] != base_schema:
             return False
-        if bands is ROW_PRESERVING:
+        if row_preserving:
             continue
         touched = _band_touched(
             table,

@@ -397,3 +397,51 @@ def test_txtable_source_reads_transform_partitioned_table(
         )
     )
     assert via_source == fast and len(fast) == 30
+
+
+def test_transform_value_rejects_unsafe_time_probes():
+    """ADVICE r12 (medium): a tz-aware datetime renders in its OWN tz
+    while the path was rendered in the writer session's tz, and a
+    non-zero-padded string probe reshapes to a value the writer
+    grammar never mints — both must degrade to None (keep the file),
+    never to a confident wrong skip."""
+    import datetime as dt
+
+    aware = dt.datetime(
+        2024, 1, 2, 0, 30, tzinfo=dt.timezone(dt.timedelta(hours=5))
+    )
+    assert txlog._transform_value("days", None, aware) is None
+    assert txlog._transform_value("hours", None, aware) is None
+    # non-zero-padded hour: '2024-01-02-9:' fails the grammar
+    assert txlog._transform_value("hours", None, "2024-01-02 9:45") is None
+    # non-zero-padded month at days grain: '2024-1-02…' fails too
+    assert txlog._transform_value("days", None, "2024-1-02 09:45") is None
+    # zero-padded probes still transform exactly as the writer does
+    assert (
+        txlog._transform_value("hours", None, "2024-01-02 09:45")
+        == "2024-01-02-09"
+    )
+    naive = dt.datetime(2024, 1, 2, 9, 45)
+    assert txlog._transform_value("days", None, naive) == "2024-01-02"
+
+
+def test_commit_partition_by_runs_spec_guards(spark, tmp_path):
+    """ADVICE r12 (low): commit(partition_by=...) enforces the same
+    derived-name collision and duplicate guards as set_partition_spec
+    — a data column named like a derived segment would be silently
+    overwritten and moved into the path (data loss)."""
+    df = spark.createDataFrame(
+        [Row(x=1, x_bucket8=9, v="a")],
+        "x int, x_bucket8 int, v string",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        txlog.commit(
+            df, str(tmp_path / "t1"), partition_by=["bucket(8, x)"]
+        )
+    df2 = spark.createDataFrame([Row(x=1, v="a")], "x int, v string")
+    with pytest.raises(ValueError, match="duplicate"):
+        txlog.commit(
+            df2,
+            str(tmp_path / "t2"),
+            partition_by=["bucket(8, x)", "bucket(8, x)"],
+        )

