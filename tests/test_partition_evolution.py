@@ -445,3 +445,180 @@ def test_commit_partition_by_runs_spec_guards(spark, tmp_path):
             str(tmp_path / "t2"),
             partition_by=["bucket(8, x)", "bucket(8, x)"],
         )
+
+
+# ---------------------------------------------------------------------------
+# HIDDEN-PARTITION predicate pruning (VERDICT r12 order #3): plain
+# range/equality bands prune transform directories — days(ts) from ts
+# ranges, bucket/truncate from equality bands — with zero footer
+# reads, inside read_table_pruned* and the DML verbs' _band_touched.
+# ---------------------------------------------------------------------------
+
+
+def test_path_band_disjoint_unit():
+    d = txlog._path_band_disjoint
+    INF = float("inf")
+    # identity segments: typed compares, NULL prunes, junk keeps
+    assert d("data/c/day=3/p.parquet", "day", 5, 9) is True
+    assert d("data/c/day=7/p.parquet", "day", 5, 9) is False
+    assert d("data/c/day=3/p.parquet", "day", -INF, 2) is True
+    assert d("data/c/day=3/p.parquet", "day", -INF, 5) is False
+    assert d("data/c/day=3/p.parquet", "day", 4, INF) is True
+    assert d("data/c/c=de/p.parquet", "c", "fr", "it") is True
+    assert d("data/c/c=fr/p.parquet", "c", "fr", "it") is False
+    assert (
+        d("data/c/c=__HIVE_DEFAULT_PARTITION__/p.parquet", "c", 1, 2)
+        is True
+    )
+    assert d("data/c/day=junk/p.parquet", "day", 5, 9) is False
+    # days(ts): monotone prefix — string bands at any finer grain
+    assert (
+        d(
+            "data/c/ts_day=2024-01-05/p.parquet",
+            "ts",
+            "2024-01-10 00:00:00",
+            "2024-01-12 23:59:59",
+        )
+        is True
+    )
+    assert (
+        d(
+            "data/c/ts_day=2024-01-11/p.parquet",
+            "ts",
+            "2024-01-10 00:00:00",
+            "2024-01-12 23:59:59",
+        )
+        is False
+    )
+    # half-open band: only the bounded edge constrains
+    assert (
+        d("data/c/ts_day=2024-01-05/p.parquet", "ts", "2024-01-06", -0.0)
+        is False
+    )  # mixed types: keep
+    assert (
+        d(
+            "data/c/ts_day=2024-01-05/p.parquet",
+            "ts",
+            "2024-01-06 00:00:00",
+            INF,
+        )
+        is True
+    )
+    # grammar-failing segment rendering: keep, never compare
+    assert (
+        d(
+            "data/c/ts_day=05-01-2024/p.parquet",
+            "ts",
+            "2024-01-06 00:00:00",
+            INF,
+        )
+        is False
+    )
+    # truncate: numeric floor and string prefix are monotone
+    assert d("data/c/k_trunc10=40/p.parquet", "k", 55, 78) is True
+    assert d("data/c/k_trunc10=70/p.parquet", "k", 55, 78) is False
+    assert d("data/c/s_trunc2=ab/p.parquet", "s", "ba", "bz") is True
+    assert d("data/c/s_trunc2=ba/p.parquet", "s", "babb", "bb") is False
+    # bucket: point bands only; range bands keep
+    import zlib
+
+    b = zlib.crc32(b"42") % 8
+    assert d(f"data/c/u_bucket8={b}/p.parquet", "u", 42, 42) is False
+    assert d(f"data/c/u_bucket8={(b + 1) % 8}/p.parquet", "u", 42, 42) is True
+    assert d(f"data/c/u_bucket8={(b + 1) % 8}/p.parquet", "u", 40, 45) is False
+
+
+def test_hidden_partition_days_range_prunes_listing(spark, tmp_path):
+    """A plain ts-range pruned read on a days(ts) layout opens only
+    the matching day directories — no explicit partition dict, no
+    zone maps recorded (stats-free table: the PATH is the only
+    metadata), Iceberg's headline trick."""
+    import datetime
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(
+                ts=datetime.datetime(2024, 1, 1 + i % 6, 8, 30),
+                k=i,
+            )
+            for i in range(60)
+        ],
+        "ts timestamp, k int",
+    )
+    txlog.commit(df, table, partition_by=["days(ts)"])
+    pr = txlog.read_table_pruned(
+        spark, table, "ts", "2024-01-02 00:00:00", "2024-01-03 23:59:59"
+    )
+    assert pr.count() == 20
+    kept = pr.inputFiles()
+    assert kept
+    assert all(
+        "ts_day=2024-01-02" in f or "ts_day=2024-01-03" in f
+        for f in kept
+    )
+    # multi-band conjunction: days segment AND a k zone... no stats →
+    # k contributes nothing, ts still prunes the listing
+    pm = txlog.read_table_pruned_multi(
+        spark,
+        table,
+        {"ts": ("2024-01-02 00:00:00", "2024-01-02 23:59:59")},
+    )
+    assert pm.count() == 10
+    assert all("ts_day=2024-01-02" in f for f in pm.inputFiles())
+
+
+def test_hidden_partition_bucket_point_reads_prune(spark, tmp_path):
+    """Equality/IN point bands consult the bucket layout — the
+    read_table_pruned_in batch probe opens only the probes' bucket
+    directories, era arithmetic per file name."""
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(u=i, v=i * 10) for i in range(200)], "u long, v long"
+    )
+    txlog.commit(df, table, partition_by=["bucket(8, u)"])
+    pr = txlog.read_table_pruned_in(spark, table, "u", [42, 43])
+    assert sorted(r["v"] for r in pr.collect()) == [420, 430]
+    import zlib
+
+    want = {zlib.crc32(str(x).encode()) % 8 for x in (42, 43)}
+    kept = pr.inputFiles()
+    assert kept and all(
+        any(f"u_bucket8={b}" in f for b in want) for f in kept
+    )
+    # a point band through read_table_pruned prunes the same way
+    eq = txlog.read_table_pruned(spark, table, "u", 42, 42)
+    assert eq.count() == 1
+    b42 = zlib.crc32(b"42") % 8
+    assert all(f"u_bucket8={b42}" in f for f in eq.inputFiles())
+
+
+def test_hidden_partition_bands_prune_expression_dml(spark, tmp_path):
+    """The DML verbs' shared _band_touched consults transform paths:
+    an expression DELETE whose band hits one day touches (and
+    rewrites) only that day's files."""
+    import datetime
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(
+                ts=datetime.datetime(2024, 1, 1 + i % 6, 8, 30),
+                k=i,
+            )
+            for i in range(60)
+        ],
+        "ts timestamp, k int",
+    )
+    txlog.commit(df, table, partition_by=["days(ts)"])
+    n_all = len(txlog.read_table(spark, table).inputFiles())
+    txlog.delete_where_expr(
+        spark,
+        table,
+        "ts BETWEEN '2024-01-03 00:00:00' AND '2024-01-03 23:59:59'",
+    )
+    rec = txlog._read_log(table)[-1]
+    assert rec["action"] == "replace"
+    assert all("ts_day=2024-01-03" in r for r in rec["remove"])
+    assert len(rec["remove"]) < n_all
+    assert txlog.read_table(spark, table).count() == 50

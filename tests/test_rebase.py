@@ -8,6 +8,12 @@ missing stats) must fall back to the full re-execution, never to a
 silent anomaly. Delta calls this conflict reconciliation; the
 advertised concurrent pattern (streaming sink appending every few
 seconds under a nightly DML) needs it to avoid starving the DML.
+
+The appends here simulate the concurrent writer with
+``commit(..., stats_cols=["k"])`` — batch appends with recorded
+stats. The REAL-SINK version of the race (a stats-arg-free
+``txlog_append_batch`` under the ``set_stats_cols`` table property)
+is pinned end-to-end in ``test_stats_property.py``.
 """
 
 import json
