@@ -2335,6 +2335,59 @@ def user_state_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def user_state_merge_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE INTO on a ``bucket(16, user_id)`` HIDDEN-PARTITION
+    layout (tools/txlog.py ``merge_into`` + ``_batch_bucket_sets`` —
+    VERDICT r12 order #4): the narrow CDC batch (odd-id events of
+    users 100–149 only) maps to its BUCKET SET via one Spark
+    aggregate that is JVM-identical to the writer's path arithmetic,
+    so the replace rewrites at most |batch buckets| of the 16
+    directories with zero footer reads (directory-pinned in
+    tests/test_partitioned_tables.py). Latest-wins (ts, event_id)
+    with 'D' deletes, same kernel as ``user_state_merge_into`` — the
+    oracle restricts which odd rows participate and replays the same
+    window."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-mrgbkt-")
+    table = f"{root}/state"
+    try:
+        txlog.commit(
+            ev.where(F.col("event_id") % 2 == 0),
+            table,
+            partition_by=["bucket(16, user_id)"],
+        )
+        updates = (
+            ev.where(F.col("event_id") % 2 == 1)
+            .where(F.col("user_id").between(100, 149))
+            .withColumn(
+                "op",
+                F.when(
+                    F.col("event_id") % 7 == 0, F.lit("D")
+                ).otherwise(F.lit("U")),
+            )
+        )
+        txlog.merge_into(
+            spark,
+            table,
+            updates,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+            op_col="op",
+        )
+        return txlog.read_table(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def user_state_merge_cdf_feed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4249,6 +4302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state_stream": current_user_state_stream,
     "current_user_state_with_deletes": current_user_state_with_deletes,
     "user_state_merge_into": user_state_merge_into,
+    "user_state_merge_bucketed": user_state_merge_bucketed,
     "user_state_merge_cdf_feed": user_state_merge_cdf_feed,
     "event_state_restore": event_state_restore,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
@@ -5659,6 +5713,25 @@ ORACLE_SQL["current_user_state_txlog_stream"] = ORACLE_SQL[
 ORACLE_SQL["user_state_merge_into"] = ORACLE_SQL[
     "current_user_state_with_deletes"
 ]
+
+# bucketed merge: only odd rows of users 100-149 participate; the
+# base (even) rows and the restricted batch replay the same
+# latest-wins window with 'D' removal
+ORACLE_SQL["user_state_merge_bucketed"] = """
+    SELECT user_id, event_type, ts, event_id, value FROM (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+               value,
+               CASE WHEN event_id % 2 = 1 AND event_id % 7 = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_ns(ts) DESC, event_id DESC
+               ) AS rn
+        FROM events
+        WHERE event_id % 2 = 0
+           OR (event_id % 2 = 1 AND user_id BETWEEN 100 AND 149)
+    ) WHERE rn = 1 AND op = 'U'
+"""
 
 # MERGE CDF classes reconstructed from the global version race: with
 # a key-unique base, winner-from-batch = update (pre=base row,

@@ -1204,11 +1204,17 @@ def commit(
     # otherwise raise ValueError out of the snapshot check below and
     # escape every retry loop.
     version = (last["version"] + 1) if last else 0
+    # the staged commit's own write set: what a benign concurrent
+    # dv/replace commit must be file-disjoint from to rebase past
+    staged_touched = frozenset(remove or ()) | frozenset(
+        dv_entries or ()
+    )
     if expected_version is not None:
         head = last["version"] if last else -1
         if head > expected_version:
             if rebase_bands is not None and _appends_disjoint(
-                table, expected_version, head, rebase_bands
+                table, expected_version, head, rebase_bands,
+                staged_touched,
             ):
                 # benign: every intervening commit is a pure append
                 # provably disjoint from the DML's bands — rebase the
@@ -1540,7 +1546,8 @@ def commit(
                 rebase_bands is None
                 or new_head < version
                 or not _appends_disjoint(
-                    table, version - 1, new_head, rebase_bands
+                    table, version - 1, new_head, rebase_bands,
+                    staged_touched,
                 )
             ):
                 raise CommitConflict(
@@ -2392,40 +2399,56 @@ ROW_PRESERVING = "row-preserving"
 
 
 def _appends_disjoint(
-    table: str, after: int, through: int, bands
+    table: str, after: int, through: int, bands, staged_touched=()
 ) -> bool:
-    """True iff every commit in (``after``, ``through``] is a PURE
-    APPEND that provably cannot interact with a DML commit staged
-    against the ``after`` snapshot — the BENIGN-CONFLICT test behind
-    commit()'s ``rebase_bands`` (Delta's conflict reconciliation:
-    a concurrent blind append disjoint from the transaction's read
-    predicate does not abort it; the losing commit is rebased onto
-    the new head instead of re-executed).
+    """True iff every commit in (``after``, ``through``] provably
+    cannot interact with a DML commit staged against the ``after``
+    snapshot — the BENIGN-CONFLICT test behind commit()'s
+    ``rebase_bands`` (Delta's conflict reconciliation: a concurrent
+    commit disjoint from the transaction's read predicate and write
+    set does not abort it; the losing commit is rebased onto the new
+    head instead of re-executed). ``staged_touched`` is the staged
+    commit's own write set: the table-relative files it removes
+    (replace) or attaches deletion vectors to (dv).
 
-    Three proofs, each conservative:
+    Per-commit proofs, each conservative (anything unprovable
+    degrades to False — the caller re-executes, never anomalizes):
 
-    * ``action == "append"`` — an append never removes a file, never
-      edits a deletion vector, and never changes constraints /
-      partition spec / column mapping, so the staged record's
-      ``remove`` list, merged DV entries, and inherited metadata all
-      stay valid against the new head.
     * identical ``schema`` across the base record and every
-      intervening append — a ``merge_schema`` widening would make the
+      intervening commit — a ``merge_schema`` widening would make the
       staged replace/dv record (which carries the base schema
-      verbatim) silently NARROW the table on rebase.
-    * every appended file's zone map DISJOINT from at least one band
-      per :func:`_zone_disjoint` — no appended row can satisfy the
-      DML predicate, so the rebased history is SERIALIZABLE (the DML
-      ordered last), not merely write-serializable. Appends without
-      stats for the band columns, an unextractable predicate (empty
-      ``bands``), or an expired base record all degrade to False:
-      the caller re-executes, never silently anomalizes.
+      verbatim) silently NARROW the table on rebase — and identical
+      TABLE PROPERTIES (constraints, partition spec, column mapping,
+      bloom_cols, stats_cols): the staged record carries the base's
+      verbatim, so rebasing past a property change would silently
+      revert it at the new head (ADVICE r12, low).
+    * a pure APPEND: its files' zone maps / path segments must be
+      DISJOINT from at least one band each (:func:`_band_touched` —
+      no appended row can satisfy the DML predicate, so the rebased
+      history is SERIALIZABLE, the DML ordered last).
+    * a DV commit (merge-on-read UPDATE/DELETE — VERDICT r12 order
+      #5): its vector targets must be disjoint from
+      ``staged_touched`` (the staged outputs were computed from those
+      files; a foreign vector on them invalidates nothing ELSEWHERE,
+      and the rebased snapshot keeps both sides' vectors), every
+      target must itself be band-disjoint (a vector CAN delete rows,
+      and a deleted band-matching row would make the staged output
+      stale), and its appended files obey the same band proof as a
+      pure append.
+    * a REPLACE (concurrent band-disjoint DML): its removed files
+      must be disjoint from ``staged_touched`` AND band-disjoint
+      (their rows may have been modified or deleted), and its added
+      files obey the band proof (where the modified rows landed).
+      Removed-file zone maps resolve from the running snapshot state
+      (base stats + each intervening record's), loaded lazily on the
+      first replace/dv seen.
 
-    ``bands=ROW_PRESERVING`` waives the third proof: a commit that
-    REARRANGES rows without changing any (compaction, scoped
-    OPTIMIZE — ``data_change=False`` replaces) is benign against ANY
-    pure append, matching or not; the appended files simply wait for
-    the next maintenance cadence.
+    ``bands=ROW_PRESERVING`` waives every BAND proof (not the
+    write-set ones): a commit that REARRANGES rows without changing
+    any (compaction, scoped OPTIMIZE — ``data_change=False``
+    replaces) is benign against any append, and against dv/replace
+    commits whose write sets don't intersect its own — the staged
+    output duplicates only rows of files those commits never touch.
     """
     # equality, not identity: the documented sentinel VALUE
     # ('row-preserving', e.g. round-tripped through config) must
@@ -2438,21 +2461,65 @@ def _appends_disjoint(
     recs = _read_log(table, after=after - 1, through=through)
     if not recs or recs[0]["version"] != after:
         return False  # base record expired/missing: schema unverifiable
-    base_schema = recs[0]["schema"]
-    for rec in recs[1:]:
-        if rec["action"] != "append" or rec["schema"] != base_schema:
-            return False
-        if row_preserving:
-            continue
-        touched = _band_touched(
-            table,
-            [os.path.join(table, r) for r in rec["add"]],
-            rec.get("stats", {}),
-            dict(rec.get("column_mapping", {})),
-            bands,
+    base = recs[0]
+    staged = frozenset(staged_touched or ())
+    known_stats: dict | None = None  # lazy: rel → zone maps at base
+
+    def _file_band_free(rel: str, stats: dict, mapping: dict) -> bool:
+        """No row of ``rel`` can match the bands (zone map or path)."""
+        return not _band_touched(
+            table, [os.path.join(table, rel)], stats, mapping, bands
         )
-        if touched:
+
+    for rec in recs[1:]:
+        if rec["schema"] != base["schema"]:
             return False
+        for prop in (
+            "constraints",
+            "partition_by",
+            "column_mapping",
+            "bloom_cols",
+            "stats_cols",
+        ):
+            if rec.get(prop) != base.get(prop):
+                return False
+        action = rec["action"]
+        if action not in ("append", "dv", "replace"):
+            return False  # overwrite/unknown: layout or schema reset
+        mapping = dict(rec.get("column_mapping", {}))
+        if action in ("dv", "replace"):
+            foreign = (
+                set(rec.get("dv", {}))
+                if action == "dv"
+                else set(rec.get("remove", []))
+            )
+            if foreign & staged:
+                return False
+            if not row_preserving:
+                if known_stats is None:
+                    known_stats = dict(_snapshot_stats(table, after))
+                    # fold stats of the commits walked BEFORE this one
+                    for prior in recs[1:]:
+                        if prior is rec:
+                            break
+                        known_stats.update(prior.get("stats", {}))
+                if any(
+                    not _file_band_free(r, known_stats, mapping)
+                    for r in foreign
+                ):
+                    return False
+        if not row_preserving:
+            touched = _band_touched(
+                table,
+                [os.path.join(table, r) for r in rec["add"]],
+                rec.get("stats", {}),
+                mapping,
+                bands,
+            )
+            if touched:
+                return False
+        if known_stats is not None:
+            known_stats.update(rec.get("stats", {}))
     return True
 
 
@@ -3124,7 +3191,11 @@ def _delete_where_dv(
                 rebase_bands is None
                 or new_head < version
                 or not _appends_disjoint(
-                    table, version - 1, new_head, rebase_bands
+                    table,
+                    version - 1,
+                    new_head,
+                    rebase_bands,
+                    frozenset(dv_entries),
                 )
             ):
                 raise CommitConflict(
@@ -4021,7 +4092,13 @@ def merge_into(
     whose ``prune_col`` zone map (default ``keys[0]``) intersects the
     batch's [min, max] key range are read, merged, and rewritten —
     on a key-clustered table a narrow CDC batch touches O(matching
-    files) of a 100 TB table. Pruning is sound because ``prune_col``
+    files) of a 100 TB table. The table's LAYOUT prunes too, with
+    zero footer reads: monotone transform / identity path segments
+    against the key band (:func:`_path_band_disjoint`), and on a
+    ``bucket(N, prune_col)`` layout the batch's key set maps to its
+    BUCKET SET per era — one Spark aggregate, JVM-identical to the
+    writer's path arithmetic — so a narrow batch rewrites at most
+    |batch buckets| directories. Pruning is sound because ``prune_col``
     must be a MERGE key: equality on all keys implies equality on it,
     so a file range-disjoint from every batch key value can contain
     no matched row (and unmatched rows are pure pass-through).
@@ -4071,21 +4148,91 @@ def merge_into(
         return v  # empty batch: publish nothing
     # NULL batch keys fall outside min/max — disable pruning for them
     prunable = bounds["n_key"] == bounds["n"]
+    bucket_sets: dict = {}
+    bucket_probed: set = set()
+
+    def _batch_bucket_sets(files, phys):
+        """The batch's bucket set per bucket-era found in the listing
+        (VERDICT r12 order #4 — bucket-layout-aware MERGE pruning):
+        ONE Spark aggregate computes ``collect_set(pmod(crc32(cast(
+        key as string)), N))`` for every era N at once (≤ N values
+        each, driver-bounded by the directory counts the layout
+        already implies). The probe is JVM-vs-JVM — the SAME
+        expression :func:`_transform_expr` wrote the paths with — so
+        there is no Python rendering drift for ANY key type, and a
+        narrow CDC batch maps to its bucket directories with zero
+        footer reads."""
+        eras = set()
+        for f in files:
+            for seg in _partition_values(
+                os.path.relpath(f, table)
+            ):
+                probe = _derived_probe(seg, phys)
+                if probe and probe[0] == "bucket":
+                    eras.add(probe[1])
+        todo = sorted(eras - bucket_probed)
+        if todo:
+            row = updates.agg(
+                *[
+                    F.collect_set(
+                        F.pmod(
+                            F.crc32(F.col(prune_col).cast("string")),
+                            F.lit(n),
+                        ).cast("int")
+                    ).alias(f"b{n}")
+                    for n in todo
+                ]
+            ).first()
+            for n in todo:
+                bucket_sets[n] = set(row[f"b{n}"])
+                bucket_probed.add(n)
+        return {n: bucket_sets[n] for n in eras}
+
+    def _bucket_set_disjoint(rel, phys, sets):
+        """True when the file's own bucket segment proves NO batch key
+        hashes into it (era arithmetic from the segment name). A NULL
+        segment means every row's key is NULL there — equality with
+        the batch's (all non-NULL under ``prunable``) keys can never
+        match, and unmatched rows are pure pass-through."""
+        if not sets:
+            return False
+        for seg, raw in _partition_values(rel).items():
+            probe = _derived_probe(seg, phys)
+            if probe and probe[0] == "bucket" and probe[1] in sets:
+                if raw is None:
+                    return True
+                if raw.isdigit() and int(raw) not in sets[probe[1]]:
+                    return True
+        return False
+
     for attempt in range(max(1, max_retries)):
         base = current_version(table)
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
         files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
+        phys = mapping.get(prune_col, prune_col)
+        sets = (
+            _batch_bucket_sets(files, phys) if prunable else {}
+        )
         touched = [
             f
             for f in files
             if not prunable
-            or not _zone_disjoint(
-                stats.get(os.path.relpath(f, table), {}).get(
-                    mapping.get(prune_col, prune_col)
-                ),
-                bounds["lo"],
-                bounds["hi"],
+            or not (
+                _zone_disjoint(
+                    stats.get(os.path.relpath(f, table), {}).get(phys),
+                    bounds["lo"],
+                    bounds["hi"],
+                )
+                or _path_band_disjoint(
+                    os.path.relpath(f, table),
+                    phys,
+                    bounds["lo"],
+                    bounds["hi"],
+                )
+                or _bucket_set_disjoint(
+                    os.path.relpath(f, table), phys, sets
+                )
             )
         ]
         # through the deletion vectors: DV-deleted rows must not be

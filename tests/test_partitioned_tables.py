@@ -347,3 +347,66 @@ def test_clone_of_partitioned_dv_table(spark, tmp_path):
     assert all("day=" in rel and not rel.startswith("..") for rel in rec["add"])
     assert txlog.read_table(spark, tgt).count() == 37
     assert txlog.read_table(spark, src).count() == 36
+
+
+def test_merge_into_prunes_bucket_layout(spark, tmp_path):
+    """Bucket-layout-aware MERGE pruning (VERDICT r12 order #4): on a
+    bucket(N, key) table, the batch's key set maps to its bucket set
+    — one Spark aggregate, JVM-identical to the writer's path
+    arithmetic — and the replace touches at most |batch buckets|
+    directories, zero footer reads (no stats recorded anywhere)."""
+    import zlib
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i * 10, "base") for i in range(256)],
+        "k long, v long, tag string",
+    )
+    txlog.commit(base, table, partition_by=["bucket(16, k)"])
+    batch_keys = [3, 19, 300]  # 300 is an INSERT
+    ups = spark.createDataFrame(
+        [(k, k * 100, "upd") for k in batch_keys],
+        "k long, v long, tag string",
+    )
+    txlog.merge_into(spark, table, ups, keys=["k"], version_cols=["v"])
+    rec = txlog._last_commit(table)
+    assert rec["action"] == "replace"
+    want_buckets = {zlib.crc32(str(k).encode()) % 16 for k in batch_keys}
+    got_buckets = {
+        int(seg.split("=")[1])
+        for rel in rec["remove"]
+        for seg in rel.split("/")
+        if seg.startswith("k_bucket16=")
+    }
+    # the rewrite opened ONLY the batch's buckets — and strictly
+    # fewer directories than the full 16-bucket listing
+    assert got_buckets <= want_buckets
+    assert len(got_buckets) < 16
+    got = txlog.read_table(spark, table)
+    assert got.count() == 257
+    assert sorted(
+        r["v"] for r in got.where(F.col("tag") == "upd").collect()
+    ) == [300, 1900, 30000]
+    # era-mixed: evolve to bucket(4), append, merge again — both
+    # eras prune with their own arithmetic
+    txlog.set_partition_spec(table, ["bucket(4, k)"])
+    extra = spark.createDataFrame(
+        [(1000 + i, i, "era2") for i in range(64)],
+        "k long, v long, tag string",
+    )
+    txlog.commit(extra, table)
+    ups2 = spark.createDataFrame(
+        [(1003, 99999, "upd2")], "k long, v long, tag string"
+    )
+    txlog.merge_into(spark, table, ups2, keys=["k"], version_cols=["v"])
+    rec2 = txlog._last_commit(table)
+    b16 = zlib.crc32(b"1003") % 16
+    b4 = zlib.crc32(b"1003") % 4
+    for rel in rec2["remove"]:
+        assert f"k_bucket16={b16}" in rel or f"k_bucket4={b4}" in rel
+    assert (
+        txlog.read_table(spark, table)
+        .where(F.col("k") == 1003)
+        .head()["v"]
+        == 99999
+    )

