@@ -2341,33 +2341,46 @@ def user_state_merge_bucketed(
     """MERGE INTO on a ``bucket(16, user_id)`` HIDDEN-PARTITION
     layout (tools/txlog.py ``merge_into`` + ``_batch_bucket_sets`` —
     VERDICT r12 order #4): the narrow CDC batch (odd-id events of
-    users 100–149 only) maps to its BUCKET SET via one Spark
-    aggregate that is JVM-identical to the writer's path arithmetic,
-    so the replace rewrites at most |batch buckets| of the 16
-    directories with zero footer reads (directory-pinned in
+    users 3–7 only — present at every SF) maps to its BUCKET SET via
+    one Spark aggregate that is JVM-identical to the writer's path
+    arithmetic, so the replace rewrites at most |batch buckets| of
+    the 16 directories with zero footer reads (directory-pinned in
     tests/test_partitioned_tables.py). Latest-wins (ts, event_id)
-    with 'D' deletes, same kernel as ``user_state_merge_into`` — the
-    oracle restricts which odd rows participate and replays the same
-    window."""
+    with 'D' deletes, same kernel as ``user_state_merge_into``. The
+    base commit is made KEY-UNIQUE first (latest even event per key):
+    merge rewrites ONLY the batch's buckets, so base duplicates in
+    untouched buckets would pass through verbatim and no SQL window
+    over raw events could express that file-scoped end state — with a
+    unique-key base the result IS the restricted union compaction the
+    oracle replays."""
     import shutil
     import tempfile
+
+    from pyspark.sql import Window
 
     from parquet_combiner_spark.tools import txlog
 
     ev = _events(spark, sf_dir).select(
         "user_id", "event_type", "ts", "event_id", "value"
     )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     root = tempfile.mkdtemp(prefix="pcs-mrgbkt-")
     table = f"{root}/state"
     try:
         txlog.commit(
-            ev.where(F.col("event_id") % 2 == 0),
-            table,
-            partition_by=["bucket(16, user_id)"],
+            base, table, partition_by=["bucket(16, user_id)"]
         )
         updates = (
             ev.where(F.col("event_id") % 2 == 1)
-            .where(F.col("user_id").between(100, 149))
+            .where(F.col("user_id").between(3, 7))
             .withColumn(
                 "op",
                 F.when(
@@ -5714,22 +5727,37 @@ ORACLE_SQL["user_state_merge_into"] = ORACLE_SQL[
     "current_user_state_with_deletes"
 ]
 
-# bucketed merge: only odd rows of users 100-149 participate; the
-# base (even) rows and the restricted batch replay the same
-# latest-wins window with 'D' removal
+# bucketed merge: key-unique base (latest even event per key) merged
+# with the odd rows of users 3-7 only — the same latest-wins window
+# with 'D' removal over the restricted union
 ORACLE_SQL["user_state_merge_bucketed"] = """
-    SELECT user_id, event_type, ts, event_id, value FROM (
+    WITH base AS (
+        SELECT user_id, event_type, ts, event_id, value FROM (
+            SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+                   value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_ns(ts) DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE event_id % 2 = 0
+        ) WHERE rn = 1
+    ), unioned AS (
+        SELECT user_id, event_type, ts, event_id, value, 'U' AS op
+        FROM base
+        UNION ALL
         SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
                value,
-               CASE WHEN event_id % 2 = 1 AND event_id % 7 = 0
-                    THEN 'D' ELSE 'U' END AS op,
+               CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM events
+        WHERE event_id % 2 = 1 AND user_id BETWEEN 3 AND 7
+    )
+    SELECT user_id, event_type, ts, event_id, value FROM (
+        SELECT *,
                row_number() OVER (
                    PARTITION BY user_id, event_type
-                   ORDER BY epoch_ns(ts) DESC, event_id DESC
+                   ORDER BY ts DESC, event_id DESC
                ) AS rn
-        FROM events
-        WHERE event_id % 2 = 0
-           OR (event_id % 2 = 1 AND user_id BETWEEN 100 AND 149)
+        FROM unioned
     ) WHERE rn = 1 AND op = 'U'
 """
 
