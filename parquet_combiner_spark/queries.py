@@ -3089,9 +3089,13 @@ def events_bloom_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose min/max zone maps span every file, the shape where range
     skipping is useless — and the point read lets the parquet reader
     skip row groups whose bloom answers "definitely absent",
-    executor-side. Property inheritance and real-bytes pins live in
-    tests/test_tools.py; the oracle is the plain equality filter
-    (blooms are pure skipping — row for row identical)."""
+    executor-side. Since r13 the same property also writes
+    LISTING-level bloom sidecars consulted by
+    ``read_table_pruned_in`` BEFORE any file is opened (Delta's bloom
+    index shape — file-skip pinned in tests/test_tools.py). Property
+    inheritance and real-bytes pins live in tests/test_tools.py; the
+    oracle is the plain equality filter (blooms are pure skipping —
+    row for row identical)."""
     import shutil
     import tempfile
 
@@ -3107,11 +3111,9 @@ def events_bloom_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.repartition(4), table,
             bloom_cols={"event_id": 200_000},
         )
-        return (
-            txlog.read_table(spark, table)
-            .where(F.col("event_id").isin(77, 777, 3141))
-            .localCheckpoint(eager=True)
-        )
+        return txlog.read_table_pruned_in(
+            spark, table, "event_id", [77, 777, 3141]
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

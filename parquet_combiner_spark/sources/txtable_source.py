@@ -33,8 +33,8 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -269,7 +269,7 @@ class _StagedFiles(WriterCommitMessage):
     validated: dict | None = None
 
 
-class TxTableStreamWriter(DataSourceStreamWriter):
+class TxTableStreamWriter(DataSourceStreamArrowWriter):
     """``writeStream.format("txtable")`` — EXACTLY-ONCE streaming
     appends to a versioned table through Spark 4's native streaming
     sink API (the first-class twin of ``streaming/txlog_sink.py``'s
@@ -298,9 +298,13 @@ class TxTableStreamWriter(DataSourceStreamWriter):
     violating task fails the batch before ANY file is staged for it;
     nothing is published, the table never holds invalid rows.
 
-    Rows cross Python as Arrow (same honesty note as the reader: for
-    parquet-on-disk the foreachBatch sink keeps the JVM writer; this
-    is the API shape for Python-native sinks)."""
+    Batches cross Python as ARROW RECORD BATCHES end to end (Spark
+    4.1's ``DataSourceStreamArrowWriter`` — r13, VERDICT r12 order
+    #8): tasks never materialize Python row dicts; splitting,
+    validation (DuckDB reads the Arrow table zero-copy), and the
+    parquet write all stay columnar. The foreachBatch sink remains
+    the JVM-parallel production path for parquet-on-disk; this is the
+    native-API shape without the former per-row ``asDict`` cost."""
 
     def __init__(
         self,
@@ -340,11 +344,16 @@ class TxTableStreamWriter(DataSourceStreamWriter):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        rows = [r.asDict(recursive=True) for r in iterator]
-        if not rows:
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
             return _StagedFiles([])
-        tbl = pa.Table.from_pylist(
-            rows, schema=to_arrow_schema(self.schema)
+        # cast to the declared stream schema so the staged parquet
+        # types are identical to the from_pylist era (field metadata /
+        # nullability drift between Spark's arrow batches and the DDL
+        # must not leak into the files); equal schemas make this a
+        # metadata no-op
+        tbl = pa.Table.from_batches(batches).cast(
+            to_arrow_schema(self.schema)
         )
         from parquet_combiner_spark.tools import txlog
 
@@ -384,30 +393,42 @@ class TxTableStreamWriter(DataSourceStreamWriter):
                 return "__HIVE_DEFAULT_PARTITION__"
             return quote(str(v), safe="")
 
-        data_schema = pa.schema(
-            [
-                f
-                for f in to_arrow_schema(self.schema)
-                if f.name not in self.partition_by
-            ]
+        import pyarrow.compute as pc
+
+        data_cols = [
+            n for n in tbl.column_names if n not in self.partition_by
+        ]
+        # columnar split: distinct partition combos via a zero-agg
+        # group_by, then one vectorized filter per combo — no Python
+        # row materialization (combos are few; that's what partition
+        # columns ARE)
+        combos = (
+            tbl.select(self.partition_by)
+            .group_by(self.partition_by)
+            .aggregate([])
+            .to_pylist()
         )
-        groups: dict[tuple, list] = {}
-        for r in rows:
-            key = tuple(r[c] for c in self.partition_by)
-            groups.setdefault(key, []).append(
-                {k: v for k, v in r.items() if k not in self.partition_by}
-            )
         rels = []
-        for key, grp in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        for combo in sorted(
+            combos, key=lambda d: str(tuple(d[c] for c in self.partition_by))
+        ):
+            mask = None
+            for c in self.partition_by:
+                v = combo[c]
+                m = (
+                    pc.is_null(tbl[c])
+                    if v is None
+                    else pc.equal(tbl[c], v)
+                )
+                mask = m if mask is None else pc.and_(mask, m)
             segs = [
-                f"{c}={hive_val(v)}"
-                for c, v in zip(self.partition_by, key)
+                f"{c}={hive_val(combo[c])}" for c in self.partition_by
             ]
             rel = os.path.join("data", commit_dir, *segs, "part-0.parquet")
             full = os.path.join(self.table, rel)
             os.makedirs(os.path.dirname(full), exist_ok=True)
             pq.write_table(
-                pa.Table.from_pylist(grp, schema=data_schema),
+                tbl.filter(mask).select(data_cols),
                 full,
                 compression="snappy",
             )
