@@ -2557,18 +2557,38 @@ def _band_touched(
     intersection on each banded column, PLUS hidden-partition path
     probes — :func:`_path_band_disjoint` — so a ``user_id = x`` band
     consults a ``bucket(N, user_id)`` layout and a ``ts`` range
-    prunes ``days(ts)`` directories with zero footer reads; files
-    missing stats AND path segments for a column are conservatively
-    kept for that column) — the shared prune behind the DML verbs,
-    identical logic to :func:`read_table_pruned_multi`'s read side."""
+    prunes ``days(ts)`` directories with zero footer reads, PLUS
+    listing-level bloom sidecars for POINT bands — the GDPR
+    point-delete shape on an unclustered key skips every file whose
+    bitset answers "definitely absent"; files missing stats, path
+    segments, and sidecars for a column are conservatively kept for
+    that column) — the shared prune behind the DML verbs, identical
+    logic to :func:`read_table_pruned_multi`'s read side. Sound
+    inside the rebase proofs too: the sidecar indexes every distinct
+    non-NULL value of the file (no truncation), so "absent" is exact
+    — false positives merely keep files."""
+    bloom_cache: dict = {}
+
+    def _may_match(rel, c, lo, hi):
+        phys = mapping.get(c, c)
+        s = stats.get(rel, {}).get(phys)
+        if _zone_disjoint(s, lo, hi):
+            return False
+        if _path_band_disjoint(rel, phys, lo, hi):
+            return False
+        if lo == hi and not isinstance(lo, bool):
+            ref = (s or {}).get("bloom")
+            if ref and not _bloom_maybe_contains(
+                table, ref, lo, bloom_cache
+            ):
+                return False
+        return True
+
     out = []
     for f in files:
         rel = os.path.relpath(f, table)
         if all(
-            not _zone_disjoint(
-                stats.get(rel, {}).get(mapping.get(c, c)), lo, hi
-            )
-            and not _path_band_disjoint(rel, mapping.get(c, c), lo, hi)
+            _may_match(rel, c, lo, hi)
             for c, (lo, hi) in bands.items()
         ):
             out.append(f)
@@ -3463,17 +3483,11 @@ def delete_where(
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
         files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
-        touched = [
-            f
-            for f in files
-            if not _zone_disjoint(
-                stats.get(os.path.relpath(f, table), {}).get(
-                    mapping.get(col, col)
-                ),
-                lo,
-                hi,
-            )
-        ]
+        # the shared DML prune: zone maps + hidden-partition path
+        # probes + point-band bloom sidecars (one [lo, hi] band)
+        touched = _band_touched(
+            table, files, stats, mapping, {col: (lo, hi)}
+        )
         if not touched:
             return base
         if mode == "dv":
@@ -4067,17 +4081,11 @@ def update_where(
             raise ValueError(
                 f"SET targets columns not in the table: {unknown}"
             )
-        touched = [
-            f
-            for f in files
-            if not _zone_disjoint(
-                stats.get(os.path.relpath(f, table), {}).get(
-                    mapping.get(col, col)
-                ),
-                lo,
-                hi,
-            )
-        ]
+        # the shared DML prune: zone maps + hidden-partition path
+        # probes + point-band bloom sidecars (one [lo, hi] band)
+        touched = _band_touched(
+            table, files, stats, mapping, {col: (lo, hi)}
+        )
         if not touched:
             return base
         if mode == "dv":

@@ -3133,3 +3133,41 @@ def test_txlog_bloom_sidecars_listing_skip(spark, tmp_path):
     bloom_dir = _os.path.join(table, "_bloom")
     live = set(_os.listdir(bloom_dir))
     assert live  # referenced sidecars survived vacuum
+
+
+def test_txlog_bloom_sidecars_prune_point_dml(spark, tmp_path):
+    """The GDPR point-delete shape: an expression DELETE on an
+    unclustered high-cardinality key touches ONLY the files whose
+    bloom sidecar may hold the key — zone maps span everything, so
+    the sidecar is the only thing standing between the verb and a
+    full-table rewrite."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [Row(id=i, v="a") for i in range(0, 1000, 2)], "id long, v string"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [Row(id=i, v="b") for i in range(1, 1000, 2)], "id long, v string"
+    ).coalesce(1)
+    txlog.commit(a, table, bloom_cols={"id": 1000}, stats_cols=["id"])
+    txlog.commit(b, table, stats_cols=["id"])
+    txlog.delete_where_expr(spark, table, "id = 42")
+    rec = txlog._last_commit(table)
+    assert rec["action"] == "replace"
+    assert len(rec["remove"]) == 1  # only file a rewritten
+    got = txlog.read_table(spark, table)
+    assert got.count() == 999
+    assert got.where(F.col("id") == 42).count() == 0
+    # the update twin through the same shared prune
+    txlog.update_where(spark, table, "id", 43, 43, {"v": "'upd'"})
+    rec2 = txlog._last_commit(table)
+    assert len(rec2["remove"]) == 1  # only file b touched
+    assert (
+        txlog.read_table(spark, table)
+        .where(F.col("id") == 43)
+        .head()["v"]
+        == "upd"
+    )
