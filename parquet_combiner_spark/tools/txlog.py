@@ -5647,8 +5647,8 @@ def main(argv: list[str] | None = None) -> int:
     --rename-column OLD NEW | --drop-column NAME |
     --delete-where COL LO HI [--dv] [--cdf] |
     --delete-where-sql PRED | --update-where-sql PRED COL EXPR |
-    --set-partition-spec COLS | --changes-since VERSION |
-    --vacuum [--min-age S] [--dry-run]]``."""
+    --set-partition-spec COLS | --set-stats-cols COLS [--no-backfill] |
+    --changes-since VERSION | --vacuum [--min-age S] [--dry-run]]``."""
     import argparse
     import json as _json
 
@@ -5782,6 +5782,16 @@ def main(argv: list[str] | None = None) -> int:
         "flat) applied to FUTURE writes only: one metadata commit, "
         "existing files untouched and still readable",
     )
+    ap.add_argument(
+        "--set-stats-cols",
+        metavar="COLS",
+        help="zone-map column PROPERTY: comma-separated columns (or ''"
+        " to clear) every future write — appends, DML, OPTIMIZE, both "
+        "streaming sinks — records per-file min/max/null stats for "
+        "automatically; backfills the current snapshot from parquet "
+        "footers unless --no-backfill",
+    )
+    ap.add_argument("--no-backfill", action="store_true")
     ap.add_argument(
         "--changes-since",
         type=int,
@@ -5997,6 +6007,16 @@ def main(argv: list[str] | None = None) -> int:
             spec.append("".join(cur).strip())
         v = set_partition_spec(args.table, spec)
         print(f"partition spec -> {spec or 'flat'} at version {v}")
+    if args.set_stats_cols is not None:
+        cols = [
+            c.strip()
+            for c in args.set_stats_cols.split(",")
+            if c.strip()
+        ]
+        v = set_stats_cols(
+            args.table, cols, backfill=not args.no_backfill
+        )
+        print(f"stats columns -> {cols or 'none'} at version {v}")
     if args.expire is not None:
         expired = expire_versions(args.table, args.expire)
         print(f"expired {len(expired)} version(s)")

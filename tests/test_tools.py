@@ -3171,3 +3171,35 @@ def test_txlog_bloom_sidecars_prune_point_dml(spark, tmp_path):
         .head()["v"]
         == "upd"
     )
+
+
+def test_txlog_set_stats_cols_cli_and_alter_ride_through(
+    spark, tmp_path, capsys
+):
+    """CLI verb for the zone-map property, and the ALTER-shape pin:
+    a set_stats_cols commit (backfill included — it only ADDS stats,
+    same files/schema/DVs) classifies metadata-only, so incremental
+    consumers ride through it instead of refusing."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, v=i) for i in range(20)], "k int, v int"
+        ),
+        table,
+    )
+    assert txlog.main([table, "--set-stats-cols", "k"]) == 0
+    out = capsys.readouterr().out
+    assert "stats columns -> ['k']" in out
+    assert txlog.stats_cols_of(table) == ["k"]
+    rec = txlog._last_commit(table)
+    assert txlog._is_metadata_only_republish(table, rec)
+    # incremental consumer: nothing emitted for the ALTER commit
+    delta = txlog.read_appends(spark, table, after_version=0)
+    assert delta.count() == 0
+    # clearing via the CLI works too
+    assert txlog.main([table, "--set-stats-cols", ""]) == 0
+    assert txlog.stats_cols_of(table) == []
