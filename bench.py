@@ -179,8 +179,15 @@ HEADLINE = [
     "events_zorder_string_scan",
     "events_bucket_transform_scan",
     # parquet bloom filter table property: build with per-row-group
-    # bloom pages on the unclustered event_id, then a point-IN read
+    # bloom pages on the unclustered event_id, then a point-IN read —
+    # r13: the read goes through the LISTING-level bloom sidecars
+    # (files skipped before any footer opens)
     "events_bloom_point_scan",
+    # r13 lifecycle lines: hidden-partition pruning (plain ts range
+    # over a stats-free days(ts) layout) and bucket-set-pruned MERGE
+    # (narrow batch rewrites only its buckets' directories)
+    "events_hidden_partition_scan",
+    "user_state_merge_bucketed",
 ]
 
 RUNS = 3

@@ -886,7 +886,44 @@ def _derived_probe(segment_name: str, source_phys: str):
     return None
 
 
-def _path_band_disjoint(rel: str, col_phys: str, lo, hi) -> bool:
+_NUMERIC_SIMPLE_TYPES = {
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "byte",
+    "short",
+    "long",
+    "integer",
+}
+
+
+def _type_family(dtype: str | None) -> str | None:
+    """Coarse family of a simpleString column type, for deciding
+    which path-value comparison is SOUND: ``num``, ``str``, ``date``,
+    ``ts``, ``bool``, ``other`` — or None when the caller couldn't
+    supply a type (maximally conservative rules apply)."""
+    if dtype is None:
+        return None
+    t = dtype.lower()
+    if t in _NUMERIC_SIMPLE_TYPES or t.startswith("decimal"):
+        return "num"
+    if t == "string":
+        return "str"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t == "boolean":
+        return "bool"
+    return "other"
+
+
+def _path_band_disjoint(
+    rel: str, col_phys: str, lo, hi, dtype: str | None = None
+) -> bool:
     """True only when the file's own PATH proves no row of
     ``col_phys`` can lie in [lo, hi] — HIDDEN-PARTITION PRUNING
     (Iceberg's headline trick, VERDICT r12 'What's missing' #2): a
@@ -895,35 +932,45 @@ def _path_band_disjoint(rel: str, col_phys: str, lo, hi) -> bool:
     segments, with no explicit partition dict from the caller and no
     footer read (the listing IS the metadata).
 
-    Soundness per segment kind:
+    ``dtype`` is the column's simpleString type; it gates which
+    comparison family is SOUND, because the directory value alone
+    can't reveal it — Spark coerces string-literal predicates on
+    numeric columns NUMERICALLY (999 ∈ ['100', '2000'] numerically,
+    while the lex compare would wrongly prune "999" > "2000"), and a
+    numeric band over a STRING column's prefix-truncate segment would
+    apply floor arithmetic to prefixes. Rules:
 
-    * identity ``col=value``: every row holds exactly that value —
-      disjoint iff it falls outside the band (typed compares only:
-      numeric vs numeric, string vs string; anything else keeps).
-    * monotone transforms (``truncate``, ``days/hours/months/
-      years``): floor-to-multiple, string prefix, and calendar-grain
-      prefix are all monotone non-decreasing, so x ∈ [lo, hi] ⟹
-      t(x) ∈ [t(lo), t(hi)] — a segment value OUTSIDE that derived
-      band proves no matching row. Unbounded edges (±inf) constrain
-      nothing; an edge :func:`_transform_value` can't transform
-      confidently keeps the file.
-    * ``bucket`` (non-monotone): only a POINT band (lo == hi)
-      probes — the value's bucket is computable and must equal the
-      segment's.
+    * identity ``col=value``: NUMERIC compares whenever the raw value
+      parses and the band is numeric (consistent for numeric AND
+      string columns — both coerce numerically under ANSI); LEX
+      compares only for declared ``string``/``date`` columns
+      (timestamp renderings and unknown types keep).
+    * monotone transforms: ``days/hours/months/years`` compare under
+      the grammar-validated fixed-width rendering (lex ==
+      chronological, no type needed); numeric ``truncate`` (floor)
+      requires a declared numeric column, string ``truncate``
+      (prefix) a declared string column.
+    * ``bucket`` (non-monotone): only a POINT band probes, and the
+      probe's Python rendering must match the writer's
+      ``cast(col as string)`` — int probe on a declared numeric
+      column, string probe on a declared string column (a string
+      column holding '042' hashes differently from the int probe 42
+      that would match it row-level).
 
     A NULL segment value (``__HIVE_DEFAULT_PARTITION__``) means every
     row's source is NULL there — no row satisfies ANY band (band
     semantics are "matches where TRUE"), so the file prunes. Every
     other uncertain shape — no relevant segment, unparseable raw
-    value, grammar-failing probe — keeps the file; callers re-apply
-    the predicate row-level (same contract as :func:`_zone_disjoint`).
-    The per-file era resolution rides the segment NAME
-    (:func:`_derived_probe`), so mixed transform eras each answer
-    with their own arithmetic."""
+    value, grammar-failing probe, missing ``dtype`` where the rules
+    demand one — keeps the file; callers re-apply the predicate
+    row-level (same contract as :func:`_zone_disjoint`). The per-file
+    era resolution rides the segment NAME (:func:`_derived_probe`),
+    so mixed transform eras each answer with their own arithmetic."""
     INF = float("inf")
     pv = _partition_values(rel)
     if not pv:
         return False
+    fam = _type_family(dtype)
 
     def _unbounded(x):
         return isinstance(x, float) and (x == INF or x == -INF)
@@ -933,11 +980,9 @@ def _path_band_disjoint(rel: str, col_phys: str, lo, hi) -> bool:
         raw = pv[col_phys]
         if raw is None:
             return True  # all-NULL source: no row matches a band
-        verdictable = False
         if isinstance(lo, str) and isinstance(hi, str):
-            if raw < lo or raw > hi:
+            if fam in ("str", "date") and (raw < lo or raw > hi):
                 return True
-            verdictable = True
         else:
             num = None
             for cast in (int, float):
@@ -946,20 +991,19 @@ def _path_band_disjoint(rel: str, col_phys: str, lo, hi) -> bool:
                     break
                 except ValueError:
                     continue
-            if num is not None:
-                ok_lo = _unbounded(lo) or (
-                    isinstance(lo, (int, float))
-                    and not isinstance(lo, bool)
-                )
-                ok_hi = _unbounded(hi) or (
-                    isinstance(hi, (int, float))
-                    and not isinstance(hi, bool)
-                )
-                if ok_lo and ok_hi and (num < lo or num > hi):
-                    return True
-                verdictable = ok_lo and ok_hi
-        if verdictable:
-            return False
+            ok_lo = _unbounded(lo) or (
+                isinstance(lo, (int, float)) and not isinstance(lo, bool)
+            )
+            ok_hi = _unbounded(hi) or (
+                isinstance(hi, (int, float)) and not isinstance(hi, bool)
+            )
+            if (
+                num is not None
+                and ok_lo
+                and ok_hi
+                and (num < lo or num > hi)
+            ):
+                return True
     for seg, raw in pv.items():
         probe = _derived_probe(seg, col_phys)
         if probe is None:
@@ -968,12 +1012,16 @@ def _path_band_disjoint(rel: str, col_phys: str, lo, hi) -> bool:
         if raw is None:
             return True  # derived NULL ⟹ source NULL for every row
         if kind == "bucket":
-            # non-monotone: only a point band probes
-            if (
-                lo == hi
-                and not isinstance(lo, (bool, float))
-                and raw.isdigit()
+            # non-monotone: only a point band with a type-consistent
+            # rendering probes
+            if lo != hi or isinstance(lo, (bool, float)):
+                continue
+            if not (
+                (fam == "num" and isinstance(lo, int))
+                or (fam == "str" and isinstance(lo, str))
             ):
+                continue
+            if raw.isdigit():
                 want = _transform_value("bucket", param, lo)
                 if want is not None and int(raw) != want:
                     return True
@@ -992,15 +1040,27 @@ def _path_band_disjoint(rel: str, col_phys: str, lo, hi) -> bool:
             thi, (int, type(None))
         )
         if str_edges and (tlo is not None or thi is not None):
-            if kind in _TIME_FORMATS and not _TIME_GRAMMARS[
-                kind
-            ].fullmatch(raw):
-                continue  # foreign rendering: keep
+            if kind in _TIME_FORMATS:
+                if fam not in ("ts", "date"):
+                    # days() over a declared string column would
+                    # compare raw strings LEX row-side but calendar
+                    # renderings path-side — two different orders
+                    continue
+                if not _TIME_GRAMMARS[kind].fullmatch(raw):
+                    continue  # foreign rendering: keep
+                # fixed-width zero-padded digits: lex == chronological
+            elif not (kind == "truncate" and fam == "str"):
+                # prefix arithmetic is only sound on a DECLARED
+                # string column (numeric columns floor, they don't
+                # prefix) — unknown/other types keep
+                continue
             if (tlo is not None and raw < tlo) or (
                 thi is not None and raw > thi
             ):
                 return True
         elif int_edges:
+            if kind == "truncate" and fam != "num":
+                continue  # floor arithmetic needs a numeric column
             try:
                 rv = int(raw)
             except ValueError:
@@ -2236,13 +2296,16 @@ def read_table_pruned(
     recorded at all (Iceberg's headline behavior)."""
     files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
     phys = mapping.get(col, col)
+    dt = dict(_split_ddl(schema)).get(col.lower())
     bloom_cache: dict = {}
 
     def _kept(f):
         s = stats.get(os.path.relpath(f, table), {}).get(phys)
         if _zone_disjoint(s, lo, hi):
             return False
-        if _path_band_disjoint(os.path.relpath(f, table), phys, lo, hi):
+        if _path_band_disjoint(
+            os.path.relpath(f, table), phys, lo, hi, dt
+        ):
             return False
         if lo == hi and not isinstance(lo, bool):
             # a POINT band consults the listing-level bloom sidecar
@@ -2281,6 +2344,7 @@ def read_table_pruned_multi(
     column. Files missing stats for a column are conservatively kept
     for that column (same rule as :func:`read_table_pruned`)."""
     files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
+    types = dict(_split_ddl(schema))
     kept = [
         f
         for f in files
@@ -2293,7 +2357,11 @@ def read_table_pruned_multi(
                 hi,
             )
             and not _path_band_disjoint(
-                os.path.relpath(f, table), mapping.get(c, c), lo, hi
+                os.path.relpath(f, table),
+                mapping.get(c, c),
+                lo,
+                hi,
+                types.get(c.lower()),
             )
             for c, (lo, hi) in predicates.items()
         )
@@ -2366,13 +2434,16 @@ def read_table_pruned_in(
         return _scan(spark, table, [], schema, {}, mapping)
     files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
     phys = mapping.get(col, col)
+    dt = dict(_split_ddl(schema)).get(col.lower())
     bloom_cache: dict = {}
 
     def _may_hold(f, v):
         s = stats.get(os.path.relpath(f, table), {}).get(phys)
         if _zone_disjoint(s, v, v):
             return False
-        if _path_band_disjoint(os.path.relpath(f, table), phys, v, v):
+        if _path_band_disjoint(
+            os.path.relpath(f, table), phys, v, v, dt
+        ):
             return False
         ref = (s or {}).get("bloom")
         if ref and not _bloom_maybe_contains(
@@ -2552,6 +2623,7 @@ def _band_touched(
     stats: dict,
     mapping: dict,
     bands: dict,
+    types: dict | None = None,
 ) -> list:
     """Files that can contain a row matching every band (zone-map
     intersection on each banded column, PLUS hidden-partition path
@@ -2574,7 +2646,10 @@ def _band_touched(
         s = stats.get(rel, {}).get(phys)
         if _zone_disjoint(s, lo, hi):
             return False
-        if _path_band_disjoint(rel, phys, lo, hi):
+        if _path_band_disjoint(
+            rel, phys, lo, hi,
+            types.get(c.lower()) if types else None,
+        ):
             return False
         if lo == hi and not isinstance(lo, bool):
             ref = (s or {}).get("bloom")
@@ -2668,12 +2743,14 @@ def _appends_disjoint(
         return False  # base record expired/missing: schema unverifiable
     base = recs[0]
     staged = frozenset(staged_touched or ())
+    base_types = dict(_split_ddl(base["schema"]))
     known_stats: dict | None = None  # lazy: rel → zone maps at base
 
     def _file_band_free(rel: str, stats: dict, mapping: dict) -> bool:
         """No row of ``rel`` can match the bands (zone map or path)."""
         return not _band_touched(
-            table, [os.path.join(table, rel)], stats, mapping, bands
+            table, [os.path.join(table, rel)], stats, mapping, bands,
+            types=base_types,
         )
 
     for rec in recs[1:]:
@@ -2720,6 +2797,7 @@ def _appends_disjoint(
                 rec.get("stats", {}),
                 mapping,
                 bands,
+                types=base_types,
             )
             if touched:
                 return False
@@ -3065,7 +3143,8 @@ def optimize(
                     spark, schema, where
                 )
             files = _band_touched(
-                table, files, snap_stats, snap_map, bands
+                table, files, snap_stats, snap_map, bands,
+                types=dict(_split_ddl(schema)),
             )
             if not files:
                 return None
@@ -3486,7 +3565,8 @@ def delete_where(
         # the shared DML prune: zone maps + hidden-partition path
         # probes + point-band bloom sidecars (one [lo, hi] band)
         touched = _band_touched(
-            table, files, stats, mapping, {col: (lo, hi)}
+            table, files, stats, mapping, {col: (lo, hi)},
+            types=dict(_split_ddl(schema)),
         )
         if not touched:
             return base
@@ -3758,7 +3838,10 @@ def delete_where_expr(
             raise FileNotFoundError(f"{table} has no transaction log")
         files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
         bands, cond, meta = _resolve_where(spark, schema, where)
-        touched = _band_touched(table, files, stats, mapping, bands)
+        touched = _band_touched(
+            table, files, stats, mapping, bands,
+            types=dict(_split_ddl(schema)),
+        )
         if not touched:
             return base
         if mode == "dv":
@@ -3974,7 +4057,10 @@ def update_where_expr(
                 f"SET targets columns not in the table: {unknown}"
             )
         bands, cond, meta = _resolve_where(spark, schema, where)
-        touched = _band_touched(table, files, stats, mapping, bands)
+        touched = _band_touched(
+            table, files, stats, mapping, bands,
+            types=dict(_split_ddl(schema)),
+        )
         if not touched:
             return base
         meta = {**meta, "set": sorted(set_exprs)}
@@ -4084,7 +4170,8 @@ def update_where(
         # the shared DML prune: zone maps + hidden-partition path
         # probes + point-band bloom sidecars (one [lo, hi] band)
         touched = _band_touched(
-            table, files, stats, mapping, {col: (lo, hi)}
+            table, files, stats, mapping, {col: (lo, hi)},
+            types=dict(_split_ddl(schema)),
         )
         if not touched:
             return base
@@ -4404,6 +4491,7 @@ def merge_into(
             raise FileNotFoundError(f"{table} has no transaction log")
         files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
         phys = mapping.get(prune_col, prune_col)
+        prune_dt = dict(_split_ddl(schema)).get(prune_col.lower())
         sets = (
             _batch_bucket_sets(files, phys) if prunable else {}
         )
@@ -4422,6 +4510,7 @@ def merge_into(
                     phys,
                     bounds["lo"],
                     bounds["hi"],
+                    prune_dt,
                 )
                 or _bucket_set_disjoint(
                     os.path.relpath(f, table), phys, sets

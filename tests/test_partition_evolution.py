@@ -464,20 +464,32 @@ def test_path_band_disjoint_unit():
     assert d("data/c/day=3/p.parquet", "day", -INF, 2) is True
     assert d("data/c/day=3/p.parquet", "day", -INF, 5) is False
     assert d("data/c/day=3/p.parquet", "day", 4, INF) is True
-    assert d("data/c/c=de/p.parquet", "c", "fr", "it") is True
-    assert d("data/c/c=fr/p.parquet", "c", "fr", "it") is False
+    assert d("data/c/c=de/p.parquet", "c", "fr", "it", "string") is True
+    assert d("data/c/c=fr/p.parquet", "c", "fr", "it", "string") is False
+    # ...but LEX compares need a DECLARED string/date column: the
+    # directory value alone can't reveal the type, and Spark coerces
+    # string-literal predicates on numeric columns NUMERICALLY —
+    # "999" > "2000" lex would wrongly prune 999 ∈ [100, 2000]
+    assert d("data/c/c=de/p.parquet", "c", "fr", "it") is False
+    assert (
+        d("data/c/k=999/p.parquet", "k", "100", "2000", "bigint")
+        is False
+    )
     assert (
         d("data/c/c=__HIVE_DEFAULT_PARTITION__/p.parquet", "c", 1, 2)
         is True
     )
     assert d("data/c/day=junk/p.parquet", "day", 5, 9) is False
-    # days(ts): monotone prefix — string bands at any finer grain
+    # days(ts): monotone prefix — string bands at any finer grain,
+    # sound only for DECLARED timestamp/date sources (a string
+    # column's raw lex order is not its calendar order)
     assert (
         d(
             "data/c/ts_day=2024-01-05/p.parquet",
             "ts",
             "2024-01-10 00:00:00",
             "2024-01-12 23:59:59",
+            "timestamp",
         )
         is True
     )
@@ -487,12 +499,33 @@ def test_path_band_disjoint_unit():
             "ts",
             "2024-01-10 00:00:00",
             "2024-01-12 23:59:59",
+            "timestamp",
+        )
+        is False
+    )
+    assert (
+        d(
+            "data/c/ts_day=2024-01-05/p.parquet",
+            "ts",
+            "2024-01-10 00:00:00",
+            "2024-01-12 23:59:59",
+        )
+        is False
+    )
+    assert (
+        d(
+            "data/c/ts_day=2024-01-05/p.parquet",
+            "ts",
+            "2024-01-10 00:00:00",
+            "2024-01-12 23:59:59",
+            "string",
         )
         is False
     )
     # half-open band: only the bounded edge constrains
     assert (
-        d("data/c/ts_day=2024-01-05/p.parquet", "ts", "2024-01-06", -0.0)
+        d("data/c/ts_day=2024-01-05/p.parquet", "ts", "2024-01-06",
+          -0.0, "timestamp")
         is False
     )  # mixed types: keep
     assert (
@@ -501,6 +534,7 @@ def test_path_band_disjoint_unit():
             "ts",
             "2024-01-06 00:00:00",
             INF,
+            "timestamp",
         )
         is True
     )
@@ -511,21 +545,59 @@ def test_path_band_disjoint_unit():
             "ts",
             "2024-01-06 00:00:00",
             INF,
+            "timestamp",
         )
         is False
     )
-    # truncate: numeric floor and string prefix are monotone
-    assert d("data/c/k_trunc10=40/p.parquet", "k", 55, 78) is True
-    assert d("data/c/k_trunc10=70/p.parquet", "k", 55, 78) is False
-    assert d("data/c/s_trunc2=ab/p.parquet", "s", "ba", "bz") is True
-    assert d("data/c/s_trunc2=ba/p.parquet", "s", "babb", "bb") is False
-    # bucket: point bands only; range bands keep
+    # truncate: numeric floor and string prefix are monotone — but
+    # the arithmetic family must match the DECLARED column type (a
+    # numeric band over a string column's prefix segment would apply
+    # floor math to prefixes: "0123"'s 2-char prefix parses as 1,
+    # wrongly pruned by a [100, 200] band the row 123 matches)
+    assert d("data/c/k_trunc10=40/p.parquet", "k", 55, 78, "bigint") is True
+    assert d("data/c/k_trunc10=70/p.parquet", "k", 55, 78, "bigint") is False
+    assert d("data/c/k_trunc10=40/p.parquet", "k", 55, 78) is False
+    assert d("data/c/k_trunc2=01/p.parquet", "k", 100, 200, "string") is False
+    assert (
+        d("data/c/s_trunc2=ab/p.parquet", "s", "ba", "bz", "string")
+        is True
+    )
+    assert (
+        d("data/c/s_trunc2=ba/p.parquet", "s", "babb", "bb", "string")
+        is False
+    )
+    assert d("data/c/s_trunc2=ab/p.parquet", "s", "ba", "bz") is False
+    # bucket: point bands only, type-consistent renderings only
+    # (a string column holding '042' hashes differently from the int
+    # probe 42 that would match it row-level); range bands keep
     import zlib
 
     b = zlib.crc32(b"42") % 8
-    assert d(f"data/c/u_bucket8={b}/p.parquet", "u", 42, 42) is False
-    assert d(f"data/c/u_bucket8={(b + 1) % 8}/p.parquet", "u", 42, 42) is True
-    assert d(f"data/c/u_bucket8={(b + 1) % 8}/p.parquet", "u", 40, 45) is False
+    assert (
+        d(f"data/c/u_bucket8={b}/p.parquet", "u", 42, 42, "bigint")
+        is False
+    )
+    assert (
+        d(f"data/c/u_bucket8={(b + 1) % 8}/p.parquet", "u", 42, 42,
+          "bigint")
+        is True
+    )
+    assert (
+        d(f"data/c/u_bucket8={(b + 1) % 8}/p.parquet", "u", 42, 42,
+          "string")
+        is False
+    )
+    assert (
+        d(f"data/c/u_bucket8={(b + 1) % 8}/p.parquet", "u", "42", "42",
+          "string")
+        is True
+    )
+    assert d(f"data/c/u_bucket8={(b + 1) % 8}/p.parquet", "u", 42, 42) is False
+    assert (
+        d(f"data/c/u_bucket8={(b + 1) % 8}/p.parquet", "u", 40, 45,
+          "bigint")
+        is False
+    )
 
 
 def test_hidden_partition_days_range_prunes_listing(spark, tmp_path):
