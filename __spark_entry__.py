@@ -35,6 +35,7 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _DRIVER_PRIORITY = [
     "user_state_merge_bucketed",
     "events_hidden_partition_scan",
+    "events_stats_property_scan",
     "events_rebased_dml_scan",
     "events_preimage_update_scan",
     "events_bucket_transform_scan",

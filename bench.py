@@ -188,6 +188,9 @@ HEADLINE = [
     # (narrow batch rewrites only its buckets' directories)
     "events_hidden_partition_scan",
     "user_state_merge_bucketed",
+    # zone-map property lifecycle: no-stats commit → backfilling
+    # ALTER → auto-statted append → cross-era pruned read
+    "events_stats_property_scan",
 ]
 
 RUNS = 3

@@ -3081,6 +3081,41 @@ def events_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_stats_property_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone maps as a TABLE PROPERTY (tools/txlog.py
+    ``set_stats_cols`` — VERDICT r12 order #1, Delta's
+    ``dataSkippingStatsColumns``): the even-id half of events is
+    committed with NO stats anywhere, one metadata commit sets the
+    property (backfilling the existing files from parquet footers),
+    and the odd-id append then records zone maps AUTOMATICALLY — no
+    ``stats_cols`` argument on any write. The pruned range read spans
+    both eras; real-sink coverage and the rebase-enabling consequence
+    live in tests/test_stats_property.py. The oracle is the plain
+    BETWEEN over all events: stats are pure skipping, row for row
+    identical."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-statsprop-")
+    table = f"{root}/events_sp"
+    try:
+        txlog.commit(ev.where(F.col("event_id") % 2 == 0), table)
+        txlog.set_stats_cols(table, ["user_id"])  # backfills era 1
+        txlog.commit(ev.where(F.col("event_id") % 2 == 1), table)
+        return txlog.read_table_pruned(
+            spark, table, "user_id", 3, 7
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def events_bloom_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARQUET BLOOM FILTER point lookup (tools/txlog.py
     ``commit(bloom_cols=...)`` — Delta's bloom filter index as a
@@ -4331,6 +4366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rebased_dml_scan": events_rebased_dml_scan,
     "events_bucket_transform_scan": events_bucket_transform_scan,
     "events_hidden_partition_scan": events_hidden_partition_scan,
+    "events_stats_property_scan": events_stats_property_scan,
     "events_bloom_point_scan": events_bloom_point_scan,
     "events_cdf_feed": events_cdf_feed,
     "events_cdf_stream_feed": events_cdf_stream_feed,
@@ -5949,6 +5985,14 @@ ORACLE_SQL["events_bucket_transform_scan"] = """
     SELECT event_id, user_id, event_type, value
     FROM events
     WHERE user_id = 42
+"""
+
+# the stats PROPERTY is pure skipping: backfilled era-1 files plus
+# auto-statted era-2 appends read back as the plain filter
+ORACLE_SQL["events_stats_property_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 3 AND 7
 """
 
 # hidden partitioning is pure layout: the pruned read equals the

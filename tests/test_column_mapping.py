@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 
 from parquet_combiner_spark.tools import txlog
 
+# the slow build-mutate-read half of the gate (see pytest.ini)
+pytestmark = pytest.mark.txlifecycle
+
 
 def _mk(spark, table, n=50):
     df = spark.createDataFrame(

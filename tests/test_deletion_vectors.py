@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 
 from parquet_combiner_spark.tools import txlog
 
+# the slow build-mutate-read half of the gate (see pytest.ini)
+pytestmark = pytest.mark.txlifecycle
+
 
 def _mk_table(spark, path: str, rows_per_file=(1000, 10)) -> list[str]:
     """One commit per file so file boundaries are deterministic:

@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 
 from parquet_combiner_spark.tools import txlog
 
+# the slow build-mutate-read half of the gate (see pytest.ini)
+pytestmark = pytest.mark.txlifecycle
+
 
 def _mk_banded(spark, path, bands=((0, 100), (100, 200), (200, 300))):
     """One commit per file: file i holds k in [lo, hi) with

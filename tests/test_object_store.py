@@ -21,6 +21,9 @@ from parquet_combiner_spark.tools.object_store import (
     PreconditionFailed,
 )
 
+# the slow build-mutate-read half of the gate (see pytest.ini)
+pytestmark = pytest.mark.txlifecycle
+
 
 def _race(arbiter_of, path, n=8):
     """n threads publish distinct payloads to one key through their

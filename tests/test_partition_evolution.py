@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 from parquet_combiner_spark.tools import txlog
 
+# the slow build-mutate-read half of the gate (see pytest.ini)
+pytestmark = pytest.mark.txlifecycle
+
 
 def _flat_then_partitioned(spark, table):
     """Era 1: 30 flat rows (day in data). Era 2: spec=['day'], 30

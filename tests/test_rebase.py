@@ -16,8 +16,12 @@ stats. The REAL-SINK version of the race (a stats-arg-free
 is pinned end-to-end in ``test_stats_property.py``.
 """
 
+import pytest
 import json
 import os
+
+# the slow build-mutate-read half of the gate (see pytest.ini)
+pytestmark = pytest.mark.txlifecycle
 
 import pytest
 from pyspark.sql import Row

@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 from parquet_combiner_spark.streaming.txlog_sink import txlog_append_batch
 from parquet_combiner_spark.tools import txlog
 
+# the slow build-mutate-read half of the gate (see pytest.ini)
+pytestmark = pytest.mark.txlifecycle
+
 
 def _df(spark, rows):
     return spark.createDataFrame(
