@@ -483,3 +483,90 @@ class TestBloomProperties:
             f"{n} {other if n == n0 else t}" for n, t in fields
         )
         assert _normalize_ddl(ddl) != _normalize_ddl(changed)
+
+
+# ---------------------------------------------------------------------------
+# Hidden-partition pruning soundness (r13): for ANY value a file can
+# hold, ANY band containing that value, ANY transform era, and ANY
+# declared type, _path_band_disjoint must never prune the file. The
+# generator renders path segments exactly the way the writer does
+# (asserted bit-equal to the JVM expressions in the transform tests),
+# so a True here would be a wrong skip in production.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _hidden_partition_case(draw):
+    from parquet_combiner_spark.tools import txlog
+
+    typed = draw(
+        st.sampled_from(
+            [
+                ("bigint", st.integers(-(2**40), 2**40)),
+                (
+                    "string",
+                    st.text(
+                        st.characters(
+                            whitelist_categories=("Lu", "Ll", "Nd"),
+                            max_codepoint=0x2FF,
+                        ),
+                        min_size=0,
+                        max_size=12,
+                    ),
+                ),
+            ]
+        )
+    )
+    dtype, vs = typed
+    v = draw(vs)
+    kind = draw(
+        st.sampled_from(["identity", "bucket", "truncate"])
+    )
+    param = draw(st.integers(1, 32))
+    if kind == "identity":
+        seg = f"k={v}"
+    else:
+        derived = txlog._transform_value(kind, param, v)
+        if derived is None:
+            seg = f"k={v}"  # untransformable value: fall back
+            kind = "identity"
+        else:
+            name = "bucket" if kind == "bucket" else "trunc"
+            seg = f"k_{name}{param}={derived}"
+    # a band that CONTAINS v (point, or widened on each side)
+    if dtype == "bigint":
+        lo = v - draw(st.integers(0, 1000))
+        hi = v + draw(st.integers(0, 1000))
+        if draw(st.booleans()):
+            lo = float("-inf")
+        if draw(st.booleans()):
+            hi = float("inf")
+    else:
+        lo = draw(st.sampled_from([v, v[: max(0, len(v) - 1)], ""]))
+        hi = draw(st.sampled_from([v, v + "￿", v + "z"]))
+        if lo > v:
+            lo = v
+        if hi < v:
+            hi = v
+    return dtype, v, seg, lo, hi
+
+
+@given(_hidden_partition_case())
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+def test_path_band_disjoint_never_wrongly_prunes(case):
+    """Soundness: the file holds ``v`` (its segment was rendered from
+    v with the writer's own arithmetic) and the band contains v — the
+    prune must KEEP the file, for every type/transform/edge combo."""
+    from parquet_combiner_spark.tools import txlog
+
+    dtype, v, seg, lo, hi = case
+    rel = f"data/c/{seg}/part-0.parquet"
+    assert (
+        txlog._path_band_disjoint(rel, "k", lo, hi, dtype) is False
+    ), (dtype, v, seg, lo, hi)
+    # the type-unknown path must be at least as conservative
+    assert txlog._path_band_disjoint(rel, "k", lo, hi) is False
