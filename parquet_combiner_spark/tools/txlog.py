@@ -4378,7 +4378,12 @@ def merge_into(
     ``bucket(N, prune_col)`` layout the batch's key set maps to its
     BUCKET SET per era — one Spark aggregate, JVM-identical to the
     writer's path arithmetic — so a narrow batch rewrites at most
-    |batch buckets| directories. Pruning is sound because ``prune_col``
+    |batch buckets| directories. A batch of ≤ 1024 distinct keys
+    additionally probes each file PER KEY through zone maps, path
+    segments, and listing-level bloom sidecars — so narrow CDC
+    against an UNCLUSTERED key (where the batch's [min, max]
+    envelope spans every file) still rewrites only the files that
+    actually hold the keys. Pruning is sound because ``prune_col``
     must be a MERGE key: equality on all keys implies equality on it,
     so a file range-disjoint from every batch key value can contain
     no matched row (and unmatched rows are pure pass-through).
@@ -4485,6 +4490,21 @@ def merge_into(
                     return True
         return False
 
+    # narrow-batch POINT SET: for a small CDC batch (≤ 1024 distinct
+    # keys — a bounded driver list by construction), each file is
+    # probed per key through zone maps, hidden-partition paths, AND
+    # listing-level bloom sidecars — the Delta-bloom-index CDC shape:
+    # on an UNCLUSTERED key where the batch's [min, max] envelope
+    # spans every file, the per-key probes still prune to the files
+    # that actually hold the keys (inserts are unaffected: the batch
+    # rides into the rewritten output in full, pruning only narrows
+    # which base files are read)
+    point_vals = None
+    if prunable and bounds["n"] <= 1024:
+        point_vals = [
+            r[0]
+            for r in updates.select(prune_col).distinct().collect()
+        ]
     for attempt in range(max(1, max_retries)):
         base = current_version(table)
         if base < 0:
@@ -4495,6 +4515,27 @@ def merge_into(
         sets = (
             _batch_bucket_sets(files, phys) if prunable else {}
         )
+        bloom_cache: dict = {}
+
+        def _points_disjoint(rel):
+            """True when NO batch key can live in the file (every key
+            refuted by its zone map, path segments, or bloom
+            sidecar)."""
+            if point_vals is None:
+                return False
+            s = stats.get(rel, {}).get(phys)
+            ref = (s or {}).get("bloom")
+            return all(
+                _zone_disjoint(s, v, v)
+                or _path_band_disjoint(rel, phys, v, v, prune_dt)
+                or (
+                    ref is not None
+                    and not _bloom_maybe_contains(
+                        table, ref, v, bloom_cache
+                    )
+                )
+                for v in point_vals
+            )
         touched = [
             f
             for f in files
@@ -4515,6 +4556,7 @@ def merge_into(
                 or _bucket_set_disjoint(
                     os.path.relpath(f, table), phys, sets
                 )
+                or _points_disjoint(os.path.relpath(f, table))
             )
         ]
         # through the deletion vectors: DV-deleted rows must not be

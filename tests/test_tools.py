@@ -3203,3 +3203,39 @@ def test_txlog_set_stats_cols_cli_and_alter_ride_through(
     # clearing via the CLI works too
     assert txlog.main([table, "--set-stats-cols", ""]) == 0
     assert txlog.stats_cols_of(table) == []
+
+
+def test_merge_into_point_set_prunes_via_bloom(spark, tmp_path):
+    """Narrow-batch MERGE point pruning (r13): on an UNCLUSTERED key
+    — interleaved ids, zone maps span every file, no bucket layout —
+    a small CDC batch probes each file per key through the bloom
+    sidecars and rewrites only the files that actually hold the
+    keys."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [Row(id=i, v=i) for i in range(0, 1000, 2)], "id long, v long"
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [Row(id=i, v=i) for i in range(1, 1000, 2)], "id long, v long"
+    ).coalesce(1)
+    txlog.commit(a, table, bloom_cols={"id": 1000})
+    txlog.commit(b, table)
+    ups = spark.createDataFrame(
+        [Row(id=42, v=4200), Row(id=44, v=4400), Row(id=2000, v=1)],
+        "id long, v long",  # 2000 is an INSERT
+    )
+    txlog.merge_into(spark, table, ups, keys=["id"], version_cols=["v"])
+    rec = txlog._last_commit(table)
+    assert rec["action"] == "replace"
+    # only the even file (holding 42 and 44) was rewritten — the odd
+    # file's bloom refuted every batch key
+    assert len(rec["remove"]) == 1
+    got = txlog.read_table(spark, table)
+    assert got.count() == 1001
+    assert sorted(
+        r["v"] for r in got.where(F.col("id").isin(42, 44, 2000)).collect()
+    ) == [1, 4200, 4400]
