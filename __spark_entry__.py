@@ -22,68 +22,72 @@ from parquet_combiner_spark import queries as _q
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness pass samples the FIRST 50 registry keys in
-# insertion order (verified programmatically in VERDICT r12) and the
-# prefix had been frozen since r7 — so 94 of the keys, including every
-# r11/r12 addition, never received the official hash-MATCH signal.
-# This list rotates never-driver-checked, oracle-backed keys into the
-# prefix: the whole txlog lifecycle family (DML / DV / CDF / layout /
-# rebase / merge), the streaming-txtable feeds, the never-sampled
-# TPC-H shapes, and the r13 keys. Rows-only sketch keys are kept OUT
-# of the prefix (they'd burn driver slots on no_oracle entries).
-# Everything not listed follows in its original registry order, so
-# the registry CONTENT is unchanged — only the insertion order moves.
+# insertion order. r13's rotation gave 50 never-checked keys their
+# first official hash-MATCH; this r14 rotation finishes the job
+# (VERDICT r13 'Next round' #1): the 40 remaining never-driver-checked
+# ORACLE-BACKED keys — the entire LLM-pipeline family (doc_*, corpus,
+# sampling, graph, BM25/RRF, embeddings) — lead the prefix, followed by
+# this round's new keys and 10 high-value re-checks of the r13
+# lifecycle family (including events_cdf_feed, the bench mover under
+# A/B). Rows-only sketch keys stay OUT of the prefix (they'd burn
+# driver slots on no_oracle entries). Everything not listed follows in
+# its original registry order, so the registry CONTENT is unchanged —
+# only the insertion order moves.
 _DRIVER_PRIORITY = [
+    # --- the 40 never-driver-checked oracle-backed keys (computed
+    # against CORRECTNESS_r01..r13 union; first-time signal) ---
+    "doc_bm25_topk",
+    "doc_graph_pagerank",
+    "near_dup_clusters_logstar",
+    "doc_bpe_tokens",
+    "doc_chunks",
+    "doc_tfidf_keywords",
+    "doc_pii_scrub",
+    "doc_clean_text",
+    "doc_blocklist_flags",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "doc_repetition_stats",
+    "doc_decontaminate",
+    "doc_decontaminate_bloom",
+    "doc_stratified_sample",
+    "doc_source_temperature_sample",
+    "doc_weighted_sample",
+    "doc_token_budget_selection",
+    "corpus_prep",
+    "doc_corpus_drift",
+    "doc_corpus_drift_movers",
+    "corpus_mixture",
+    "doc_source_capped",
+    "ngram_containment_pairs",
+    "doc_repeated_spans",
+    "doc_strip_repeated_spans",
+    "near_dup_keepers_longest",
+    "doc_graph_ppr",
+    "doc_graph_triangles",
+    "doc_epoch_shuffle",
+    "doc_quality_classifier_scores",
+    "doc_payload_energy",
+    "embedding_dim_stats",
+    "split_leakage_report",
+    "doc_split_cluster_safe",
+    "doc_bm25_topk_persisted",
+    "hybrid_rrf_topk",
+    "ann_lsh_recall_report",
+    "embedding_quantization_error",
+    "potential_part_promotion",
+    # --- r14 new keys (first-time signal) ---
+    "user_state_join_cobucketed",
+    "events_point_set_delete_scan",
+    # --- high-value re-checks of the r13 lifecycle family ---
+    "events_cdf_feed",
     "user_state_merge_bucketed",
     "events_hidden_partition_scan",
     "events_stats_property_scan",
-    "events_rebased_dml_scan",
-    "events_preimage_update_scan",
-    "events_bucket_transform_scan",
     "events_bloom_point_scan",
-    "events_zorder_string_scan",
-    "events_cdf_stream_feed",
-    "user_state_merge_cdf_feed",
     "events_expr_delete_scan",
-    "events_dv_delete_scan",
+    "user_state_merge_cdf_feed",
     "events_dv_update_scan",
-    "events_spec_evolution_scan",
-    "events_string_pruned_scan",
-    "events_zorder_pruned_scan",
-    "events_zorder_two_predicate_scan",
-    "events_partitioned_scan",
-    "events_renamed_column_scan",
-    "events_cdf_feed",
-    "event_state_restore",
-    "current_user_state_with_deletes",
-    "user_state_merge_into",
-    "event_counts_cdf_stream",
-    "current_user_state_with_deletes_stream",
-    "current_user_state_txlog_stream",
-    "user_value_history_scd2",
-    "part_name_fuzzy_pairs",
-    "part_name_canonical_map",
-    "nation_revenue_share",
-    "customer_rfm_segments",
-    "shipping_priority",
-    "volume_shipping",
-    "national_market_share",
-    "returned_item_revenue",
-    "promo_revenue_share",
-    "brand_quantity_revenue",
-    "order_priority_checking",
-    "important_part_revenue",
-    "small_quantity_order_revenue",
-    "idle_rich_customers",
-    "large_volume_customers",
-    "sole_return_suppliers",
-    "hourly_event_type_counts",
-    "local_supplier_volume",
-    "customers_with_high_value_orders",
-    "min_cost_supplier",
-    "product_type_profit",
-    "late_shipment_priority",
-    "part_supplier_counts",
-    "potential_part_promotion",
 ]
 
 
