@@ -191,6 +191,12 @@ HEADLINE = [
     # zone-map property lifecycle: no-stats commit → backfilling
     # ALTER → auto-statted append → cross-era pruned read
     "events_stats_property_scan",
+    # r14: GDPR IN-list delete pruned per-key through bloom sidecars
+    # on an unclustered key (build + 2 deletes in-measurement)
+    "events_point_set_delete_scan",
+    # r14: co-bucketed storage-partitioned join — zero shuffle
+    # Exchanges (build of both tables in-measurement)
+    "user_state_join_cobucketed",
 ]
 
 RUNS = 3

@@ -2401,6 +2401,58 @@ def user_state_merge_bucketed(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def user_state_join_cobucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STORAGE-PARTITIONED join of two txtables with identical
+    ``bucket(8, user_id)`` hidden-partition layouts (tools/txlog.py
+    ``join_cobucketed`` — VERDICT r13 'Next round' #3, the reference's
+    joins.pdf p.1-3 co-located-join doctrine): the per-user event
+    aggregate (facts) and a sparse per-user purchase profile (dim)
+    are committed under the SAME bucket spec, so the join maps the
+    bucket directories PAIRWISE — N per-bucket BroadcastHashJoins
+    unioned, NO shuffle Exchange on either side (plan-pinned in
+    tests/test_plans.py). The fact side never rides a shuffle and the
+    dim is broadcast one 1/8th bucket at a time; the sparse dim
+    filter leaves some buckets right-empty, exercising the inner-join
+    bucket skip."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir)
+    facts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    dim = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_id") % 13 == 0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_purchases"),
+            F.max("event_id").alias("max_purchase_event_id"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="pcs-cobkt-")
+    try:
+        txlog.commit(
+            facts, f"{root}/facts", partition_by=["bucket(8, user_id)"]
+        )
+        txlog.commit(
+            dim, f"{root}/dim", partition_by=["bucket(8, user_id)"]
+        )
+        out = txlog.join_cobucketed(
+            spark, f"{root}/facts", f"{root}/dim", "user_id", how="inner"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def user_state_merge_cdf_feed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2670,6 +2722,54 @@ def events_expr_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, table,
             "user_id % 10 = 0 OR value > 95.0",
             mode="dv",
+        )
+        return txlog.read_table(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def events_point_set_delete_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GDPR point-delete shape on an UNCLUSTERED key (tools/txlog.py
+    ``delete_where_expr`` + ``_sql_conjunct_constraints`` point sets —
+    VERDICT r13 'Next round' #4): ``event_id IN (…subject ids…)``
+    where every file's [min, max] envelope spans the whole id range
+    (interleaved layout), so envelope pruning alone would rewrite the
+    table; the IN-list's exact point set probes each file PER KEY
+    through zone maps, paths, and listing-level bloom sidecars, and
+    the copy-on-write delete rewrites only the key-holding files
+    (file-prune pinned in tests/test_point_set_dml.py). A second
+    IN+range conjunction exercises the set-alongside-band path. The
+    oracle applies both deletes over raw events with SQL DELETE NULL
+    semantics (NULL-predicate rows survive)."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-ptset-")
+    table = f"{root}/events_p"
+    try:
+        # repartition on user_id: event_ids interleave across every
+        # file, the anti-clustered worst case for envelope pruning
+        txlog.commit(
+            ev.repartition(8, "user_id"),
+            table,
+            stats_cols=["event_id"],
+            bloom_cols={"event_id": 50_000},
+        )
+        txlog.delete_where_expr(
+            spark, table,
+            "event_id IN (7, 13, 501, 997, 2024)",
+            stats_cols=["event_id"],
+        )
+        txlog.delete_where_expr(
+            spark, table,
+            "event_id IN (42, 256, 4096) AND value >= 1.0",
         )
         return txlog.read_table(spark, table).localCheckpoint(eager=True)
     finally:
@@ -4353,11 +4453,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "current_user_state_with_deletes": current_user_state_with_deletes,
     "user_state_merge_into": user_state_merge_into,
     "user_state_merge_bucketed": user_state_merge_bucketed,
+    "user_state_join_cobucketed": user_state_join_cobucketed,
     "user_state_merge_cdf_feed": user_state_merge_cdf_feed,
     "event_state_restore": event_state_restore,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
     "events_dv_delete_scan": events_dv_delete_scan,
     "events_expr_delete_scan": events_expr_delete_scan,
+    "events_point_set_delete_scan": events_point_set_delete_scan,
     "events_dv_update_scan": events_dv_update_scan,
     "events_preimage_update_scan": events_preimage_update_scan,
     "events_spec_evolution_scan": events_spec_evolution_scan,
@@ -5799,6 +5901,28 @@ ORACLE_SQL["user_state_merge_bucketed"] = """
     ) WHERE rn = 1 AND op = 'U'
 """
 
+# co-bucketed storage-partitioned join: per-bucket pairing computes
+# exactly the global inner join (equal keys share a bucket), so the
+# oracle is the plain join of the two aggregates
+ORACLE_SQL["user_state_join_cobucketed"] = """
+    WITH facts AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               SUM(value) AS total_value
+        FROM events GROUP BY user_id
+    ), dim AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_sampled_purchases,
+               max(event_id) AS max_purchase_event_id
+        FROM events
+        WHERE event_type = 'purchase' AND event_id % 13 = 0
+        GROUP BY user_id
+    )
+    SELECT f.user_id, f.n_events, f.total_value,
+           d.n_sampled_purchases, d.max_purchase_event_id
+    FROM facts f JOIN dim d ON f.user_id = d.user_id
+"""
+
 # MERGE CDF classes reconstructed from the global version race: with
 # a key-unique base, winner-from-batch = update (pre=base row,
 # post=winner), tombstone winner = delete, fresh-key live winner =
@@ -5894,6 +6018,17 @@ ORACLE_SQL["events_expr_delete_scan"] = """
     WHERE NOT coalesce(
             event_type = 'click' AND value BETWEEN 20.0 AND 60.0, false)
       AND NOT coalesce(user_id % 10 = 0 OR value > 95.0, false)
+"""
+
+# point-set IN deletes with SQL DELETE NULL semantics: survivors are
+# rows where each predicate is NOT TRUE
+ORACLE_SQL["events_point_set_delete_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE NOT coalesce(
+            event_id IN (7, 13, 501, 997, 2024), false)
+      AND NOT coalesce(
+            event_id IN (42, 256, 4096) AND value >= 1.0, false)
 """
 
 # the CDF feed reconstructed as SQL: delete preimages from the raw
