@@ -1290,6 +1290,30 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed quantizer geometry shared by the Spark twin AND its SQL
+# oracle (same deterministic generator the LSH families embed as
+# plan/SQL literals; seed 7 to be independent of the LSH planes).
+_SEMDEDUP_FIXED_CENTROIDS = similarity.hyperplanes(64, 16, seed=7)
+
+
+def q_embedding_semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup with a FIXED (literal) quantizer — the deterministic
+    MATCH twin of ``embedding_semdedup`` (VERDICT r13 'Next round'
+    #7): same assignment kernel, same within-cluster cosine pairs,
+    same min-label components and keeper decision, but the centroid
+    geometry is a seeded literal matrix instead of trained k-means —
+    the argmax assignment, pair set, and closure are then exactly
+    SQL-reproducible (argmax is scale-invariant, so the oracle probes
+    raw dots while the kernel probes normalized ones). Also the
+    pinned-geometry deployment shape: persist_ivf_centroids → serve
+    under frozen geometry."""
+    return similarity.semdedup(
+        _embs(spark, sf_dir),
+        min_cosine=0.4,
+        centroids=_SEMDEDUP_FIXED_CENTROIDS,
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1356,6 +1380,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "ann_lsh_recall_report": q_ann_lsh_recall_report,
     "embedding_semdedup": q_embedding_semdedup,
+    "embedding_semdedup_fixed": q_embedding_semdedup_fixed,
     "embedding_quantization_error": q_embedding_quantization_error,
 }
 
@@ -2399,6 +2424,57 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
 PIPELINE_ORACLE_SQL["near_dup_clusters_logstar"] = PIPELINE_ORACLE_SQL[
     "near_dup_clusters"
 ]
+
+# SemDedup with the FIXED literal quantizer: argmax assignment over
+# the same centroid literals (argmax is invariant to the kernel's
+# positive per-vector normalization, so raw dots probe it), same-
+# centroid pairs at cos >= 0.4, transitive closure to min reachable
+# id, singletons keep themselves — the whole pipeline under the hash
+# gate; only the k-means TRAINING stays rows-only (the unfixed twin).
+PIPELINE_ORACLE_SQL["embedding_semdedup_fixed"] = f"""
+    WITH RECURSIVE cents(cid, cvec) AS (
+        VALUES {", ".join(
+            f"({i}, {_plane_lit(c)})"
+            for i, c in enumerate(_SEMDEDUP_FIXED_CENTROIDS)
+        )}
+    ), scored AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+               c.cid,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   AS s
+        FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, emb, cid AS centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cid
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ), dup AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM dup
+        UNION
+        SELECT id_b, id_a FROM dup
+    ), reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), verdicts AS (
+        SELECT src AS vec_id,
+               least(src, min(dst)) AS dup_group,
+               least(src, min(dst)) = src AS keep
+        FROM reach GROUP BY src
+    )
+    SELECT a.vec_id, CAST(a.centroid_id AS INTEGER) AS centroid_id,
+           coalesce(v.dup_group, a.vec_id) AS dup_group,
+           coalesce(v.keep, TRUE) AS keep
+    FROM assigned a LEFT JOIN verdicts v ON a.vec_id = v.vec_id
+"""
 
 # the Bloom prefilter is a pure pruning stage (no false negatives;
 # false positives die in the exact confirm join), so the two-stage

@@ -763,6 +763,7 @@ def semdedup(
     vec_col: str = "embedding",
     sample: int = 2048,
     seed: int = 42,
+    centroids: list | None = None,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means partitioning + within-cluster cosine —
@@ -794,13 +795,22 @@ def semdedup(
     (``id_col``, centroid_id, dup_group, keep), where dup_group is
     the minimum reachable id (singletons: their own id) and exactly
     the minimum id of each dup group carries ``keep = true``.
+
+    ``centroids`` (optional) supplies a FIXED quantizer instead of
+    training one — the assignment is then a pure deterministic
+    function of (vector, literals), which is what lets the
+    ``embedding_semdedup_fixed`` registry twin sit under the DuckDB
+    hash gate (the oracle embeds the same centroid literals; k-means
+    training itself is driver-resident numpy and stays rows-only).
+    Production uses the trained path; the fixed path is also the
+    pinned-geometry deployment shape (persist_ivf_centroids → serve).
     """
     from parquet_combiner_spark.functions.dedup_text import (
         dedup_keepers,
         near_dup_clusters,
     )
 
-    cents = train_ivf_centroids(
+    cents = centroids if centroids is not None else train_ivf_centroids(
         embeddings,
         n_centroids=n_centroids,
         sample=sample,

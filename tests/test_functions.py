@@ -845,6 +845,49 @@ def test_semdedup_deterministic_across_runs(spark, embs):
     assert a == b
 
 
+def test_semdedup_fixed_centroids_skip_training(spark):
+    """`centroids=` pins the quantizer geometry: the assignment is a
+    pure function of (vector, literals) — identical verdicts across
+    runs, planted dups still collapse, and the sample/seed training
+    knobs are provably ignored (the MATCH-twin contract of
+    embedding_semdedup_fixed)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    cents = similarity.hyperplanes(dim, 4, seed=7)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    base = rng.normal(size=dim)
+    rows = [
+        Row(vec_id=1, embedding=unit(base), label=0),
+        Row(vec_id=2, embedding=unit(base), label=0),  # exact dup
+        Row(vec_id=9, embedding=unit(rng.normal(size=dim)), label=1),
+    ]
+    df = spark.createDataFrame(rows)
+    a = {
+        r["vec_id"]: tuple(r)
+        for r in similarity.semdedup(
+            df, min_cosine=0.95, centroids=cents
+        ).collect()
+    }
+    # training knobs must be inert under a fixed quantizer
+    b = {
+        r["vec_id"]: tuple(r)
+        for r in similarity.semdedup(
+            df, min_cosine=0.95, centroids=cents, sample=1, seed=999,
+            n_centroids=2,
+        ).collect()
+    }
+    assert a == b
+    assert a[1][2:] == (1, True) and a[2][2:] == (1, False)
+    assert a[9][2:] == (9, True)
+
+
 def test_quantization_error_bound_and_range(spark, embs):
     """int8 quantization guarantee: every component error is at most
     scale/2 (round-to-nearest), q values stay in [-127, 127], and a
