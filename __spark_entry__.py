@@ -79,15 +79,16 @@ _DRIVER_PRIORITY = [
     # --- r14 new keys (first-time signal) ---
     "user_state_join_cobucketed",
     "events_point_set_delete_scan",
-    # --- high-value re-checks of the r13 lifecycle family ---
+    "events_where_pruned_scan",
+    "embedding_semdedup_fixed",
+    # --- high-value re-checks of the r13 lifecycle family (incl.
+    # events_cdf_feed, the A/B-cleared bench mover) ---
     "events_cdf_feed",
     "user_state_merge_bucketed",
     "events_hidden_partition_scan",
     "events_stats_property_scan",
     "events_bloom_point_scan",
     "events_expr_delete_scan",
-    "user_state_merge_cdf_feed",
-    "events_dv_update_scan",
 ]
 
 

@@ -2776,6 +2776,43 @@ def events_point_set_delete_scan(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def events_where_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arbitrary-SQL-predicate snapshot read with metadata file
+    skipping (tools/txlog.py ``read_table_where`` — the READ-side
+    twin of the expr DML verbs' band + point-set pruning): an
+    ``event_id IN (…) AND value >= …`` ad-hoc scan extracts the
+    IN-list's exact point set and the value band from Catalyst's
+    analyzed tree, probes each file per key through zone maps and
+    bloom sidecars, and re-applies the full predicate row-level —
+    exactly the filtered snapshot from O(key-holding files)
+    (file-prune pinned in tests/test_point_set_dml.py)."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-where-")
+    table = f"{root}/events_w"
+    try:
+        txlog.commit(
+            ev.repartition(8, "user_id"),
+            table,
+            stats_cols=["event_id", "value"],
+            bloom_cols={"event_id": 50_000},
+        )
+        return txlog.read_table_where(
+            spark, table,
+            "event_id IN (3, 77, 501, 997, 4242) AND value >= 5.0",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def events_dv_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-ON-READ UPDATE end-state (tools/txlog.py
     ``update_where_expr(mode="dv")`` — VERDICT r10 order #3): one
@@ -4460,6 +4497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dv_delete_scan": events_dv_delete_scan,
     "events_expr_delete_scan": events_expr_delete_scan,
     "events_point_set_delete_scan": events_point_set_delete_scan,
+    "events_where_pruned_scan": events_where_pruned_scan,
     "events_dv_update_scan": events_dv_update_scan,
     "events_preimage_update_scan": events_preimage_update_scan,
     "events_spec_evolution_scan": events_spec_evolution_scan,
@@ -6018,6 +6056,13 @@ ORACLE_SQL["events_expr_delete_scan"] = """
     WHERE NOT coalesce(
             event_type = 'click' AND value BETWEEN 20.0 AND 60.0, false)
       AND NOT coalesce(user_id % 10 = 0 OR value > 95.0, false)
+"""
+
+# the read-side predicate is applied verbatim (WHERE TRUE semantics)
+ORACLE_SQL["events_where_pruned_scan"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id IN (3, 77, 501, 997, 4242) AND value >= 5.0
 """
 
 # point-set IN deletes with SQL DELETE NULL semantics: survivors are

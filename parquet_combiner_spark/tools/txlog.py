@@ -2561,6 +2561,42 @@ def _sql_conjunct_bands(spark: SparkSession, schema: str, predicate: str) -> dic
     return _sql_conjunct_constraints(spark, schema, predicate)[0]
 
 
+def read_table_where(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read under an ARBITRARY SQL predicate with the DML
+    verbs' metadata file skipping on the READ side — the one-verb
+    reader for ad-hoc predicates, unifying what
+    :func:`read_table_pruned` (one band) /
+    :func:`read_table_pruned_multi` (band dict) /
+    :func:`read_table_pruned_in` (IN-list) each expose for a single
+    shape: Catalyst's analyzed tree yields per-column bands AND
+    equality/IN point sets (:func:`_sql_conjunct_constraints`), every
+    candidate file is probed through zone maps, hidden-partition path
+    segments, and listing-level bloom sidecars
+    (:func:`_band_touched`), and the FULL predicate re-applies
+    row-level so the result is exactly the filtered snapshot.
+    Unextractable shapes (OR trees, functions) prune nothing —
+    conservative, never wrong. On a clustered/bucketed/bloom-indexed
+    100 TB table the ad-hoc `WHERE user_id IN (…) AND ts >= X` scan
+    touches O(matching files) with zero footer reads for the path
+    probes."""
+    from pyspark.sql import functions as F
+
+    files, schema, stats, sizes, dvs, mapping = _snapshot(table, version)
+    bands, points = _sql_conjunct_constraints(spark, schema, predicate)
+    kept = _band_touched(
+        table, files, stats, mapping, bands,
+        types=_dtype_map(schema), points=points,
+    )
+    return _scan(spark, table, kept, schema, dvs, mapping).where(
+        F.expr(predicate)
+    )
+
+
 def _sql_conjunct_constraints(
     spark: SparkSession, schema: str, predicate: str
 ) -> tuple[dict, dict]:
@@ -5482,6 +5518,11 @@ def restore(
             _DEFAULT_ARBITER.publish(
                 _log_path(table, record["version"]), json.dumps(record)
             )
+            _maybe_auto_checkpoint(
+                table,
+                record["version"],
+                int(record.get("checkpoint_interval", 0)),
+            )
             return record["version"]
         except CommitConflict:
             if attempt == max(1, max_retries) - 1:
@@ -5729,6 +5770,9 @@ def _republish_head(
             record["stats"] = merged
     _DEFAULT_ARBITER.publish(
         _log_path(table, record["version"]), json.dumps(record)
+    )
+    _maybe_auto_checkpoint(
+        table, record["version"], int(record.get("checkpoint_interval", 0))
     )
     return record["version"]
 

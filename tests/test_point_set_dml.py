@@ -138,6 +138,23 @@ def test_point_set_without_bloom_still_sound(spark, tmp_path):
     assert got.where("k IN (3, 501, 997)").count() == 0
 
 
+def test_read_table_where_prunes_and_is_exact(spark, tmp_path):
+    """read_table_where: the READ-side twin — IN-list point probes
+    skip files from the LISTING (inputFiles pin) and the row-level
+    predicate makes the result exactly the filtered snapshot."""
+    table = _unclustered_table(spark, tmp_path)
+    got = txlog.read_table_where(
+        spark, table, "k IN (3, 501, 997) AND v >= 0"
+    )
+    assert sorted(r["k"] for r in got.collect()) == [3, 501, 997]
+    n_files = len(txlog._last_commit(table)["add"])
+    assert 1 <= len(got.inputFiles()) <= 3 < n_files
+    # unextractable OR shape: prunes nothing, still exact
+    got2 = txlog.read_table_where(spark, table, "k = 3 OR v = 501")
+    assert sorted(r["k"] for r in got2.collect()) == [3, 501]
+    assert len(got2.inputFiles()) == n_files
+
+
 def test_point_set_respects_bucket_layout(spark, tmp_path):
     """On a bucket(8, k) hidden-partition layout the per-key PATH
     probe alone (no stats, no bloom) pins the rewrite to the keys'
