@@ -6353,6 +6353,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--no-backfill", action="store_true")
     ap.add_argument(
+        "--set-checkpoint-interval",
+        type=int,
+        default=None,
+        metavar="N",
+        help="auto-checkpoint cadence PROPERTY: every future "
+        "write-path commit whose version is a multiple of N also "
+        "writes a log checkpoint (0 = manual only), keeping snapshot "
+        "resolution at O(N) metadata reads on long-lived tables",
+    )
+    ap.add_argument(
         "--changes-since",
         type=int,
         metavar="VERSION",
@@ -6577,6 +6587,14 @@ def main(argv: list[str] | None = None) -> int:
             args.table, cols, backfill=not args.no_backfill
         )
         print(f"stats columns -> {cols or 'none'} at version {v}")
+    if args.set_checkpoint_interval is not None:
+        v = set_checkpoint_interval(
+            args.table, args.set_checkpoint_interval
+        )
+        print(
+            f"checkpoint interval -> {args.set_checkpoint_interval} "
+            f"at version {v}"
+        )
     if args.expire is not None:
         expired = expire_versions(args.table, args.expire)
         print(f"expired {len(expired)} version(s)")
@@ -6604,6 +6622,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.delete_where_sql
         or args.update_where_sql
         or args.set_partition_spec is not None
+        or args.set_stats_cols is not None
+        or args.set_checkpoint_interval is not None
         or args.changes_since is not None
         or args.detail
         or args.compact_small

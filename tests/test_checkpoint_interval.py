@@ -90,6 +90,19 @@ def test_clear_interval_stops_auto_checkpoints(spark, tmp_path):
         txlog.set_checkpoint_interval(table, -3)
 
 
+def test_cli_set_checkpoint_interval(spark, tmp_path, capsys):
+    table = str(tmp_path / "t")
+    txlog.commit(_mk(spark, table), table)
+    assert txlog.main([table, "--set-checkpoint-interval", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "checkpoint interval -> 3" in out
+    assert "version:" not in out  # the verb IS the action
+    assert txlog.checkpoint_interval_of(table) == 3
+    for i in range(2):  # v2, v3 → ckpt at 3
+        txlog.commit(_mk(spark, table, 50 + i, 51 + i), table)
+    assert _ckpt_versions(table) == [3]
+
+
 def test_clone_carries_write_side_properties(spark, tmp_path):
     src = str(tmp_path / "src")
     tgt = str(tmp_path / "tgt")
