@@ -3225,17 +3225,23 @@ def join_cobucketed(
 
     Soundness guards (each refuses loudly rather than degrade):
     every file on BOTH sides must carry the bucket segment for
-    ``key``'s physical name, and the era set across both sides must
-    be ONE common N — a table mid-``set_partition_spec`` evolution or
-    holding flat-era files pairs directories with DIFFERENT moduli,
-    which silently drops matches. NULL keys never equi-join, and the
-    NULL directory only ever pairs with the NULL directory, so rows
-    there drop (inner) or null-extend (left) exactly like a plain
-    join. Deletion vectors apply per side inside :func:`_scan` before
-    the join. ``how`` is ``inner`` or ``left`` (build-right broadcast
-    supports both); join is USING-style on ``key`` (one key column in
-    the output), non-key name collisions are the caller's to
-    disambiguate, same as any Spark join."""
+    ``key``'s physical name, each table must sit in ONE era, and the
+    two eras must be COMPATIBLE — equal, or one divides the other
+    (``bucket(4)`` ⋈ ``bucket(8)``: the coarse id of a fine bucket is
+    exactly ``fine % 4`` because ``(x mod 8) mod 4 = x mod 4`` when
+    4 | 8, so fine directories fold losslessly onto coarse buckets —
+    the post-re-bucketing shape, Iceberg SPJ's compatible-grouping
+    rule). Incommensurable moduli (6 vs 8) or a table holding MIXED
+    eras / flat files pair directories that can drop matches →
+    ValueError; use a plain join or OPTIMIZE into one spec first.
+    NULL keys never equi-join, and the NULL directory only ever pairs
+    with the NULL directory, so rows there drop (inner) or
+    null-extend (left) exactly like a plain join. Deletion vectors
+    apply per side inside :func:`_scan` before the join. ``how`` is
+    ``inner`` or ``left`` (build-right broadcast supports both); join
+    is USING-style on ``key`` (one key column in the output), non-key
+    name collisions are the caller's to disambiguate, same as any
+    Spark join."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -3246,12 +3252,32 @@ def join_cobucketed(
     rfiles, rschema, _, _, rdvs, rmap = _snapshot(right_table, right_version)
     lgroups, leras = _bucket_layout(left_table, lfiles, lmap.get(key, key))
     rgroups, reras = _bucket_layout(right_table, rfiles, rmap.get(key, key))
-    if len(leras | reras) != 1:
+    if len(leras) != 1 or len(reras) != 1:
         raise ValueError(
-            f"co-bucketed join needs ONE common bucket(N, {key}) era "
-            f"across both tables, got left={sorted(leras)} "
-            f"right={sorted(reras)}; use a plain join"
+            f"co-bucketed join needs each table in ONE bucket era, "
+            f"got left={sorted(leras)} right={sorted(reras)}; "
+            f"OPTIMIZE the mixed table into its active spec first"
         )
+    ln, rn = next(iter(leras)), next(iter(reras))
+    n = min(ln, rn)
+    if ln % n or rn % n:
+        raise ValueError(
+            f"co-bucketed join needs equal or divisible bucket eras "
+            f"for a common bucket(N, {key}) grouping, got left={ln} "
+            f"right={rn}; use a plain join"
+        )
+
+    def _coarsen(groups):
+        # fold fine directories onto the common coarse modulus:
+        # (x mod M) mod n == x mod n whenever n | M. NULL directories
+        # (key IS NULL for every row) stay the NULL group.
+        out: dict = {}
+        for b, fs in groups.items():
+            cb = b if b is None or not b.isdigit() else str(int(b) % n)
+            out.setdefault(cb, []).extend(fs)
+        return out
+
+    lgroups, rgroups = _coarsen(lgroups), _coarsen(rgroups)
 
     def _side(table, groups, b, schema, dvs, mapping):
         return _scan(spark, table, groups.get(b, []), schema, dvs, mapping)

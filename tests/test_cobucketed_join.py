@@ -85,13 +85,33 @@ def test_join_cobucketed_plan_has_no_shuffle_exchange(spark, tmp_path):
     assert out.count() == 30
 
 
+def test_join_cobucketed_compatible_eras_fold(spark, tmp_path):
+    """bucket(4) ⋈ bucket(8): fine directories fold losslessly onto
+    the coarse modulus ((x mod 8) mod 4 = x mod 4), so the
+    post-re-bucketing shape joins shuffle-free instead of refusing —
+    result parity with the plain join, still zero shuffle
+    Exchanges."""
+    root = str(tmp_path)
+    left = _build(spark, root, "l", 40, 1, buckets=4)
+    right8 = _build(spark, root, "r8", 40, 2, buckets=8)
+    for how in ("inner", "left"):
+        got = txlog.join_cobucketed(spark, left, right8, "k", how=how)
+        want = txlog.read_table(spark, left).join(
+            txlog.read_table(spark, right8), on="k", how=how
+        )
+        assert _collected(got) == _collected(want), how
+    plan = plan_text(txlog.join_cobucketed(spark, left, right8, "k"))
+    assert not re.findall(r"\bExchange\b", plan)
+
+
 def test_join_cobucketed_refuses_unsound_layouts(spark, tmp_path):
     root = str(tmp_path)
     left = _build(spark, root, "l", 20, 1, buckets=4)
-    # era mismatch: bucket(4) vs bucket(8) pairs different moduli
-    right8 = _build(spark, root, "r8", 20, 1, buckets=8)
-    with pytest.raises(ValueError, match="common bucket"):
-        txlog.join_cobucketed(spark, left, right8, "k")
+    # incommensurable moduli: bucket(6) shares no common grouping
+    # with bucket(4) — (x mod 6) mod 4 != x mod 4 in general
+    right6 = _build(spark, root, "r6", 20, 1, buckets=6)
+    with pytest.raises(ValueError, match="divisible bucket eras"):
+        txlog.join_cobucketed(spark, left, right6, "k")
     # flat table: no bucket segment to pair on
     flat = f"{root}/flat"
     txlog.commit(
@@ -115,7 +135,7 @@ def test_join_cobucketed_refuses_unsound_layouts(spark, tmp_path):
         ),
         evolved,
     )
-    with pytest.raises(ValueError, match="common bucket"):
+    with pytest.raises(ValueError, match="ONE bucket era"):
         txlog.join_cobucketed(spark, left, evolved, "k")
     with pytest.raises(ValueError, match="inner.*left|how"):
         txlog.join_cobucketed(spark, left, left, "k", how="outer")
