@@ -2425,6 +2425,103 @@ PIPELINE_ORACLE_SQL["near_dup_clusters_logstar"] = PIPELINE_ORACLE_SQL[
     "near_dup_clusters"
 ]
 
+# Greedy MMR re-ranking, k=5 UNROLLED (Carbonell & Goldstein '98):
+# the per-step dependence on the selected set is a fixed 5-step
+# chain, so each step is one CTE — argmax of lam*qsim − (1−lam)*
+# max-sim-to-selected over the not-yet-selected pool, ties to the
+# lowest n_id (the kernel sorts by n_id so np.argmax's first-max IS
+# the lowest id). Scores round to 6 at the boundary in both engines;
+# the selection argmaxes run on unrounded doubles whose margins are
+# far above accumulation noise. This lifts ann_mmr_topk from
+# rows-only to the full hash gate.
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.7, pool: int = 25) -> str:
+    base = f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 16
+        ), scored AS (
+            SELECT q.q_id, e.vec_id AS n_id,
+                   list_dot_product(q.q_emb, e.emb)
+                   / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                      * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+            FROM q, e WHERE e.vec_id <> q.q_id
+        ), pool AS (
+            SELECT q_id, n_id, cos AS qsim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos DESC, n_id
+                ) AS rn FROM scored
+            ) WHERE rn <= {pool}
+        ), pw AS (
+            SELECT a.q_id, a.n_id AS d, b.n_id AS s,
+                   list_dot_product(ea.emb, eb.emb)
+                   / (sqrt(list_dot_product(ea.emb, ea.emb))
+                      * sqrt(list_dot_product(eb.emb, eb.emb))) AS sim
+            FROM pool a
+            JOIN pool b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+            JOIN e ea ON ea.vec_id = a.n_id
+            JOIN e eb ON eb.vec_id = b.n_id
+        ), s1 AS (
+            SELECT q_id, n_id, score FROM (
+                SELECT q_id, n_id, {lam} * qsim AS score,
+                       row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY {lam} * qsim DESC, n_id
+                       ) AS rn
+                FROM pool
+            ) WHERE rn = 1
+        )"""
+    steps = []
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT q_id, n_id FROM s{j}" for j in range(1, i)
+        )
+        steps.append(f""", sel{i - 1} AS (
+            {prev}
+        ), red{i} AS (
+            SELECT w.q_id, w.d AS n_id, max(w.sim) AS r
+            FROM pw w
+            JOIN sel{i - 1} sp ON sp.q_id = w.q_id AND sp.n_id = w.s
+            GROUP BY w.q_id, w.d
+        ), s{i} AS (
+            SELECT q_id, n_id, score FROM (
+                SELECT p.q_id, p.n_id,
+                       {lam} * p.qsim - {round(1.0 - lam, 10)} * r.r
+                           AS score,
+                       row_number() OVER (
+                           PARTITION BY p.q_id
+                           ORDER BY {lam} * p.qsim
+                                    - {round(1.0 - lam, 10)} * r.r
+                                    DESC,
+                                    p.n_id
+                       ) AS rn
+                FROM pool p
+                JOIN red{i} r ON r.q_id = p.q_id AND r.n_id = p.n_id
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sel{i - 1} sp
+                    WHERE sp.q_id = p.q_id AND sp.n_id = p.n_id
+                )
+            ) WHERE rn = 1
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT q_id, n_id, score, {i} AS mmr_rank FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        base
+        + "".join(steps)
+        + f"""
+        SELECT q_id, n_id, round(score, 6) AS mmr_score,
+               CAST(mmr_rank AS INTEGER) AS mmr_rank
+        FROM ({union})
+    """
+    )
+
+
+PIPELINE_ORACLE_SQL["ann_mmr_topk"] = _mmr_oracle_sql()
+
+
 # SemDedup with the FIXED literal quantizer: argmax assignment over
 # the same centroid literals (argmax is invariant to the kernel's
 # positive per-vector normalization, so raw dots probe it), same-

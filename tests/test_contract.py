@@ -44,9 +44,6 @@ def test_every_oracle_has_a_query():
         "price_percentiles_approx",
         "embedding_semdedup",
         "event_counts_cms",
-        # greedy MMR selection: per-step dependence on the selected
-        # set is not ANSI-SQL-expressible; numpy-reference pytest
-        "ann_mmr_topk",
         # GK-sketch threshold twins: DuckDB's approx_quantile is a
         # t-digest (different estimator); error-bound pytest instead
         "order_price_quartiles_approx",
