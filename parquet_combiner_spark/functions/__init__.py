@@ -2425,6 +2425,74 @@ PIPELINE_ORACLE_SQL["near_dup_clusters_logstar"] = PIPELINE_ORACLE_SQL[
     "near_dup_clusters"
 ]
 
+# Perceptual-hash near-dup pairs, fully SQL (r14): the fake decode is
+# byte-slice means over an ASCII payload (`encode(text)`), so every
+# aHash grid cell is an `ascii()` mean over a character slice; bits
+# compare each cell to the 64-cell mean (both engines sum the SAME
+# 64 doubles sequentially), band codes reproduce the pigeonhole
+# equi-join so sf0.1's 5000 docs never go all-pairs, and the exact
+# Hamming count is the boolean-bit diff — no int64 packing needed
+# since the output carries only (id_a, id_b, hamming).
+def _phash_oracle_sql(max_hamming: int = 10) -> str:
+    bands = max_hamming + 1
+    bounds = [
+        (i * 64 // bands, (i + 1) * 64 // bands) for i in range(bands)
+    ]
+    band_exprs = ", ".join(
+        f"CAST(list_sum(list_transform(range({lo}, {hi}), "
+        f"i -> CASE WHEN bits[i + 1] THEN 1 << (i - {lo}) ELSE 0 END))"
+        f" AS BIGINT) AS bnd{bi}"
+        for bi, (lo, hi) in enumerate(bounds)
+    )
+    band_join = " OR ".join(f"a.bnd{i} = b.bnd{i}" for i in range(bands))
+    ham = (
+        "list_sum(list_transform(range(0, 64), i -> "
+        "CASE WHEN bits_a[i + 1] <> bits_b[i + 1] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id AS media_id, text, length(text) AS n
+            FROM documents
+        ), cellv AS (
+            SELECT media_id,
+                   list_transform(range(0, 64), ci ->
+                       CASE
+                           WHEN n = 0 THEN 0.0
+                           WHEN (ci + 1) * n // 64 > ci * n // 64 THEN
+                               CAST(list_sum(list_transform(
+                                   range(CAST(ci * n // 64 AS INTEGER),
+                                         CAST((ci + 1) * n // 64
+                                              AS INTEGER)),
+                                   j -> ascii(text[j + 1])))
+                                   AS DOUBLE)
+                               / ((ci + 1) * n // 64 - ci * n // 64)
+                           ELSE CAST(ascii(
+                               text[CAST(ci * n // 64 + 1 AS INTEGER)]
+                           ) AS DOUBLE)
+                       END) AS cells
+            FROM t
+        ), bitsv AS (
+            SELECT media_id,
+                   list_transform(
+                       cells, c -> c > list_sum(cells) / 64.0
+                   ) AS bits
+            FROM cellv
+        ), coded AS (
+            SELECT media_id, bits, {band_exprs} FROM bitsv
+        ), cand AS (
+            SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                   a.bits AS bits_a, b.bits AS bits_b
+            FROM coded a JOIN coded b
+              ON a.media_id < b.media_id AND ({band_join})
+        )
+        SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming
+        FROM cand WHERE {ham} <= {max_hamming}
+    """
+
+
+PIPELINE_ORACLE_SQL["doc_payload_phash_pairs"] = _phash_oracle_sql()
+
+
 # Greedy MMR re-ranking, k=5 UNROLLED (Carbonell & Goldstein '98):
 # the per-step dependence on the selected set is a fixed 5-step
 # chain, so each step is one CTE — argmax of lam*qsim − (1−lam)*

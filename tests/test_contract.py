@@ -48,10 +48,6 @@ def test_every_oracle_has_a_query():
         # t-digest (different estimator); error-bound pytest instead
         "order_price_quartiles_approx",
         "customer_rfm_segments_approx",
-        # perceptual-hash banding over binary payloads: the grid/
-        # band pipeline is pinned by the planted-edit + exact-recall
-        # pytest (blob slicing is not usefully SQL-expressible)
-        "doc_payload_phash_pairs",
         # iterative greedy argmax (BPE training) is not
         # SQL-expressible; exact merge-for-merge parity with a
         # pure-Python reference trainer is pinned by pytest
