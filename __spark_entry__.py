@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "events_point_set_delete_scan",
     "events_where_pruned_scan",
     "embedding_semdedup_fixed",
+    "ann_cosine_topk_ivf_fixed",
     # --- high-value re-checks of the r13 lifecycle family (incl.
     # events_cdf_feed, the A/B-cleared bench mover) ---
     "events_cdf_feed",
@@ -88,7 +89,6 @@ _DRIVER_PRIORITY = [
     "events_hidden_partition_scan",
     "events_stats_property_scan",
     "events_bloom_point_scan",
-    "events_expr_delete_scan",
 ]
 
 

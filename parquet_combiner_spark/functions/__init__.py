@@ -1157,6 +1157,29 @@ def q_ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_rerank(pool, embs, k=5, lam=0.7)
 
 
+# Fixed quantizer geometry for the IVF MATCH twin (independent seed
+# from both the LSH planes and the semdedup quantizer)
+_IVF_FIXED_CENTROIDS = similarity.hyperplanes(64, 16, seed=11)
+
+
+def q_ann_cosine_topk_ivf_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF top-5 with nprobe=4 under a FIXED (literal) quantizer —
+    the deterministic MATCH twin of ``ann_cosine_topk_ivf`` (same
+    trick as ``embedding_semdedup_fixed``): cell assignment, the
+    nprobe cell probe, and the within-cell scoring are all exactly
+    SQL-reproducible once the centroid geometry is literal, so the
+    PRUNED-probe path sits under the hash gate (the fullprobe twin
+    only covers the exact path). Also the pinned-geometry serving
+    shape: persist_ivf_centroids → serve."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 16)
+    return similarity.cosine_topk_ivf(
+        embs, queries, k=5, nprobe=4, centroids=_IVF_FIXED_CENTROIDS
+    )
+
+
 def q_ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation AS a query: per-query recall@5 of the
     sign-LSH index against the exact top-5 — the eval harness every
@@ -1369,6 +1392,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_pandas": q_ann_cosine_topk_pandas,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+    "ann_cosine_topk_ivf_fixed": q_ann_cosine_topk_ivf_fixed,
     "ann_cosine_topk_ivf_fullprobe": q_ann_cosine_topk_ivf_fullprobe,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_label_stats": q_embedding_label_stats,
@@ -2588,6 +2612,55 @@ def _mmr_oracle_sql(k: int = 5, lam: float = 0.7, pool: int = 25) -> str:
 
 
 PIPELINE_ORACLE_SQL["ann_mmr_topk"] = _mmr_oracle_sql()
+
+
+# IVF with the FIXED literal quantizer, nprobe=4: candidate argmax
+# assignment and the query's top-4 cell probe are both argmaxes over
+# literal centroid dots (scale-invariant, so raw dots probe the
+# kernel's normalized ones); scoring is the shared cosine formula
+# within probed cells — the PRUNED-probe recall behavior itself under
+# the hash gate.
+PIPELINE_ORACLE_SQL["ann_cosine_topk_ivf_fixed"] = f"""
+    WITH cents(cid, cvec) AS (
+        VALUES {", ".join(
+            f"({i}, {_plane_lit(c)})"
+            for i, c in enumerate(_IVF_FIXED_CENTROIDS)
+        )}
+    ), e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings
+    ), cscore AS (
+        SELECT e.vec_id, e.emb, c.cid,
+               list_dot_product(e.emb, c.cvec) AS s
+        FROM e CROSS JOIN cents c
+    ), cand AS (
+        SELECT vec_id AS n_id, emb AS n_emb, cid AS centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cid
+            ) AS rn FROM cscore
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT vec_id AS q_id, emb AS q_emb, cid AS centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, cid
+            ) AS rn FROM cscore WHERE vec_id < 16
+        ) WHERE rn <= 4
+    ), scored AS (
+        SELECT p.q_id, c.n_id,
+               list_dot_product(p.q_emb, c.n_emb)
+               / (sqrt(list_dot_product(p.q_emb, p.q_emb))
+                  * sqrt(list_dot_product(c.n_emb, c.n_emb))) AS cos
+        FROM probe p JOIN cand c ON p.centroid_id = c.centroid_id
+        WHERE c.n_id <> p.q_id
+    )
+    SELECT q_id, n_id, round(cos, 6) AS sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, n_id
+        ) AS rn FROM scored
+    ) WHERE rn <= 5
+"""
 
 
 # SemDedup with the FIXED literal quantizer: argmax assignment over
