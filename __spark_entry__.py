@@ -44,6 +44,11 @@ _DRIVER_PRIORITY = [
     # are the 5 rows-only-by-design estimator/sketch keys. ---
     "ann_mmr_topk",
     "doc_payload_phash_pairs",
+    # --- r15 lifts: rows-only → hash-MATCH twins (first hash signal).
+    # The train key re-derives via the recursive-CTE GD oracle; the
+    # BPE key via a 16-round unrolled argmax CTE chain. ---
+    "doc_quality_classifier",
+    "doc_bpe_train_merges",
     # --- r14 prefix follows (now all driver-checked; kept as
     # re-checks). Two r13 lifecycle re-checks were displaced to make
     # room. ---
@@ -96,8 +101,6 @@ _DRIVER_PRIORITY = [
     # --- high-value re-checks of the r13 lifecycle family (incl.
     # events_cdf_feed, the A/B-cleared bench mover) ---
     "events_cdf_feed",
-    "user_state_merge_bucketed",
-    "events_bloom_point_scan",
 ]
 
 

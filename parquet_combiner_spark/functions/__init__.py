@@ -57,10 +57,13 @@ def q_doc_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents corpus: one combiner-reduced word-histogram pass, then
     vocabulary-bounded merge rounds with a 1-row argmax fetch each —
     the artifact (rank, left, right, merged, pair_count) is what a
-    tokenizer ships. Iterative greedy argmax is not SQL-expressible,
-    so this key is rows-only; the correctness gate is the exact
-    merge-for-merge parity pytest against a pure-Python reference
-    trainer on the same histogram (tests/test_text.py)."""
+    tokenizer ships. Hash-MATCH oracle (r15): at this key's fixed
+    ``num_merges=16`` the loop is a deterministic argmax chain, so
+    DuckDB re-trains it as an unrolled CTE sequence
+    (:func:`_bpe_train_oracle_sql`); the exact merge-for-merge parity
+    pytest against a pure-Python reference trainer
+    (tests/test_text.py) stays as the engine-independent second
+    gate."""
     return text.bpe_train_merges(
         _docs(spark, sf_dir), num_merges=16, max_vocab=4000
     )
@@ -889,12 +892,13 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lang = 'en'`` — over engineered JVM-side text features). Each
     GD iteration is ONE combiner-reduced aggregation with the weight
     vector as plan literals; the feature frame is persisted for the
-    iteration loop and released after. Driver-resident iterative
-    optimization is not SQL-expressible → rows-only; the gate is the
-    numpy-reference parity pytest (same features, same schedule,
-    ~1e-9 agreement) — and the end-to-end chain IS hash-matched via
-    :func:`q_doc_quality_classifier_scores`, whose DuckDB oracle
-    re-trains the same schedule as a recursive CTE."""
+    iteration loop and released after. Hash-MATCH oracle (r15): DuckDB
+    re-trains the identical schedule as a recursive CTE
+    (:func:`_classifier_gd_oracle_sql` mode='train') and emits the
+    same 7-row weight table — five de-standardized weights,
+    ``__bias__``, ``__loss__`` — under logreg_train's 8-dp rounding
+    contract; the numpy-reference parity pytest (~1e-9 agreement)
+    stays as the second, engine-independent gate."""
     feats = _classifier_train_feats(spark, sf_dir)
     try:
         # 15 steps at lr 2: per-iteration cost is Spark job overhead,
@@ -1556,18 +1560,26 @@ _MARKER_LISTS = ",\n".join(
 _EN_MARKERS = ", ".join(f"'{m}'" for m in text.LANG_MARKERS["en"])
 
 
-def _classifier_scores_oracle_sql() -> str:
-    """DuckDB oracle for ``doc_quality_classifier_scores``: re-train
-    the IDENTICAL full-batch logistic-GD schedule (zero init,
-    standardized features, ``_CLS_ITERS`` simultaneous-update steps at
-    ``_CLS_LR``) as a recursive CTE whose recursive term computes each
-    step's d+1 gradient sums in one LATERAL aggregation over the
-    standardized frame — the SQL rendering of logreg_train's
-    one-aggregation-per-step loop — then de-standardize, round the
-    weights to 8 dp (logreg_train's output contract; snaps ~1e-12
-    cross-engine training drift onto a shared grid) and score every
-    document. Generated, not hand-maintained: the feature SQL is the
-    one source of truth for both the gradient and the scoring
+def _classifier_gd_oracle_sql(mode: str) -> str:
+    """DuckDB oracle for the quality-classifier keys: re-train the
+    IDENTICAL full-batch logistic-GD schedule (zero init, standardized
+    features, ``_CLS_ITERS`` simultaneous-update steps at ``_CLS_LR``)
+    as a recursive CTE whose recursive term computes each step's d+1
+    gradient sums (plus the running log-loss sum) in one LATERAL
+    aggregation over the standardized frame — the SQL rendering of
+    logreg_train's one-aggregation-per-step loop — then de-standardize
+    and round the weights to 8 dp (logreg_train's output contract;
+    snaps ~1e-12 cross-engine training drift onto a shared grid).
+
+    ``mode='scores'`` scores every document with the trained weights
+    (the ``doc_quality_classifier_scores`` oracle). ``mode='train'``
+    emits logreg_train's own 7-row weight table — five feature
+    weights, ``__bias__``, and ``__loss__`` (the mean log-loss the
+    final aggregation observed, i.e. evaluated at the weights BEFORE
+    the last update, exactly as the Spark loop reports it) — which
+    lifts the train key ``doc_quality_classifier`` from rows-only to
+    hash-MATCH. Generated, not hand-maintained: the feature SQL is the
+    one source of truth for the gradient, the loss, and the scoring
     expressions."""
     # classifier_feature_frame's five features, SQL-for-SQL:
     # string_split(' ') == F.split(" "), list_filter mirrors F.filter,
@@ -1602,6 +1614,28 @@ def _classifier_scores_oracle_sql() -> str:
     sig = f"1.0/(1.0 + exp(-({zexpr})))"
     score_z = "rb + " + " + ".join(f"rw{i}*f{i}" for i in idx)
     score = f"round(1.0/(1.0 + exp(-({score_z}))), 6)"
+    if mode == "scores":
+        final_select = f"""SELECT f.doc_id,
+               {score} AS score,
+               {score} >= {_CLS_KEEP} AS keep
+        FROM feats f, wf"""
+    elif mode == "train":
+        # logreg_train's 7-row contract: one row per feature (in
+        # CLASSIFIER_FEATURES order — the same order the f{i}
+        # expressions were generated in), then __bias__ and __loss__
+        branches = " UNION ALL ".join(
+            f"SELECT '{name}' AS feature, rw{i} AS weight FROM wf"
+            for i, name in zip(idx, quality.CLASSIFIER_FEATURES)
+        )
+        final_select = (
+            branches
+            + " UNION ALL SELECT '__bias__' AS feature, rb AS weight"
+            " FROM wf"
+            + " UNION ALL SELECT '__loss__' AS feature, rls AS weight"
+            " FROM wf"
+        )
+    else:  # pragma: no cover - developer error
+        raise ValueError(f"unknown oracle mode: {mode!r}")
     return f"""
         WITH RECURSIVE feats AS (
             SELECT doc_id,
@@ -1630,22 +1664,26 @@ def _classifier_scores_oracle_sql() -> str:
                    {", ".join(f"(f{i} - m{i})/s{i} AS z{i}" for i in idx)}
             FROM train, st
         ),
-        gd(it, {", ".join(f"w{i}" for i in idx)}, b) AS (
+        gd(it, {", ".join(f"w{i}" for i in idx)}, b, ls) AS (
             SELECT 0, {", ".join("CAST(0.0 AS DOUBLE)" for _ in idx)},
-                   CAST(0.0 AS DOUBLE)
+                   CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE)
             UNION ALL
             SELECT it + 1,
                    {", ".join(
                        f"w{i} - {_CLS_LR} * g.g{i} / g.n" for i in idx
                    )},
-                   b - {_CLS_LR} * g.gb / g.n
+                   b - {_CLS_LR} * g.gb / g.n,
+                   g.lsum
             FROM gd, LATERAL (
                 SELECT CAST(count(*) AS DOUBLE) AS n,
                        {", ".join(
                            f"sum(({sig} - label) * z{i}) AS g{i}"
                            for i in idx
                        )},
-                       sum({sig} - label) AS gb
+                       sum({sig} - label) AS gb,
+                       sum(-label * ln({sig} + 1e-12)
+                           - (1.0 - label) * ln(1.0 - ({sig}) + 1e-12))
+                           AS lsum
                 FROM zs
             ) g
             WHERE it < {_CLS_ITERS}
@@ -1656,18 +1694,96 @@ def _classifier_scores_oracle_sql() -> str:
                    )},
                    round(b - ({" + ".join(
                        f"w{i}*m{i}/s{i}" for i in idx
-                   )}), 8) AS rb
+                   )}), 8) AS rb,
+                   round(ls / n, 8) AS rls
             FROM gd, st
             WHERE it = {_CLS_ITERS}
         )
-        SELECT f.doc_id,
-               {score} AS score,
-               {score} >= {_CLS_KEEP} AS keep
-        FROM feats f, wf
+        {final_select}
+    """
+
+
+def _bpe_train_oracle_sql(
+    num_merges: int = 16,
+    max_vocab: int = 4000,
+    min_pair_count: int = 2,
+) -> str:
+    """DuckDB oracle for ``doc_bpe_train_merges``: the merge-training
+    loop unrolled as a fixed CTE chain (the MMR technique — at the
+    registry's ``num_merges=16`` cap the loop is a deterministic
+    sequence of weighted-pair argmaxes, so each round is three CTEs:
+    pair histogram → argmax with the (count desc, pair asc) tie-break
+    → vocabulary rewrite).
+
+    The symbol arrays ride as a double-space-separated string
+    (words are whitespace-split, so symbols can never contain a
+    space): the per-round rewrite is then one ``replace(s,
+    ' a  b ', ' ab ')`` — SQL ``replace`` scans left-to-right and
+    resumes AFTER each substitution, which is exactly
+    :func:`text._merge_adjacent`'s greedy leftmost non-overlapping
+    fold (each boundary keeps one space on each side of the pattern,
+    so back-to-back matches still fire: ``'  a  b  a  b  '`` →
+    ``'  ab  ab  '``). Early stop falls out structurally: a round
+    whose argmax CTE is empty (no pair ≥ min_pair_count) makes every
+    later round's cross join empty, so ranks simply stop appearing —
+    the same rows the Spark loop's ``break`` produces."""
+    prev = "v0"
+    rounds: list[str] = []
+    finals: list[str] = []
+    for r in range(1, int(num_merges) + 1):
+        rounds.append(f"""
+        p{r} AS (
+            SELECT pr['a'] AS a, pr['b'] AS b,
+                   CAST(sum(cnt) AS BIGINT) AS pc
+            FROM (
+                SELECT unnest(list_transform(
+                           range(1, len(syms)),
+                           i -> {{'a': syms[i], 'b': syms[i + 1]}}
+                       )) AS pr, cnt
+                FROM (
+                    SELECT list_filter(string_split(s, '  '),
+                                       x -> x <> '') AS syms, cnt
+                    FROM {prev}
+                )
+                WHERE len(syms) >= 2
+            ) GROUP BY 1, 2
+        ),
+        m{r} AS MATERIALIZED (
+            SELECT a, b, pc FROM p{r}
+            WHERE pc >= {min_pair_count}
+            ORDER BY pc DESC, a ASC, b ASC LIMIT 1
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT replace(s, ' ' || a || '  ' || b || ' ',
+                           ' ' || a || b || ' ') AS s, cnt
+            FROM {prev}, m{r}
+        )""")
+        finals.append(
+            f'SELECT {r} AS "rank", a AS "left", b AS "right",'
+            f' a || b AS merged, pc AS pair_count FROM m{r}'
+        )
+        prev = f"v{r}"
+    return f"""
+        WITH v0 AS MATERIALIZED (
+            SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s,
+                   cnt
+            FROM (
+                SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+                    SELECT unnest(list_filter(
+                        regexp_split_to_array(trim(lower(text)),
+                                              '\\s+'),
+                        x -> x <> '')) AS w
+                    FROM documents
+                ) GROUP BY w
+                ORDER BY cnt DESC, w ASC LIMIT {max_vocab}
+            )
+        ),{",".join(rounds)}
+        {" UNION ALL ".join(finals)}
     """
 
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
+    "doc_bpe_train_merges": _bpe_train_oracle_sql(),
     # minhash/simhash/LSH queries intentionally absent: xxhash64-based,
     # not reproducible in DuckDB → rows-only check.
     "doc_bpe_tokens": f"""
@@ -1931,7 +2047,8 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     """,
     # train → score → threshold, re-trained in SQL (recursive CTE);
     # see _classifier_scores_oracle_sql
-    "doc_quality_classifier_scores": _classifier_scores_oracle_sql(),
+    "doc_quality_classifier": _classifier_gd_oracle_sql("train"),
+    "doc_quality_classifier_scores": _classifier_gd_oracle_sql("scores"),
     # the naive global-window formulation of the distributed prefix
     # count: same md5-derived 32-bit key, same doc_id tie-break
     "doc_epoch_shuffle": f"""

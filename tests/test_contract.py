@@ -48,14 +48,6 @@ def test_every_oracle_has_a_query():
         # t-digest (different estimator); error-bound pytest instead
         "order_price_quartiles_approx",
         "customer_rfm_segments_approx",
-        # iterative greedy argmax (BPE training) is not
-        # SQL-expressible; exact merge-for-merge parity with a
-        # pure-Python reference trainer is pinned by pytest
-        "doc_bpe_train_merges",
-        # driver-resident gradient descent (quality classifier) is
-        # not SQL-expressible; numpy-reference parity pinned by
-        # pytest
-        "doc_quality_classifier",
         # DataSketches HLL store: estimates differ from exact SQL by
         # design; merge-losslessness + 5% error bound pinned by pytest
         "event_distinct_users_sketch_store",
