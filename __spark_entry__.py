@@ -49,6 +49,9 @@ _DRIVER_PRIORITY = [
     # BPE key via a 16-round unrolled argmax CTE chain. ---
     "doc_quality_classifier",
     "doc_bpe_train_merges",
+    # --- r15 new key: storage-partitioned aggregation (first-time
+    # signal) ---
+    "user_state_agg_bucketed",
     # --- r14 prefix follows (now all driver-checked; kept as
     # re-checks). Two r13 lifecycle re-checks were displaced to make
     # room. ---
@@ -98,9 +101,6 @@ _DRIVER_PRIORITY = [
     "events_where_pruned_scan",
     "embedding_semdedup_fixed",
     "ann_cosine_topk_ivf_fixed",
-    # --- high-value re-checks of the r13 lifecycle family (incl.
-    # events_cdf_feed, the A/B-cleared bench mover) ---
-    "events_cdf_feed",
 ]
 
 

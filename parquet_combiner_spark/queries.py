@@ -2453,6 +2453,49 @@ def user_state_join_cobucketed(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def user_state_agg_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STORAGE-PARTITIONED aggregation over a ``bucket(8, user_id)``
+    txtable (tools/txlog.py ``agg_bucketed`` — VERDICT r14 'Next
+    round' #4, the aggregate sibling of the co-bucketed join;
+    reference partial-agg doctrine, considerations.txt:36-38): the
+    event rows are committed under the bucket spec, then
+    ``groupBy(user_id)`` runs per bucket directory and unions — the
+    plan carries ZERO shuffle Exchange (pinned in
+    tests/test_cobucketed_join.py) because every user's rows live in
+    exactly one bucket, so per-bucket groups are complete. The
+    count-distinct aggregate is the point: bucket-completeness makes
+    even non-decomposable aggregates legal without their usual two
+    extra exchanges."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="pcs-aggbkt-")
+    try:
+        txlog.commit(
+            ev, f"{root}/t", partition_by=["bucket(8, user_id)"]
+        )
+        out = txlog.agg_bucketed(
+            spark,
+            f"{root}/t",
+            "user_id",
+            [
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+                F.countDistinct("event_type").alias("n_types"),
+            ],
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def user_state_merge_cdf_feed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4491,6 +4534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_state_merge_into": user_state_merge_into,
     "user_state_merge_bucketed": user_state_merge_bucketed,
     "user_state_join_cobucketed": user_state_join_cobucketed,
+    "user_state_agg_bucketed": user_state_agg_bucketed,
     "user_state_merge_cdf_feed": user_state_merge_cdf_feed,
     "event_state_restore": event_state_restore,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
@@ -5959,6 +6003,14 @@ ORACLE_SQL["user_state_join_cobucketed"] = """
     SELECT f.user_id, f.n_events, f.total_value,
            d.n_sampled_purchases, d.max_purchase_event_id
     FROM facts f JOIN dim d ON f.user_id = d.user_id
+"""
+
+ORACLE_SQL["user_state_agg_bucketed"] = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(SUM(value), 6) AS total_value,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
 """
 
 # MERGE CDF classes reconstructed from the global version race: with

@@ -3296,6 +3296,91 @@ def join_cobucketed(
     return reduce(lambda a, c: a.unionByName(c), parts)
 
 
+def agg_bucketed(
+    spark: SparkSession,
+    table: str,
+    key: str,
+    aggs: Sequence,
+    group_cols: Sequence[str] = (),
+    version: int | None = None,
+) -> DataFrame:
+    """STORAGE-PARTITIONED aggregation over a txtable laid out with a
+    ``bucket(N, key)`` hidden-partition spec — the aggregate sibling
+    of :func:`join_cobucketed` (Iceberg SPJ's compatible-grouping
+    argument applied to GROUP BY; the reference's partial-agg
+    doctrine, considerations.txt:36-38): ``groupBy(key)`` with NO
+    hash Exchange anywhere in the plan.
+
+    Why it's sound: the writer derived every file's directory from
+    ``pmod(crc32(cast(key as string)), N)``, so ALL rows of any given
+    key (the NULL group included — NULLs land in the dedicated NULL
+    directory) live in exactly one bucket directory. A per-bucket
+    ``groupBy`` therefore sees every row of every group it emits —
+    groups are COMPLETE within a bucket — and the union of the
+    per-bucket aggregates IS the global aggregate. Completeness is
+    what makes this stronger than a partial-agg pushdown: ANY
+    aggregate expression is legal (count-distinct, collect_list,
+    exact medians — nothing needs a merge function), because no
+    group ever spans buckets.
+
+    Why it's exchange-free: each bucket's scan is ``coalesce(1)``'d,
+    and a single-partition child satisfies every clustering
+    requirement, so Catalyst plans the per-bucket HashAggregate with
+    no Exchange below it (pinned in tests/test_cobucketed_join.py).
+    The execution shape is one task chain per bucket: parallelism =
+    the bucket count, exactly Iceberg's storage-partitioned grouping
+    (one split group per storage partition). At 100 TB that is the
+    design dial — bucket counts are chosen in the hundreds, so the
+    cluster stays busy while the plan ships ZERO shuffled bytes;
+    against that, a plain groupBy shuffles the whole fact table once.
+    For a table with a handful of buckets and thousands of idle
+    cores, the plain shuffle aggregation wins — same caveat
+    SCALE.md documents for the join.
+
+    Era handling: a single table may legitimately hold MIXED bucket
+    eras mid-re-bucketing (``bucket(4)`` files alongside
+    ``bucket(8)``). Divisible eras fold losslessly onto the coarsest
+    one (``(x mod 8) mod 4 = x mod 4`` when 4 | 8), so the group
+    stays complete per folded bucket; incommensurable eras (6 vs 8)
+    or flat files raise — use a plain groupBy or OPTIMIZE first.
+
+    ``aggs`` are ready-made aggregate Columns (aliased by the
+    caller); ``group_cols`` adds grouping columns BEYOND ``key`` —
+    sound because the bucket id is a function of ``key`` alone, so a
+    ``(key, extra)`` group can never span buckets either. Deletion
+    vectors apply per bucket inside :func:`_scan`."""
+    from functools import reduce
+
+    files, schema, _, _, dvs, mapping = _snapshot(table, version)
+    groups, eras = _bucket_layout(table, files, mapping.get(key, key))
+    n = min(eras)
+    if any(e % n for e in eras):
+        raise ValueError(
+            f"bucketed aggregation needs equal or divisible bucket "
+            f"eras to fold onto one bucket({n}, {key}) grouping, got "
+            f"{sorted(eras)}; OPTIMIZE the table or use a plain "
+            f"groupBy"
+        )
+    folded: dict = {}
+    for b, fs in groups.items():
+        cb = b if b is None or not b.isdigit() else str(int(b) % n)
+        folded.setdefault(cb, []).extend(fs)
+    gcols = [key, *group_cols]
+    parts = [
+        _scan(spark, table, fs, schema, dvs, mapping)
+        .coalesce(1)
+        .groupBy(*gcols)
+        .agg(*aggs)
+        for _, fs in sorted(
+            folded.items(), key=lambda kv: (kv[0] is None, kv[0])
+        )
+    ]
+    if not parts:
+        empty = _scan(spark, table, [], schema, {}, mapping)
+        return empty.groupBy(*gcols).agg(*aggs)
+    return reduce(lambda a, c: a.unionByName(c), parts)
+
+
 def _zorder_proxy(df: DataFrame, c: str):
     """Order-preserving NUMERIC proxy for a zorder column — what lets
     ``optimize(zorder_by=["country", "ts"])`` cluster STRING, BINARY,

@@ -141,6 +141,150 @@ def test_join_cobucketed_refuses_unsound_layouts(spark, tmp_path):
         txlog.join_cobucketed(spark, left, left, "k", how="outer")
 
 
+# --- agg_bucketed: the aggregate sibling (VERDICT r14 #4) ----------------
+
+
+def _agg_rows(n):
+    out = [
+        Row(k=i % 17, g=("even" if i % 2 == 0 else "odd"), v=i)
+        for i in range(n)
+    ]
+    out.append(Row(k=None, g="even", v=-1))
+    out.append(Row(k=None, g="odd", v=-2))
+    return out
+
+
+def _agg_table(spark, root, n=120, buckets=4, name="t"):
+    table = f"{root}/{name}"
+    df = spark.createDataFrame(
+        _agg_rows(n), "k long, g string, v long"
+    )
+    txlog.commit(df, table, partition_by=[f"bucket({buckets}, k)"])
+    return table
+
+
+_AGGS = lambda: [  # noqa: E731 - fresh Columns per call
+    F.count(F.lit(1)).alias("n"),
+    F.sum("v").alias("sv"),
+    F.countDistinct("g").alias("ng"),
+]
+
+
+def test_agg_bucketed_matches_plain_groupby(spark, tmp_path):
+    """Per-bucket groups are complete (every key lives in exactly one
+    bucket directory, NULLs in the NULL directory), so the union of
+    per-bucket aggregates equals the global groupBy — including the
+    NULL-key group and a non-decomposable count-distinct."""
+    table = _agg_table(spark, str(tmp_path))
+    got = txlog.agg_bucketed(spark, table, "k", _AGGS())
+    want = txlog.read_table(spark, table).groupBy("k").agg(*_AGGS())
+    assert got.columns == ["k", "n", "sv", "ng"]
+    assert _collected(got) == _collected(want)
+    # the NULL group is present, complete, and counted once
+    null_rows = [r for r in got.collect() if r["k"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["n"] == 2
+
+
+def test_agg_bucketed_extra_group_cols(spark, tmp_path):
+    """(key, extra) groups can't span buckets either — the bucket id
+    is a function of the key alone — so grouping columns beyond the
+    bucket key stay exchange-free and exact."""
+    table = _agg_table(spark, str(tmp_path))
+    aggs = [F.count(F.lit(1)).alias("n"), F.max("v").alias("mx")]
+    got = txlog.agg_bucketed(
+        spark, table, "k", aggs, group_cols=["g"]
+    )
+    want = (
+        txlog.read_table(spark, table).groupBy("k", "g").agg(*aggs)
+    )
+    assert got.columns == ["k", "g", "n", "mx"]
+    assert _collected(got) == _collected(want)
+    assert not re.findall(r"\bExchange\b", plan_text(got))
+
+
+def test_agg_bucketed_plan_has_no_exchange(spark, tmp_path):
+    """The whole point: HashAggregates over coalesce(1)'d bucket
+    scans, ZERO shuffle Exchange — even the count-distinct (normally
+    two extra exchanges: expand partial + final) plans exchange-free
+    because single-partition children satisfy every clustering
+    requirement."""
+    table = _agg_table(spark, str(tmp_path), buckets=8)
+    out = txlog.agg_bucketed(spark, table, "k", _AGGS())
+    plan = plan_text(out)
+    assert "HashAggregate" in plan
+    assert not re.findall(r"\bExchange\b", plan), plan
+    assert out.count() == 18  # 17 keys + the NULL group
+
+
+def test_agg_bucketed_mixed_divisible_eras_fold(spark, tmp_path):
+    """A table mid-re-bucketing (bucket(4) files alongside bucket(8))
+    folds losslessly onto the coarse modulus — (x mod 8) mod 4 =
+    x mod 4 — so groups stay complete per folded bucket; parity and
+    the exchange-free plan both hold. (The join refuses this shape
+    because PAIRWISE mapping needs one era per side; a single-table
+    aggregate only needs a consistent fold.)"""
+    root = str(tmp_path)
+    table = f"{root}/evolving"
+    df1 = spark.createDataFrame(
+        _agg_rows(60), "k long, g string, v long"
+    )
+    txlog.commit(df1, table, partition_by=["bucket(4, k)"])
+    txlog.set_partition_spec(table, ["bucket(8, k)"])
+    df2 = spark.createDataFrame(
+        [Row(k=i % 17, g="late", v=1000 + i) for i in range(60)],
+        "k long, g string, v long",
+    )
+    txlog.commit(df2, table)
+    got = txlog.agg_bucketed(spark, table, "k", _AGGS())
+    want = txlog.read_table(spark, table).groupBy("k").agg(*_AGGS())
+    assert _collected(got) == _collected(want)
+    assert not re.findall(r"\bExchange\b", plan_text(got))
+
+
+def test_agg_bucketed_refuses_unsound_layouts(spark, tmp_path):
+    root = str(tmp_path)
+    # incommensurable mixed eras: bucket(6) files don't fold onto
+    # bucket(4) — (x mod 6) mod 4 != x mod 4 in general
+    table = f"{root}/incomm"
+    txlog.commit(
+        spark.createDataFrame(_agg_rows(30), "k long, g string, v long"),
+        table,
+        partition_by=["bucket(4, k)"],
+    )
+    txlog.set_partition_spec(table, ["bucket(6, k)"])
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, g="x", v=i) for i in range(30)],
+            "k long, g string, v long",
+        ),
+        table,
+    )
+    with pytest.raises(ValueError, match="divisible bucket eras"):
+        txlog.agg_bucketed(spark, table, "k", _AGGS())
+    # flat table: no bucket segment — per-directory groups unsound
+    flat = f"{root}/flat"
+    txlog.commit(
+        spark.createDataFrame([Row(k=1, g="x", v=1)],
+                              "k long, g string, v long"),
+        flat,
+    )
+    with pytest.raises(ValueError, match="not .uniformly. bucket"):
+        txlog.agg_bucketed(spark, flat, "k", _AGGS())
+
+
+def test_agg_bucketed_applies_deletion_vectors(spark, tmp_path):
+    """Merge-on-read DVs resolve inside the per-bucket scans, so
+    DV-deleted rows never reach the aggregates."""
+    root = str(tmp_path)
+    table = _agg_table(spark, root, n=60)
+    txlog.delete_where(spark, table, "k", 5, 9, mode="dv")
+    got = txlog.agg_bucketed(spark, table, "k", _AGGS())
+    want = txlog.read_table(spark, table).groupBy("k").agg(*_AGGS())
+    assert _collected(got) == _collected(want)
+    ks = {r["k"] for r in got.collect()}
+    assert ks.isdisjoint(set(range(5, 10)))
+
+
 def test_join_cobucketed_applies_deletion_vectors(spark, tmp_path):
     """Merge-on-read DVs resolve per side inside the per-bucket scans
     before the join — a DV-deleted dim row must not match."""
