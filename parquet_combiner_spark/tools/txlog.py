@@ -3235,19 +3235,31 @@ def join_cobucketed(
     eras / flat files pair directories that can drop matches →
     ValueError; use a plain join or OPTIMIZE into one spec first.
     NULL keys never equi-join, and the NULL directory only ever pairs
-    with the NULL directory, so rows there drop (inner) or
-    null-extend (left) exactly like a plain join. Deletion vectors
-    apply per side inside :func:`_scan` before the join. ``how`` is
-    ``inner`` or ``left`` (build-right broadcast supports both); join
-    is USING-style on ``key`` (one key column in the output), non-key
-    name collisions are the caller's to disambiguate, same as any
-    Spark join."""
+    with the NULL directory, so rows there drop (inner/semi),
+    null-extend (left), or are KEPT (anti — an unmatched row is
+    exactly what anti selects) — all exactly like a plain join.
+    Deletion vectors apply per side inside :func:`_scan` before the
+    join. ``how`` is ``inner``, ``left``, ``left_semi``, or
+    ``left_anti`` (build-right broadcast supports all four — the
+    semi/anti shapes are the GDPR subject-lookup and NOT-EXISTS
+    decontamination filters, VERDICT r14 'Next round' #5; their
+    output is the left columns only, per Spark semantics). The
+    per-bucket mapping argument is unchanged for semi/anti; the one
+    asymmetry is the right-EMPTY bucket: inner and semi skip it (no
+    key there can match), while anti must keep every left row in it
+    (nothing there matches — the inverse of inner's skip) and left
+    null-extends it. Join is USING-style on ``key`` (one key column
+    in the output), non-key name collisions are the caller's to
+    disambiguate, same as any Spark join."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'left_semi' or "
+            f"'left_anti', got {how!r}"
+        )
     lfiles, lschema, _, _, ldvs, lmap = _snapshot(left_table, left_version)
     rfiles, rschema, _, _, rdvs, rmap = _snapshot(right_table, right_version)
     lgroups, leras = _bucket_layout(left_table, lfiles, lmap.get(key, key))
@@ -3284,7 +3296,10 @@ def join_cobucketed(
 
     parts = []
     for b in sorted(lgroups, key=lambda v: (v is None, v)):
-        if b not in rgroups and how == "inner":
+        if b not in rgroups and how in ("inner", "left_semi"):
+            # no right rows → no key in this bucket can match; anti
+            # is the INVERSE (keep every left row) and left
+            # null-extends, so both still emit the bucket below
             continue
         ldf = _side(left_table, lgroups, b, lschema, ldvs, lmap)
         rdf = _side(right_table, rgroups, b, rschema, rdvs, rmap)

@@ -141,6 +141,40 @@ def test_join_cobucketed_refuses_unsound_layouts(spark, tmp_path):
         txlog.join_cobucketed(spark, left, left, "k", how="outer")
 
 
+def test_join_cobucketed_semi_anti_match_plain_join(spark, tmp_path):
+    """left_semi / left_anti (VERDICT r14 #5 — the GDPR subject-lookup
+    and NOT-EXISTS shapes): same pairwise bucket mapping, output is
+    the left columns only. The right side is deliberately SPARSE over
+    8 buckets so some buckets are right-EMPTY — the case where anti
+    must KEEP every left row (the inverse of inner's skip) while semi
+    skips the bucket wholesale."""
+    root = str(tmp_path)
+    left = _build(spark, root, "l", 40, 1, buckets=8)
+    # only two right keys → most of the 8 bucket dirs are empty
+    right = _build(spark, root, "r", 6, 3, buckets=8)
+    for how in ("left_semi", "left_anti"):
+        got = txlog.join_cobucketed(spark, left, right, "k", how=how)
+        want = txlog.read_table(spark, left).join(
+            txlog.read_table(spark, right), on="k", how=how
+        )
+        assert got.columns == ["k", "l_v"], how
+        assert _collected(got) == _collected(want), how
+    semi = txlog.join_cobucketed(spark, left, right, "k", how="left_semi")
+    anti = txlog.join_cobucketed(spark, left, right, "k", how="left_anti")
+    # right holds keys {0, 3}; NULL never matches → semi drops the
+    # NULL-key left row, anti keeps it (unmatched is what anti means)
+    assert {r["k"] for r in semi.collect()} == {0, 3}
+    assert anti.count() == 39  # 38 unmatched keys + the NULL-key row
+    assert anti.where(F.col("k").isNull()).count() == 1
+    # disjoint + complete: semi ∪ anti = left, semi ∩ anti = ∅
+    assert semi.count() + anti.count() == 41
+    # plan shape: broadcast semi/anti per bucket, zero shuffle
+    for df in (semi, anti):
+        plan = plan_text(df)
+        assert "BroadcastHashJoin" in plan
+        assert not re.findall(r"\bExchange\b", plan), plan
+
+
 # --- agg_bucketed: the aggregate sibling (VERDICT r14 #4) ----------------
 
 
