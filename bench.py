@@ -197,6 +197,11 @@ HEADLINE = [
     # r14: co-bucketed storage-partitioned join — zero shuffle
     # Exchanges (build of both tables in-measurement)
     "user_state_join_cobucketed",
+    # r15: storage-partitioned aggregation — per-bucket complete
+    # groups, zero shuffle Exchanges incl. the count-distinct
+    # (build of the bucketed table in-measurement; see "phases" in
+    # bench_full.json for the build/read attribution)
+    "user_state_agg_bucketed",
 ]
 
 RUNS = 3
@@ -289,26 +294,50 @@ def main() -> None:
     clear_ngram_pair_cache()  # warm-up must not pre-pay a measured line
     _release_blocks(spark)  # ...nor leave its checkpoint blocks behind
 
+    # phase attribution (VERDICT r14 #7): ~20 lifecycle lines build +
+    # mutate + read a txtable as one number; the txlog phase clock
+    # splits each run into time inside mutation verbs ("build") vs
+    # everything else ("read") so future drift attributes to the
+    # phase, not the key. bench_full.json only — the driver tail line
+    # stays byte-compatible.
+    from parquet_combiner_spark.tools import txlog
+
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name in names:
-        runs, rows = [], 0
+        runs, builds, rows = [], [], 0
         for _ in range(RUNS):
             pre = pre_run.get(name)
             if pre is not None:
                 pre()
+            txlog.phase_clock_reset()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             _materialize(df)
             runs.append(time.perf_counter() - t0)
+            builds.append(txlog.phase_clock_seconds())
         rows = df.count()  # unmeasured; stderr diagnostics only
         post = post_runs.get(name)
         if post is not None:
             post()
         _release_blocks(spark)
         timings[name] = round(statistics.median(runs), 3)
+        build_med = statistics.median(builds)
+        if build_med >= 0.05:  # lifecycle lines only; pure reads skip
+            phases[name] = {
+                "build": round(build_med, 3),
+                "read": round(max(timings[name] - build_med, 0.0), 3),
+            }
         sys.stderr.write(
             f"{name}: median {timings[name]}s of "
-            f"{[round(r, 3) for r in sorted(runs)]} ({rows} rows)\n"
+            f"{[round(r, 3) for r in sorted(runs)]} ({rows} rows)"
+            + (
+                f" [build {phases[name]['build']}s / "
+                f"read {phases[name]['read']}s]"
+                if name in phases
+                else ""
+            )
+            + "\n"
         )
 
     total = round(sum(timings.values()), 3)
@@ -345,6 +374,7 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": timings,
+                    "phases": phases,
                     "sf": sf,
                 },
                 fh,

@@ -6327,6 +6327,90 @@ def drop_column(table: str, name: str, max_retries: int = 3) -> int:
     raise AssertionError("unreachable")
 
 
+# --- bench phase clock ------------------------------------------------------
+# ~20 bench lines build + mutate + read a txtable as ONE number, so a
+# drift in commit-time filesystem variance reads as a query regression
+# (the r13 events_cdf_feed lesson — VERDICT r14 'Next round' #7). The
+# clock accumulates wall time spent inside txlog MUTATION verbs so
+# bench.py can attribute each line's median to {build, read} in
+# bench_full.json. Outermost-verb-only (a merge that commits
+# internally counts once) and thread-safe (streaming sinks commit from
+# the stream-execution thread).
+
+_PHASE_LOCK = None  # lazily built: threading is cheap but defer anyway
+_PHASE_LOCAL = None  # one shared depth counter across ALL verbs
+_PHASE_SECONDS = 0.0
+
+
+def phase_clock_reset() -> None:
+    """Zero the mutation-verb wall clock (bench harness hook)."""
+    global _PHASE_SECONDS
+    _PHASE_SECONDS = 0.0
+
+
+def phase_clock_seconds() -> float:
+    """Seconds spent inside outermost txlog mutation verbs since the
+    last :func:`phase_clock_reset` (bench harness hook)."""
+    return _PHASE_SECONDS
+
+
+def _timed_verb(fn):
+    import functools
+    import threading
+    import time
+
+    global _PHASE_LOCK, _PHASE_LOCAL
+    if _PHASE_LOCK is None:
+        _PHASE_LOCK = threading.Lock()
+        # ONE depth counter shared by every verb — a merge_into that
+        # commits internally must count once, not twice
+        _PHASE_LOCAL = threading.local()
+    local = _PHASE_LOCAL
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        global _PHASE_SECONDS
+        depth = getattr(local, "depth", 0)
+        local.depth = depth + 1
+        t0 = time.perf_counter() if depth == 0 else 0.0
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            local.depth = depth
+            if depth == 0:
+                with _PHASE_LOCK:
+                    _PHASE_SECONDS += time.perf_counter() - t0
+
+    return wrapper
+
+
+for _verb in (
+    "commit",
+    "publish_files",
+    "optimize",
+    "compact_small_files",
+    "delete_where",
+    "delete_where_expr",
+    "update_where",
+    "update_where_expr",
+    "merge_into",
+    "checkpoint",
+    "vacuum",
+    "expire_versions",
+    "restore",
+    "set_checkpoint_interval",
+    "set_stats_cols",
+    "set_partition_spec",
+    "add_constraint",
+    "drop_constraint",
+    "clone",
+    "rename_column",
+    "drop_column",
+):
+    globals()[_verb] = _timed_verb(globals()[_verb])
+del _verb
+
+
 def main(argv: list[str] | None = None) -> int:
     """CLI: ``python -m parquet_combiner_spark.tools.txlog <table>
     [--history | --optimize | --restore VERSION | --expire KEEP_FROM |
