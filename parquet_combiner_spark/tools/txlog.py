@@ -3225,15 +3225,18 @@ def join_cobucketed(
 
     Soundness guards (each refuses loudly rather than degrade):
     every file on BOTH sides must carry the bucket segment for
-    ``key``'s physical name, each table must sit in ONE era, and the
-    two eras must be COMPATIBLE — equal, or one divides the other
-    (``bucket(4)`` ⋈ ``bucket(8)``: the coarse id of a fine bucket is
-    exactly ``fine % 4`` because ``(x mod 8) mod 4 = x mod 4`` when
-    4 | 8, so fine directories fold losslessly onto coarse buckets —
-    the post-re-bucketing shape, Iceberg SPJ's compatible-grouping
-    rule). Incommensurable moduli (6 vs 8) or a table holding MIXED
-    eras / flat files pair directories that can drop matches →
-    ValueError; use a plain join or OPTIMIZE into one spec first.
+    ``key``'s physical name, and EVERY era across both sides must be
+    divisible by the coarsest one (``bucket(4)`` ⋈ ``bucket(8)``: the
+    coarse id of a fine bucket is exactly ``fine % 4`` because
+    ``(x mod 8) mod 4 = x mod 4`` when 4 | 8, so fine directories
+    fold losslessly onto coarse buckets — the post-re-bucketing
+    shape, Iceberg SPJ's compatible-grouping rule). Since r15 that
+    rule applies to the UNION of eras, so a table holding MIXED
+    divisible eras mid-re-bucketing joins without an OPTIMIZE: a
+    key's era-M and era-n directories collapse onto the same folded
+    bucket whenever n | M. Incommensurable moduli anywhere (6 among
+    4s/8s) or flat files would pair directories that can drop
+    matches → ValueError; use a plain join or OPTIMIZE first.
     NULL keys never equi-join, and the NULL directory only ever pairs
     with the NULL directory, so rows there drop (inner/semi),
     null-extend (left), or are KEPT (anti — an unmatched row is
@@ -3264,19 +3267,24 @@ def join_cobucketed(
     rfiles, rschema, _, _, rdvs, rmap = _snapshot(right_table, right_version)
     lgroups, leras = _bucket_layout(left_table, lfiles, lmap.get(key, key))
     rgroups, reras = _bucket_layout(right_table, rfiles, rmap.get(key, key))
-    if len(leras) != 1 or len(reras) != 1:
-        raise ValueError(
-            f"co-bucketed join needs each table in ONE bucket era, "
-            f"got left={sorted(leras)} right={sorted(reras)}; "
-            f"OPTIMIZE the mixed table into its active spec first"
-        )
-    ln, rn = next(iter(leras)), next(iter(reras))
-    n = min(ln, rn)
-    if ln % n or rn % n:
+    # One divisibility rule over the UNION of eras, both sides (r15;
+    # previously each side had to sit in exactly one era): fold
+    # everything onto the coarsest modulus n. Sound even for a table
+    # holding MIXED eras mid-re-bucketing — a key's era-M directory
+    # (x mod M) and era-n directory (x mod n) collapse onto the SAME
+    # folded bucket whenever n | M, so all of a key's rows still meet
+    # in one folded directory per side. Incommensurable moduli
+    # anywhere (6 among 4s/8s) would pair directories that drop
+    # matches → refuse.
+    eras = leras | reras
+    n = min(eras)
+    if any(e % n for e in eras):
         raise ValueError(
             f"co-bucketed join needs equal or divisible bucket eras "
-            f"for a common bucket(N, {key}) grouping, got left={ln} "
-            f"right={rn}; use a plain join"
+            f"for a common bucket({n}, {key}) grouping, got "
+            f"left={sorted(leras)} right={sorted(reras)}; use a "
+            f"plain join, or OPTIMIZE the incommensurable table into "
+            f"its active spec first"
         )
 
     def _coarsen(groups):

@@ -120,25 +120,63 @@ def test_join_cobucketed_refuses_unsound_layouts(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not .uniformly. bucket"):
         txlog.join_cobucketed(spark, left, flat, "k")
-    # mixed eras WITHIN one table: evolution commits land a second
-    # modulus — pairwise mapping refuses
-    evolved = f"{root}/evolved"
-    df = spark.createDataFrame(
-        [Row(k=i, r_v=i) for i in range(10)], "k long, r_v long"
+    # mixed INCOMMENSURABLE eras within one table: a bucket(6) commit
+    # among bucket(4) files can't fold onto any common modulus
+    evolved6 = f"{root}/evolved6"
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, r_v=i) for i in range(10)], "k long, r_v long"
+        ),
+        evolved6,
+        partition_by=["bucket(4, k)"],
     )
-    txlog.commit(df, evolved, partition_by=["bucket(4, k)"])
-    txlog.set_partition_spec(evolved, ["bucket(8, k)"])
+    txlog.set_partition_spec(evolved6, ["bucket(6, k)"])
     txlog.commit(
         spark.createDataFrame(
             [Row(k=i, r_v=i) for i in range(10, 20)],
             "k long, r_v long",
         ),
-        evolved,
+        evolved6,
     )
-    with pytest.raises(ValueError, match="ONE bucket era"):
-        txlog.join_cobucketed(spark, left, evolved, "k")
+    with pytest.raises(ValueError, match="divisible bucket eras"):
+        txlog.join_cobucketed(spark, left, evolved6, "k")
     with pytest.raises(ValueError, match="inner.*left|how"):
         txlog.join_cobucketed(spark, left, left, "k", how="outer")
+
+
+def test_join_cobucketed_mixed_divisible_eras_fold(spark, tmp_path):
+    """A side holding MIXED divisible eras (bucket(4) files alongside
+    bucket(8), mid-re-bucketing) folds onto the coarse modulus and
+    joins shuffle-free (r15; previously refused): a key's era-8 and
+    era-4 directories collapse onto the same folded bucket because
+    (x mod 8) mod 4 = x mod 4."""
+    root = str(tmp_path)
+    left = _build(spark, root, "l", 40, 1, buckets=4)
+    evolved = f"{root}/evolved"
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, r_v=i * 10) for i in range(0, 40, 2)],
+            "k long, r_v long",
+        ),
+        evolved,
+        partition_by=["bucket(4, k)"],
+    )
+    txlog.set_partition_spec(evolved, ["bucket(8, k)"])
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k=i, r_v=i * 10) for i in range(1, 40, 2)],
+            "k long, r_v long",
+        ),
+        evolved,
+    )
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = txlog.join_cobucketed(spark, left, evolved, "k", how=how)
+        want = txlog.read_table(spark, left).join(
+            txlog.read_table(spark, evolved), on="k", how=how
+        )
+        assert _collected(got) == _collected(want), how
+    plan = plan_text(txlog.join_cobucketed(spark, left, evolved, "k"))
+    assert not re.findall(r"\bExchange\b", plan)
 
 
 def test_join_cobucketed_semi_anti_match_plain_join(spark, tmp_path):
