@@ -49,9 +49,11 @@ _DRIVER_PRIORITY = [
     # BPE key via a 16-round unrolled argmax CTE chain. ---
     "doc_quality_classifier",
     "doc_bpe_train_merges",
-    # --- r15 new key: storage-partitioned aggregation (first-time
-    # signal) ---
+    # --- r15 new keys (first-time signal): storage-partitioned
+    # aggregation; semantic decontamination under the fixed
+    # quantizer ---
     "user_state_agg_bucketed",
+    "embedding_decontaminate",
     # --- r14 prefix follows (now all driver-checked; kept as
     # re-checks). Two r13 lifecycle re-checks were displaced to make
     # room. ---
@@ -94,7 +96,6 @@ _DRIVER_PRIORITY = [
     "hybrid_rrf_topk",
     "ann_lsh_recall_report",
     "embedding_quantization_error",
-    "potential_part_promotion",
     # --- r14 new keys (first-time signal) ---
     "user_state_join_cobucketed",
     "events_point_set_delete_scan",

@@ -202,6 +202,9 @@ HEADLINE = [
     # (build of the bucketed table in-measurement; see "phases" in
     # bench_full.json for the build/read attribution)
     "user_state_agg_bucketed",
+    # r15: semantic decontamination — one assignment matmul pass over
+    # the corpus + a broadcast cell join against the eval suite
+    "embedding_decontaminate",
 ]
 
 RUNS = 3

@@ -1341,6 +1341,36 @@ def q_embedding_semdedup_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_MIN_COS = 0.3
+_DECON_EVAL_MOD = 19  # vec_id % 19 == 0 → the held-out "eval suite"
+
+
+def q_embedding_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination (r15): flag train vectors whose
+    embedding sits within cosine ``_DECON_MIN_COS`` of any eval-suite
+    vector — the embedding-space sibling of the n-gram
+    ``doc_decontaminate`` family, catching the paraphrased benchmark
+    leakage lexical overlap misses. The eval suite is the
+    deterministic ``vec_id % 19 == 0`` slice; train is the rest. The
+    train side is assigned to ONE fixed-quantizer cell and the
+    metadata-sized eval side probes its 2 nearest cells and rides a
+    broadcast, so the corpus never shuffles (the 100 TB shape:
+    assignment at scan parallelism + broadcast hash join). Fixed
+    literal centroids make assignment, candidate set, cosines, and
+    the packed nearest-eval argmax exactly DuckDB-reproducible →
+    hash-MATCH oracle."""
+    embs = _embs(spark, sf_dir)
+    return similarity.embedding_decontaminate(
+        embs.where(F.col("vec_id") % _DECON_EVAL_MOD != 0),
+        embs.where(F.col("vec_id") % _DECON_EVAL_MOD == 0),
+        min_cosine=_DECON_MIN_COS,
+        nprobe_eval=2,
+        centroids=_SEMDEDUP_FIXED_CENTROIDS,
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": q_doc_token_stats,
     "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -1409,6 +1439,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall_report": q_ann_lsh_recall_report,
     "embedding_semdedup": q_embedding_semdedup,
     "embedding_semdedup_fixed": q_embedding_semdedup_fixed,
+    "embedding_decontaminate": q_embedding_decontaminate,
     "embedding_quantization_error": q_embedding_quantization_error,
 }
 
@@ -2837,6 +2868,66 @@ PIPELINE_ORACLE_SQL["embedding_semdedup_fixed"] = f"""
 PIPELINE_ORACLE_SQL["doc_decontaminate_bloom"] = PIPELINE_ORACLE_SQL[
     "doc_decontaminate"
 ]
+
+# semantic decontamination under the FIXED quantizer: assignment
+# argmax is scale-invariant (raw dots rank like normalized ones, the
+# semdedup_fixed argument), eval probes its top-2 cells (rn <= 2,
+# same stable tie-break on centroid index as numpy's argsort), the
+# pair cosine is the same sequential fold both engines run, and the
+# nearest-eval argmax is the exact int64 pack ri*2^33 - eid the
+# Spark side aggregates — max(pack) recovers (max cosine, smallest
+# eval id among ties) in pure integer arithmetic, no max_by
+PIPELINE_ORACLE_SQL["embedding_decontaminate"] = f"""
+    WITH cents(cid, cvec) AS (
+        VALUES {", ".join(
+            f"({i}, {_plane_lit(c)})"
+            for i, c in enumerate(_SEMDEDUP_FIXED_CENTROIDS)
+        )}
+    ), tr AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id % {_DECON_EVAL_MOD} <> 0
+    ), ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        FROM embeddings WHERE vec_id % {_DECON_EVAL_MOD} = 0
+    ), ta AS (
+        SELECT vec_id, emb, cid FROM (
+            SELECT t.vec_id, t.emb, c.cid, row_number() OVER (
+                PARTITION BY t.vec_id
+                ORDER BY list_dot_product(t.emb, c.cvec) DESC, c.cid
+            ) AS rn
+            FROM tr t CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), ea AS (
+        SELECT vec_id, emb, cid FROM (
+            SELECT e.vec_id, e.emb, c.cid, row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(e.emb, c.cvec) DESC, c.cid
+            ) AS rn
+            FROM ev e CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ), hits AS (
+        SELECT tid, eid,
+               CAST(round(c * 1000000, 0) AS BIGINT) AS ri
+        FROM (
+            SELECT t.vec_id AS tid, e.vec_id AS eid,
+                   list_dot_product(t.emb, e.emb)
+                   / (sqrt(list_dot_product(t.emb, t.emb))
+                      * sqrt(list_dot_product(e.emb, e.emb))) AS c
+            FROM ta t JOIN ea e ON t.cid = e.cid
+        ) WHERE c >= {_DECON_MIN_COS}
+    ), agg AS (
+        SELECT tid, CAST(count(*) AS BIGINT) AS n_hits,
+               max(ri) AS mx,
+               max(ri * 8589934592 - eid) AS mp
+        FROM hits GROUP BY tid
+    )
+    SELECT t.vec_id,
+           a.tid IS NOT NULL AS contaminated,
+           coalesce(a.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           a.mx / 1000000.0 AS max_eval_cosine,
+           a.mx * 8589934592 - a.mp AS nearest_eval_id
+    FROM tr t LEFT JOIN agg a ON t.vec_id = a.tid
+"""
 
 # JS divergence over the union vocabulary: zero-count terms contribute
 # nothing, the mixture is positive wherever either side is; double

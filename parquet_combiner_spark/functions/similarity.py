@@ -1020,3 +1020,107 @@ def mmr_rerank(
         )
 
     return pool.groupBy("q_id").applyInPandas(rerank, out_schema)
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    min_cosine: float = 0.5,
+    nprobe_eval: int = 2,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    seed: int = 42,
+    centroids: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination: flag every training vector whose
+    embedding sits within ``min_cosine`` of ANY eval-set vector — the
+    embedding-space sibling of the n-gram ``decontaminate`` family
+    (lexical overlap misses paraphrased benchmark leakage; an
+    embedding neighborhood probe is the standard second gate, the
+    same contamination argument as Abbas et al. 2023's SemDedup).
+
+    Spark-first shape: train vectors are assigned to ONE coarse
+    Voronoi cell, eval vectors probe their ``nprobe_eval`` nearest
+    cells (the IVF recall dial — a contaminated pair near a cell
+    boundary is still caught when the eval side probes the
+    neighboring cell), and the candidate join is per-cell with the
+    eval side BROADCAST: eval suites are metadata-sized by nature
+    (thousands of vectors against a 100 TB corpus), so the fact side
+    never shuffles — assignment is one Arrow matmul pass at scan
+    parallelism and the probe is a broadcast hash join on
+    centroid_id. Recall is bounded by the cell partitioning exactly
+    like SemDedup; raise ``nprobe_eval`` to trade cost for recall.
+
+    Determinism/oracle: with a FIXED ``centroids`` list the whole
+    answer — assignment argmax (stable tie-break on centroid index),
+    candidate set, cosine, and the nearest-eval argmax — is a pure
+    function of (vectors, literals) and sits under the DuckDB hash
+    gate (``embedding_decontaminate`` registry key). The per-train
+    argmax avoids struct-ordered max_by (SortAggregate trap): each
+    hit packs ``(micro-cosine, eval id)`` into ONE long —
+    ``ri * 2^33 - e_id`` with ``ri = round(cos * 1e6)`` ≤ 2^21, so
+    the pack is exact in int64 and its max recovers both fields —
+    keeping the aggregation a plain HashAggregate with map-side
+    partials.
+
+    Output: one row per train vector — (``id_col``, contaminated,
+    n_hits, max_eval_cosine rounded to 6 dp, nearest_eval_id = the
+    eval id of the highest micro-cosine, ties broken toward the
+    SMALLEST eval id; clean vectors carry false/0/NULL/NULL)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(
+            train,
+            n_centroids=n_centroids,
+            sample=sample,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    )
+    t = _ivf_assign(
+        train, cents, 1, "id_a", "emb_a", id_col=id_col, vec_col=vec_col
+    )
+    e = _ivf_assign(
+        eval_set,
+        cents,
+        nprobe_eval,
+        "id_b",
+        "emb_b",
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    hits = _pair_cosine_arrow(
+        t.join(F.broadcast(e), "centroid_id").select(
+            "id_a", "id_b", "emb_a", "emb_b"
+        )
+    ).where(F.col("cos") >= F.lit(min_cosine))
+    # exact int64 argmax pack: ri < 2^21 micro-cosines, ids < 2^33
+    ri = F.round(F.col("cos") * F.lit(1000000.0)).cast("long")
+    packed = hits.select(
+        "id_a",
+        "id_b",
+        ri.alias("ri"),
+        (ri * F.lit(8589934592) - F.col("id_b")).alias("pack"),
+    )
+    agg = packed.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.max("ri").alias("mx"),
+        F.max("pack").alias("mp"),
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(agg, F.col(id_col) == F.col("id_a"), "left")
+        .select(
+            id_col,
+            F.col("n_hits").isNotNull().alias("contaminated"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.col("mx") / F.lit(1000000.0)).alias("max_eval_cosine"),
+            (F.col("mx") * F.lit(8589934592) - F.col("mp")).alias(
+                "nearest_eval_id"
+            ),
+        )
+    )

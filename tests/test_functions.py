@@ -839,6 +839,117 @@ def test_semdedup_planted_duplicates_collapse(spark):
         assert out[10 + i]["dup_group"] == 10 + i and out[10 + i]["keep"]
 
 
+def test_embedding_decontaminate_planted(spark):
+    """A train vector identical to an eval vector must be flagged
+    with cosine ~1 and the SMALLEST eval id among equal-cosine ties
+    (the int64 pack's tie-break); a far-from-everything train vector
+    stays clean with (false, 0, NULL, NULL)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(11)
+    dim = 16
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    hot = rng.normal(size=dim)
+    train = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=unit(hot)),
+            Row(vec_id=2, embedding=unit(np.eye(dim)[0])),
+        ]
+    )
+    # two IDENTICAL eval vectors: equal cosines → nearest is min id
+    ev = spark.createDataFrame(
+        [
+            Row(vec_id=200, embedding=unit(hot)),
+            Row(vec_id=100, embedding=unit(hot)),
+        ]
+    )
+    cents = similarity.hyperplanes(dim, 4, seed=7)
+    out = {
+        r["vec_id"]: r
+        for r in similarity.embedding_decontaminate(
+            train, ev, min_cosine=0.9, nprobe_eval=4, centroids=cents
+        ).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 2
+    assert abs(out[1]["max_eval_cosine"] - 1.0) < 1e-6
+    assert out[1]["nearest_eval_id"] == 100  # tie → smallest eval id
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[2]["max_eval_cosine"] is None
+    assert out[2]["nearest_eval_id"] is None
+
+
+def test_embedding_decontaminate_exact_at_full_probe(spark):
+    """With nprobe_eval = n_centroids every (train, eval) pair is a
+    candidate (the train vector's single cell is always among the
+    eval vector's probes), so the cell-gated answer must equal the
+    brute-force one — the IVF exactness-at-full-probe argument.
+    Brute force is recomputed in numpy with the same micro-cosine
+    pack semantics."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(5)
+    dim, n_tr, n_ev, tau = 16, 30, 6, 0.2
+    tvecs = rng.normal(size=(n_tr, dim))
+    evecs = rng.normal(size=(n_ev, dim))
+    train = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in tvecs[i]])
+         for i in range(n_tr)]
+    )
+    ev = spark.createDataFrame(
+        [Row(vec_id=1000 + j, embedding=[float(x) for x in evecs[j]])
+         for j in range(n_ev)]
+    )
+    cents = similarity.hyperplanes(dim, 8, seed=7)
+    got = {
+        r["vec_id"]: r
+        for r in similarity.embedding_decontaminate(
+            train, ev, min_cosine=tau, nprobe_eval=8, centroids=cents
+        ).collect()
+    }
+    tn = tvecs / np.linalg.norm(tvecs, axis=1, keepdims=True)
+    en = evecs / np.linalg.norm(evecs, axis=1, keepdims=True)
+    cos = tn @ en.T
+    assert len(got) == n_tr
+    for i in range(n_tr):
+        hits = [
+            (int(round(cos[i, j] * 1e6)), 1000 + j)
+            for j in range(n_ev)
+            if cos[i, j] >= tau
+        ]
+        r = got[i]
+        assert r["n_hits"] == len(hits), i
+        assert r["contaminated"] == bool(hits), i
+        if hits:
+            mx = max(ri for ri, _ in hits)
+            near = min(e for ri, e in hits if ri == mx)
+            assert abs(r["max_eval_cosine"] - mx / 1e6) < 1e-12, i
+            assert r["nearest_eval_id"] == near, i
+
+
+def test_embedding_decontaminate_broadcasts_eval(spark, embs):
+    """The scale claim: the metadata-sized eval side rides a
+    broadcast, so the candidate join is a BroadcastHashJoin — the
+    corpus never shuffles to meet the eval suite."""
+    from parquet_combiner_spark.plans import plan_text
+
+    out = similarity.embedding_decontaminate(
+        embs.where(F.col("vec_id") % 2 == 0),
+        embs.where(F.col("vec_id") % 2 == 1),
+        min_cosine=0.5,
+        nprobe_eval=2,
+        centroids=similarity.hyperplanes(4, 4, seed=7),
+    )
+    plan = plan_text(out)
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 3  # one row per train vector
+
+
 def test_semdedup_deterministic_across_runs(spark, embs):
     a = sorted(tuple(r) for r in similarity.semdedup(embs, n_centroids=4, min_cosine=0.4).collect())
     b = sorted(tuple(r) for r in similarity.semdedup(embs, n_centroids=4, min_cosine=0.4).collect())
