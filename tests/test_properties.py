@@ -570,3 +570,68 @@ def test_path_band_disjoint_never_wrongly_prunes(case):
     ), (dtype, v, seg, lo, hi)
     # the type-unknown path must be at least as conservative
     assert txlog._path_band_disjoint(rel, "k", lo, hi) is False
+
+
+# --- storage-partitioned aggregation model parity (r15) --------------------
+
+_AGG_KEYS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 40)),  # key (NULLs ride too)
+        st.integers(-5, 5),  # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@pytest.mark.txlifecycle
+@given(rows=_AGG_KEYS, buckets=st.sampled_from([2, 3, 4, 8]),
+       second_era=st.booleans())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_agg_bucketed_model_parity(spark, rows, buckets, second_era):
+    """agg_bucketed == plain groupBy for arbitrary key sets (NULLs
+    included), bucket counts, and mixed DIVISIBLE eras: per-bucket
+    groups are complete, so count / sum / count-distinct — the
+    non-decomposable included — agree exactly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_combiner_spark.tools import txlog
+
+    root = tempfile.mkdtemp(prefix="aggfuzz-")
+    table = f"{root}/t"
+    try:
+        half = max(1, len(rows) // 2) if second_era else len(rows)
+        df1 = spark.createDataFrame(rows[:half], "k long, v long")
+        txlog.commit(df1, table,
+                     partition_by=[f"bucket({buckets}, k)"])
+        if second_era and rows[half:]:
+            txlog.set_partition_spec(
+                table, [f"bucket({buckets * 2}, k)"]
+            )
+            txlog.commit(
+                spark.createDataFrame(rows[half:], "k long, v long"),
+                table,
+            )
+        aggs = lambda: [  # noqa: E731 — fresh Columns per plan
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.countDistinct("v").alias("nv"),
+        ]
+        got = sorted(
+            (tuple(r) for r in txlog.agg_bucketed(
+                spark, table, "k", aggs()).collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        want = sorted(
+            (tuple(r) for r in txlog.read_table(spark, table)
+             .groupBy("k").agg(*aggs()).collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
