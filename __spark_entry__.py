@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = [
     # aggregation; semantic decontamination under the fixed
     # quantizer ---
     "user_state_agg_bucketed",
+    "user_state_join_agg_cobucketed",
     "embedding_decontaminate",
     # --- r14 prefix follows (now all driver-checked; kept as
     # re-checks). Two r13 lifecycle re-checks were displaced to make
@@ -95,7 +96,6 @@ _DRIVER_PRIORITY = [
     "doc_bm25_topk_persisted",
     "hybrid_rrf_topk",
     "ann_lsh_recall_report",
-    "embedding_quantization_error",
     # --- r14 new keys (first-time signal) ---
     "user_state_join_cobucketed",
     "events_point_set_delete_scan",

@@ -205,6 +205,10 @@ HEADLINE = [
     # r15: semantic decontamination — one assignment matmul pass over
     # the corpus + a broadcast cell join against the eval suite
     "embedding_decontaminate",
+    # r15: the FUSED storage-partitioned reporting query — raw facts
+    # broadcast-joined to the co-bucketed dim and aggregated per user
+    # inside the same per-bucket plan, zero shuffle Exchanges
+    "user_state_join_agg_cobucketed",
 ]
 
 RUNS = 3

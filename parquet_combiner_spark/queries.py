@@ -2453,6 +2453,59 @@ def user_state_join_cobucketed(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def user_state_join_agg_cobucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FUSED storage-partitioned reporting query (r15): RAW fact
+    rows co-bucketed with a sparse per-user dim, enriched by the
+    per-bucket broadcast join and aggregated per user INSIDE the same
+    per-bucket plan (``join_cobucketed(aggs=...)``) — scan →
+    broadcast join → aggregate → union with ZERO shuffle Exchanges,
+    where the plain formulation pays one exchange for the join and
+    another for the groupBy. The left join keeps purchase-less users
+    (their dim aggregate is NULL); the count-distinct rides free on
+    bucket-completeness."""
+    import shutil
+    import tempfile
+
+    from parquet_combiner_spark.tools import txlog
+
+    ev = _events(spark, sf_dir)
+    facts = ev.select("user_id", "event_type", "value")
+    dim = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("event_id") % 13 == 0)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nsp"))
+    )
+    root = tempfile.mkdtemp(prefix="pcs-joinagg-")
+    try:
+        txlog.commit(
+            facts, f"{root}/facts", partition_by=["bucket(8, user_id)"]
+        )
+        txlog.commit(
+            dim, f"{root}/dim", partition_by=["bucket(8, user_id)"]
+        )
+        out = txlog.join_cobucketed(
+            spark,
+            f"{root}/facts",
+            f"{root}/dim",
+            "user_id",
+            how="left",
+            aggs=[
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("total_value"),
+                F.countDistinct("event_type").alias("n_types"),
+                F.max("nsp").alias("n_sampled_purchases"),
+            ],
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def user_state_agg_bucketed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4535,6 +4588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_state_merge_bucketed": user_state_merge_bucketed,
     "user_state_join_cobucketed": user_state_join_cobucketed,
     "user_state_agg_bucketed": user_state_agg_bucketed,
+    "user_state_join_agg_cobucketed": user_state_join_agg_cobucketed,
     "user_state_merge_cdf_feed": user_state_merge_cdf_feed,
     "event_state_restore": event_state_restore,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
@@ -6003,6 +6057,22 @@ ORACLE_SQL["user_state_join_cobucketed"] = """
     SELECT f.user_id, f.n_events, f.total_value,
            d.n_sampled_purchases, d.max_purchase_event_id
     FROM facts f JOIN dim d ON f.user_id = d.user_id
+"""
+
+ORACLE_SQL["user_state_join_agg_cobucketed"] = """
+    WITH dim AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS nsp
+        FROM events
+        WHERE event_type = 'purchase' AND event_id % 13 = 0
+        GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(SUM(e.value), 6) AS total_value,
+           CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types,
+           max(d.nsp) AS n_sampled_purchases
+    FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.user_id
 """
 
 ORACLE_SQL["user_state_agg_bucketed"] = """

@@ -3200,6 +3200,8 @@ def join_cobucketed(
     how: str = "inner",
     left_version: int | None = None,
     right_version: int | None = None,
+    aggs: Sequence | None = None,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """STORAGE-PARTITIONED equi-join of two txtables laid out with the
     IDENTICAL ``bucket(N, key)`` hidden-partition spec — the
@@ -3253,7 +3255,17 @@ def join_cobucketed(
     (nothing there matches — the inverse of inner's skip) and left
     null-extends it. Join is USING-style on ``key`` (one key column
     in the output), non-key name collisions are the caller's to
-    disambiguate, same as any Spark join."""
+    disambiguate, same as any Spark join.
+
+    ``aggs`` (r15) fuses the canonical enrich-then-aggregate
+    reporting query into the same zero-exchange plan: each
+    per-bucket join feeds a coalesce(1)'d
+    ``groupBy(key, *group_cols)`` before the union — sound because a
+    joined row inherits its LEFT row's bucket residency, so
+    (key, extras) groups (extras from EITHER side) are complete per
+    bucket, exactly :func:`agg_bucketed`'s completeness argument.
+    End to end: scan → broadcast join → aggregate → union, ZERO
+    shuffle Exchanges for a query that normally pays two."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -3302,6 +3314,16 @@ def join_cobucketed(
     def _side(table, groups, b, schema, dvs, mapping):
         return _scan(spark, table, groups.get(b, []), schema, dvs, mapping)
 
+    def _finish(joined: DataFrame) -> DataFrame:
+        # fused storage-partitioned join + aggregation: every joined
+        # row for key k inherits the LEFT row's bucket residency, so
+        # (key, extras) groups — extras from either side — are
+        # complete per bucket, and the coalesce(1)'d per-bucket agg
+        # plans exchange-free exactly like agg_bucketed
+        if aggs is None:
+            return joined
+        return joined.coalesce(1).groupBy(key, *group_cols).agg(*aggs)
+
     parts = []
     for b in sorted(lgroups, key=lambda v: (v is None, v)):
         if b not in rgroups and how in ("inner", "left_semi"):
@@ -3311,11 +3333,11 @@ def join_cobucketed(
             continue
         ldf = _side(left_table, lgroups, b, lschema, ldvs, lmap)
         rdf = _side(right_table, rgroups, b, rschema, rdvs, rmap)
-        parts.append(ldf.join(F.broadcast(rdf), on=key, how=how))
+        parts.append(_finish(ldf.join(F.broadcast(rdf), on=key, how=how)))
     if not parts:
         empty_l = _scan(spark, left_table, [], lschema, {}, lmap)
         empty_r = _scan(spark, right_table, [], rschema, {}, rmap)
-        return empty_l.join(empty_r, on=key, how=how)
+        return _finish(empty_l.join(empty_r, on=key, how=how))
     return reduce(lambda a, c: a.unionByName(c), parts)
 
 

@@ -213,6 +213,38 @@ def test_join_cobucketed_semi_anti_match_plain_join(spark, tmp_path):
         assert not re.findall(r"\bExchange\b", plan), plan
 
 
+def test_join_cobucketed_fused_aggregation(spark, tmp_path):
+    """aggs= fuses enrich-then-aggregate into the zero-exchange plan:
+    per-bucket broadcast join → coalesce(1)'d groupBy → union. Parity
+    with the plain join+groupBy (grouping on a RIGHT-side column too
+    — joined rows inherit the left row's bucket residency, so those
+    groups are complete per bucket), and not a single shuffle
+    Exchange for a query that normally pays two."""
+    root = str(tmp_path)
+    left = _build(spark, root, "l", 40, 1, buckets=8)
+    right = _build(spark, root, "r", 40, 2, buckets=8)
+    aggs = lambda: [  # noqa: E731 — fresh Columns per plan
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_v").alias("sv"),
+        F.countDistinct("r_v").alias("nr"),
+    ]
+    got = txlog.join_cobucketed(
+        spark, left, right, "k", how="left",
+        aggs=aggs(), group_cols=["r_v"],
+    )
+    want = (
+        txlog.read_table(spark, left)
+        .join(txlog.read_table(spark, right), on="k", how="left")
+        .groupBy("k", "r_v")
+        .agg(*aggs())
+    )
+    assert got.columns == ["k", "r_v", "n", "sv", "nr"]
+    assert _collected(got) == _collected(want)
+    plan = plan_text(got)
+    assert "BroadcastHashJoin" in plan and "HashAggregate" in plan
+    assert not re.findall(r"\bExchange\b", plan), plan
+
+
 # --- agg_bucketed: the aggregate sibling (VERDICT r14 #4) ----------------
 
 
