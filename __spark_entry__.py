@@ -55,6 +55,16 @@ _DRIVER_PRIORITY = [
     "user_state_agg_bucketed",
     "user_state_join_agg_cobucketed",
     "embedding_decontaminate",
+    # --- the LAST three keys with no driver signal of any kind:
+    # rows-only-by-design estimators (GK thresholds ×2, trained
+    # k-means SemDedup). Their rows-only driver check is weaker than
+    # a hash-MATCH — the hash gate for these families lives in their
+    # *_fixed / *_approx twins — but recording it closes driver
+    # coverage at 200/200: every registry key now has an official
+    # check at least once. ---
+    "order_price_quartiles_approx",
+    "customer_rfm_segments_approx",
+    "embedding_semdedup",
     # --- r14 prefix follows (now all driver-checked; kept as
     # re-checks). Two r13 lifecycle re-checks were displaced to make
     # room. ---
@@ -79,8 +89,6 @@ _DRIVER_PRIORITY = [
     "corpus_prep",
     "doc_corpus_drift",
     "doc_corpus_drift_movers",
-    "corpus_mixture",
-    "doc_source_capped",
     "ngram_containment_pairs",
     "doc_repeated_spans",
     "doc_strip_repeated_spans",
@@ -95,7 +103,6 @@ _DRIVER_PRIORITY = [
     "doc_split_cluster_safe",
     "doc_bm25_topk_persisted",
     "hybrid_rrf_topk",
-    "ann_lsh_recall_report",
     # --- r14 new keys (first-time signal) ---
     "user_state_join_cobucketed",
     "events_point_set_delete_scan",
