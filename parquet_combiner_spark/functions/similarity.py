@@ -1050,8 +1050,11 @@ def embedding_decontaminate(
     (thousands of vectors against a 100 TB corpus), so the fact side
     never shuffles — assignment is one Arrow matmul pass at scan
     parallelism and the probe is a broadcast hash join on
-    centroid_id. Recall is bounded by the cell partitioning exactly
-    like SemDedup; raise ``nprobe_eval`` to trade cost for recall.
+    centroid_id. The only shuffled bytes in the whole plan are bare
+    ids + packed longs (the hit aggregation and the final
+    flag-attach join); vectors never ride any exchange. Recall is
+    bounded by the cell partitioning exactly like SemDedup; raise
+    ``nprobe_eval`` to trade cost for recall.
 
     Determinism/oracle: with a FIXED ``centroids`` list the whole
     answer — assignment argmax (stable tie-break on centroid index),
