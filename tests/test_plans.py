@@ -656,6 +656,11 @@ def test_shuffle_exchange_budgets(spark):
         # prints the pair subtree once per consumer branch
         "doc_unigram_logprob": 8,
         "doc_bigram_logprob": 12,
+        # r15 semantic decontamination: the candidate join is
+        # broadcast and vectors never ride an exchange — the budget
+        # is the ids-only hit agg + the flag-attach join (formatted
+        # plan prints both SMJ sides; AQE reuses the agg exchange)
+        "embedding_decontaminate": 4,
     }
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
