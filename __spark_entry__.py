@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     "user_state_agg_bucketed",
     "user_state_join_agg_cobucketed",
     "embedding_decontaminate",
+    "user_state_mv_cdf_refresh",
     # --- the LAST three keys with no driver signal of any kind:
     # rows-only-by-design estimators (GK thresholds ×2, trained
     # k-means SemDedup). Their rows-only driver check is weaker than
@@ -102,7 +103,6 @@ _DRIVER_PRIORITY = [
     "split_leakage_report",
     "doc_split_cluster_safe",
     "doc_bm25_topk_persisted",
-    "hybrid_rrf_topk",
     # --- r14 new keys (first-time signal) ---
     "user_state_join_cobucketed",
     "events_point_set_delete_scan",

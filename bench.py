@@ -209,6 +209,10 @@ HEADLINE = [
     # broadcast-joined to the co-bucketed dim and aggregated per user
     # inside the same per-bucket plan, zero shuffle Exchanges
     "user_state_join_agg_cobucketed",
+    # r15: incremental MV maintenance across DML — base commit + full
+    # view build + CDF-recorded MERGE + signed-delta refresh that
+    # reads O(changed rows) change files, never the base
+    "user_state_mv_cdf_refresh",
 ]
 
 RUNS = 3

@@ -2614,6 +2614,77 @@ def user_state_merge_cdf_feed(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def user_state_mv_cdf_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental materialized-view maintenance across row-level DML
+    (r15, ``tools/mv.py refresh_agg_mv``): the per-user (count, sum)
+    view over the keyed state table refreshes from the MERGE's
+    recorded CDF — each change row folds with a sign (+post, −pre) —
+    so the base is NEVER re-scanned after the initial build. The
+    flow chains three engine subsystems end-to-end: commit the
+    key-unique even-id state and build the view (full pass #1), MERGE
+    the odd-id op-carrying CDC batch with ``cdf=True``, then refresh
+    the view from O(changed rows) change files (pass #2 reads no base
+    files). Output: the refreshed view — which the oracle recomputes
+    from the global version race (winner per key across ALL events,
+    D-winners drop), aggregated per user."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from parquet_combiner_spark.tools import txlog
+    from parquet_combiner_spark.tools.mv import refresh_agg_mv
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn")
+    )
+    updates = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "op",
+        F.when(F.col("event_id") % 7 == 0, F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="pcs-mvcdf-")
+    table, mv = f"{root}/state", f"{root}/mv"
+    try:
+        txlog.commit(base, table, stats_cols=["user_id"])
+        refresh_agg_mv(
+            spark, table, mv, ["user_id"], sum_cols=["value"]
+        )
+        txlog.merge_into(
+            spark,
+            table,
+            updates,
+            keys=["user_id", "event_type"],
+            version_cols=["ts", "event_id"],
+            op_col="op",
+            stats_cols=["user_id"],
+            cdf=True,
+        )
+        refresh_agg_mv(
+            spark, table, mv, ["user_id"], sum_cols=["value"]
+        )
+        out = txlog.read_table(spark, mv).select(
+            "user_id",
+            F.col("n").alias("n_state_rows"),
+            F.round("value", 6).alias("total_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def event_state_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE TABLE ... TO VERSION AS OF on a versioned table
     (tools/txlog.py ``restore``): the even-id events are committed as
@@ -4590,6 +4661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_state_agg_bucketed": user_state_agg_bucketed,
     "user_state_join_agg_cobucketed": user_state_join_agg_cobucketed,
     "user_state_merge_cdf_feed": user_state_merge_cdf_feed,
+    "user_state_mv_cdf_refresh": user_state_mv_cdf_refresh,
     "event_state_restore": event_state_restore,
     "events_zorder_pruned_scan": events_zorder_pruned_scan,
     "events_dv_delete_scan": events_dv_delete_scan,
@@ -6087,6 +6159,31 @@ ORACLE_SQL["user_state_agg_bucketed"] = """
 # a key-unique base, winner-from-batch = update (pre=base row,
 # post=winner), tombstone winner = delete, fresh-key live winner =
 # insert, winner-stayed-put = no change rows
+# the refreshed MV equals the per-user aggregate of the post-merge
+# state, which the global version race reconstructs: winner per
+# (user_id, event_type) across ALL events; odd D-winners drop the key
+ORACLE_SQL["user_state_mv_cdf_refresh"] = """
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+               value
+        FROM events
+    ), win AS (
+        SELECT user_id, value FROM (
+            SELECT *, CASE WHEN event_id % 2 = 1 AND event_id % 7 = 0
+                           THEN 'D' ELSE 'U' END AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM ev
+        ) WHERE rn = 1 AND op = 'U'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_state_rows,
+           round(SUM(value), 6) AS total_value
+    FROM win GROUP BY user_id
+"""
+
 ORACLE_SQL["user_state_merge_cdf_feed"] = """
     WITH ev AS (
         SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,

@@ -1028,6 +1028,90 @@ def test_incremental_count_mv_refresh(spark, tmp_path):
     )
 
 
+def test_incremental_agg_mv_refresh_across_dml(spark, tmp_path):
+    """The CDF extension: the count+sum MV refreshes incrementally
+    across row-level DML — appends fold as +1, a cdf-recorded DELETE
+    as −pre (a group whose count reaches 0 VANISHES, no zero row), a
+    cdf UPDATE as −pre +post — always equal to the full recompute;
+    non-CDF DML degrades to the recompute and stays correct; a
+    re-run with an unmoved base commits nothing."""
+    from pyspark.sql import Row
+
+    from parquet_combiner_spark.tools import txlog
+    from parquet_combiner_spark.tools.mv import refresh_agg_mv
+
+    base = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+
+    def recompute():
+        return {
+            (r["k"]): (r["n"], r["sv"])
+            for r in txlog.read_table(spark, base)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+            )
+            .collect()
+        }
+
+    def mv_rows():
+        return {
+            r["k"]: (r["n"], r["v"])
+            for r in txlog.read_table(spark, mv).collect()
+        }
+
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k="a", v=1), Row(k="a", v=2), Row(k="b", v=10)],
+            "k string, v long",
+        ),
+        base,
+        stats_cols=["v"],
+    )
+    refresh_agg_mv(spark, base, mv, ["k"], sum_cols=["v"])
+    assert mv_rows() == {"a": (2, 3), "b": (1, 10)}
+
+    # append: +1 folds
+    txlog.commit(
+        spark.createDataFrame(
+            [Row(k="b", v=20), Row(k="c", v=5)], "k string, v long"
+        ),
+        base,
+    )
+    refresh_agg_mv(spark, base, mv, ["k"], sum_cols=["v"])
+    assert mv_rows() == {"a": (2, 3), "b": (2, 30), "c": (1, 5)}
+
+    # cdf DELETE wiping group c entirely: the row VANISHES
+    txlog.delete_where(spark, base, "v", 5, 5, cdf=True)
+    refresh_agg_mv(spark, base, mv, ["k"], sum_cols=["v"])
+    assert mv_rows() == {"a": (2, 3), "b": (2, 30)}
+    assert "c" not in mv_rows()
+
+    # cdf UPDATE: −pre +post adjusts the sum, count unchanged
+    txlog.update_where(
+        spark, base, "v", 10, 20, {"v": F.col("v") + 100}, cdf=True
+    )
+    v_inc = refresh_agg_mv(spark, base, mv, ["k"], sum_cols=["v"])
+    assert mv_rows() == {"a": (2, 3), "b": (2, 230)}
+    assert {k: (n, sv) for k, (n, sv) in recompute().items()} == {
+        "a": (2, 3),
+        "b": (2, 230),
+    }
+    # unmoved base: idempotent no-op
+    assert refresh_agg_mv(spark, base, mv, ["k"], sum_cols=["v"]) == v_inc
+    assert txlog.current_version(mv) == v_inc
+
+    # non-CDF DML in range: the CDF reader raises inside, refresh
+    # degrades to full recompute — still exactly right
+    txlog.delete_where(spark, base, "v", 1, 1)
+    refresh_agg_mv(spark, base, mv, ["k"], sum_cols=["v"])
+    assert mv_rows() == {"a": (1, 2), "b": (2, 230)}
+    # provenance watermark
+    assert txlog.history(mv)[0]["meta"]["base_version"] == (
+        txlog.current_version(base)
+    )
+
+
 def test_txlog_delete_where_rewrites_only_matching_files(spark, tmp_path):
     """Row-level DELETE as a replace commit: the zone maps must prune
     the rewrite to exactly the files that can contain matches (the
