@@ -3289,6 +3289,15 @@ def join_cobucketed(
     # anywhere (6 among 4s/8s) would pair directories that drop
     # matches → refuse.
     eras = leras | reras
+    if not eras:
+        # both sides hold zero data files (e.g. after delete-all
+        # replace commits): the join is empty by definition
+        empty_l = _scan(spark, left_table, [], lschema, {}, lmap)
+        empty_r = _scan(spark, right_table, [], rschema, {}, rmap)
+        joined = empty_l.join(empty_r, on=key, how=how)
+        if aggs is not None:
+            joined = joined.groupBy(key, *group_cols).agg(*aggs)
+        return joined
     n = min(eras)
     if any(e % n for e in eras):
         raise ValueError(
@@ -3398,6 +3407,11 @@ def agg_bucketed(
 
     files, schema, _, _, dvs, mapping = _snapshot(table, version)
     groups, eras = _bucket_layout(table, files, mapping.get(key, key))
+    if not eras:
+        # zero data files (e.g. after a delete-all replace commit):
+        # the aggregate over an empty keyed table is empty
+        empty = _scan(spark, table, [], schema, {}, mapping)
+        return empty.groupBy(key, *group_cols).agg(*aggs)
     n = min(eras)
     if any(e % n for e in eras):
         raise ValueError(

@@ -376,6 +376,28 @@ def test_agg_bucketed_refuses_unsound_layouts(spark, tmp_path):
         txlog.agg_bucketed(spark, flat, "k", _AGGS())
 
 
+def test_bucketed_ops_on_emptied_tables(spark, tmp_path):
+    """A delete-all replace commit leaves a bucketed table with ZERO
+    data files — both agg_bucketed and join_cobucketed (plain and
+    fused) must return empty results with the right schema, not trip
+    over an empty era set."""
+    root = str(tmp_path)
+    table = _agg_table(spark, root, n=20)
+    txlog.delete_where(spark, table, "v", -10, 10_000)
+    got = txlog.agg_bucketed(spark, table, "k", _AGGS())
+    assert got.columns == ["k", "n", "sv", "ng"] and got.count() == 0
+    left = _build(spark, root, "l", 10, 1)
+    txlog.delete_where(spark, left, "l_v", -10, 10_000)
+    for other in (left,):  # both sides emptied
+        out = txlog.join_cobucketed(spark, left, other, "k")
+        assert out.count() == 0
+        fused = txlog.join_cobucketed(
+            spark, left, other, "k",
+            aggs=[F.count(F.lit(1)).alias("n")],
+        )
+        assert fused.columns == ["k", "n"] and fused.count() == 0
+
+
 def test_agg_bucketed_applies_deletion_vectors(spark, tmp_path):
     """Merge-on-read DVs resolve inside the per-bucket scans, so
     DV-deleted rows never reach the aggregates."""
