@@ -90,19 +90,39 @@ def corpus_prep(
         .where(F.col("repetition_keep"))
         .select(id_col)
     )
+    # 2: quality filter; n_tokens is computed HERE (deterministic
+    # per row, so filtering later cannot change it) so stages 4-5
+    # never need the text column back after dedup
     kept = (
         train.join(rep_keep, id_col)
         .where(F.round(quality_score(text_col), 4) >= QUALITY_MIN)
+        .select(
+            id_col, text_col, token_count(text_col).alias("n_tokens")
+        )
     )
 
-    # 3: exact dedup — keeper is the min id per content fingerprint;
-    # partial-aggregated groupBy, then a semi-join back to rows
-    keepers = (
-        kept.groupBy(F.md5(F.col(text_col)).alias("__fp"))
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    # 3: exact dedup — keeper is the min id per content fingerprint,
+    # expressed as row_number over the fingerprint partition (r15:
+    # the groupBy + semi-join-back formulation shuffled twice and
+    # inlined `kept` on both join sides; one window shuffle keeps
+    # the same keeper rows with half the exchanges). The surviving
+    # frame is MATERIALIZED once (the triangle-counting lesson):
+    # decontamination and the final split both consume it, and
+    # without the checkpoint each consumer re-ran the whole
+    # stage-1-3 subtree — the plan carried EIGHT copies of the Arrow
+    # repetition pass (guide §4: the most expensive per-row stage).
+    # localCheckpoint, not persist(): CacheManager would match the
+    # canonicalized plan across INVOCATIONS and serve a previous
+    # run's blocks — checkpoint blocks are per-invocation.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    deduped = (
+        kept.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+        .localCheckpoint(eager=True)
     )
-    deduped = kept.join(keepers, id_col, "left_semi")
 
     # 4: drop documents sharing any n-gram with the eval set
     clean_ids = (
@@ -112,11 +132,9 @@ def corpus_prep(
     )
     survivors = deduped.join(clean_ids, id_col, "left_semi")
 
-    # 5: content-addressed split + the token count packing consumes
+    # 5: content-addressed split over the (id, n_tokens) survivors
     return sampling.hash_split(
-        survivors.select(
-            id_col, token_count(text_col).alias("n_tokens")
-        ),
+        survivors.select(id_col, "n_tokens"),
         id_col,
         CORPUS_SPLITS,
         seed=CORPUS_SPLIT_SEED,

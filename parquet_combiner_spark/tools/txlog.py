@@ -2133,10 +2133,26 @@ def _build_bloom_sidecars(
     values hash (a single sha1 of the canonical rendering both
     sides); float/bool/exotic columns get no sidecar and stay
     conservatively unprunable. Returns {rel: {physical_col: ref}}
-    with ref = {"sidecar": rel_path, "m": bits, "k": probes}."""
+    with ref = {"sidecar": rel_path, "m": bits, "k": probes}.
+
+    The probe-index math is vectorized (numpy) but BIT-EQUAL to the
+    per-value :func:`_bloom_hashes` loop the probe side runs: sha1
+    per distinct value stays (it IS the format), and because modular
+    arithmetic distributes — ``(h1 + i*h2) % m == (h1 % m +
+    i*(h2 % m)) % m`` with every post-reduction intermediate at most
+    ``_BLOOM_K * m``, far below 2**64 for any per-file distinct
+    count — the uint64 numpy path computes the exact probe
+    indexes the arbitrary-precision Python loop does. The bitset is
+    packed LSB-first (``bitorder='little'``), matching
+    ``bits[idx >> 3] |= 1 << (idx & 7)`` byte for byte, so sidecars
+    stay content-addressed-identical across the old and new builders
+    (pinned by test_bloom_sidecar_vectorized_bitset_identical)."""
     import hashlib
 
+    import numpy as np
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
+    import pyarrow.types as pat
 
     out: dict = {}
     for rel in rels:
@@ -2147,28 +2163,41 @@ def _build_bloom_sidecars(
             phys = cmap.get(c, c)
             if phys not in names:
                 continue
-            vals = [
-                v
-                for v in pf.read(columns=[phys]).column(0).to_pylist()
-                if v is not None  # NULL never matches an equality
-            ]
-            if any(
-                not isinstance(v, (int, str)) or isinstance(v, bool)
-                for v in vals
+            col = pf.read(columns=[phys]).column(0)
+            typ = col.type
+            if not (
+                (pat.is_integer(typ) and not pat.is_boolean(typ))
+                or pat.is_string(typ)
+                or pat.is_large_string(typ)
             ):
-                # rows whose type can't hash canonically would be
+                # values whose type can't hash canonically would be
                 # invisible to the filter — a wrong skip; refuse the
-                # whole column
+                # whole column (arrow columns are uniformly typed, so
+                # the old per-value isinstance scan reduces to this)
                 continue
-            distinct = set(vals)
-            if not distinct:
+            distinct = pc.unique(
+                col.combine_chunks()
+            ).drop_null()  # NULL never matches an equality
+            if len(distinct) == 0:
                 continue  # all-NULL file: nothing a point probe hits
             m = max(64, len(distinct) * _BLOOM_BITS_PER_VALUE)
-            bits = bytearray((m + 7) // 8)
-            for v in distinct:
-                for idx in _bloom_hashes(v, m):
-                    bits[idx >> 3] |= 1 << (idx & 7)
-            blob = bytes(bits)
+            digests = b"".join(
+                hashlib.sha1(str(v).encode("utf-8")).digest()[:16]
+                for v in distinct.to_pylist()
+            )
+            raw = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 16)
+            h1 = raw[:, :8].copy().view(">u8").ravel().astype(np.uint64)
+            h2 = raw[:, 8:16].copy().view(">u8").ravel().astype(
+                np.uint64
+            ) | np.uint64(1)
+            m64 = np.uint64(m)
+            probes = np.arange(_BLOOM_K, dtype=np.uint64)[None, :]
+            idx = (
+                (h1 % m64)[:, None] + probes * (h2 % m64)[:, None]
+            ) % m64
+            flat = np.zeros(((m + 7) // 8) * 8, dtype=bool)
+            flat[idx.ravel()] = True
+            blob = np.packbits(flat, bitorder="little").tobytes()
             name = os.path.join(
                 _BLOOM_DIR, f"{hashlib.sha1(blob).hexdigest()}.bf"
             )

@@ -3289,6 +3289,52 @@ def test_txlog_set_stats_cols_cli_and_alter_ride_through(
     assert txlog.stats_cols_of(table) == []
 
 
+def test_bloom_sidecar_vectorized_bitset_identical(tmp_path):
+    """The r15 numpy-vectorized sidecar builder must emit BYTE-equal
+    bitsets to the per-value :func:`txlog._bloom_hashes` loop the
+    probe side still runs — sha1 per distinct value, probe index
+    ``(h1 + i*h2) % m`` in arbitrary precision, LSB-first bit
+    packing. Content addressing makes equality checkable from the
+    sidecar FILENAME alone. Float columns must still be refused
+    (no canonical cross-engine rendering), NULLs skipped."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_combiner_spark.tools import txlog
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, "data"))
+    tbl = pa.table(
+        {
+            "ik": pa.array([7, 123456789, None, -5, 7], type=pa.int64()),
+            "sk": pa.array(["a", None, "éx", "", "a"]),
+            "fk": pa.array([1.0, 2.0, None, 3.5, 1.0]),
+        }
+    )
+    rel = "data/f.parquet"
+    pq.write_table(tbl, os.path.join(table, rel))
+    out = txlog._build_bloom_sidecars(table, [rel], ["ik", "sk", "fk"], {})
+    assert "fk" not in out[rel]  # float: refused, stays unprunable
+    for col, vals in (("ik", [7, 123456789, -5]), ("sk", ["a", "éx", ""])):
+        distinct = set(vals)
+        m = max(64, len(distinct) * txlog._BLOOM_BITS_PER_VALUE)
+        bits = bytearray((m + 7) // 8)
+        for v in distinct:
+            for idx in txlog._bloom_hashes(v, m):
+                bits[idx >> 3] |= 1 << (idx & 7)
+        want = os.path.join(
+            "_bloom", f"{hashlib.sha1(bytes(bits)).hexdigest()}.bf"
+        )
+        got = out[rel][col]
+        assert got["sidecar"] == want, col
+        assert got["m"] == m and got["k"] == txlog._BLOOM_K
+        with open(os.path.join(table, want), "rb") as f:
+            assert f.read() == bytes(bits)
+
+
 def test_merge_into_point_set_prunes_via_bloom(spark, tmp_path):
     """Narrow-batch MERGE point pruning (r13): on an UNCLUSTERED key
     — interleaved ids, zone maps span every file, no bucket layout —
