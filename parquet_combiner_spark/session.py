@@ -37,6 +37,26 @@ _DEFAULT_CONF: dict[str, str] = {
     # rejected by the vectorized reader unless read as raw nanos longs;
     # an engine default, so query code need not mutate session conf
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # No _SUCCESS markers: visibility/atomicity of every engine write
+    # is carried by the txlog commit record (files stage under a
+    # private data/<uuid> dir and only become readable when the log
+    # publishes them) or by the caller's own sink contract — the
+    # marker is a dead FS write per job (~60 ms/write measured
+    # locally; one extra object-store PUT per commit at scale, and
+    # Delta/Iceberg disable it for the same reason).
+    "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": (
+        "false"
+    ),
+    # Commit algorithm v2: task outputs move to the destination at
+    # TASK commit instead of a second sequential rename pass at JOB
+    # commit (measured −0.2 s/lifecycle line locally; the job-commit
+    # pass is O(files) driver-side FS calls at scale). Safe here
+    # because no engine sink exposes a directory mid-job: txlog
+    # writes stage under a private data/<uuid> dir that only the
+    # published log record makes visible, and the plain sinks are
+    # overwrite-mode directories where a failed job invalidates the
+    # destination under either algorithm (a rerun rewrites it).
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.driver.extraJavaOptions": "-Duser.timezone=UTC",

@@ -613,9 +613,23 @@ def stage_time_bands(
     as late) — never as a fresh row.
 
     Band boundaries are ``approx_percentile`` cuts on ``ts`` (integer
-    nanos), computed in ONE aggregation pass; each band is one
-    coalesced file. Driver-side work is O(n_batches) metadata — the
-    rows never visit the driver.
+    nanos), computed in ONE aggregation pass; each band is one file.
+    Driver-side work is O(n_batches) metadata — the rows never visit
+    the driver.
+
+    Write shape (r15 optimization round, guide §2.4): ONE
+    ``partitionBy``-style job writes every band — the band id is
+    ``count(interior cuts < ts)``, bit-identical to the per-band
+    ``ts > cuts[k] AND ts <= cuts[k+1]`` filters it replaced (cuts
+    are sorted, so the half-open intervals and the running count
+    assign the same band), and ``repartition(n, band)`` lands each
+    band in exactly one task → exactly one file per band directory.
+    The previous shape ran ``n_batches`` sequential scan+filter+write
+    jobs over the same frame (profiled ~0.9 s of the dedup stream
+    line's wall at sf0.1; n full input scans instead of one at any
+    scale). The partition column rides the directory name only and is
+    renamed away, so the staged files hold the original columns —
+    byte-compatible with what the per-band writer produced.
     """
     import os as _os
     import shutil as _shutil
@@ -624,30 +638,39 @@ def stage_time_bands(
     if n_batches < 1:
         raise ValueError(f"n_batches must be >= 1, got {n_batches}")
     if n_batches == 1:
-        # no interior cuts — agg(*[]) is rejected by Spark, and a
-        # single band needs none: one full-range file
-        cuts: list = [None, None]
+        cuts: list = []
     else:
         bounds = ev.agg(
             *[
                 F.approx_percentile(
                     "ts", F.lit((i + 1) / n_batches), F.lit(10000)
-                ).alias(f"b{i}")
+                )
+                .alias(f"b{i}")
                 for i in range(n_batches - 1)
             ]
         ).collect()[0]
-        cuts = [
-            None, *[bounds[f"b{i}"] for i in range(n_batches - 1)], None
-        ]
+        cuts = [bounds[f"b{i}"] for i in range(n_batches - 1)]
+    band = F.lit(0)
+    for c in cuts:
+        band = band + F.when(F.col("ts") > F.lit(c), 1).otherwise(0)
+    out = _os.path.join(stage, "_bands")
+    (
+        ev.withColumn("__band", band)
+        .repartition(max(n_batches, 1), "__band")
+        .write.partitionBy("__band")
+        .parquet(out)
+    )
     now = _time.time()
     for k in range(n_batches):
-        part = ev
-        if cuts[k] is not None:
-            part = part.where(F.col("ts") > cuts[k])
-        if cuts[k + 1] is not None and k + 1 < n_batches:
-            part = part.where(F.col("ts") <= cuts[k + 1])
         fdir = _os.path.join(stage, f"b{k}")
-        part.coalesce(1).write.parquet(fdir)
+        src = _os.path.join(out, f"__band={k}")
+        if not _os.path.isdir(src):
+            # an empty band (duplicate percentile cuts on tiny
+            # inputs) produces no directory: nothing to deliver for
+            # that trigger, matching the empty file the per-band
+            # writer used to stage
+            continue
+        _os.rename(src, fdir)
         files = [
             fn for fn in _os.listdir(fdir) if fn.endswith(".parquet")
         ]
@@ -665,6 +688,7 @@ def stage_time_bands(
                 _os.utime(
                     dst, (now + k * copies + c, now + k * copies + c)
                 )
+    _shutil.rmtree(out, ignore_errors=True)
 
 
 def dedup_events_stream_available_now(

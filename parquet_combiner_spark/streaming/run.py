@@ -74,14 +74,15 @@ def run_events_stream_available_now(
       same rows).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
+    raw = spark.read.parquet(events_path)
+    schema = raw.schema
     stage = None
     if stage_bands is not None:
         from parquet_combiner_spark.streaming.pipeline import (
             stage_time_bands,
         )
 
-        ev = ensure_ts_nanos(spark.read.parquet(events_path))
+        ev = ensure_ts_nanos(raw)
         # bands are WRITTEN from the normalized frame (ts already
         # integer nanos), so the stream must read them with ITS
         # schema, not the raw file's (whose ts may present as a
@@ -136,7 +137,15 @@ def run_events_stream_available_now(
             .start()
         )
         query.awaitTermination()
-        result = spark.table(name).localCheckpoint(eager=True)
+        # memory-sink rows are driver-bounded by construction (one
+        # row per finalized window/session), but spark.table() over
+        # the sink plans defaultParallelism partitions — the eager
+        # localCheckpoint then runs a 32-task job to snapshot a few
+        # hundred rows (profiled ~0.3 s/line at sf0.1). One partition
+        # is the honest shape for a frame this size at any scale.
+        result = (
+            spark.table(name).coalesce(1).localCheckpoint(eager=True)
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
