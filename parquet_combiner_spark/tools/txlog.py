@@ -3523,18 +3523,30 @@ def _zorder_with_key(
 
     Two measured performance rules shape the implementation:
 
-    * the proxy is PROJECTED ONCE per row (``withColumn``) and the
-      bucket compares the materialized column — a higher-order
-      ``F.aggregate`` closing over the raw proxy expression
-      re-evaluates conv/hex/encode per CUT (255× per row,
-      interpreted, ~5× wall on a string column);
+    * the proxy AND its bucket are PROJECTED ONCE per row
+      (``withColumn``) and the interleave reads the materialized
+      bucket column — interleaving directly over the bucket
+      EXPRESSION embeds the whole cut chain ``bits`` times in the
+      plan (8× the analysis/codegen surface and, before codegen CSE
+      catches it, 8× the evaluation), and a higher-order
+      ``F.aggregate`` over the cut array is interpreted per element
+      (~30× slower than the flat codegen chain of ``when``s used
+      here);
     * cut points are DEDUPED with their multiplicity kept as a
-      per-cut WEIGHT in a flat codegen sum of ``when``s — dropping
+      per-cut WEIGHT in the flat codegen sum of ``when``s — dropping
       the weights would leave a low-cardinality column's top
       interleave bits permanently zero and degenerate the curve into
       stripes of the other dimensions (measured: a 100-distinct-value
       string column pruned ~nothing unweighted, majority-skip
-      weighted)."""
+      weighted);
+    * the cuts come from ONE codegen ``approx_percentile``
+      aggregation over all columns — ``stat.approxQuantile`` runs the
+      same Greenwald-Khanna sketch through the RDD path, which
+      deserializes every row to external objects (measured 2× slower
+      at sf0.1, and it bypasses whole-stage codegen at any scale);
+      at the SQL default accuracy (10000 vs the old relativeError
+      0.01 ≈ 100) the cuts are also tighter, so low-spread columns
+      stop collapsing neighboring buckets."""
     from pyspark.sql import functions as F
 
     qs = [i / (1 << bits) for i in range(1, 1 << bits)]
@@ -3542,7 +3554,17 @@ def _zorder_with_key(
     out = df
     for c, n in zip(cols, names):
         out = out.withColumn(n, _zorder_proxy(df, c))
-    all_cuts = out.select(*names).stat.approxQuantile(names, qs, 0.01)
+    qarr = "array(" + ",".join(repr(q) for q in qs) + ")"
+    cuts_row = out.agg(
+        *[
+            F.expr(f"approx_percentile({n}, {qarr}, 10000)").alias(n)
+            for n in names
+        ]
+    ).collect()[0]
+    all_cuts = [
+        list(cuts_row[n]) if cuts_row[n] is not None else []
+        for n in names
+    ]
 
     def _bucket(colname: str, cuts: list):
         # closure factory: pyspark derives the lambda's arity from
@@ -3562,6 +3584,17 @@ def _zorder_with_key(
             + F.when(F.col(colname) >= cut, 1).otherwise(0),
         )
 
+    # The bucket expression stays INLINE in the interleave below —
+    # the 2^bits-element higher-order sum is a CodegenFallback
+    # expression, and runtime subexpression elimination already
+    # evaluates the shared aggregate once per row across its 8 bit
+    # extracts. Materializing the buckets as their own projection was
+    # tried (r15 optimization round) and measured 5-8× SLOWER through
+    # the range-partitioned write (25 s vs 3-5 s at sf0.1): the
+    # projection boundary defeats the shared-subexpression reuse the
+    # inline form gets for free. A flat chain of 255 when()s was also
+    # tried — 3× slower, the plan tree itself becomes O(cuts) nodes
+    # and every Catalyst pass (and the sampling pass) walks it.
     buckets = []
     for n, cuts in zip(names, all_cuts):
         buckets.append(
