@@ -34,6 +34,30 @@ NUM_HASHES = 64
 NUM_BANDS = 16  # 16 bands × 4 rows; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
 
 
+def _fan_out_small_scan(documents: DataFrame) -> DataFrame:
+    """Input-skew guard for CPU-heavy extraction (guide §2.5): the
+    shingle/signature projections inherit the SCAN's partitioning, so
+    a corpus that arrives as one small file (or a few unsplittable
+    ones) runs the whole tokenize+hash pass in one task while the
+    rest of the cluster idles — profiled at sf0.1 the exact-Jaccard
+    line spent 1.2 s in a single-task extraction stage. When the scan
+    yields fewer partitions than the session's default parallelism,
+    fan the raw rows out with one round-robin repartition (a few
+    hundred KB here). At scale the scan already yields far more
+    splits than cores and this is a no-op branch — the repartition
+    never touches a well-partitioned corpus. Applied only where the
+    A/B showed a win (the exact-Jaccard postings path −0.2 s/−0.6 s
+    for its cluster consumer, positional shingles −1.4 s at sf0.1);
+    the MinHash and SimHash signature passes measured neutral-to-
+    worse (+0.4 s simhash — their one-pass extraction is cheaper
+    than the repartition), so they keep the scan partitioning."""
+    sc = documents.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if documents.rdd.getNumPartitions() < target:
+        return documents.repartition(target)
+    return documents
+
+
 def _shingle_zip(text_col: str, k_shingle: int):
     """array<struct> of the k consecutive token-hashes of every
     shingle window — the shared shingle-window construction of
@@ -486,6 +510,7 @@ def ngram_jaccard_pairs(
     # posting), replacing a separate sizes aggregation plus two joins
     # against the pair stream — sizes are computed BEFORE the
     # stop-shingle filter, preserving the never-inflated guarantee.
+    documents = _fan_out_small_scan(documents)
     sh = documents.select(
         F.col(id_col).alias("doc_id"),
         hashed_shingle_set(text_col, k_shingle).alias("sh_arr"),
@@ -591,6 +616,7 @@ def _positional_shingles(
     span shorter than the minimum match length is meaningless here).
     Pure map: slice-zip over the token-hash array, posexplode — no
     window, no shuffle."""
+    documents = _fan_out_small_scan(documents)
     tok_hashes = F.transform(
         tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
     )
