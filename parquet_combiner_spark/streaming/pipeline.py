@@ -469,9 +469,20 @@ def windowed_top_events_update_available_now(
     at finalization; update mode emits a window's LATEST total every
     trigger it changes, and a ``foreachBatch`` consumer upserts the
     changed rows into a result store keyed (window, event_type) with
-    the batch id as the version (``operators/merge.merge_upsert`` —
-    the same MERGE kernel the CDC sink uses), so the current top-N is
-    re-rankable mid-stream, before any watermark passes.
+    the batch id as the version, so the current top-N is re-rankable
+    mid-stream, before any watermark passes. The store is
+    MERGE-ON-READ (r15 optimization round, guide §6): each batch
+    APPENDS its changed rows stamped with the batch id, and any
+    reader resolves a key to its highest-version row (one
+    window-rank pass) — a read of the store mid-stream sees exactly
+    what the previous copy-on-write ``merge_upsert`` store held.
+    The rewrite-per-batch shape this replaces re-read and re-wrote
+    the WHOLE store every trigger (O(store) I/O per batch — at scale
+    a dashboard store outgrows its own refresh); append-only makes
+    each trigger O(changed rows), the same reason Delta's streaming
+    upsert sinks record deltas instead of snapshots. Profiled at
+    sf0.1 the per-batch read+merge+overwrite+rename was ~3 driver
+    actions per trigger; the append shape is one.
 
     Replay discipline: the source is staged as ``n_batches``
     TIME-RANGE files with monotone mtimes, so the file source replays
@@ -496,7 +507,8 @@ def windowed_top_events_update_available_now(
     import shutil as _shutil
     import tempfile as _tempfile
 
-    from parquet_combiner_spark.operators.merge import merge_upsert
+    from pyspark.sql import Window
+
     from parquet_combiner_spark.sources.io import ensure_ts_nanos
     from parquet_combiner_spark.streaming.run import (
         STREAM_STATE_PARTITIONS,
@@ -515,10 +527,6 @@ def windowed_top_events_update_available_now(
         stage_time_bands(ev, stage, n_batches)
 
         def apply_batch(batch: DataFrame, batch_id: int) -> None:
-            # persisted for the batch: both the merge write and the
-            # observer count consume it, and an unpersisted frame
-            # would re-execute the windowed aggregation per action
-            # (bounded: windows × event types rows)
             changed = batch.select(
                 F.expr("unix_micros(window.start) div 1000").alias(
                     "window_start_ms"
@@ -526,24 +534,19 @@ def windowed_top_events_update_available_now(
                 "event_type",
                 F.col("count").alias("n"),
                 F.lit(batch_id).alias("__v"),
-            ).persist()
+            )
+            if on_batch is None:
+                # bench/production path: ONE append action per trigger
+                changed.write.mode("append").parquet(store)
+                return
+            # observer path: persisted for the batch — both the append
+            # and the observer count consume it, and an unpersisted
+            # frame would re-execute the windowed aggregation per
+            # action (bounded: windows × event types rows)
+            changed = changed.persist()
             try:
-                if _os.path.isdir(store):
-                    base = spark.read.parquet(store)
-                else:
-                    base = spark.createDataFrame([], changed.schema)
-                merged = merge_upsert(
-                    base,
-                    changed,
-                    keys=["window_start_ms", "event_type"],
-                    version_cols=["__v"],
-                )
-                tmp = store + "__tmp"
-                merged.write.mode("overwrite").parquet(tmp)
-                _shutil.rmtree(store, ignore_errors=True)
-                _os.rename(tmp, store)
-                if on_batch is not None:
-                    on_batch(batch_id, changed.count())
+                changed.write.mode("append").parquet(store)
+                on_batch(batch_id, changed.count())
             finally:
                 changed.unpersist()
 
@@ -573,7 +576,22 @@ def windowed_top_events_update_available_now(
         )
         query.awaitTermination()
 
-        final = spark.read.parquet(store)
+        # merge-on-read resolution: a key's current value is its
+        # highest-batch-id row (batch ids are unique per trigger, one
+        # row per key per trigger — no ties)
+        final = (
+            spark.read.parquet(store)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(
+                        "window_start_ms", "event_type"
+                    ).orderBy(F.col("__v").desc())
+                ),
+            )
+            .where("__rn = 1")
+            .drop("__rn", "__v")
+        )
         ranked = top_items_per_window(
             final,
             top_x,
