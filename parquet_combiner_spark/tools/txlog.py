@@ -538,7 +538,7 @@ def _physical_reader(
     discovery, any layout. Path segments carry physical names."""
     from pyspark.sql import functions as F
 
-    struct = spark.createDataFrame([], schema).schema
+    struct = _struct_of(spark, schema)
     names = struct.names
     phys_of = {n: mapping.get(n, n) for n in names}
     phys_schema = ", ".join(
@@ -739,6 +739,28 @@ def _normalize_ddl(ddl: str) -> list[list[str]]:
         name, _, typ = field.partition(" ")
         out.append([name.lower(), typ.strip().lower()])
     return sorted(out)
+
+
+# DDL string → parsed StructType, memoized (r15 optimization round,
+# guide §5 — the driver should do almost no work): every snapshot
+# read/DML verb re-parsed the committed schema through an EMPTY
+# ``createDataFrame`` round trip, ~67 ms of py4j + analysis apiece
+# against 0.02 ms for a dict hit. Sound because a DDL string is a
+# pure function of the schema it names, and the StructType the JVM
+# hands back is a session-independent plain-Python value (no JVM
+# refs) — the cache is plan-analysis memoization, the same class of
+# reuse as Spark's own codegen cache; every data row is still
+# computed from the parquet inputs on every call. Bounded by the
+# number of distinct schemas the process touches.
+_STRUCT_CACHE: dict = {}
+
+
+def _struct_of(spark: SparkSession, ddl: str):
+    st = _STRUCT_CACHE.get(ddl)
+    if st is None:
+        st = spark.createDataFrame([], ddl).schema
+        _STRUCT_CACHE[ddl] = st
+    return st
 
 
 _TRANSFORM_RE = re.compile(
@@ -1366,9 +1388,10 @@ def commit(
         # unknown file is a stale or corrupt caller.
         if last is None:
             raise FileNotFoundError(f"{table} has no table to replace into")
-        want = _normalize_schema(
-            df.sparkSession.createDataFrame([], last["schema"])
-        )
+        # pure-Python DDL normalize (identical output to the empty
+        # createDataFrame round trip on simpleString-generated DDL —
+        # every committed schema is one; ~67 ms of py4j saved/commit)
+        want = _normalize_ddl(last["schema"])
         if want != _normalize_schema(df):
             raise TypeError(
                 "replace must keep the table schema; use overwrite to "
@@ -1389,9 +1412,7 @@ def commit(
         # identity, same rule as replace (row mutation ≠ evolution)
         if last is None:
             raise FileNotFoundError(f"{table} has no table to mutate")
-        want = _normalize_schema(
-            df.sparkSession.createDataFrame([], last["schema"])
-        )
+        want = _normalize_ddl(last["schema"])
         if want != _normalize_schema(df):
             raise TypeError(
                 "a dv commit must keep the table schema; use "
@@ -1419,8 +1440,7 @@ def commit(
         schema_ddl = last["schema"]
     if action == "append" and last:
         current = last["schema"]
-        spark = df.sparkSession
-        want = _normalize_schema(spark.createDataFrame([], current))
+        want = _normalize_ddl(current)
         have = _normalize_schema(df)
         if want != have:
             want_by = dict(want)
@@ -2626,7 +2646,27 @@ def read_table_where(
     )
 
 
+# (schema DDL, predicate SQL) → (bands, points), memoized: the
+# extraction walks Catalyst's analyzed tree over py4j (~70 ms/call)
+# and its output is a pure function of the two strings — plain
+# Python dicts, no session or data dependence. DML retry loops and
+# repeated reads under the same predicate hit the cache; copies are
+# returned so a caller can't mutate the cached value.
+_CONJUNCT_CACHE: dict = {}
+
+
 def _sql_conjunct_constraints(
+    spark: SparkSession, schema: str, predicate: str
+) -> tuple[dict, dict]:
+    hit = _CONJUNCT_CACHE.get((schema, predicate))
+    if hit is None:
+        hit = _sql_conjunct_constraints_uncached(spark, schema, predicate)
+        _CONJUNCT_CACHE[(schema, predicate)] = hit
+    bands, points = hit
+    return dict(bands), {k: list(v) for k, v in points.items()}
+
+
+def _sql_conjunct_constraints_uncached(
     spark: SparkSession, schema: str, predicate: str
 ) -> tuple[dict, dict]:
     """Best-effort (per-column [lo, hi] bands, per-column POINT SETS)
@@ -4301,7 +4341,7 @@ def table_changes_cdf(
                 # changed zero rows (zone-map touch, no matches) —
                 # a zero-delta commit, not missing change data
                 continue
-            struct = spark.createDataFrame([], rec["schema"]).schema
+            struct = _struct_of(spark, rec["schema"])
             phys_ddl = ", ".join(
                 f"{mapping.get(f.name, f.name)} "
                 f"{f.dataType.simpleString()}"
@@ -4629,7 +4669,7 @@ def update_where_expr(
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
         files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
-        cols = {f.name for f in spark.createDataFrame([], schema).schema}
+        cols = set(_struct_of(spark, schema).names)
         unknown = sorted(set(set_exprs) - cols)
         if unknown:
             raise ValueError(
@@ -4740,7 +4780,7 @@ def update_where(
         if base < 0:
             raise FileNotFoundError(f"{table} has no transaction log")
         files, schema, stats, sizes, dvs, mapping = _snapshot(table, base)
-        cols = {f.name for f in spark.createDataFrame([], schema).schema}
+        cols = set(_struct_of(spark, schema).names)
         unknown = sorted(set(set_exprs) - cols)
         if unknown:
             raise ValueError(
@@ -5152,7 +5192,12 @@ def merge_into(
         change_rels = None
         if cdf:
             # row-level diff of the merge's input vs output, both
-            # bounded to the touched files + batch (O(merge scope))
+            # bounded to the touched files + batch (O(merge scope)).
+            # NOT persisted (r15 optimization round, probed): the
+            # change-frame plan's four references to ``merged``
+            # already share one computation through ReusedExchange,
+            # so a persist only adds cache-materialization cost —
+            # the A/B read neutral-to-worse at sf0.1.
             change_rels = _write_change_files(
                 table,
                 _merge_change_frame(base_df, merged, keys, version_cols),
