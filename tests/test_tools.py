@@ -3369,3 +3369,54 @@ def test_merge_into_point_set_prunes_via_bloom(spark, tmp_path):
     assert sorted(
         r["v"] for r in got.where(F.col("id").isin(42, 44, 2000)).collect()
     ) == [1, 4200, 4400]
+
+
+def test_normalize_ddl_matches_empty_frame_roundtrip(spark):
+    """The r15 commit-path schema gates replaced the empty
+    ``createDataFrame([], ddl)`` round trip with the pure-Python
+    ``_normalize_ddl``; this pins the two producers equal on every
+    type family a committed schema can carry (simpleString-generated
+    DDL — nested structs/arrays/maps, decimals, the widening lattice
+    ends), so the swap can never change which appends/replaces are
+    accepted."""
+    from parquet_combiner_spark.tools.txlog import (
+        _normalize_ddl,
+        _normalize_schema,
+    )
+
+    ddls = [
+        "id bigint, v double",
+        "a int, b string, c date, d timestamp",
+        "x decimal(10,2), y decimal(38,18)",
+        "s struct<a:int,b:array<string>>, m map<string,bigint>",
+        "arr array<struct<k:string,v:double>>, f float, t tinyint",
+        "B BIGINT, a STRING",  # case folds identically on both paths
+    ]
+    for ddl in ddls:
+        assert _normalize_ddl(ddl) == _normalize_schema(
+            spark.createDataFrame([], ddl)
+        ), ddl
+
+
+def test_struct_of_and_conjunct_caches_are_value_safe(spark):
+    """The r15 memo caches must behave like pure functions: repeated
+    calls return equal values, and mutating a returned constraints
+    dict must not poison later calls (copies out, never references)."""
+    from parquet_combiner_spark.tools import txlog
+
+    ddl = "id bigint, v double, s string"
+    s1 = txlog._struct_of(spark, ddl)
+    s2 = txlog._struct_of(spark, ddl)
+    assert s1 == s2 and s1.names == ["id", "v", "s"]
+
+    pred = "id IN (1, 2, 3) AND v >= 0.5 AND s = 'x'"
+    bands1, points1 = txlog._sql_conjunct_constraints(spark, ddl, pred)
+    # caller mutation of the returned values...
+    bands1.pop("id", None)
+    points1.get("id", []).append(999)
+    bands2, points2 = txlog._sql_conjunct_constraints(spark, ddl, pred)
+    # ...must not leak into the next call's result
+    assert bands2["id"] == (1, 3)
+    assert points2["id"] == [1, 2, 3]
+    assert bands2["v"] == (0.5, float("inf"))
+    assert points2["s"] == ["x"]
