@@ -56,16 +56,18 @@ _DRIVER_PRIORITY = [
     "user_state_join_agg_cobucketed",
     "embedding_decontaminate",
     "user_state_mv_cdf_refresh",
-    # --- the LAST three keys with no driver signal of any kind:
-    # rows-only-by-design estimators (GK thresholds ×2, trained
-    # k-means SemDedup). Their rows-only driver check is weaker than
-    # a hash-MATCH — the hash gate for these families lives in their
-    # *_fixed / *_approx twins — but recording it closes driver
-    # coverage at 200/200: every registry key now has an official
-    # check at least once. ---
-    "order_price_quartiles_approx",
-    "customer_rfm_segments_approx",
-    "embedding_semdedup",
+    # --- r16 rotation (VERDICT r15 'Next round' #5): driver coverage
+    # closed at 200/200 in r15, so the three rows-only-by-design
+    # estimator keys (order_price_quartiles_approx,
+    # customer_rfm_segments_approx, embedding_semdedup — no_oracle
+    # slots by construction; their hash gates live in their
+    # *_fixed/*_approx twins, still in this prefix) rotate OUT for
+    # three oracle-backed lifecycle re-checks covering exactly the
+    # txlog write paths this optimization round touches (CDF
+    # change-file publication, merge-on-read UPDATE). ---
+    "events_cdf_feed",
+    "user_state_merge_cdf_feed",
+    "events_dv_update_scan",
     # --- r14 prefix follows (now all driver-checked; kept as
     # re-checks). Two r13 lifecycle re-checks were displaced to make
     # room. ---

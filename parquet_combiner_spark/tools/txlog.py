@@ -704,7 +704,29 @@ def _scan(
 
 
 def _normalize_schema(df: DataFrame) -> list[list[str]]:
-    return sorted([f.name.lower(), f.dataType.simpleString()] for f in df.schema.fields)
+    return _normalize_struct(df.schema)
+
+
+def _normalize_struct(st) -> list[list[str]]:
+    """Order- and top-level-case-insensitive (name, type) pairs from a
+    StructType. Nested field-name case inside the type string is
+    PRESERVED: the Arrow-side txtable reader matches names
+    case-sensitively, so a case-only nested-name drift must compare
+    unequal here (ADVICE r15 high — ``_normalize_ddl`` lowercases the
+    whole type string and must not be compared against this)."""
+    return sorted([f.name.lower(), f.dataType.simpleString()] for f in st.fields)
+
+
+def _normalize_ddl_rt(spark: SparkSession, ddl: str) -> list[list[str]]:
+    """Round-trip normalize of a committed DDL: parse (memoized via
+    :func:`_struct_of`, ~0.02 ms on a hit vs 67 ms for the empty
+    ``createDataFrame`` round trip) and normalize exactly like
+    :func:`_normalize_schema`. This is the comparison the commit-path
+    schema gates use against a live DataFrame — identical semantics to
+    the pre-r15 round-trip gate, including rejecting nested
+    field-name case drift that the all-lowering ``_normalize_ddl``
+    would silently accept."""
+    return _normalize_struct(_struct_of(spark, ddl))
 
 
 def _normalize_ddl(ddl: str) -> list[list[str]]:
@@ -756,11 +778,17 @@ _STRUCT_CACHE: dict = {}
 
 
 def _struct_of(spark: SparkSession, ddl: str):
+    from pyspark.sql.types import StructType
+
     st = _STRUCT_CACHE.get(ddl)
     if st is None:
         st = spark.createDataFrame([], ddl).schema
         _STRUCT_CACHE[ddl] = st
-    return st
+    # defensive copy (ADVICE r15 low): StructType is mutable, and a
+    # caller appending a field to the returned value must not poison
+    # the cache for every later snapshot read. Fields themselves are
+    # treated as read-only by every caller (name/type access only).
+    return StructType(list(st.fields))
 
 
 _TRANSFORM_RE = re.compile(
@@ -1388,10 +1416,10 @@ def commit(
         # unknown file is a stale or corrupt caller.
         if last is None:
             raise FileNotFoundError(f"{table} has no table to replace into")
-        # pure-Python DDL normalize (identical output to the empty
-        # createDataFrame round trip on simpleString-generated DDL —
-        # every committed schema is one; ~67 ms of py4j saved/commit)
-        want = _normalize_ddl(last["schema"])
+        # memoized round-trip normalize (dict hit after the first
+        # parse; same semantics as the pre-r15 empty-createDataFrame
+        # gate, incl. nested field-name case — ADVICE r15 high)
+        want = _normalize_ddl_rt(df.sparkSession, last["schema"])
         if want != _normalize_schema(df):
             raise TypeError(
                 "replace must keep the table schema; use overwrite to "
@@ -1412,7 +1440,7 @@ def commit(
         # identity, same rule as replace (row mutation ≠ evolution)
         if last is None:
             raise FileNotFoundError(f"{table} has no table to mutate")
-        want = _normalize_ddl(last["schema"])
+        want = _normalize_ddl_rt(df.sparkSession, last["schema"])
         if want != _normalize_schema(df):
             raise TypeError(
                 "a dv commit must keep the table schema; use "
@@ -1440,7 +1468,7 @@ def commit(
         schema_ddl = last["schema"]
     if action == "append" and last:
         current = last["schema"]
-        want = _normalize_ddl(current)
+        want = _normalize_ddl_rt(df.sparkSession, current)
         have = _normalize_schema(df)
         if want != have:
             want_by = dict(want)
@@ -2651,8 +2679,17 @@ def read_table_where(
 # and its output is a pure function of the two strings — plain
 # Python dicts, no session or data dependence. DML retry loops and
 # repeated reads under the same predicate hit the cache; copies are
-# returned so a caller can't mutate the cached value.
+# returned so a caller can't mutate the cached value. Size-capped
+# (ADVICE r15 low): DML predicates can embed literal key lists (GDPR
+# point deletes with unique IN-lists per call), so unlike the schema
+# cache the key space is NOT bounded by the table catalog — FIFO
+# eviction keeps a long-running process flat. Analysis-time folding
+# of timestamp/date string literals depends on
+# spark.sql.session.timeZone; the engine pins it to UTC for the
+# process lifetime (session._DEFAULT_CONF), which is the invariant
+# that keeps the cache key sound (ADVICE r15 low).
 _CONJUNCT_CACHE: dict = {}
+_CONJUNCT_CACHE_MAX = 4096
 
 
 def _sql_conjunct_constraints(
@@ -2661,6 +2698,8 @@ def _sql_conjunct_constraints(
     hit = _CONJUNCT_CACHE.get((schema, predicate))
     if hit is None:
         hit = _sql_conjunct_constraints_uncached(spark, schema, predicate)
+        while len(_CONJUNCT_CACHE) >= _CONJUNCT_CACHE_MAX:
+            _CONJUNCT_CACHE.pop(next(iter(_CONJUNCT_CACHE)))
         _CONJUNCT_CACHE[(schema, predicate)] = hit
     bands, points = hit
     return dict(bands), {k: list(v) for k, v in points.items()}

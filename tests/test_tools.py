@@ -3390,12 +3390,58 @@ def test_normalize_ddl_matches_empty_frame_roundtrip(spark):
         "x decimal(10,2), y decimal(38,18)",
         "s struct<a:int,b:array<string>>, m map<string,bigint>",
         "arr array<struct<k:string,v:double>>, f float, t tinyint",
-        "B BIGINT, a STRING",  # case folds identically on both paths
+        "B BIGINT, a STRING",  # TOP-LEVEL case folds identically
     ]
     for ddl in ddls:
         assert _normalize_ddl(ddl) == _normalize_schema(
             spark.createDataFrame([], ddl)
         ), ddl
+
+
+def test_schema_gate_nested_case_roundtrip(spark):
+    """ADVICE r15 high: ``_normalize_ddl`` lowercases the whole type
+    string while ``simpleString`` preserves NESTED field-name case, so
+    the two are NOT equivalent on ``struct<A:int>`` — the commit-path
+    gates must therefore compare ``_normalize_ddl_rt`` (memoized
+    round trip) against ``_normalize_schema``, never ``_normalize_ddl``
+    against ``_normalize_schema``. Pins (a) the divergence that made
+    the r15 gate wrong, (b) the rt gate accepting an identical nested
+    uppercase schema, (c) the rt gate REJECTING a case-only
+    nested-name change (the Arrow-side reader matches nested names
+    case-sensitively)."""
+    from parquet_combiner_spark.tools.txlog import (
+        _normalize_ddl,
+        _normalize_ddl_rt,
+        _normalize_schema,
+    )
+
+    upper = "s struct<A:int,B:string>, id bigint"
+    lower = "s struct<a:int,b:string>, id bigint"
+    df_upper = spark.createDataFrame([], upper)
+    # (a) the bug: all-lowering normalize disagrees with the frame
+    assert _normalize_ddl(upper) != _normalize_schema(df_upper)
+    # (b) the fixed gate: round trip matches the identical frame
+    assert _normalize_ddl_rt(spark, upper) == _normalize_schema(df_upper)
+    # (c) case-only nested drift stays REJECTED, as pre-r15
+    assert _normalize_ddl_rt(spark, upper) != _normalize_schema(
+        spark.createDataFrame([], lower)
+    )
+
+
+def test_struct_of_returns_defensive_copy(spark):
+    """Mutating the StructType returned by the memoized ``_struct_of``
+    must not poison the cache for later callers (ADVICE r15 low)."""
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import IntegerType
+
+    from parquet_combiner_spark.tools import txlog
+
+    ddl = "id bigint, v double"
+    s1 = txlog._struct_of(spark, ddl)
+    s1.add(StructField("injected", IntegerType()))
+    s2 = txlog._struct_of(spark, ddl)
+    assert s2.names == ["id", "v"]
+    assert isinstance(s2, StructType)
 
 
 def test_struct_of_and_conjunct_caches_are_value_safe(spark):
